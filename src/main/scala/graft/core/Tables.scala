@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver testdata layout (`TESTDATA.md`): one parquet file
+  * per table under `\$dir/`. At 100 TB these would be partitioned parquet
+  * directories; `spark.read.parquet` handles both shapes unchanged, and all
+  * downstream code goes through this single entry point so partition-aware
+  * reading (bucketing, partition pruning) can be added here once.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long and convert to a regular
+    * micros timestamp (UTC session) — sub-microsecond precision is dropped,
+    * matching what every downstream aggregate needs.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(raw.columns.map(col).toIndexedSeq: _*)
+  }
+}
+
+/** One driver-checkable query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle.
+  * Column names/aliases MUST match between `fn`'s output and `oracle`.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryPack { def queries: Seq[Q] }

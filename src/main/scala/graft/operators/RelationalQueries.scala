@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, QueryPack, Tables}
+
+/** Relational operator inventory (SURVEY.md §2) expressed over the driver
+  * testdata, one query per operator family, each with a DuckDB oracle.
+  *
+  * Determinism rules (required for the driver's hash-compare vs DuckDB):
+  *  - Never sum raw doubles across rows: cast each row to an exact
+  *    `DECIMAL` first, sum the decimals (exact, order-independent), cast
+  *    the final value to `DOUBLE`. IEEE ops on identical scalar operands
+  *    are bit-deterministic; only reductions over floats are order-sensitive.
+  *  - No `avg()` (DuckDB computes it in doubles): derive exact sum / count.
+  *  - `collect_set` arrays are `array_sort`ed on both sides (SURVEY §7.4).
+  *  - Row-level outputs carry an ORDER BY on a unique key on both sides.
+  *
+  * Scale notes (100 TB design intent, verified via `.explain`):
+  *  - Filters/projections stay in the parquet scan (PushedFilters/ReadSchema).
+  *  - Small dimensions (region/nation/supplier) are broadcast explicitly;
+  *    fact-fact joins shuffle on their join key and rely on AQE for skew.
+  *  - Aggregations are partial+final hash aggregates (map-side combine) —
+  *    nothing here collects to the driver.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(s"decimal(18,$scale)")
+
+  /** Exact decimal sum of a per-row double expression. Output stays
+    * DECIMAL(38,scale) — matching DuckDB's SUM(DECIMAL) result type —
+    * because casting wide decimals (>2^52) to double rounds differently
+    * across engines (DuckDB divides an int128 by 10^scale in double
+    * arithmetic; Spark converts the exact BigDecimal correctly-rounded).
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(dec(c, scale)).cast("decimal(38," + scale + ")")
+
+  def queries: Seq[Q] = Seq(
+    // ---- A1/A5/P5: scan → pushed filter → partial+final hash aggregate.
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("sum_disc_price"),
+            // scale 8: the product has up to 6 decimal digits (2dp price ×
+            // 2dp discount × 2dp tax); casting at a scale beyond the exact
+            // decimal content avoids engine-specific midpoint rounding.
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")), 8).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             | SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             | SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             | SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             | SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,8))) AS sum_charge,
+             | COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- P2/P5: projection + aliasing + pushed predicates, row-level math.
+    Q("q02_filter_project",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 &&
+            col("l_shipdate").between(
+              lit("1996-01-01").cast("timestamp"),
+              lit("1997-12-31").cast("timestamp")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").as("qty"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+             | ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_quantity > 45 AND l_discount >= 0.05
+             | AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             |  AND TIMESTAMP '1997-12-31 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- J1: 5-way star join; tiny dims broadcast, fact-fact shuffle join.
+    Q("q03_star_join_revenue",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .groupBy(col("n_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             | SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             | COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- J3: left outer join preserving customers with zero orders.
+    Q("q04_left_join_count",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            dsum(coalesce(col("o_totalprice"), lit(0.0))).as("spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+             | SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J7: left-anti join (referential-integrity / NOT EXISTS shape).
+    Q("q05_anti_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left-semi join (EXISTS shape).
+    Q("q06_semi_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- A2: ARRAY_AGG(DISTINCT) ≡ collect_set, array_sorted for compare.
+    Q("q07_collect_set",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+             | COUNT(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- A6: group-count-HAVING (dbt `unique` test compiled shape).
+    Q("q08_having_unique",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 15)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n FROM orders
+             |GROUP BY o_custkey HAVING COUNT(*) > 15
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- F1-F6: coalesce / concat / cast / CASE / boolean predicates.
+    Q("q09_scalar_funcs",
+      (s, dir) => {
+        Tables(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            concat(col("c_name"), lit(" ["), col("c_mktsegment"), lit("]"))
+              .as("label"),
+            when(col("c_acctbal") < 0, "negative")
+              .when(col("c_acctbal") < 5000, "low")
+              .otherwise("high").as("bal_band"),
+            coalesce(when(col("c_mktsegment") =!= "BUILDING",
+              col("c_mktsegment")), lit("B")).as("seg_short"),
+            col("c_nationkey").cast("string").as("nation_str"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             | c_name || ' [' || c_mktsegment || ']' AS label,
+             | CASE WHEN c_acctbal < 0 THEN 'negative'
+             |      WHEN c_acctbal < 5000 THEN 'low'
+             |      ELSE 'high' END AS bal_band,
+             | COALESCE(CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END, 'B') AS seg_short,
+             | CAST(c_nationkey AS VARCHAR) AS nation_str
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- window ranking: top-3 orders per customer, deterministic ties.
+    Q("q10_window_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             | SELECT o_custkey, o_orderkey,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS rn
+             | FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- window running aggregate (exact decimal frame sum).
+    Q("q11_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(dec(col("l_quantity"))).over(w).cast("decimal(38,2)")
+              .as("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             | SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             |   PARTITION BY l_suppkey
+             |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS running_qty
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- set operators: UNION DISTINCT / INTERSECT / EXCEPT.
+    Q("q12_set_ops",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val buyers = Tables(s, dir, "orders")
+          .filter(col("o_totalprice") > 50000)
+          .select(col("o_custkey").as("k"))
+        val building = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey").as("k"))
+        building.union(auto).distinct()
+          .intersect(buyers)
+          .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")))
+          .orderBy(col("k"))
+      },
+      Some("""(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             | UNION
+             | SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+             |INTERSECT
+             |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+             |EXCEPT
+             |SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+             |ORDER BY k""".stripMargin)),
+
+    // ---- ROLLUP grouping sets (subtotals + grand total).
+    Q("q13_rollup",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             | COALESCE(o_orderpriority, 'ALL') AS priority,
+             | COUNT(*) AS n,
+             | SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ---- exact COUNT(DISTINCT) (expand-based distinct aggregate).
+    Q("q14_distinct_agg",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- P6 accepted_range data-test shape: count of violating rows.
+    Q("q15_range_check",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull &&
+            (col("l_quantity") < 1 || col("l_quantity") > 50))
+          .agg(count(lit(1)).as("violations"))
+      },
+      Some("""SELECT COUNT(*) AS violations FROM lineitem
+             |WHERE l_quantity IS NOT NULL
+             | AND (l_quantity < 1 OR l_quantity > 50)""".stripMargin)),
+
+    // ---- calendar bucketing: month truncation + aggregate.
+    Q("q16_month_agg",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             | COUNT(*) AS n_orders,
+             | SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- events: hourly tumbling buckets + conditional aggregation.
+    Q("q17_events_hourly",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("n_clicks"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            dsum(col("value"), 4).as("sum_value"))
+          .orderBy(col("hour"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+             | COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+             | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+             | SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
+    // ---- JSON extraction from semi-structured props column.
+    Q("q18_json_extract",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             | COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
+  )
+}
