@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Q, QueryPack}
-import graft.operators.RelationalQueries
+import graft.operators.{EngineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.operators.RelationalQueries
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries)
+    RelationalQueries, EngineQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,71 @@
+package graft.model
+
+import scala.collection.mutable
+
+/** Dependency graph utilities: deterministic toposort (Kahn, alphabetical
+  * tie-break), cycle detection, and dbt-style node selection
+  * (`name`, `+name`, `name+`, `+name+` — setup/task.sql:5, README:131).
+  */
+object Dag {
+
+  /** @param deps node -> upstream dependencies (must all be keys). */
+  def toposort(deps: Map[String, Seq[String]]): Seq[String] = {
+    val indeg = mutable.Map.from(deps.view.mapValues(_.size))
+    val downstream = deps.toSeq
+      .flatMap { case (n, ups) => ups.map(_ -> n) }
+      .groupMap(_._1)(_._2)
+    val ready = mutable.SortedSet.from(indeg.collect {
+      case (n, 0) => n
+    })
+    val out = mutable.ArrayBuffer.empty[String]
+    while (ready.nonEmpty) {
+      val n = ready.head
+      ready.remove(n)
+      out += n
+      downstream.getOrElse(n, Nil).foreach { d =>
+        indeg(d) -= 1
+        if (indeg(d) == 0) ready += d
+      }
+    }
+    if (out.size != deps.size) {
+      val stuck = deps.keySet -- out
+      throw new IllegalStateException(
+        s"cycle detected among models: ${stuck.toSeq.sorted.mkString(", ")}")
+    }
+    out.toSeq
+  }
+
+  def ancestors(node: String, deps: Map[String, Seq[String]]): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    def walk(n: String): Unit =
+      deps.getOrElse(n, Nil).foreach { u =>
+        if (seen.add(u)) walk(u)
+      }
+    walk(node)
+    seen.toSet
+  }
+
+  def descendants(node: String, deps: Map[String, Seq[String]]): Set[String] = {
+    val downstream = deps.toSeq
+      .flatMap { case (n, ups) => ups.map(_ -> n) }
+      .groupMap(_._1)(_._2)
+    val seen = mutable.Set.empty[String]
+    def walk(n: String): Unit =
+      downstream.getOrElse(n, Nil).foreach { d =>
+        if (seen.add(d)) walk(d)
+      }
+    walk(node)
+    seen.toSet
+  }
+
+  /** Resolve a selection expression to the set of nodes to run. */
+  def select(expr: String, deps: Map[String, Seq[String]]): Set[String] = {
+    val plusBefore = expr.startsWith("+")
+    val plusAfter = expr.endsWith("+")
+    val name = expr.stripPrefix("+").stripSuffix("+")
+    require(deps.contains(name), s"unknown model in --select: $name")
+    Set(name) ++
+      (if (plusBefore) ancestors(name, deps) else Set.empty) ++
+      (if (plusAfter) descendants(name, deps) else Set.empty)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data tests — the reference's entire correctness surface
+  * (SURVEY §5). Contract: each test compiles to a SELECT of violating rows;
+  * pass ⇔ 0 rows (test_is_positive_amount.sql:3-5 shows the pattern).
+  *
+  * `relation` addresses either a model by name or a source as
+  * "sourceName.table"; the Runner resolves it. `violations` receives a
+  * resolver so multi-relation tests (relationships) can load both sides.
+  */
+sealed trait DataTest {
+  def id: String
+  def relation: String
+  def violations(resolve: String => DataFrame): DataFrame
+}
+
+/** dbt built-in `not_null` (__sources.yml:13-14 et al.). */
+final case class NotNull(relation: String, column: String) extends DataTest {
+  val id = s"not_null__${relation}__$column"
+  def violations(resolve: String => DataFrame): DataFrame =
+    resolve(relation).filter(col(column).isNull)
+}
+
+/** dbt built-in `unique`, compiled to group-count-HAVING
+  * (__sources.yml:66-68 et al.). */
+final case class Unique(relation: String, column: String) extends DataTest {
+  val id = s"unique__${relation}__$column"
+  def violations(resolve: String => DataFrame): DataFrame =
+    resolve(relation)
+      .filter(col(column).isNotNull)
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+}
+
+/** dbt built-in `relationships` (FK integrity), compiled to a left-anti
+  * join on non-null child keys (__sources.yml:138-140 et al., SURVEY J7). */
+final case class Relationships(
+    relation: String, column: String,
+    parentRelation: String, parentColumn: String) extends DataTest {
+  val id = s"relationships__${relation}__${column}__$parentRelation"
+  def violations(resolve: String => DataFrame): DataFrame = {
+    val child = resolve(relation).filter(col(column).isNotNull)
+    val parent = resolve(parentRelation).select(col(parentColumn))
+    child.join(parent, child(column) === parent(parentColumn), "left_anti")
+  }
+}
+
+/** dbt_utils `accepted_range` (__sources.yml:15-17, :217-220). */
+final case class AcceptedRange(
+    relation: String, column: String,
+    min: Double, max: Double, inclusive: Boolean = true) extends DataTest {
+  val id = s"accepted_range__${relation}__$column"
+  def violations(resolve: String => DataFrame): DataFrame = {
+    val c = col(column)
+    val inRange =
+      if (inclusive) c >= min && c <= max
+      else c > min && c < max
+    resolve(relation).filter(c.isNotNull && !inRange)
+  }
+}
+
+/** dbt_utils `expression_is_true` (__sources.yml:204-205). Rows where the
+  * expression is false are violations; NULL evaluations pass (dbt compiled
+  * form: `where not(expression)`). */
+final case class ExpressionIsTrue(
+    relation: String, expression: String, label: String) extends DataTest {
+  val id = s"expression_is_true__${relation}__$label"
+  def violations(resolve: String => DataFrame): DataFrame =
+    resolve(relation).filter(!expr(expression))
+}
+
+/** The reference's custom generic test
+  * (dbt/tests/generic/test_is_positive_amount.sql:1-7): violating rows are
+  * `c IS NOT NULL AND c <= 0`. Snowflake implicitly casts VARCHAR amount
+  * columns; under ANSI Spark we make the coercion explicit and lenient via
+  * `try_cast` (SURVEY §7.4 decision 1). */
+final case class IsPositiveAmount(relation: String, column: String)
+    extends DataTest {
+  val id = s"is_positive_amount__${relation}__$column"
+  def violations(resolve: String => DataFrame): DataFrame =
+    resolve(relation).filter(col(column).isNotNull &&
+      expr(s"try_cast($column AS DECIMAL(38,4)) <= 0"))
+}

@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Core model ADT for the Spark-native transformation-DAG engine.
+  *
+  * Mirrors the reference's capability surface (SURVEY.md §0): a dbt project
+  * is a DAG of models (SQL text or DataFrame code) over declared sources,
+  * each materialized as a view or table, with declarative data tests.
+  * Reference evidence: models at /root/reference/dbt/models/, config at
+  * dbt/dbt_project.yml:20-25, python model sales_metrics_by_location.py.
+  */
+sealed trait Materialization
+object Materialization {
+  /** Staging tier — virtual, zero storage cost; work is pushed into
+    * downstream queries and Catalyst optimizes through the view
+    * (dbt_project.yml:22-23). */
+  case object View extends Materialization
+
+  /** Mart tier — full-refresh CTAS semantics (dbt_project.yml:24-25). */
+  case object Table extends Materialization
+}
+
+sealed trait Model {
+  def name: String
+  def materialization: Materialization
+
+  /** Overrides the target schema, replacing (not prefixing) it — the
+    * semantics of the reference's generate_schema_name macro
+    * (dbt/macros/generate_schema_name.sql:1-14). */
+  def customSchema: Option[String]
+  def refs: Seq[String]
+  def sources: Seq[(String, String)]
+}
+
+/** A SQL model: one SELECT with `{{ ref('x') }}` / `{{ source('s','t') }}`
+  * tokens, executed through `spark.sql` so Catalyst does all optimization
+  * (view inlining, pushdown, join planning — SURVEY §4).
+  */
+final case class SqlModel(
+    name: String,
+    sql: String,
+    materialization: Materialization = Materialization.View,
+    customSchema: Option[String] = None) extends Model {
+  lazy val refs: Seq[String] = Renderer.refsIn(sql)
+  lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
+}
+
+/** A code model: a Scala function building a DataFrame from resolved refs —
+  * the Spark-native equivalent of the reference's Snowpark Python model
+  * (sales_metrics_by_location.py:3-78, `def model(dbt, session)` where
+  * `dbt.ref(...)` returns lazy DataFrames).
+  */
+final case class DfModel(
+    name: String,
+    refNames: Seq[String],
+    build: (SparkSession, String => DataFrame) => DataFrame,
+    materialization: Materialization = Materialization.Table,
+    customSchema: Option[String] = None,
+    sourceNames: Seq[(String, String)] = Nil) extends Model {
+  def refs: Seq[String] = refNames
+  def sources: Seq[(String, String)] = sourceNames
+}
+
+/** A declared source: a named external relation with a loader — the engine
+  * analogue of a dbt source registry entry (__sources.yml:2-7). At cluster
+  * scale the loader is a catalog/parquet-path read; tests attach here.
+  */
+final case class SourceDef(
+    sourceName: String,
+    table: String,
+    load: SparkSession => DataFrame)
+
+/** Target environment (profiles.yml:2-19 — dev/prod outputs differing only
+  * in schema). */
+final case class Target(name: String, schema: String)
+object Target {
+  val dev: Target = Target("dev", "dev")
+  val prod: Target = Target("prod", "prod")
+}
+
+final case class Project(
+    sources: Seq[SourceDef],
+    models: Seq[Model],
+    tests: Seq[DataTest] = Nil) {
+  require(models.map(_.name).distinct.size == models.size,
+    "duplicate model names")
+  def model(name: String): Model =
+    models.find(_.name == name)
+      .getOrElse(throw new NoSuchElementException(s"model not found: $name"))
+}

@@ -1,0 +1,198 @@
+package graft.model
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialization strategy: how a model's relation name is formed and how
+  * its DataFrame is persisted. Two deployments:
+  *
+  *  - [[CatalogMaterializer]] — idiomatic cluster path: marts become
+  *    catalog tables via CTAS-equivalent `saveAsTable` (SURVEY S5); views
+  *    are session temp views (SURVEY S4).
+  *  - [[PathMaterializer]] — catalog-free: marts are parquet directories
+  *    under a base path, re-registered as temp views. Used where no
+  *    metastore/warehouse dir is guaranteed (driver Verify/Bench sessions).
+  *
+  * Both write marts as parquet with overwrite (full-refresh) semantics —
+  * the reference's `CREATE OR REPLACE TABLE AS SELECT`.
+  */
+trait Materializer {
+  def viewRelation(schema: String, name: String): String = s"${schema}_$name"
+  def tableRelation(schema: String, name: String): String
+
+  def materializeView(spark: SparkSession, relation: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(relation)
+  def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit
+}
+
+final class CatalogMaterializer extends Materializer {
+  def tableRelation(schema: String, name: String): String = s"$schema.$name"
+  def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
+    val schema = relation.split('.').head
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
+    df.write.mode("overwrite").format("parquet").saveAsTable(relation)
+  }
+}
+
+final class PathMaterializer(base: String) extends Materializer {
+  def tableRelation(schema: String, name: String): String = s"${schema}_$name"
+  def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
+    val path = s"$base/$relation"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(relation)
+  }
+}
+
+final case class NodeResult(
+    name: String,
+    relation: String,
+    status: String,
+    millis: Long,
+    error: Option[String])
+
+/** Executes a [[Project]] against a target: source registration, ref/source
+  * rendering, toposorted materialization, node selection, data tests, and
+  * run-results artifacts — the engine-level operators O2-O7 of SURVEY §2.8.
+  *
+  * Query execution itself is entirely Catalyst's: SQL models go through
+  * `spark.sql`, code models compose DataFrames; the runner only sequences
+  * and materializes.
+  */
+final class Runner(
+    val project: Project,
+    val target: Target = Target.dev,
+    val materializer: Materializer = new CatalogMaterializer) {
+
+  private val byName: Map[String, Model] =
+    project.models.map(m => m.name -> m).toMap
+
+  /** node -> upstream model deps (source deps are not DAG nodes). */
+  val deps: Map[String, Seq[String]] = project.models.map { m =>
+    m.refs.foreach { r =>
+      require(byName.contains(r), s"model ${m.name} refs unknown model: $r")
+    }
+    m.name -> m.refs
+  }.toMap
+
+  def relationOf(m: Model): String = {
+    val schema = m.customSchema.getOrElse(target.schema)
+    m.materialization match {
+      case Materialization.View => materializer.viewRelation(schema, m.name)
+      case Materialization.Table => materializer.tableRelation(schema, m.name)
+    }
+  }
+
+  private def sourceRelation(sourceName: String, table: String): String =
+    s"src_${sourceName}_$table"
+
+  def registerSources(spark: SparkSession): Unit =
+    project.sources.foreach { sd =>
+      sd.load(spark)
+        .createOrReplaceTempView(sourceRelation(sd.sourceName, sd.table))
+    }
+
+  /** O2: rendered SQL (SqlModel) without executing. */
+  def compileSql(m: SqlModel): String =
+    Renderer.render(m.sql,
+      ref = r => relationOf(byName(r)),
+      source = (s, t) => sourceRelation(s, t))
+
+  private def buildDf(spark: SparkSession, m: Model): DataFrame = m match {
+    case sm: SqlModel => spark.sql(compileSql(sm))
+    case dm: DfModel =>
+      dm.build(spark, r => spark.table(relationOf(byName(r))))
+  }
+
+  /** O3/O4: toposorted materialization of the selected subgraph. Fails fast
+    * on the first node error (its downstream would read stale relations).
+    */
+  def run(
+      spark: SparkSession,
+      select: Option[String] = None,
+      runResultsPath: Option[String] = None): Seq[NodeResult] = {
+    registerSources(spark)
+    val chosen = select.map(Dag.select(_, deps)).getOrElse(deps.keySet)
+    val ordered = Dag.toposort(deps).filter(chosen)
+    val results = ordered.map { name =>
+      val m = byName(name)
+      val relation = relationOf(m)
+      val t0 = System.nanoTime()
+      try {
+        val df = buildDf(spark, m)
+        m.materialization match {
+          case Materialization.View =>
+            materializer.materializeView(spark, relation, df)
+          case Materialization.Table =>
+            materializer.materializeTable(spark, relation, df)
+        }
+        NodeResult(name, relation, "success",
+          (System.nanoTime() - t0) / 1000000, None)
+      } catch {
+        case e: Exception =>
+          NodeResult(name, relation, "error",
+            (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+      }
+    }
+    runResultsPath.foreach(p => writeRunResults(p, results))
+    results.find(_.status == "error").foreach { r =>
+      throw new RuntimeException(
+        s"model ${r.name} failed: ${r.error.getOrElse("")}")
+    }
+    results
+  }
+
+  /** The materialized relation of a model, post-run. */
+  def table(spark: SparkSession, modelName: String): DataFrame =
+    spark.table(relationOf(byName(modelName)))
+
+  private def testResolver(spark: SparkSession): String => DataFrame = {
+    rel =>
+      byName.get(rel) match {
+        case Some(m) => spark.table(relationOf(m))
+        case None =>
+          rel.split('.') match {
+            case Array(s, t) => spark.table(sourceRelation(s, t))
+            case _ => throw new NoSuchElementException(
+              s"test relation not found: $rel")
+          }
+      }
+  }
+
+  /** O6: all declared tests as one lazy plan — (test_id, violations) per
+    * test; pass ⇔ violations == 0. */
+  def testReport(spark: SparkSession): DataFrame = {
+    registerSources(spark)
+    val resolve = testResolver(spark)
+    project.tests
+      .map { t =>
+        t.violations(resolve)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(t.id).as("test_id"), col("violations"))
+      }
+      .reduce(_.union(_))
+  }
+
+  /** O7: run_results.json — per-node status/timing artifact. */
+  private def writeRunResults(path: String, results: Seq[NodeResult]): Unit = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val nodes = results.map { r =>
+      s"""{"name":"${esc(r.name)}","relation":"${esc(r.relation)}",""" +
+        s""""status":"${r.status}","execution_time_ms":${r.millis}""" +
+        r.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"target":"${esc(target.name)}","schema":"${esc(target.schema)}","results":$nodes}"""
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, json)
+  }
+}

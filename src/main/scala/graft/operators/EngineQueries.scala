@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+import graft.model._
+
+/** A complete engine project over the driver testdata, structurally
+  * mirroring the reference (8 staging views → SQL marts + one code mart +
+  * source data tests), executed through the [[graft.model.Runner]] — so the
+  * driver's correctness gate exercises the whole engine path: source
+  * registry → ref/source rendering → DAG toposort → spark.sql / DataFrame
+  * build → materialization → read-back.
+  *
+  * Reference shapes mirrored (SURVEY §2):
+  *  - staging `SELECT *` passthrough views (P1, 8× raw_pos_*.sql)
+  *  - customer_order_metrics ≅ customer_loyalty_metrics.sql:1-16
+  *    (J2 join, A1 7-col-ish grouping, A2 ARRAY_AGG(DISTINCT))
+  *  - order_lines_enriched ≅ orders.sql:1-47 (P2 wide aliased projection,
+  *    J1 multi-join, J3 left joins)
+  *  - sales_by_region ≅ sales_metrics_by_location.py:3-78 (U1 code model,
+  *    J4 expr join, J5/J6 USING joins, A3/A4 count+multi-sum, F1-F4)
+  *  - data tests ≅ __sources.yml + test_is_positive_amount.sql (O6)
+  */
+object TpchProject {
+
+  private val stagingTables =
+    Seq("orders", "customer", "lineitem", "nation", "region")
+
+  def sources(dir: String): Seq[SourceDef] =
+    stagingTables.map(t => SourceDef("tpch", t, s => Tables(s, dir, t)))
+
+  val staging: Seq[Model] = stagingTables.map { t =>
+    SqlModel(s"stg_$t", s"SELECT * FROM {{ source('tpch', '$t') }}")
+  }
+
+  val customerOrderMetrics: SqlModel = SqlModel(
+    "customer_order_metrics",
+    """SELECT
+      |  c.c_custkey AS customer_id,
+      |  c.c_name AS customer_name,
+      |  c.c_mktsegment AS segment,
+      |  array_sort(collect_set(o.o_orderpriority)) AS priorities,
+      |  SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_sales,
+      |  COUNT(*) AS n_orders
+      |FROM {{ ref('stg_customer') }} c
+      |JOIN {{ ref('stg_orders') }} o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey, c.c_name, c.c_mktsegment""".stripMargin,
+    Materialization.Table)
+
+  val orderLinesEnriched: SqlModel = SqlModel(
+    "order_lines_enriched",
+    """SELECT
+      |  o.o_orderkey AS order_id,
+      |  o.o_orderdate AS order_date,
+      |  o.o_orderpriority AS priority,
+      |  c.c_custkey AS customer_id,
+      |  c.c_name AS customer_name,
+      |  n.n_name AS nation,
+      |  r.r_name AS region,
+      |  l.l_linenumber AS line_number,
+      |  l.l_quantity AS quantity,
+      |  CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)) AS net_price
+      |FROM {{ ref('stg_lineitem') }} l
+      |JOIN {{ ref('stg_orders') }} o ON l.l_orderkey = o.o_orderkey
+      |LEFT JOIN {{ ref('stg_customer') }} c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN {{ ref('stg_nation') }} n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN {{ ref('stg_region') }} r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    Materialization.Table)
+
+  val salesByRegion: DfModel = DfModel(
+    "sales_by_region",
+    refNames = Seq("stg_customer", "stg_orders", "stg_nation", "stg_region"),
+    build = (spark, ref) => {
+      val c = ref("stg_customer")
+      val o = ref("stg_orders")
+      val n = ref("stg_nation")
+      val r = ref("stg_region")
+      // J4: join on expression of differently-named columns.
+      val nations = n.join(r, n("n_regionkey") === r("r_regionkey"), "inner")
+        .select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+      // A3: grouped count.
+      val custCount = c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      // J2-shape join feeding A4 multi-aggregate.
+      val orderSums = c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_sales"),
+          count(col("o_orderkey")).as("n_orders"))
+      // J5/J6: USING-style joins (dedup the key column like Snowpark).
+      nations
+        .join(custCount, Seq("c_nationkey"), "left")
+        .join(orderSums, Seq("c_nationkey"), "left")
+        .select(
+          col("region"), col("nation"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_sales"), lit(0)).cast("decimal(38,2)")
+            .as("total_sales"),
+          // F1-F4: coalesce / concat / cast / lit.
+          concat(col("nation"), lit(" ("),
+            coalesce(col("n_customers"), lit(0L)).cast("string"),
+            lit(" customers)")).as("description"))
+    })
+
+  val tests: Seq[DataTest] = Seq(
+    NotNull("tpch.orders", "o_orderkey"),
+    NotNull("tpch.customer", "c_name"),
+    Unique("tpch.customer", "c_custkey"),
+    Unique("tpch.orders", "o_orderkey"),
+    Relationships("tpch.orders", "o_custkey", "tpch.customer", "c_custkey"),
+    Relationships("tpch.lineitem", "l_orderkey", "tpch.orders", "o_orderkey"),
+    AcceptedRange("tpch.lineitem", "l_quantity", 1, 50, inclusive = true),
+    ExpressionIsTrue("tpch.orders", "o_totalprice >= 0", "positive_total"),
+    IsPositiveAmount("tpch.orders", "o_totalprice"),
+    IsPositiveAmount("customer_order_metrics", "total_sales"))
+
+  def project(dir: String): Project = Project(
+    sources(dir),
+    staging ++ Seq(customerOrderMetrics, orderLinesEnriched, salesByRegion),
+    tests)
+
+  def runner(dir: String): Runner =
+    new Runner(project(dir), Target.dev,
+      new PathMaterializer(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_marts"))
+}
+
+/** Engine-driven queries for the driver gate: each runs the DAG (selected
+  * subgraph) through the Runner, then returns the materialized mart.
+  */
+object EngineQueries extends QueryPack {
+
+  private def mart(model: String, order: DataFrame => DataFrame)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val r = TpchProject.runner(dir)
+    r.run(spark, select = Some(s"+$model"))
+    order(r.table(spark, model))
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("m01_customer_order_metrics",
+      mart("customer_order_metrics", _.orderBy(col("customer_id"))),
+      Some("""SELECT c_custkey AS customer_id, c_name AS customer_name,
+             | c_mktsegment AS segment,
+             | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+             | SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+             | COUNT(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
+
+    Q("m02_order_lines_enriched",
+      mart("order_lines_enriched",
+        _.orderBy(col("order_id"), col("line_number"))),
+      Some("""SELECT o_orderkey AS order_id, o_orderdate AS order_date,
+             | o_orderpriority AS priority, c_custkey AS customer_id,
+             | c_name AS customer_name, n_name AS nation, r_name AS region,
+             | l_linenumber AS line_number, l_quantity AS quantity,
+             | CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS net_price
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |LEFT JOIN customer ON o_custkey = c_custkey
+             |LEFT JOIN nation ON c_nationkey = n_nationkey
+             |LEFT JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY order_id, line_number""".stripMargin)),
+
+    Q("m03_sales_by_region",
+      mart("sales_by_region", _.orderBy(col("region"), col("nation"))),
+      Some("""WITH cust_count AS (
+             |  SELECT c_nationkey, COUNT(*) AS n_customers
+             |  FROM customer GROUP BY 1),
+             |order_sums AS (
+             |  SELECT c_nationkey,
+             |   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+             |   COUNT(o_orderkey) AS n_orders
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1)
+             |SELECT r_name AS region, n_name AS nation,
+             | COALESCE(cc.n_customers, 0) AS n_customers,
+             | COALESCE(os.n_orders, 0) AS n_orders,
+             | CAST(COALESCE(os.total_sales, 0) AS DECIMAL(38,2)) AS total_sales,
+             | n_name || ' (' || CAST(COALESCE(cc.n_customers, 0) AS VARCHAR)
+             |   || ' customers)' AS description
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |LEFT JOIN cust_count cc ON n_nationkey = cc.c_nationkey
+             |LEFT JOIN order_sums os ON n_nationkey = os.c_nationkey
+             |ORDER BY region, nation""".stripMargin)),
+
+    Q("m04_data_tests",
+      (spark, dir) => {
+        val r = TpchProject.runner(dir)
+        r.run(spark, select = Some("+customer_order_metrics"))
+        r.testReport(spark).orderBy(col("test_id"))
+      },
+      Some("""SELECT test_id, violations FROM (
+             | SELECT 'not_null__tpch.orders__o_orderkey' AS test_id,
+             |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+             | UNION ALL
+             | SELECT 'not_null__tpch.customer__c_name',
+             |  (SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+             | UNION ALL
+             | SELECT 'unique__tpch.customer__c_custkey',
+             |  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+             |    WHERE c_custkey IS NOT NULL
+             |    GROUP BY c_custkey HAVING COUNT(*) > 1) t)
+             | UNION ALL
+             | SELECT 'unique__tpch.orders__o_orderkey',
+             |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+             |    WHERE o_orderkey IS NOT NULL
+             |    GROUP BY o_orderkey HAVING COUNT(*) > 1) t)
+             | UNION ALL
+             | SELECT 'relationships__tpch.orders__o_custkey__tpch.customer',
+             |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+             |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+             | UNION ALL
+             | SELECT 'relationships__tpch.lineitem__l_orderkey__tpch.orders',
+             |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+             | UNION ALL
+             | SELECT 'accepted_range__tpch.lineitem__l_quantity',
+             |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL
+             |    AND NOT (l_quantity >= 1 AND l_quantity <= 50))
+             | UNION ALL
+             | SELECT 'expression_is_true__tpch.orders__positive_total',
+             |  (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice >= 0))
+             | UNION ALL
+             | SELECT 'is_positive_amount__tpch.orders__o_totalprice',
+             |  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+             |    AND TRY_CAST(o_totalprice AS DECIMAL(38,4)) <= 0)
+             | UNION ALL
+             | SELECT 'is_positive_amount__customer_order_metrics__total_sales',
+             |  (SELECT COUNT(*) FROM (
+             |    SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales
+             |    FROM customer JOIN orders ON c_custkey = o_custkey
+             |    GROUP BY c_custkey) m
+             |   WHERE total_sales IS NOT NULL
+             |    AND TRY_CAST(total_sales AS DECIMAL(38,4)) <= 0)
+             |) t ORDER BY test_id""".stripMargin))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.model
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.operators.TpchProject
+
+class RunnerSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("full run materializes staging views + marts and writes run_results") {
+    val runner = TpchProject.runner(dir)
+    val resultsPath = "/tmp/graft-test/run_results.json"
+    val results = runner.run(spark,
+      runResultsPath = Some(resultsPath))
+    assert(results.size == 8)
+    assert(results.forall(_.status == "success"))
+    // staging views precede marts in execution order
+    val names = results.map(_.name)
+    assert(names.indexOf("stg_orders") <
+      names.indexOf("customer_order_metrics"))
+    assert(runner.table(spark, "customer_order_metrics").count() > 0)
+    assert(runner.table(spark, "sales_by_region").count() == 25) // nations
+    val json = Files.readString(Paths.get(resultsPath))
+    assert(json.contains("\"status\":\"success\""))
+    assert(json.contains("customer_order_metrics"))
+  }
+
+  test("--select runs only the chosen subgraph") {
+    val runner = TpchProject.runner(dir)
+    val results = runner.run(spark, select = Some("+customer_order_metrics"))
+    assert(results.map(_.name).toSet ==
+      Set("stg_customer", "stg_orders", "customer_order_metrics"))
+  }
+
+  test("target switches output namespace (dev/prod isolation)") {
+    val dev = new Runner(TpchProject.project(dir), Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts"))
+    val prod = new Runner(TpchProject.project(dir), Target.prod,
+      new PathMaterializer("/tmp/graft-test/marts"))
+    assert(dev.relationOf(TpchProject.customerOrderMetrics) ==
+      "dev_customer_order_metrics")
+    assert(prod.relationOf(TpchProject.customerOrderMetrics) ==
+      "prod_customer_order_metrics")
+  }
+
+  test("catalog materializer persists marts as real tables") {
+    val runner = new Runner(TpchProject.project(dir), Target.dev,
+      new CatalogMaterializer)
+    runner.run(spark, select = Some("+customer_order_metrics"))
+    assert(spark.catalog.tableExists("dev.customer_order_metrics"))
+    assert(spark.table("dev.customer_order_metrics").count() > 0)
+  }
+
+  test("compileSql renders refs/sources without executing") {
+    val runner = TpchProject.runner(dir)
+    val sql = runner.compileSql(TpchProject.customerOrderMetrics)
+    assert(!sql.contains("{{"))
+    assert(sql.contains("dev_stg_customer"))
+  }
+
+  test("all declared data tests pass on the testdata") {
+    val runner = TpchProject.runner(dir)
+    runner.run(spark, select = Some("+customer_order_metrics"))
+    val report = runner.testReport(spark).collect()
+    assert(report.length == TpchProject.tests.size)
+    val failing = report.filter(_.getLong(1) != 0L)
+    assert(failing.isEmpty,
+      s"failing tests: ${failing.map(_.getString(0)).mkString(", ")}")
+  }
+
+  test("failing model aborts the run with context") {
+    val bad = Project(
+      TpchProject.sources(dir),
+      Seq(SqlModel("boom", "SELECT * FROM {{ source('tpch','orders') }} WHERE no_such_col = 1",
+        Materialization.Table)))
+    val runner = new Runner(bad, Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts"))
+    val e = intercept[RuntimeException](runner.run(spark))
+    assert(e.getMessage.contains("boom"))
+  }
+}
