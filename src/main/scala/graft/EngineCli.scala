@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.model._
+import graft.operators.TpchProject
+
+/** Headless engine entry point — the Spark-native equivalent of the
+  * reference's scheduled `EXECUTE DBT PROJECT ... ARGS='run --select m
+  * --target dev'` path (setup/task.sql:1-6, SURVEY EP3).
+  *
+  * Usage:
+  *   run     [--select EXPR] [--target dev|prod] [--dir PATH]
+  *           [--materializer catalog|path] [--warehouse PATH]
+  *   test    [--dir PATH] [--target ...]
+  *   compile [--target ...]
+  *
+  * The project is the TPC-H demo project; a production deployment would
+  * load model definitions from a registry or directory instead.
+  */
+object EngineCli {
+
+  def main(args: Array[String]): Unit = {
+    val verb = args.headOption.getOrElse("run")
+    val opts = args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+    val dir = opts.getOrElse("dir", "/root/testdata/sf0.001")
+    val target = opts.getOrElse("target", "dev") match {
+      case "prod" => Target.prod
+      case _ => Target.dev
+    }
+    val warehouse = opts.getOrElse("warehouse", "/tmp/graft-warehouse")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-engine")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val materializer: Materializer = opts.getOrElse("materializer", "catalog") match {
+      case "path" => new PathMaterializer(s"$warehouse/path-marts")
+      case _ => new CatalogMaterializer
+    }
+    val runner = new Runner(TpchProject.project(dir), target, materializer)
+
+    verb match {
+      case "run" =>
+        val results = runner.run(spark, opts.get("select"),
+          runResultsPath = Some(s"$warehouse/run_results.json"))
+        results.foreach { r =>
+          println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
+            f"-> ${r.relation}%-32s ${r.millis}%6d ms")
+        }
+        println(s"Completed ${results.size} models " +
+          s"(target=${target.name}, run_results=$warehouse/run_results.json)")
+      case "test" =>
+        // dbt-build semantics: tests on model relations need the models
+        // materialized in THIS session (the in-memory catalog does not
+        // survive across JVMs), so run the DAG first.
+        runner.run(spark)
+        val report = runner.testReport(spark).collect()
+        report.foreach { row =>
+          val (id, n) = (row.getString(0), row.getLong(1))
+          println(f"${if (n == 0) "PASS" else "FAIL"}%-5s $id%-55s " +
+            f"violations=$n")
+        }
+        val bad = report.count(_.getLong(1) != 0)
+        println(s"${report.length - bad}/${report.length} tests passed")
+        if (bad > 0) sys.exit(1)
+      case "compile" =>
+        Dag.toposort(runner.deps).foreach { name =>
+          runner.project.model(name) match {
+            case sm: SqlModel =>
+              println(s"-- model: $name -> ${runner.relationOf(sm)}")
+              println(runner.compileSql(sm))
+            case dm: DfModel =>
+              println(s"-- model: $name -> ${runner.relationOf(dm)} " +
+                s"(code model; refs: ${dm.refs.mkString(", ")})")
+          }
+        }
+      case other =>
+        System.err.println(s"unknown verb: $other (expected run|test|compile)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

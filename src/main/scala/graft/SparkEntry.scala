@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Q, QueryPack}
-import graft.operators.{EngineQueries, RelationalQueries}
+import graft.operators.{DedupQueries, EngineQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.operators.{EngineQueries, RelationalQueries}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries, EngineQueries)
+    RelationalQueries, EngineQueries, TextQueries, DedupQueries,
+    VectorQueries, MultimodalQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing primitives for the dedup tier. FNV-1a is
+  * used (not Spark's xxhash64) so signatures are self-contained, stable
+  * across Spark versions, and trivially portable to an oracle if needed.
+  */
+object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * Prime
+      i += 1
+    }
+    h
+  }
+
+  def hashUtf8(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** splitmix64 — standard finalizer used to derive per-permutation seeds. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** 64-bit SimHash over whitespace tokens of a string column — a native
+  * Catalyst expression (single pass per row, no UDF serialization).
+  * CodegenFallback: the hash is not on a codegen-critical path (it feeds a
+  * shuffle for banding); a `doGenCode` version is a straightforward upgrade
+  * if profiling demands it.
+  *
+  * Algorithm: per token t, h = fnv1a64(t); for each bit b, accumulate +1 if
+  * set else -1; the signature has bit b set iff the accumulator is > 0.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) {
+          val h = Fnv.hashBytes(
+            s.substring(start, i).getBytes("UTF-8"))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over an array<string> of shingles: k permutations via
+  * universal hashing h_i(x) = a_i * fnv(x) + b_i with splitmix64-derived
+  * odd multipliers. Returns array<long> of the k minima (signed order —
+  * consistent across both sides of any LSH comparison, which is all that
+  * matters). Empty input → null (no signature).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
+    with CodegenFallback {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(i => Fnv.splitmix64(2L * i + 1) | 1L)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(i => Fnv.splitmix64(2L * i))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = Fnv.hashUtf8(arr.getUTF8String(j))
+      var i = 0
+      while (i < k) {
+        val h = as(i) * base + bs(i)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deterministic stand-in for a multimodal decode/feature-extract step: a
+  * bucketed byte histogram over a binary column (e.g. "image" bytes). The
+  * real decode would live exactly here — same signature, binary in /
+  * fixed-length feature vector out — with the histogram body swapped for a
+  * codec call. Keeps the Spark-side plumbing (schema, batching, null
+  * handling) real and testable without image/audio libs.
+  */
+case class ByteHistogram(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0 && 256 % buckets == 0, "buckets must divide 256")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val width = 256 / buckets
+    val counts = new Array[Long](buckets)
+    var i = 0
+    while (i < bytes.length) {
+      counts((bytes(i) & 0xff) / width) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the custom expressions. */
+object Hashing {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def simhash64(col: Column): Column = c(SimHash64(e(col)))
+  def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))
+  def byteHistogram(col: Column, buckets: Int): Column =
+    c(ByteHistogram(e(col), buckets))
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline tier. All pure
+  * built-in expressions (codegen'd, no UDFs) so they inline into
+  * whole-stage codegen and survive pushdown/pruning — the per-row cost at
+  * 100 TB is the scan plus these fused expressions.
+  *
+  * Every builder has deliberately portable semantics (documented inline) so
+  * the DuckDB oracles can replicate them exactly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. `split` drops no empty tokens for
+    * all-whitespace input, so callers guard with [[tokenCount]] semantics. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** Distinct word n-gram shingles ("a b c" strings); < n tokens → empty. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(length(trim(c)) === 0 || size(t) < n, array())
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** Occurrences of `needle` in `padded` via the replace-count identity —
+    * exact integer math, portable to any SQL dialect. */
+  private def occurrences(padded: Column, needle: String): Column =
+    (length(padded) - length(call_function("replace", padded, lit(needle)))) /
+      needle.length
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " and ", " of "),
+    "de" -> Seq(" und ", " der ", " die ", " das "),
+    "fr" -> Seq(" le ", " la ", " les ", " et "),
+    "es" -> Seq(" el ", " los ", " las ", " que "))
+
+  def stopwordScore(c: Column, lang: String): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    stopwords(lang).map(occurrences(padded, _)).reduce(_ + _)
+  }
+
+  /** N-gram-heuristic language ID: stopword-count argmax with a fixed
+    * priority order (en > de > fr > es) for ties; no hits → "und". */
+  def langId(c: Column): Column = {
+    val en = stopwordScore(c, "en")
+    val de = stopwordScore(c, "de")
+    val fr = stopwordScore(c, "fr")
+    val es = stopwordScore(c, "es")
+    when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Ratio of ASCII-alphabetic characters (quality signal). */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^a-zA-Z]", "")) / length(c)
+
+  /** Composite quality score in [0,1]: alpha ratio + length saturation +
+    * stopword density, fixed weights. Formula is left-associative so the
+    * oracle's double arithmetic matches bit-for-bit. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c)
+    lit(0.5) * alphaRatio(c) +
+      lit(0.3) * least(lit(1.0), toks / lit(100.0)) +
+      lit(0.2) * least(lit(1.0), stopwordScore(c, "en") * lit(10.0) / toks)
+  }
+
+  /** Whitespace-normalized content fingerprint (exact-dedup key). */
+  def fingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+}

@@ -30,8 +30,18 @@ trait Materializer {
 final class CatalogMaterializer extends Materializer {
   def tableRelation(schema: String, name: String): String = s"$schema.$name"
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
-    val schema = relation.split('.').head
+    val Array(schema, name) = relation.split('.')
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
+    spark.sql(s"DROP TABLE IF EXISTS $relation")
+    // Full-refresh semantics must survive a dead catalog entry: with a
+    // non-Hive (in-memory) catalog a previous process may have left the
+    // managed location on disk while the catalog forgot the table, and
+    // saveAsTable then fails with LOCATION_ALREADY_EXISTS. Clear the
+    // default managed location explicitly.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$schema.db/$name")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet").saveAsTable(relation)
   }
 }
@@ -161,7 +171,9 @@ final class Runner(
   }
 
   /** O6: all declared tests as one lazy plan — (test_id, violations) per
-    * test; pass ⇔ violations == 0. */
+    * test; pass ⇔ violations == 0. Tests addressing model relations
+    * require those models to be materialized in this session first
+    * (mirrors dbt: `test` runs against the relations `run` produced). */
   def testReport(spark: SparkSession): DataFrame = {
     registerSources(spark)
     val resolve = testResolver(spark)

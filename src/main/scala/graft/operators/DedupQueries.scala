@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+
+/** Deduplication queries over `documents` (see [[Dedup]] for the scale
+  * rationale). d02 (exact inverted-index jaccard) and d03 (MinHash LSH +
+  * exact verify) share one oracle: the brute-force jaccard pair set —
+  * banding parameters make a missed ≥0.6 pair astronomically unlikely on
+  * near-identical documents (all planted dups sit at j ≥ 0.9).
+  */
+object DedupQueries extends QueryPack {
+
+  private val Threshold = 0.6
+
+  private val jaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+       |  FROM toks WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= $Threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("d01_exact_dedup",
+      (s, dir) => Dedup
+        .exactMarked(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+             | ROW_NUMBER() OVER (
+             |   PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |   ORDER BY doc_id) = 1 AS kept
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("d02_jaccard_pairs",
+      (s, dir) => Dedup
+        .jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", Threshold)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(jaccardOracle)),
+
+    Q("d03_minhash_lsh_pairs",
+      (s, dir) => Dedup
+        .minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          Threshold)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(jaccardOracle)),
+
+    // SimHash banding recall below ~hamming-8 is guaranteed, but the
+    // hamming distance of a jaccard-0.9 pair is data-dependent — no exact
+    // SQL oracle; the driver records a rows-only check, and the ScalaTest
+    // suite asserts consistency against d02 on the planted duplicates.
+    Q("d04_simhash_pairs",
+      (s, dir) => Dedup
+        .simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          Threshold)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None)
+  )
+}

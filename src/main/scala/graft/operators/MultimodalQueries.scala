@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+import graft.functions.Hashing
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata,
+  * plus a decode/feature-extract stage. The decode itself is a
+  * deterministic stand-in ([[graft.functions.ByteHistogram]] — see its doc:
+  * a real image/audio codec drops into the same expression slot), but the
+  * Spark-side mechanics are real: binary columns flow through parquet,
+  * feature vectors come back as fixed-length arrays, and everything stays
+  * inside the distributed plan (no driver-side decode loop).
+  *
+  * The testdata has no binary column, so payloads are synthesized from
+  * `documents.text` (UTF-8 bytes — the corpus is pure ASCII, verified, so
+  * byte-level oracles can be written over DuckDB's character functions).
+  */
+object MultimodalQueries extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    Q("mm01_binary_meta",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .select(col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("content_md5"),
+            md5(substring(col("payload"), 1, 32)).as("head_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             | md5(text) AS content_md5,
+             | md5(substring(text, 1, 32)) AS head_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm02_decode_features",
+      (s, dir) => {
+        val hist = Hashing.byteHistogram(
+          encode(col("text"), "UTF-8"), buckets = 8)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), hist.as("h"),
+            md5(substring(encode(col("text"), "UTF-8"), 65, 64))
+              .as("frame_md5"))
+          .select(col("doc_id"),
+            element_at(col("h"), 1).as("b0"),
+            element_at(col("h"), 2).as("b1"),
+            element_at(col("h"), 3).as("b2"),
+            element_at(col("h"), 4).as("b3"),
+            element_at(col("h"), 5).as("b4"),
+            element_at(col("h"), 6).as("b5"),
+            element_at(col("h"), 7).as("b6"),
+            element_at(col("h"), 8).as("b7"),
+            col("frame_md5"))
+          .orderBy(col("doc_id"))
+      },
+      // ASCII corpus ⇒ byte buckets of width 32 are expressible as
+      // character-class counts; buckets ≥ 128 are structurally zero.
+      Some("""SELECT doc_id,
+             | CAST(length(text) - length(regexp_replace(text, '[\x00-\x1f]', '', 'g')) AS BIGINT) AS b0,
+             | CAST(length(text) - length(regexp_replace(text, '[\x20-\x3f]', '', 'g')) AS BIGINT) AS b1,
+             | CAST(length(text) - length(regexp_replace(text, '[\x40-\x5f]', '', 'g')) AS BIGINT) AS b2,
+             | CAST(length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g')) AS BIGINT) AS b3,
+             | CAST(0 AS BIGINT) AS b4, CAST(0 AS BIGINT) AS b5,
+             | CAST(0 AS BIGINT) AS b6, CAST(0 AS BIGINT) AS b7,
+             | md5(substring(text, 65, 64)) AS frame_md5
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

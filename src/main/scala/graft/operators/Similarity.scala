@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale design: brute force is the exact baseline — a broadcast
+  * nested-loop of queries × corpus, linear in corpus size per query and
+  * embarrassingly parallel (each partition scores its rows; no shuffle
+  * until the per-query top-k). The IVF variant is the 100 TB path: corpus
+  * is bucketed by nearest centroid once (one shuffle, reusable as a
+  * partitioned table), and each query probes only `nprobe` buckets —
+  * turning full scans into partition-pruned reads.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns — sequential fold in
+    * element order, so the arithmetic is reproducible anywhere. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def normalized(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). Ties
+    * on rounded similarity break by neighbor id — fully deterministic. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val corpus = normalized(emb, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("vid").as("qid"), col("v").as("qv"))
+    val scored = corpus.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup). The
+    * threshold is applied to the rounded similarity so boundary behavior
+    * is reproducible. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = normalized(emb, idCol, vecCol)
+    val a = e.select(col("vid").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vid").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** IVF-style approximate top-k: corpus assigned to its nearest centroid
+    * (centroids = the first `nlist` vectors by id — deterministic seeding;
+    * k-means refinement would slot in here), queries probe the `nprobe`
+    * nearest centroid buckets only.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = normalized(emb, idCol, vecCol)
+    val centroids = corpus.orderBy(col("vid")).limit(nlist)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    def nearestBuckets(points: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("csim").desc, col("cid"))
+      points.crossJoin(broadcast(centroids))
+        .select(col("vid"), col("v"), col("cid"),
+          round(cosine(col("v"), col("cv")), 6).as("csim"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .drop("csim", "crn")
+    }
+    val bucketed = nearestBuckets(corpus, 1) // corpus: single assignment
+    val probes = nearestBuckets(normalized(queries, idCol, vecCol), nprobe)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("cid"))
+    val scored = probes.join(bucketed, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

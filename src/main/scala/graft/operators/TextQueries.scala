@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table (LLM-pipeline tier):
+  * token counting, language ID, quality scoring, shingle fingerprinting.
+  * All column logic comes from [[graft.functions.TextFunctions]] (pure
+  * codegen'd built-ins); the oracles replicate the same arithmetic in
+  * DuckDB SQL.
+  */
+object TextQueries extends QueryPack {
+
+  /** DuckDB fragment mirroring TextFunctions.stopwordScore. */
+  private def occSql(lang: String): String = {
+    val words = Map(
+      "en" -> Seq(" the ", " a ", " and ", " of "),
+      "de" -> Seq(" und ", " der ", " die ", " das "),
+      "fr" -> Seq(" le ", " la ", " les ", " et "),
+      "es" -> Seq(" el ", " los ", " las ", " que "))(lang)
+    words.map(w =>
+      s"(length(p) - length(replace(p, '$w', ''))) / ${w.length}")
+      .mkString(" + ")
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("t01_token_stats",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            size(wordShingles(col("text"), 3)).as("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN []
+             |       ELSE regexp_split_to_array(trim(text), '\s+') END w
+             | FROM documents)
+             |SELECT doc_id, len(w) AS n_tokens,
+             | CASE WHEN len(w) < 3 THEN 0
+             |      ELSE len(list_distinct(list_transform(range(1, len(w)-1),
+             |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) END AS n_shingles
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("t02_lang_id",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang_pred"))
+      },
+      Some(s"""WITH t AS (SELECT ' ' || text || ' ' p FROM documents),
+              |sc AS (SELECT
+              |  ${occSql("en")} AS en,
+              |  ${occSql("de")} AS de,
+              |  ${occSql("fr")} AS fr,
+              |  ${occSql("es")} AS es
+              | FROM t)
+              |SELECT CASE
+              |  WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+              |  WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+              |  WHEN fr > 0 AND fr >= es THEN 'fr'
+              |  WHEN es > 0 THEN 'es'
+              |  ELSE 'und' END AS lang_pred, COUNT(*) AS n
+              |FROM sc GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
+
+    Q("t03_quality_score",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars"),
+            round(alphaRatio(col("text")), 6).as("alpha_ratio"),
+            round(qualityScore(col("text")), 6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, ' ' || text || ' ' p,
+              |  CASE WHEN length(trim(text)) = 0 THEN 0
+              |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END toks
+              | FROM documents)
+              |SELECT doc_id, length(text) AS n_chars,
+              | ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6)
+              |  AS alpha_ratio,
+              | ROUND(0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text))
+              |  + 0.3 * least(1.0, toks / 100.0)
+              |  + 0.2 * least(1.0, (${occSql("en")}) * 10.0 / toks), 6) AS quality
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing-style content fingerprint: min hash over shingles, using a
+    // portable hash (md5 hex, lexicographic min) so the oracle reproduces it.
+    Q("t04_shingle_fingerprint",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            array_min(transform(wordShingles(col("text"), 3), s => md5(s)))
+              .as("shingle_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |  regexp_split_to_array(trim(text), '\s+') w FROM documents)
+             |SELECT doc_id,
+             | CASE WHEN length(trim(text)) = 0 OR len(w) < 3 THEN NULL
+             |      ELSE list_min(list_transform(
+             |        list_distinct(list_transform(range(1, len(w)-1),
+             |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+             |        s -> md5(s))) END AS shingle_fp
+             |FROM t ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+
+/** Similarity-search queries over `embeddings` (array<float>, 64-dim).
+  * Cosine math runs in double on both engines with the same explicit
+  * formula (dot / (‖a‖·‖b‖), sequential element-order folds), rounded to 6
+  * decimals before any threshold/ranking so boundary behavior matches.
+  */
+object VectorQueries extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    Q("v01_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |pairs AS (
+             |  SELECT q.vec_id qid, c.vec_id nid,
+             |    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) sim
+             |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+             |  FROM pairs)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
+    Q("v02_label_centroids",
+      (s, dir) => {
+        val ex = Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .toDF("label", "dim", "val")
+          .select(col("label"), col("dim"),
+            // widen float→double explicitly before the decimal cast: both
+            // engines then round the same double value; a direct
+            // float→decimal cast rounds from the float's shortest decimal
+            // representation in Spark but not in DuckDB.
+            col("val").cast("double").cast("decimal(18,9)").as("val"))
+        ex.groupBy(col("label"), col("dim"))
+          .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("label"))
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("dim"), col("s")))),
+              x => x.getField("s")).as("centroid_sum"),
+            min(col("n")).as("n_vectors"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT label, generate_subscripts(embedding, 1) dim,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) val
+             |  FROM embeddings),
+             |sums AS (
+             |  SELECT label, dim, SUM(val) s, COUNT(*) n FROM ex GROUP BY 1, 2)
+             |SELECT label, list(s ORDER BY dim) centroid_sum, MIN(n) n_vectors
+             |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
+
+    Q("v03_embedding_near_dup",
+      (s, dir) => Similarity
+        .nearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e)
+             |SELECT a.vec_id id_a, b.vec_id id_b,
+             |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) sim
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Approximate path (IVF buckets + nprobe): recall is data-dependent by
+    // design, so no SQL oracle; ScalaTest asserts recall ≥ 0.6 vs v01.
+    Q("v04_ann_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.functions.{Hashing, TextFunctions}
+
+/** Extension-tier semantics that the DuckDB oracle cannot express:
+  * approximate ops are validated against their exact counterparts here.
+  */
+class ExtensionSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("text functions: edge cases") {
+    val df = Seq("", "   ", "one", "a b", "a b c", "  a   b   c  ")
+      .toDF("text")
+      .select(
+        TextFunctions.tokenCount(col("text")).as("n"),
+        size(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 0), (0, 0), (1, 0), (2, 0), (3, 1), (3, 1)))
+  }
+
+  test("simhash: identical text ⇒ identical signature; near-identical ⇒ close") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again"),
+      ("c", "the quick brown fox jumps over the lazy cat again and again"),
+      ("d", "completely different words about spark shuffles and parquet"))
+      .toDF("id", "text")
+      .select(col("id"), Hashing.simhash64(col("text")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(java.lang.Long.bitCount(m("a") ^ m("c")) < 16)
+    assert(java.lang.Long.bitCount(m("a") ^ m("d")) > 8)
+  }
+
+  test("minhash signature: deterministic, k-length, similarity-preserving") {
+    val df = Seq(
+      ("x", Seq("a b c", "b c d", "c d e", "d e f")),
+      ("y", Seq("a b c", "b c d", "c d e", "d e g")),
+      ("z", Seq("p q r", "q r s", "r s t", "s t u")))
+      .toDF("id", "shingles")
+      .select(col("id"), Hashing.minhashSig(col("shingles"), 64).as("sig"))
+    val m = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m.values.forall(_.length == 64))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(m("x"), m("y")) > agree(m("x"), m("z")))
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs on testdata") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs are a subset of exact pairs with high recall") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(exact), "verification step guarantees precision 1.0")
+    assert(sim.size >= (exact.size * 0.5).toInt,
+      s"simhash recall too low: ${sim.size}/${exact.size}")
+  }
+
+  test("IVF ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
+  test("byte histogram counts all bytes into the right buckets") {
+    val df = Seq("AaZz 09").toDF("t")
+      .select(Hashing.byteHistogram(encode(col("t"), "UTF-8"), 8).as("h"))
+    val h = df.collect()(0).getSeq[Long](0)
+    assert(h.sum == 7)
+    assert(h(1) == 3) // ' ', '0', '9' in 0x20-0x3f
+    assert(h(2) == 2) // 'A', 'Z' in 0x40-0x5f
+    assert(h(3) == 2) // 'a', 'z' in 0x60-0x7f
+  }
+}
