@@ -9,13 +9,15 @@ import graft.operators.TpchProject
   * --target dev'` path (setup/task.sql:1-6, SURVEY EP3).
   *
   * Usage:
-  *   run     [--select EXPR] [--target dev|prod] [--dir PATH]
+  *   run     [--project tpch|tastybytes] [--select EXPR]
+  *           [--target dev|prod] [--dir PATH]
   *           [--materializer catalog|path] [--warehouse PATH]
-  *   test    [--dir PATH] [--target ...]
-  *   compile [--target ...]
+  *   test    [--project ...] [--dir PATH] [--target ...]
+  *   compile [--project ...] [--target ...]
   *
-  * The project is the TPC-H demo project; a production deployment would
-  * load model definitions from a registry or directory instead.
+  * Projects: `tpch` (driver-testdata demo) and `tastybytes` (the full
+  * reference port over deterministic fixtures). A production deployment
+  * would load model definitions from a registry or directory instead.
   */
 object EngineCli {
 
@@ -46,7 +48,11 @@ object EngineCli {
       case "path" => new PathMaterializer(s"$warehouse/path-marts")
       case _ => new CatalogMaterializer
     }
-    val runner = new Runner(TpchProject.project(dir), target, materializer)
+    val project = opts.getOrElse("project", "tpch") match {
+      case "tastybytes" => graft.tastybytes.TastyBytesProject.project
+      case _ => TpchProject.project(dir)
+    }
+    val runner = new Runner(project, target, materializer)
 
     verb match {
       case "run" =>
