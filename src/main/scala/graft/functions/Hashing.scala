@@ -154,12 +154,95 @@ case class ByteHistogram(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a string in one pass — semantically
+  * identical to the built-in chain
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(split(trim(s), "\\s+"), i+1, n))))` (same Java-regex tokenizer,
+  * same first-occurrence dedup order, < n tokens ⇒ empty array) but ~10×
+  * cheaper: the nested higher-order functions rebuild token arrays and
+  * evaluate three lambdas per shingle, which dominated the dedup pipeline
+  * profile. Shingling sits under every dedup operator, so it earns a
+  * native expression (preference tier (b), SURVEY §7.3).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val tokens = s.split("\\s+")
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = tokens.length - n
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot product of two array<double> columns as a single tight loop —
+  * replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, which allocates a
+  * zipped array and evaluates two lambda closures per element. Summation
+  * is sequential in element order, so results are bit-identical to the
+  * higher-order-function formulation (and to any sequential-loop oracle).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the custom expressions. */
 object Hashing {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
+  def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def wordShingles(col: Column, n: Int): Column = c(WordShingles(e(col), n))
   def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))
   def byteHistogram(col: Column, buckets: Int): Column =
     c(ByteHistogram(e(col), buckets))

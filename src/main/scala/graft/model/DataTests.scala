@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data tests — the reference's entire correctness surface
@@ -15,11 +15,18 @@ sealed trait DataTest {
   def id: String
   def relation: String
   def violations(resolve: String => DataFrame): DataFrame
+
+  /** For tests whose violations are a per-row predicate on one relation:
+    * the predicate. The runner fuses all such tests on a relation into a
+    * single scan (`sum(when(cond, 1))` per test) — at warehouse scale this
+    * turns N full-table passes into one. */
+  def rowCondition: Option[Column] = None
 }
 
 /** dbt built-in `not_null` (__sources.yml:13-14 et al.). */
 final case class NotNull(relation: String, column: String) extends DataTest {
   val id = s"not_null__${relation}__$column"
+  override def rowCondition: Option[Column] = Some(col(column).isNull)
   def violations(resolve: String => DataFrame): DataFrame =
     resolve(relation).filter(col(column).isNull)
 }
@@ -54,13 +61,16 @@ final case class AcceptedRange(
     relation: String, column: String,
     min: Double, max: Double, inclusive: Boolean = true) extends DataTest {
   val id = s"accepted_range__${relation}__$column"
-  def violations(resolve: String => DataFrame): DataFrame = {
+  private def cond: Column = {
     val c = col(column)
     val inRange =
       if (inclusive) c >= min && c <= max
       else c > min && c < max
-    resolve(relation).filter(c.isNotNull && !inRange)
+    c.isNotNull && !inRange
   }
+  override def rowCondition: Option[Column] = Some(cond)
+  def violations(resolve: String => DataFrame): DataFrame =
+    resolve(relation).filter(cond)
 }
 
 /** dbt_utils `expression_is_true` (__sources.yml:204-205). Rows where the
@@ -69,6 +79,7 @@ final case class AcceptedRange(
 final case class ExpressionIsTrue(
     relation: String, expression: String, label: String) extends DataTest {
   val id = s"expression_is_true__${relation}__$label"
+  override def rowCondition: Option[Column] = Some(!expr(expression))
   def violations(resolve: String => DataFrame): DataFrame =
     resolve(relation).filter(!expr(expression))
 }
@@ -81,6 +92,8 @@ final case class ExpressionIsTrue(
 final case class IsPositiveAmount(relation: String, column: String)
     extends DataTest {
   val id = s"is_positive_amount__${relation}__$column"
+  override def rowCondition: Option[Column] = Some(col(column).isNotNull &&
+    expr(s"try_cast($column AS DECIMAL(38,4)) <= 0"))
   def violations(resolve: String => DataFrame): DataFrame =
     resolve(relation).filter(col(column).isNotNull &&
       expr(s"try_cast($column AS DECIMAL(38,4)) <= 0"))

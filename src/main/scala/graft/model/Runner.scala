@@ -173,17 +173,36 @@ final class Runner(
   /** O6: all declared tests as one lazy plan — (test_id, violations) per
     * test; pass ⇔ violations == 0. Tests addressing model relations
     * require those models to be materialized in this session first
-    * (mirrors dbt: `test` runs against the relations `run` produced). */
+    * (mirrors dbt: `test` runs against the relations `run` produced).
+    *
+    * Row-predicate tests (not_null / accepted_range / expression_is_true /
+    * is_positive_amount) sharing a relation are fused into ONE scan with a
+    * conditional count per test; only join-shaped tests (unique,
+    * relationships) get their own plan. At warehouse scale this is the
+    * difference between N table passes and one. */
   def testReport(spark: SparkSession): DataFrame = {
     registerSources(spark)
     val resolve = testResolver(spark)
-    project.tests
-      .map { t =>
-        t.violations(resolve)
-          .agg(count(lit(1)).as("violations"))
-          .select(lit(t.id).as("test_id"), col("violations"))
+    val (rowTests, planTests) =
+      project.tests.partition(_.rowCondition.isDefined)
+    val fused = rowTests.groupBy(_.relation).toSeq.map { case (rel, ts) =>
+      val aggs = ts.zipWithIndex.map { case (t, i) =>
+        sum(when(t.rowCondition.get, 1L).otherwise(0L)).as(s"_t$i")
       }
-      .reduce(_.union(_))
+      val mapEntries = ts.zipWithIndex.flatMap { case (t, i) =>
+        Seq(lit(t.id), coalesce(col(s"_t$i"), lit(0L)))
+      }
+      resolve(rel)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(map(mapEntries: _*)))
+        .toDF("test_id", "violations")
+    }
+    val planned = planTests.map { t =>
+      t.violations(resolve)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(t.id).as("test_id"), col("violations"))
+    }
+    (fused ++ planned).reduce(_.union(_))
   }
 
   /** O7: run_results.json — per-node status/timing artifact. */

@@ -32,13 +32,23 @@ object Dedup {
       .withColumn("kept", row_number().over(w) === 1)
   }
 
-  /** (id, shingles) pairs with the empty/short docs dropped. */
+  /** (id, shingles) pairs with the empty/short docs dropped. Persisted:
+    * shingling is the single most expensive expression in the dedup
+    * pipeline and every operator reads it 3-6× (index + both verify
+    * sides); Spark's CacheManager keys on the canonicalized plan, so the
+    * three dedup operators over the same corpus share one materialization.
+    */
   def shingled(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextFunctions.wordShingles(col(textCol), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist()
 
+  /** Exact-jaccard verification of candidate (doc_a, doc_b) pairs. A
+    * length-ratio prefilter runs before the O(|A|+|B|) intersection:
+    * J(A,B) ≥ t requires t·|B| ≤ |A| (and symmetrically), so incompatible
+    * sizes are discarded without touching the arrays. */
   private def verified(candidates: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
@@ -47,31 +57,46 @@ object Dedup {
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
+      .filter(size(col("sa")) >= lit(threshold) * size(col("sb")) &&
+        size(col("sb")) >= lit(threshold) * size(col("sa")))
       .withColumn("jaccard_raw", jac)
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram jaccard pairs ≥ threshold via inverted shingle index. */
+  /** Exact n-gram jaccard pairs ≥ threshold via prefix-filtered inverted
+    * index (AllPairs/PPJoin family): shingles are globally ordered by
+    * (document frequency, shingle) and only each document's prefix —
+    * `|d| - floor(t·|d|) + 1` rarest shingles — is indexed. Any pair with
+    * J ≥ t must share a prefix shingle (if all common elements sat in A's
+    * suffix of length < t·|A| ≤ |A∩B|, that's a contradiction), so the
+    * candidate set is exact while the join avoids the Σ df² blowup on hot
+    * shingles — this is what keeps the operator viable at corpus scale,
+    * where stop-shingles otherwise dominate the self-join. floor (not
+    * ceil) absorbs float error on t·|d|, only ever lengthening the prefix.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val inter = ex.as("a")
-      .join(ex.as("b"),
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val docFreq = ex.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = ex.join(docFreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") /
-      (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(candidates, sh, threshold)
   }
 
   /** MinHash + LSH banding; candidates verified with exact jaccard, so the

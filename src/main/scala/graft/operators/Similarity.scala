@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Hashing
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -13,20 +14,29 @@ import org.apache.spark.sql.expressions.Window
   * is bucketed by nearest centroid once (one shuffle, reusable as a
   * partitioned table), and each query probes only `nprobe` buckets —
   * turning full scans into partition-pruned reads.
+  *
+  * Per-pair arithmetic: norms are computed once per vector (not per pair)
+  * and the dot product is a native single-pass expression
+  * ([[graft.functions.DotProduct]]); the value `dot(a,b)/(‖a‖·‖b‖)` is
+  * bit-identical to the naive per-pair formulation because every float op
+  * and its order is unchanged — only redundant recomputation is removed.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns — sequential fold in
-    * element order, so the arithmetic is reproducible anywhere. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    Hashing.dotProduct(a, b) /
+      (sqrt(Hashing.dotProduct(a, a)) * sqrt(Hashing.dotProduct(b, b)))
+
+  /** (vid, v, nrm) with the L2 norm materialized once per vector. */
+  private def normalized(emb: DataFrame, idCol: String, vecCol: String) = {
+    val v = col(vecCol).cast("array<double>")
+    emb.select(col(idCol).as("vid"), v.as("v"))
+      .withColumn("nrm", sqrt(Hashing.dotProduct(col("v"), col("v"))))
   }
 
-  private def normalized(emb: DataFrame, idCol: String, vecCol: String) =
-    emb.select(col(idCol).as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
+  private def sim(av: Column, an: Column, bv: Column, bn: Column): Column =
+    round(Hashing.dotProduct(av, bv) / (an * bn), 6)
 
   /** Exact top-k neighbors for each query vector (queries broadcast). Ties
     * on rounded similarity break by neighbor id — fully deterministic. */
@@ -34,10 +44,10 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
     val q = normalized(queries, idCol, vecCol)
-      .select(col("vid").as("qid"), col("v").as("qv"))
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = corpus.join(broadcast(q), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("nid"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
@@ -50,11 +60,13 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
-    val a = e.select(col("vid").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vid").as("id_b"), col("v").as("vb"))
+    val a = e.select(col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        sim(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -67,24 +79,25 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
     val centroids = corpus.orderBy(col("vid")).limit(nlist)
-      .select(col("vid").as("cid"), col("v").as("cv"))
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     def nearestBuckets(points: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vid"))
         .orderBy(col("csim").desc, col("cid"))
       points.crossJoin(broadcast(centroids))
-        .select(col("vid"), col("v"), col("cid"),
-          round(cosine(col("v"), col("cv")), 6).as("csim"))
+        .select(col("vid"), col("v"), col("nrm"), col("cid"),
+          sim(col("v"), col("nrm"), col("cv"), col("cn")).as("csim"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
         .drop("csim", "crn")
     }
     val bucketed = nearestBuckets(corpus, 1) // corpus: single assignment
     val probes = nearestBuckets(normalized(queries, idCol, vecCol), nprobe)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("cid"))
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
     val scored = probes.join(bucketed, Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("nid"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
