@@ -85,11 +85,14 @@ case class SimHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** MinHash signature over an array<string> of shingles: k permutations via
-  * universal hashing h_i(x) = a_i * fnv(x) + b_i with splitmix64-derived
-  * odd multipliers. Returns array<long> of the k minima (signed order —
-  * consistent across both sides of any LSH comparison, which is all that
-  * matters). Empty input → null (no signature).
+/** MinHash signature over a shingle set: k permutations via universal
+  * hashing h_i(x) = a_i * fnv(x) + b_i with splitmix64-derived odd
+  * multipliers. Accepts either array<string> (raw shingles; FNV-hashed
+  * here) or array<long> (pre-hashed via [[HashedShingles]] — identical
+  * signatures, since that expression stores exactly `fnv(shingle)`).
+  * Returns array<long> of the k minima (signed order — consistent across
+  * both sides of any LSH comparison, which is all that matters). Empty
+  * input → null (no signature).
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     with CodegenFallback {
@@ -101,6 +104,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     Array.tabulate(k)(i => Fnv.splitmix64(2L * i + 1) | 1L)
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(k)(i => Fnv.splitmix64(2L * i))
+  @transient private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -109,7 +116,8 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val base = Fnv.hashUtf8(arr.getUTF8String(j))
+      val base =
+        if (preHashed) arr.getLong(j) else Fnv.hashUtf8(arr.getUTF8String(j))
       var i = 0
       while (i < k) {
         val h = as(i) * base + bs(i)
@@ -205,6 +213,79 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** FNV-hash each element of an array<string> shingle set into a strictly
+  * increasing sorted array<long>. The dedup tier verifies jaccard on these
+  * primitive arrays instead of the string arrays: intersection counts and
+  * set sizes are preserved under (w.h.p. injective) hashing, so jaccard
+  * values are unchanged, while per-pair verification drops from UTF8String
+  * set-probing to a primitive merge loop ([[SortedIntersectSize]]) and the
+  * inverted-index join keys shrink from ~20-byte strings to 8-byte longs.
+  */
+case class HashedShingles(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = Fnv.hashUtf8(arr.getUTF8String(i))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // Input shingles are distinct strings; equal adjacent hashes can only
+    // arise from a 64-bit collision. Drop them so the array stays a set.
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection size of two strictly-increasing sorted array<long> columns
+  * — a single merge pass, no allocation. This is the jaccard-verification
+  * kernel: `array_intersect` on string arrays builds and probes a hash set
+  * of UTF8Strings per pair, which dominated the dedup profile at 300k+
+  * candidate pairs.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(cnt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product of two array<double> columns as a single tight loop —
   * replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, which allocates a
   * zipped array and evaluates two lambda closures per element. Summation
@@ -243,6 +324,9 @@ object Hashing {
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def wordShingles(col: Column, n: Int): Column = c(WordShingles(e(col), n))
+  def hashedShingles(col: Column): Column = c(HashedShingles(e(col)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    c(SortedIntersectSize(e(a), e(b)))
   def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))
   def byteHistogram(col: Column, buckets: Int): Column =
     c(ByteHistogram(e(col), buckets))

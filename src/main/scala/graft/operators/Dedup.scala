@@ -32,28 +32,33 @@ object Dedup {
       .withColumn("kept", row_number().over(w) === 1)
   }
 
-  /** (id, shingles) pairs with the empty/short docs dropped. Persisted:
-    * shingling is the single most expensive expression in the dedup
-    * pipeline and every operator reads it 3-6× (index + both verify
+  /** (doc_id, shingles) with empty/short docs dropped — `shingles` is the
+    * FNV-hashed, sorted long array of the document's distinct word
+    * n-grams ([[graft.functions.HashedShingles]]): jaccard on these equals
+    * jaccard on the strings (hashing preserves set sizes and intersection
+    * counts w.h.p.), while verification and index joins run on primitives.
+    * Persisted: shingling is the single most expensive expression in the
+    * dedup pipeline and every operator reads it 3-6× (index + both verify
     * sides); Spark's CacheManager keys on the canonicalized plan, so the
     * three dedup operators over the same corpus share one materialization.
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+        Hashing.hashedShingles(
+          TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
 
   /** Exact-jaccard verification of candidate (doc_a, doc_b) pairs. A
-    * length-ratio prefilter runs before the O(|A|+|B|) intersection:
+    * length-ratio prefilter runs before the O(|A|+|B|) merge intersection:
     * J(A,B) ≥ t requires t·|B| ≤ |A| (and symmetrically), so incompatible
     * sizes are discarded without touching the arrays. */
   private def verified(candidates: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = Hashing.sortedIntersectSize(col("sa"), col("sb"))
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
