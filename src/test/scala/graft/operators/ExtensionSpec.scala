@@ -84,6 +84,34 @@ class ExtensionSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("hashed shingles: sorted, distinct, jaccard-preserving") {
+    val df = Seq(
+      ("x", Seq("a b c", "b c d", "c d e")),
+      ("y", Seq("c d e", "a b c", "z z z")),
+      ("e", Seq.empty[String]))
+      .toDF("id", "shingles")
+      .select(col("id"), Hashing.hashedShingles(col("shingles")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("x").length == 3 && m("y").length == 3 && m("e").isEmpty)
+    assert(m("x") == m("x").sorted)
+    // Same string shingle ⇒ same hash, across rows.
+    assert((m("x").toSet & m("y").toSet).size == 2)
+  }
+
+  test("sorted intersect size equals array_intersect size on hashed sets") {
+    val df = Seq(
+      (Seq("a b c", "b c d", "c d e"), Seq("c d e", "a b c", "z z z")),
+      (Seq("a b c"), Seq("q r s")),
+      (Seq.empty[String], Seq("a b c")))
+      .toDF("sa", "sb")
+      .select(
+        Hashing.sortedIntersectSize(
+          Hashing.hashedShingles(col("sa")),
+          Hashing.hashedShingles(col("sb"))).as("fast"),
+        size(array_intersect(col("sa"), col("sb"))).as("exact"))
+    assert(df.collect().forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("byte histogram counts all bytes into the right buckets") {
     val df = Seq("AaZz 09").toDF("t")
       .select(Hashing.byteHistogram(encode(col("t"), "UTF-8"), 8).as("h"))
