@@ -65,6 +65,72 @@ object MultimodalQueries extends QueryPack {
              | CAST(0 AS BIGINT) AS b4, CAST(0 AS BIGINT) AS b5,
              | CAST(0 AS BIGINT) AS b6, CAST(0 AS BIGINT) AS b7,
              | md5(substring(text, 65, 64)) AS frame_md5
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling: fixed-size windows at a fixed stride over the
+    // payload — the video/audio "sample every Nth frame" shape. Pure
+    // row-local expression work: no shuffle, scales linearly, and the
+    // sampled frames stay inside the plan (downstream decode/dedup
+    // consumes them without a collect). Frames are fingerprinted (md5)
+    // exactly as a real pipeline would key decoded frames for dedup.
+    Q("mm03_frame_sample",
+      (s, dir) => {
+        val frameLen = 32
+        val stride = 64
+        val maxFrames = 8
+        val t = col("text") // ASCII corpus: 1 char == 1 byte (verified)
+        val nFrames = greatest(lit(0),
+          least(lit(maxFrames),
+            floor((length(t) - frameLen) / stride) + 1)).cast("int")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), t.as("text"), nFrames.as("n_frames"))
+          .select(col("doc_id"), col("n_frames"),
+            when(col("n_frames") > lit(0),
+              transform(sequence(lit(0), col("n_frames") - 1),
+                i => md5(encode(
+                  col("text").substr(i * stride + 1, lit(frameLen)),
+                  "UTF-8"))))
+              .otherwise(array().cast("array<string>"))
+              .as("frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | GREATEST(0, LEAST(8,
+             |   CAST(floor((length(text) - 32) / 64) AS INT) + 1)) AS n_frames,
+             | list_transform(
+             |   range(0, GREATEST(0, LEAST(8,
+             |     CAST(floor((length(text) - 32) / 64) AS INT) + 1))),
+             |   i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 32))) AS frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Nearest-neighbor downsample ("resize") of the payload to ≤16 strided
+    // sample points — the image-resize shape over an opaque byte column:
+    // stride = ceil(len/16), sample byte values at positions i*stride.
+    Q("mm04_resize",
+      (s, dir) => {
+        val target = 16
+        val t = col("text")
+        val len = length(t)
+        val stride = floor((len + target - 1) / target).cast("int")
+        val nOut = floor((len + stride - 1) / stride).cast("int")
+        Tables(s, dir, "documents")
+          .filter(length(trim(t)) > 0)
+          .select(col("doc_id"), t.as("text"), len.as("orig_len"),
+            stride.as("stride"), nOut.as("n_out"))
+          .select(col("doc_id"), col("orig_len"),
+            transform(sequence(lit(0), col("n_out") - 1),
+              i => ascii(col("text").substr(i * col("stride") + 1, lit(1))))
+              .as("resized"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) AS orig_len,
+             |    CAST(floor((length(text) + 15) / 16) AS INT) AS stride
+             |  FROM documents WHERE length(trim(text)) > 0)
+             |SELECT doc_id, orig_len,
+             |  list_transform(
+             |    range(0, CAST(floor((orig_len + stride - 1) / stride) AS INT)),
+             |    i -> ord(substring(text, CAST(i AS INT) * stride + 1, 1))) AS resized
+             |FROM d ORDER BY doc_id""".stripMargin))
   )
 }
