@@ -14,6 +14,9 @@ import graft.operators.TpchProject
   *           [--materializer catalog|path] [--warehouse PATH]
   *   test    [--project ...] [--dir PATH] [--target ...]
   *   compile [--project ...] [--target ...]
+  *   deps      O1: package resolution report (dbt_utils tests are inlined)
+  *   freshness A7: max(loaded_at_field) + age per declared source
+  *   ls        S7: catalog listing (SHOW TABLES equivalent) post-run
   *
   * Projects: `tpch` (driver-testdata demo) and `tastybytes` (the full
   * reference port over deterministic fixtures). A production deployment
@@ -89,8 +92,28 @@ object EngineCli {
                 s"(code model; refs: ${dm.refs.mkString(", ")})")
           }
         }
+      case "deps" =>
+        // O1: the reference's only package is dbt_utils 1.3.0
+        // (packages.yml:1-3), used for accepted_range/expression_is_true —
+        // both implemented natively (DataTests.scala), so deps is a report.
+        println("dbt_utils 1.3.0 -> inlined (AcceptedRange, ExpressionIsTrue)")
+        println("0 packages to resolve")
+      case "freshness" =>
+        runner.registerSources(spark)
+        runner.freshnessReport(spark).collect().foreach { row =>
+          println(f"${row.getString(0)}%-24s max_loaded_at=${row.get(1)} " +
+            f"age_s=${row.getLong(2)}")
+        }
+      case "ls" =>
+        // S7: `SHOW TABLES IN SCHEMA` (tasty_bytes_example_query.sql:2).
+        runner.run(spark)
+        spark.sql("SHOW TABLES").collect().foreach { r =>
+          println(f"${r.getString(0)}%-12s ${r.getString(1)}%-36s " +
+            f"temp=${r.getBoolean(2)}")
+        }
       case other =>
-        System.err.println(s"unknown verb: $other (expected run|test|compile)")
+        System.err.println(s"unknown verb: $other " +
+          "(expected run|test|compile|deps|freshness|ls)")
         sys.exit(2)
     }
     spark.stop()

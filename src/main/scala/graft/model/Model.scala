@@ -65,11 +65,16 @@ final case class DfModel(
 /** A declared source: a named external relation with a loader — the engine
   * analogue of a dbt source registry entry (__sources.yml:2-7). At cluster
   * scale the loader is a catalog/parquet-path read; tests attach here.
+  *
+  * `loadedAtField` is dbt's source-freshness hook (`loaded_at_field:
+  * ORDER_TS`, __sources.yml:168, SURVEY A7): when set, the engine can
+  * report `max(loadedAtField)` vs the wall clock per source.
   */
 final case class SourceDef(
     sourceName: String,
     table: String,
-    load: SparkSession => DataFrame)
+    load: SparkSession => DataFrame,
+    loadedAtField: Option[String] = None)
 
 /** Target environment (profiles.yml:2-19 — dev/prod outputs differing only
   * in schema). */

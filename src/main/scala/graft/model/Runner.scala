@@ -205,6 +205,27 @@ final class Runner(
     (fused ++ planned).reduce(_.union(_))
   }
 
+  /** A7: source freshness — `max(loaded_at_field)` per source that
+    * declares one (dbt's `loaded_at_field`, __sources.yml:168), with the
+    * age relative to `current_timestamp()`. One row per declared source;
+    * each is a single max-aggregate scan (Catalyst prunes to the one
+    * column, and a columnar format answers it from statistics at scale).
+    */
+  def freshnessReport(spark: SparkSession): DataFrame = {
+    val withField = project.sources.filter(_.loadedAtField.isDefined)
+    require(withField.nonEmpty, "no source declares loaded_at_field")
+    withField.map { sd =>
+      val f = sd.loadedAtField.get
+      sd.load(spark).agg(max(col(f)).as("max_loaded_at"))
+        .select(
+          lit(s"${sd.sourceName}.${sd.table}").as("source"),
+          col("max_loaded_at"),
+          (unix_timestamp(current_timestamp()) -
+            unix_timestamp(col("max_loaded_at").cast("timestamp")))
+            .as("age_seconds"))
+    }.reduce(_.union(_))
+  }
+
   /** O7: run_results.json — per-node status/timing artifact. */
   private def writeRunResults(path: String, results: Seq[NodeResult]): Unit = {
     def esc(s: String): String =

@@ -28,7 +28,12 @@ object TpchProject {
     Seq("orders", "customer", "lineitem", "nation", "region")
 
   def sources(dir: String): Seq[SourceDef] =
-    stagingTables.map(t => SourceDef("tpch", t, s => Tables(s, dir, t)))
+    stagingTables.map { t =>
+      // A7: orders.o_orderdate is the freshness hook, mirroring the
+      // reference's `loaded_at_field: ORDER_TS` (__sources.yml:168).
+      val loadedAt = if (t == "orders") Some("o_orderdate") else None
+      SourceDef("tpch", t, s => Tables(s, dir, t), loadedAt)
+    }
 
   val staging: Seq[Model] = stagingTables.map { t =>
     SqlModel(s"stg_$t", s"SELECT * FROM {{ source('tpch', '$t') }}")

@@ -70,6 +70,15 @@ class RunnerSpec extends SparkSuite {
       s"failing tests: ${failing.map(_.getString(0)).mkString(", ")}")
   }
 
+  test("source freshness reports max(loaded_at) and age per source") {
+    val runner = TpchProject.runner(dir)
+    runner.registerSources(spark)
+    val rows = runner.freshnessReport(spark).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("tpch.orders"))
+    assert(rows.head.get(1) != null) // max(o_orderdate) on real data
+    assert(rows.head.getLong(2) > 0) // historical data ⇒ positive age
+  }
+
   test("failing model aborts the run with context") {
     val bad = Project(
       TpchProject.sources(dir),
