@@ -251,6 +251,66 @@ case class HashedShingles(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Fusion of [[WordShingles]] ∘ [[HashedShingles]]: FNV-hash each word
+  * n-gram window directly from the token bytes (token₁ ⊕ 0x20 ⊕ token₂
+  * ⊕ ...) without ever materializing the shingle strings or a string
+  * dedup set — bit-identical output to the two-expression chain (verified
+  * by spec), at roughly a third of the allocation cost. This sits under
+  * the corpus-wide dedup cache build, so it's the one expression every
+  * dedup operator pays for every document.
+  */
+case class HashedWordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_word_shingles"
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.trim
+    if (s.isEmpty) return Empty
+    val tokens = s.split("\\s+") // same tokenizer as WordShingles
+    val m = tokens.length - n + 1
+    if (m <= 0) return Empty
+    val tokBytes = new Array[Array[Byte]](tokens.length)
+    var t = 0
+    while (t < tokens.length) {
+      tokBytes(t) = tokens(t).getBytes("UTF-8")
+      t += 1
+    }
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = Fnv.Offset
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h ^ 0x20L) * Fnv.Prime
+        val b = tokBytes(i + j)
+        var k = 0
+        while (k < b.length) {
+          h = (h ^ (b(k) & 0xffL)) * Fnv.Prime
+          k += 1
+        }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection size of two strictly-increasing sorted array<long> columns
   * — a single merge pass, no allocation. This is the jaccard-verification
   * kernel: `array_intersect` on string arrays builds and probes a hash set
@@ -325,6 +385,8 @@ object Hashing {
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def wordShingles(col: Column, n: Int): Column = c(WordShingles(e(col), n))
   def hashedShingles(col: Column): Column = c(HashedShingles(e(col)))
+  def hashedWordShingles(col: Column, n: Int): Column =
+    c(HashedWordShingles(e(col), n))
   def sortedIntersectSize(a: Column, b: Column): Column =
     c(SortedIntersectSize(e(a), e(b)))
   def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))

@@ -45,8 +45,7 @@ object Dedup {
   def shingled(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        Hashing.hashedShingles(
-          TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+        Hashing.hashedWordShingles(col(textCol), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
 

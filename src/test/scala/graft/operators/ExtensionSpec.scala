@@ -98,6 +98,14 @@ class ExtensionSpec extends SparkSuite {
     assert((m("x").toSet & m("y").toSet).size == 2)
   }
 
+  test("fused hashed word shingles equal the two-expression chain on testdata") {
+    val both = docs.select(
+      Hashing.hashedWordShingles(col("text"), 3).as("fused"),
+      Hashing.hashedShingles(
+        TextFunctions.wordShingles(col("text"), 3)).as("chain"))
+    assert(both.filter(col("fused") =!= col("chain")).isEmpty)
+  }
+
   test("sorted intersect size equals array_intersect size on hashed sets") {
     val df = Seq(
       (Seq("a b c", "b c d", "c d e"), Seq("c d e", "a b c", "z z z")),
