@@ -377,6 +377,49 @@ object RelationalQueries extends QueryPack {
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              | COUNT(*) AS n
-             |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // ---- Sessionization (gaps-and-islands): lag window → break flags →
+    // running-sum session ids → per-session aggregate. The batch twin of
+    // streaming/EventsStream.sessionize (flatMapGroupsWithState), pinned
+    // equal to it by EventsStreamSpec. Shuffles once on user_id; both
+    // windows and the aggregate reuse that partitioning.
+    Q("q19_sessionize",
+      (s, dir) => {
+        val gapUs = 30L * 60L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s AS (
+             |  SELECT *, SUM(brk) OVER (
+             |    PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sess_id
+             |  FROM g)
+             |SELECT user_id, sess_id,
+             |  MIN(us) AS start_us, MAX(us) AS end_us,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin))
   )
 }

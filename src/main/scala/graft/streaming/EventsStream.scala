@@ -4,6 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One closed user session: events gapped ≤ the inactivity gap apart,
+  * keyed by user. Timestamps are epoch micros (stable encoder, no TZ
+  * dependence). Top-level so the product encoder codegen needs no outer
+  * instance. */
+final case class Session(
+    user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value: Double)
+
+/** Per-user live-session state for [[EventsStream.sessionize]]. */
+final case class SessionState(
+    start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+
 /** Structured Streaming path for the `events` table — the reference is
   * batch-only (hourly cron re-runs, SURVEY §2.6), so this is the
   * engine-level extension that replaces "re-run the batch hourly" with an
@@ -62,4 +74,96 @@ object EventsStream {
         sum(col("value").cast("decimal(18,4)")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: per user,
+    * coalesce events into sessions closed by a 30-minute inactivity gap.
+    * State is one small record per live user — bounded by
+    * `GroupStateTimeout.EventTimeTimeout` against the watermark, so the
+    * state store cannot grow with history (the scale requirement for any
+    * stateful stream). Emits each session when its gap closes; the timeout
+    * path flushes sessions for users that simply stop sending.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    val keyed = events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), col("ts"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+
+    def flush(
+        key: Long, rows: Iterator[Row],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          closed ::= Session(key, s.start_us, s.end_us, s.n_events, s.sum_value)
+        }
+        state.remove()
+        return closed.iterator
+      }
+      var cur = state.getOption
+      // Batches deliver per-key rows unordered; sessionization needs
+      // event-time order within the group (group sizes are bounded by
+      // user activity per micro-batch, so the sort is row-local and tiny).
+      rows.toSeq.sortBy(_.getLong(1)).foreach { r =>
+        val us = r.getLong(1)
+        val v = r.getDouble(2)
+        cur match {
+          case Some(s) if us - s.end_us <= gapUs =>
+            cur = Some(SessionState(s.start_us, math.max(s.end_us, us),
+              s.n_events + 1, s.sum_value + v))
+          case Some(s) =>
+            closed ::= Session(key, s.start_us, s.end_us, s.n_events, s.sum_value)
+            cur = Some(SessionState(us, us, 1L, v))
+          case None =>
+            cur = Some(SessionState(us, us, 1L, v))
+        }
+      }
+      cur.foreach { s =>
+        val horizonMs = (s.end_us + gapUs) / 1000L
+        if (horizonMs <= state.getCurrentWatermarkMs()) {
+          // Gap horizon already behind the watermark (late/stale user):
+          // the session is closed by definition — setting a timeout in
+          // the past would throw.
+          closed ::= Session(key, s.start_us, s.end_us, s.n_events, s.sum_value)
+          state.remove()
+        } else {
+          state.update(s)
+          // Close the session once the watermark passes its gap horizon.
+          state.setTimeoutTimestamp(horizonMs)
+        }
+      }
+      closed.reverse.iterator
+    }
+
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
+
+  /** Batch-equivalent sessionization (window lag + cumulative session ids)
+    * — the classic gaps-and-islands formulation; pins [[sessionize]]. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+  }
 }

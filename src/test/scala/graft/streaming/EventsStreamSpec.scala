@@ -36,6 +36,41 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization matches the batch gaps-and-islands result") {
+    val dir = stageDir(1)
+    val q = EventsStream.sessionize(EventsStream.read(spark, dir))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Advance the watermark far past every session's gap horizon so
+      // event-time timeouts flush the remaining open sessions. The
+      // sentinel must be written in the stream's RAW layout (ts = nanos
+      // long), not the Tables-converted one.
+      val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      val sentinel = spark.read.schema(EventsStream.rawSchema)
+        .parquet(srcFile).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", (col("ts") + lit(365L * 86400L * 1000000000L)).cast("long"))
+      sentinel.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // one more trigger for the timeout batch
+
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))
+        .collect().toSeq.map(_.toSeq)
+
+      val streamed = canon(spark.table("sessions"))
+      val expected = canon(EventsStream.sessionizeBatch(batch))
+      assert(streamed.nonEmpty)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates replayed files") {
     val dir = stageDir(2) // the same events delivered twice
     val q = EventsStream.deduped(EventsStream.read(spark, dir))
