@@ -19,6 +19,20 @@ object Materialization {
 
   /** Mart tier — full-refresh CTAS semantics (dbt_project.yml:24-25). */
   case object Table extends Materialization
+
+  /** Engine extension beyond the reference (which only re-runs full
+    * refreshes hourly, setup/task.sql:1-6): incremental materialization by
+    * dynamic partition overwrite — each run replaces only the partitions
+    * present in the increment frame. This is the 100 TB path: an hourly
+    * run touches one hour-partition instead of rebuilding the mart. The
+    * model's SQL can bound its scan with `{{ incremental_filter('col') }}`
+    * (renders to a max-watermark predicate against the existing relation,
+    * dbt's `is_incremental()` + `{{ this }}` pattern).
+    */
+  final case class IncrementalByPartition(partitionCols: Seq[String])
+      extends Materialization {
+    require(partitionCols.nonEmpty, "partition columns required")
+  }
 }
 
 sealed trait Model {

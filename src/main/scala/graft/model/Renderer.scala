@@ -5,11 +5,20 @@ import scala.util.matching.Regex
 /** Resolves `{{ ref('x') }}` / `{{ source('s','t') }}` tokens in model SQL
   * to concrete relation names. Plain token substitution is sufficient: the
   * reference's models use no other Jinja (SURVEY §7.1 item 2).
+  *
+  * Two engine-extension tokens support incremental models (dbt's
+  * `{{ this }}` / `is_incremental()` pattern):
+  *  - `{{ this }}` → the model's own target relation
+  *  - `{{ incremental_filter('c') }}` → `c > (SELECT MAX(c) FROM <this>)`
+  *    when the relation already exists, else `1=1` (first run = full build)
   */
 object Renderer {
   private val RefR: Regex = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
   private val SrcR: Regex =
     """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
+  private val ThisR: Regex = """\{\{\s*this\s*\}\}""".r
+  private val IncR: Regex =
+    """\{\{\s*incremental_filter\(\s*'([^']+)'\s*\)\s*\}\}""".r
 
   def refsIn(sql: String): Seq[String] =
     RefR.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
@@ -20,10 +29,19 @@ object Renderer {
   def render(
       sql: String,
       ref: String => String,
-      source: (String, String) => String): String = {
+      source: (String, String) => String,
+      thisRelation: Option[String] = None,
+      thisExists: Boolean = false): String = {
     val withRefs = RefR.replaceAllIn(sql,
       m => Regex.quoteReplacement(ref(m.group(1))))
-    SrcR.replaceAllIn(withRefs,
+    val withSrcs = SrcR.replaceAllIn(withRefs,
       m => Regex.quoteReplacement(source(m.group(1), m.group(2))))
+    val rel = thisRelation.getOrElse("")
+    val withThis =
+      if (thisRelation.isEmpty) withSrcs
+      else ThisR.replaceAllIn(withSrcs, Regex.quoteReplacement(rel))
+    IncR.replaceAllIn(withThis, m => Regex.quoteReplacement(
+      if (thisExists) s"${m.group(1)} > (SELECT MAX(${m.group(1)}) FROM $rel)"
+      else "1=1"))
   }
 }

@@ -25,24 +25,71 @@ trait Materializer {
   def materializeView(spark: SparkSession, relation: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(relation)
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit
+
+  /** Incremental merge: replace exactly the partitions present in `df`,
+    * leave all others untouched (Spark dynamic partition overwrite). */
+  def materializeIncremental(spark: SparkSession, relation: String,
+      df: DataFrame, partitionCols: Seq[String]): Unit
+
+  /** Whether the relation exists from a previous run (drives
+    * `incremental_filter` rendering: first run = full build). */
+  def relationExists(spark: SparkSession, relation: String): Boolean
+
+  protected def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 final class CatalogMaterializer extends Materializer {
   def tableRelation(schema: String, name: String): String = s"$schema.$name"
+
+  def relationExists(spark: SparkSession, relation: String): Boolean =
+    spark.catalog.tableExists(relation)
+
+  def materializeIncremental(spark: SparkSession, relation: String,
+      df: DataFrame, partitionCols: Seq[String]): Unit =
+    if (!relationExists(spark, relation)) {
+      val Array(schema, _) = relation.split('.')
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
+      clearStaleLocation(spark, relation)
+      df.write.partitionBy(partitionCols: _*)
+        .format("parquet").saveAsTable(relation)
+    } else withDynamicOverwrite(spark) {
+      // insertInto resolves positionally against the catalog schema;
+      // reorder the increment to match (partition cols land last there).
+      val target = spark.table(relation).columns
+      df.select(target.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(relation)
+    }
+
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
-    val Array(schema, name) = relation.split('.')
+    val Array(schema, _) = relation.split('.')
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
     spark.sql(s"DROP TABLE IF EXISTS $relation")
-    // Full-refresh semantics must survive a dead catalog entry: with a
-    // non-Hive (in-memory) catalog a previous process may have left the
-    // managed location on disk while the catalog forgot the table, and
-    // saveAsTable then fails with LOCATION_ALREADY_EXISTS. Clear the
-    // default managed location explicitly.
+    clearStaleLocation(spark, relation)
+    df.write.mode("overwrite").format("parquet").saveAsTable(relation)
+  }
+
+  /** Full-refresh (and first incremental) semantics must survive a dead
+    * catalog entry: with a non-Hive (in-memory) catalog a previous process
+    * may have left the managed location on disk while the catalog forgot
+    * the table, and saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    * Clear the default managed location explicitly.
+    */
+  private def clearStaleLocation(spark: SparkSession, relation: String): Unit = {
+    val Array(schema, name) = relation.split('.')
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + s"/$schema.db/$name")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet").saveAsTable(relation)
   }
 }
 
@@ -51,6 +98,20 @@ final class PathMaterializer(base: String) extends Materializer {
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
     val path = s"$base/$relation"
     df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(relation)
+  }
+
+  def relationExists(spark: SparkSession, relation: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/$relation")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def materializeIncremental(spark: SparkSession, relation: String,
+      df: DataFrame, partitionCols: Seq[String]): Unit = {
+    val path = s"$base/$relation"
+    withDynamicOverwrite(spark) {
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    }
     spark.read.parquet(path).createOrReplaceTempView(relation)
   }
 }
@@ -90,7 +151,7 @@ final class Runner(
     val schema = m.customSchema.getOrElse(target.schema)
     m.materialization match {
       case Materialization.View => materializer.viewRelation(schema, m.name)
-      case Materialization.Table => materializer.tableRelation(schema, m.name)
+      case _ => materializer.tableRelation(schema, m.name)
     }
   }
 
@@ -103,14 +164,22 @@ final class Runner(
         .createOrReplaceTempView(sourceRelation(sd.sourceName, sd.table))
     }
 
-  /** O2: rendered SQL (SqlModel) without executing. */
+  /** O2: rendered SQL (SqlModel) without executing. Compile-time render
+    * assumes a first (full) run for `incremental_filter`. */
   def compileSql(m: SqlModel): String =
     Renderer.render(m.sql,
       ref = r => relationOf(byName(r)),
-      source = (s, t) => sourceRelation(s, t))
+      source = (s, t) => sourceRelation(s, t),
+      thisRelation = Some(relationOf(m)))
 
   private def buildDf(spark: SparkSession, m: Model): DataFrame = m match {
-    case sm: SqlModel => spark.sql(compileSql(sm))
+    case sm: SqlModel =>
+      val rel = relationOf(sm)
+      spark.sql(Renderer.render(sm.sql,
+        ref = r => relationOf(byName(r)),
+        source = (s, t) => sourceRelation(s, t),
+        thisRelation = Some(rel),
+        thisExists = materializer.relationExists(spark, rel)))
     case dm: DfModel =>
       dm.build(spark, r => spark.table(relationOf(byName(r))))
   }
@@ -136,6 +205,8 @@ final class Runner(
             materializer.materializeView(spark, relation, df)
           case Materialization.Table =>
             materializer.materializeTable(spark, relation, df)
+          case Materialization.IncrementalByPartition(pcols) =>
+            materializer.materializeIncremental(spark, relation, df, pcols)
         }
         NodeResult(name, relation, "success",
           (System.nanoTime() - t0) / 1000000, None)
