@@ -414,6 +414,43 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane signature for cosine LSH over an array<double>
+  * vector: bit i is set iff Σ_j s_ij·v_j > 0, with Rademacher ±1
+  * hyperplane components s_ij derived from splitmix64(i·2³² + j). For two
+  * vectors at angle θ, P(bit differs) = θ/π (Goemans-Williamson) — banding
+  * the signature makes near-neighbor search an equi-join on (band,
+  * bucket), the same shuffle shape as MinHash LSH.
+  */
+case class HyperplaneSig(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 64, "bits must be 1..64")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        val s = Fnv.splitmix64((i.toLong << 32) | j.toLong)
+        val x = v.getDouble(j)
+        acc += (if ((s & 1L) == 1L) x else -x)
+        j += 1
+      }
+      if (acc > 0) sig |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object Hashing {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -425,6 +462,8 @@ object Hashing {
   def hashedShingles(col: Column): Column = c(HashedShingles(e(col)))
   def hashedWordShingles(col: Column, n: Int): Column =
     c(HashedWordShingles(e(col), n))
+  def hyperplaneSig(col: Column, bits: Int): Column =
+    c(HyperplaneSig(e(col), bits))
   def sortedIntersectSize(a: Column, b: Column): Column =
     c(SortedIntersectSize(e(a), e(b)))
   def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))

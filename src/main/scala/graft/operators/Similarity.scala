@@ -70,6 +70,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** LSH-bucketed ANN: random-hyperplane signatures
+    * ([[graft.functions.HyperplaneSig]]) banded into (band, bucket) keys —
+    * candidate generation is an equi-join on those keys (one shuffle, AQE
+    * handles hot buckets), then exact cosine ranks the candidates. Unlike
+    * IVF there is no training/centroid pass, so this is the variant that
+    * drops into a streaming or append-only corpus at scale: signatures are
+    * row-local and the bucket index is just a partitioned table.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bucket"))
+      }
+      df.withColumn("sig", Hashing.hyperplaneSig(col("v"), bits))
+        .select(col("vid"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("vid"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
+    val corpus = normalized(emb, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+    val candidates = banded(q).withColumnRenamed("vid", "qid")
+      .join(banded(corpus), Seq("band", "bucket"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"))
+      .distinct()
+    val scored = candidates
+      .join(broadcast(q.select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))), "qid")
+      .join(corpus.select(col("vid").as("nid"), col("v"), col("nrm")), "nid")
+      .select(col("qid"), col("nid"),
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+
   /** IVF-style approximate top-k: corpus assigned to its nearest centroid
     * (centroids = the first `nlist` vectors by id — deterministic seeding;
     * k-means refinement would slot in here), queries probe the `nprobe`

@@ -85,6 +85,18 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
+      None),
+
+    // LSH-bucketed ANN (random hyperplanes): the train-free scale path —
+    // approximate by construction, so no SQL oracle; ScalaTest asserts
+    // recall vs v01 brute force.
+    Q("v05_ann_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
       None)
   )
 }

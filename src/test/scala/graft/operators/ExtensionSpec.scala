@@ -84,6 +84,18 @@ class ExtensionSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("LSH ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity
+      .lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall below floor")
+  }
+
   test("hashed shingles: sorted, distinct, jaccard-preserving") {
     val df = Seq(
       ("x", Seq("a b c", "b c d", "c d e")),
