@@ -420,6 +420,26 @@ object RelationalQueries extends QueryPack {
              |  MIN(us) AS start_us, MAX(us) AS end_us,
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
-             |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin))
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin)),
+
+    // ---- Skew-salted join (operators/Skew.scala): result must be
+    // byte-identical to the plain inner join — the oracle IS the plain
+    // join, so this query proves the salting rewrite changes only the
+    // partitioning, never the semantics.
+    Q("q20_salted_join",
+      (s, dir) => {
+        val joined = Skew.saltedJoin(
+          Tables(s, dir, "orders"), Tables(s, dir, "customer"),
+          "o_custkey", "c_custkey", col("o_orderkey"), salts = 8)
+        joined.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 }
