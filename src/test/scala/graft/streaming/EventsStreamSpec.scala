@@ -36,6 +36,38 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch hourly mart equals the batch aggregation after two files") {
+    val dir = stageDir(1)
+    val mart = Files.createTempDirectory("graft-mart").toString + "/hourly"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventsStream.hourlyMart(EventsStream.read(spark, dir), mart)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      def readMart() = spark.read.parquet(mart)
+        .select(col("hour").cast("timestamp").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val streamed = readMart()
+        .orderBy(col("hour"), col("event_type")).collect().toSeq.map(_.toSeq)
+      val expected = EventsStream
+        .hourlyAggBatch(Tables(spark, "/root/testdata/sf0.001", "events"))
+        .orderBy(col("hour"), col("event_type")).collect().toSeq.map(_.toSeq)
+      assert(streamed.nonEmpty)
+      assert(streamed == expected)
+
+      // Re-delivery of the same file: events behind the watermark are
+      // dropped by the aggregation, and updated windows OVERWRITE their
+      // hour partitions — either way the mart must keep exactly one row
+      // per (hour, event_type), never append duplicates.
+      Files.copy(Paths.get(srcFile), Paths.get(s"$dir/events_2.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val keyed = readMart().groupBy("hour", "event_type").count()
+      assert(keyed.filter(col("count") > 1).isEmpty,
+        "re-delivery must not create duplicate mart rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch gaps-and-islands result") {
     val dir = stageDir(1)
     val q = EventsStream.sessionize(EventsStream.read(spark, dir))
