@@ -37,7 +37,9 @@ object GraftFunctions {
     "byte_histogram" ->
       (es => ByteHistogram(es.head, intArg(es(1), "buckets"))),
     "hyperplane_sig" ->
-      (es => HyperplaneSig(es.head, intArg(es(1), "bits"))))
+      (es => HyperplaneSig(es.head, intArg(es(1), "bits"))),
+    "rolling_hash_min" ->
+      (es => RollingHashMin(es.head, intArg(es(1), "window"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -414,6 +414,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Minimum Rabin-Karp rolling hash over all `window`-byte windows of the
+  * UTF-8 text — an O(n) content fingerprint (each step updates the
+  * polynomial hash in O(1): h' = (h − b_out·B^{w−1})·B + b_in, exact in
+  * the ring Z/2⁶⁴). The min-over-windows is a 1-element winnowing
+  * fingerprint: robust to edits outside the minimizing window, cheap
+  * enough to run over every document of a 100 TB corpus in the scan.
+  * Text shorter than the window → null.
+  */
+case class RollingHashMin(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash_min"
+
+  private final val B = 257L
+  @transient private lazy val pow: Long = {
+    var p = 1L
+    var i = 0
+    while (i < window - 1) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < window) return null
+    var h = 0L
+    var i = 0
+    while (i < window) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var min = h
+    while (i < n) {
+      h = (h - (bytes(i - window) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+      if (h < min) min = h
+      i += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane signature for cosine LSH over an array<double>
   * vector: bit i is set iff Σ_j s_ij·v_j > 0, with Rademacher ±1
   * hyperplane components s_ij derived from splitmix64(i·2³² + j). For two
@@ -464,6 +506,8 @@ object Hashing {
     c(HashedWordShingles(e(col), n))
   def hyperplaneSig(col: Column, bits: Int): Column =
     c(HyperplaneSig(e(col), bits))
+  def rollingHashMin(col: Column, window: Int): Column =
+    c(RollingHashMin(e(col), window))
   def sortedIntersectSize(a: Column, b: Column): Column =
     c(SortedIntersectSize(e(a), e(b)))
   def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))

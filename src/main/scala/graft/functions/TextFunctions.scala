@@ -74,4 +74,18 @@ object TextFunctions {
   /** Whitespace-normalized content fingerprint (exact-dedup key). */
   def fingerprint(c: Column): Column =
     md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  /** BPE-style pre-tokenizer pattern (the GPT-2 family shape:
+    * contractions | space-prefixed letter runs | digit runs | punctuation
+    * runs), restricted to constructs shared by Java regex and RE2 (no
+    * lookahead) so the DuckDB oracle matches on the ASCII corpus. Trailing
+    * pure-whitespace runs are not counted — the space belongs to the
+    * following token, as in byte-level BPE. */
+  val BpePattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** BPE-ish token count: matches of [[BpePattern]]. Approximates the
+    * LLM-tokenizer budget far better than whitespace counting (which
+    * undercounts punctuation-heavy and number-heavy text). */
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
 }

@@ -104,6 +104,41 @@ object TextQueries extends QueryPack {
              |        list_distinct(list_transform(range(1, len(w)-1),
              |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
              |        s -> md5(s))) END AS shingle_fp
-             |FROM t ORDER BY doc_id""".stripMargin))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // BPE-ish token budget next to the whitespace count: the pattern is
+    // the GPT-2 pre-tokenizer shape restricted to Java-regex ∩ RE2 so
+    // both engines count identically on the ASCII corpus.
+    Q("t05_bpe_tokens",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("ws_tokens"),
+            bpeTokenCount(col("text")).as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |  CASE WHEN length(trim(text)) = 0 THEN 0
+              |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END ws
+              | FROM documents)
+              |SELECT doc_id, ws AS ws_tokens,
+              | len(regexp_extract_all(text,
+              |   '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+              |  AS bpe_tokens
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // True rolling-hash fingerprint (Rabin-Karp O(n) per doc, native
+    // expression): no portable SQL equivalent — rows-only for the driver;
+    // the ScalaTest property suite pins the rolling arithmetic against a
+    // per-window recompute.
+    Q("t06_rolling_fingerprint",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Hashing.rollingHashMin(col("text"), 64)
+              .as("rolling_fp"))
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

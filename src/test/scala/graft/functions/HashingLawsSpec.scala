@@ -90,6 +90,21 @@ class HashingLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("rolling hash min ≡ per-window polynomial recompute") {
+    val w = 8
+    val rh = RollingHashMin(Literal("x"), w)
+    def naive(s: String): Option[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < w) None
+      else Some((0 to b.length - w).map { i =>
+        b.slice(i, i + w).foldLeft(0L)((h, x) => h * 257L + (x & 0xffL))
+      }.min)
+    }
+    check(Prop.forAll(text) { s =>
+      Option(rh.nullSafeEval(utf8(s))).map(_.asInstanceOf[Long]) == naive(s)
+    })
+  }
+
   test("dot product ≡ sequential fold, left-to-right") {
     val dp = DotProduct(Literal(1.0), Literal(1.0))
     val vec = Gen.listOf(Gen.chooseNum(-10.0, 10.0))
