@@ -16,6 +16,27 @@ class TastyBytesSpec extends SparkSuite {
     r
   }
 
+  test("reference ingestion path: all 8 raw tables round-trip through CSV") {
+    // setup/setup_data.sql:144-173 loads positional headerless CSV into
+    // the typed raw tables; same hop here, including the dirty VARCHAR
+    // numeric columns, DATE, TIME-as-string, and the VARIANT JSON column.
+    val base = java.nio.file.Files.createTempDirectory("tb-csv").toString
+    graft.tastybytes.FixtureGen.all.foreach { case (t, gen) =>
+      val src = gen(spark)
+      graft.core.CsvIngest.stage(src, s"$base/$t/csv")
+      val loaded = graft.core.CsvIngest.ingestToParquet(
+        spark, s"$base/$t/csv", src.schema, s"$base/$t/parquet")
+      // CSV loads are always nullable; compare modulo nullability.
+      def norm(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(norm(loaded.schema) == norm(src.schema), s"$t schema drifted")
+      val cols = src.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq
+      assert(loaded.orderBy(cols: _*).collect().toSeq ==
+        src.orderBy(cols: _*).collect().toSeq, s"$t values drifted")
+    }
+  }
+
   test("full DAG: 8 staging views + 3 marts materialize") {
     val results = runner.run(spark)
     assert(results.size == 11)
