@@ -10,7 +10,7 @@ import graft.operators.TpchProject
   *
   * Usage:
   *   run     [--project tpch|tastybytes] [--select EXPR]
-  *           [--target dev|prod] [--dir PATH]
+  *           [--target dev|prod] [--dir PATH] [--threads N]
   *           [--materializer catalog|path] [--warehouse PATH]
   *   test    [--project ...] [--dir PATH] [--target ...]
   *   compile [--project ...] [--target ...]
@@ -60,7 +60,8 @@ object EngineCli {
     verb match {
       case "run" =>
         val results = runner.run(spark, opts.get("select"),
-          runResultsPath = Some(s"$warehouse/run_results.json"))
+          runResultsPath = Some(s"$warehouse/run_results.json"),
+          threads = opts.getOrElse("threads", "1").toInt)
         results.foreach { r =>
           println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
             f"-> ${r.relation}%-32s ${r.millis}%6d ms")

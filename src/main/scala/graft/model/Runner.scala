@@ -184,44 +184,99 @@ final class Runner(
       dm.build(spark, r => spark.table(relationOf(byName(r))))
   }
 
-  /** O3/O4: toposorted materialization of the selected subgraph. Fails fast
-    * on the first node error (its downstream would read stale relations).
+  private def materializeNode(spark: SparkSession, name: String): NodeResult = {
+    val m = byName(name)
+    val relation = relationOf(m)
+    val t0 = System.nanoTime()
+    try {
+      val df = buildDf(spark, m)
+      m.materialization match {
+        case Materialization.View =>
+          materializer.materializeView(spark, relation, df)
+        case Materialization.Table =>
+          materializer.materializeTable(spark, relation, df)
+        case Materialization.IncrementalByPartition(pcols) =>
+          materializer.materializeIncremental(spark, relation, df, pcols)
+      }
+      NodeResult(name, relation, "success",
+        (System.nanoTime() - t0) / 1000000, None)
+    } catch {
+      case e: Exception =>
+        NodeResult(name, relation, "error",
+          (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+    }
+  }
+
+  /** O3/O4: toposorted materialization of the selected subgraph.
+    *
+    * `threads = 1` (default) fails fast on the first node error (its
+    * downstream would read stale relations). `threads > 1` runs
+    * dependency-ready nodes concurrently on a fixed pool (dbt's
+    * `--threads`; Spark job submission is thread-safe and local[N] has
+    * the slots — a DAG of small models is latency- not throughput-bound,
+    * so width pays off directly): a failed node marks its descendants
+    * "skipped", independent branches still complete, and the first error
+    * is rethrown after the pool drains. Results are in topological order
+    * either way.
     */
   def run(
       spark: SparkSession,
       select: Option[String] = None,
-      runResultsPath: Option[String] = None): Seq[NodeResult] = {
+      runResultsPath: Option[String] = None,
+      threads: Int = 1): Seq[NodeResult] = {
     registerSources(spark)
     val chosen = select.map(Dag.select(_, deps)).getOrElse(deps.keySet)
     val ordered = Dag.toposort(deps).filter(chosen)
-    val results = ordered.map { name =>
-      val m = byName(name)
-      val relation = relationOf(m)
-      val t0 = System.nanoTime()
-      try {
-        val df = buildDf(spark, m)
-        m.materialization match {
-          case Materialization.View =>
-            materializer.materializeView(spark, relation, df)
-          case Materialization.Table =>
-            materializer.materializeTable(spark, relation, df)
-          case Materialization.IncrementalByPartition(pcols) =>
-            materializer.materializeIncremental(spark, relation, df, pcols)
-        }
-        NodeResult(name, relation, "success",
-          (System.nanoTime() - t0) / 1000000, None)
-      } catch {
-        case e: Exception =>
-          NodeResult(name, relation, "error",
-            (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
-      }
-    }
+    val results =
+      if (threads <= 1) ordered.map(materializeNode(spark, _))
+      else runParallel(spark, ordered, threads)
     runResultsPath.foreach(p => writeRunResults(p, results))
     results.find(_.status == "error").foreach { r =>
       throw new RuntimeException(
         s"model ${r.name} failed: ${r.error.getOrElse("")}")
     }
     results
+  }
+
+  private def runParallel(spark: SparkSession, ordered: Seq[String],
+      threads: Int): Seq[NodeResult] = {
+    import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors}
+    val chosen = ordered.toSet
+    val remaining = new ConcurrentHashMap[String, java.lang.Integer]()
+    ordered.foreach { n =>
+      remaining.put(n, deps(n).count(chosen))
+    }
+    val dependents: Map[String, Seq[String]] = ordered
+      .flatMap(n => deps(n).filter(chosen).map(_ -> n))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val results = new ConcurrentHashMap[String, NodeResult]()
+    val done = new CountDownLatch(ordered.size)
+    val pool = Executors.newFixedThreadPool(threads)
+
+    def finish(name: String, r: NodeResult): Unit = {
+      results.put(name, r)
+      done.countDown()
+      dependents.getOrElse(name, Nil).foreach { d =>
+        val left = remaining.compute(d, (_, v) => v - 1)
+        if (left == 0) submit(d)
+      }
+    }
+    def skip(name: String): Unit =
+      finish(name, NodeResult(name, relationOf(byName(name)),
+        "skipped", 0, Some("upstream failed")))
+    def submit(name: String): Unit = pool.execute { () =>
+      val upstreamBad = deps(name).filter(chosen).exists { d =>
+        val r = results.get(d)
+        r != null && r.status != "success"
+      }
+      if (upstreamBad) skip(name)
+      else finish(name, materializeNode(spark, name))
+    }
+
+    ordered.filter(n => remaining.get(n) == 0).foreach(submit)
+    done.await()
+    pool.shutdown()
+    ordered.map(results.get)
   }
 
   /** The materialized relation of a model, post-run. */

@@ -70,6 +70,38 @@ class RunnerSpec extends SparkSuite {
       s"failing tests: ${failing.map(_.getString(0)).mkString(", ")}")
   }
 
+  test("parallel run (threads=4) produces the same marts as sequential") {
+    val runner = TpchProject.runner(dir)
+    val results = runner.run(spark, threads = 4)
+    assert(results.size == 8)
+    assert(results.forall(_.status == "success"))
+    // topological order preserved in the report
+    assert(results.map(_.name).indexOf("stg_orders") <
+      results.map(_.name).indexOf("customer_order_metrics"))
+    assert(runner.table(spark, "sales_by_region").count() == 25)
+  }
+
+  test("parallel run skips downstream of a failure but finishes siblings") {
+    val bad = Project(
+      TpchProject.sources(dir),
+      Seq(
+        SqlModel("ok_root", "SELECT * FROM {{ source('tpch','nation') }}"),
+        SqlModel("boom2", "SELECT no_col FROM {{ source('tpch','orders') }}",
+          Materialization.Table),
+        SqlModel("down", "SELECT * FROM {{ ref('boom2') }}",
+          Materialization.Table),
+        SqlModel("indep", "SELECT * FROM {{ ref('ok_root') }}",
+          Materialization.Table)))
+    val runner = new Runner(bad, Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts-par"))
+    val e = intercept[RuntimeException] {
+      runner.run(spark, threads = 4)
+    }
+    assert(e.getMessage.contains("boom2"))
+    // independent branch still materialized (nation = 25 rows)
+    assert(spark.table("dev_indep").count() == 25)
+  }
+
   test("source freshness reports max(loaded_at) and age per source") {
     val runner = TpchProject.runner(dir)
     runner.registerSources(spark)
