@@ -440,6 +440,22 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
              | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-             |GROUP BY 1 ORDER BY segment""".stripMargin))
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
+    // one pass, fixed memory, mergeable partials — next to the exact
+    // count it approximates. Sketch internals are engine-specific, so no
+    // cross-engine oracle; ExtensionSpec pins the 2% default error bound.
+    Q("q21_approx_distinct",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+              .as("approx_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      None)
   )
 }

@@ -132,6 +132,19 @@ class ExtensionSpec extends SparkSuite {
     assert(df.collect().forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("approx distinct (HLL++) stays within its error bound vs exact") {
+    val rows = RelationalQueries.queries
+      .find(_.name == "q21_approx_distinct").get
+      .fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("byte histogram counts all bytes into the right buckets") {
     val df = Seq("AaZz 09").toDF("t")
       .select(Hashing.byteHistogram(encode(col("t"), "UTF-8"), 8).as("h"))
