@@ -89,11 +89,15 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
+    // Persisted: the self-join below would otherwise recompute the whole
+    // explode→docFreq-join→window pipeline once per side (verified in the
+    // physical plan) — at corpus scale that doubles the dominant stage.
     val prefix = ex.join(docFreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("shingle"))
+      .persist()
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -64,10 +64,17 @@ object Similarity {
       col("nrm").as("na"))
     val b = e.select(col("vid").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // One combined join condition with the cheap id comparison FIRST:
+    // Catalyst pushes a post-join similarity filter into the nested-loop
+    // join condition ANDed ahead of the id predicate, which evaluates the
+    // dot product for all n² ordered pairs instead of n²/2 (verified in
+    // the physical plan). Conjunct order in an explicit condition is
+    // preserved and BNLJ short-circuits left-to-right.
+    a.join(b,
+        col("id_a") < col("id_b") &&
+          sim(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"),
         sim(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 
   /** LSH-bucketed ANN: random-hyperplane signatures
