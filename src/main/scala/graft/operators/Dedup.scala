@@ -183,11 +183,58 @@ object Dedup {
   }
 
   /** SimHash banding (8 bands × 8 bits ⇒ no candidate missed below hamming
-    * 8); pairs reported with hamming distance and verified jaccard. */
+    * 8); pairs reported with hamming distance and verified jaccard.
+    *
+    * Like [[jaccardPairs]], exact-duplicate clusters (identical shingle
+    * sets) are collapsed to one representative before banding — identical
+    * text means identical signature, so a cluster of m copies otherwise
+    * floods every one of its bands' buckets with m entries and the bucket
+    * join enumerates m²·bands candidates for pairs that are trivially
+    * duplicates. Cross-cluster pairs inherit the representatives' hamming
+    * and jaccard; within-cluster pairs are emitted with hamming 0 and
+    * jaccard 1. (For the pathological case of equal shingle SETS under
+    * different token bags the reported hamming is the representative's —
+    * the jaccard filter itself stays exact, it is set-based.)
+    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxHamming: Int = 7): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"),
-      Hashing.simhash64(col(textCol)).as("sig"))
+    val sh = shingled(docs, idCol, textCol)
+    val groups = sh.groupBy(col("shingles"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    val repPairs = simhashRepPairs(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .join(groups.select(col("doc_id")), "doc_id"),
+      sh, threshold, maxHamming)
+    val memA = groups.select(col("doc_id").as("doc_a"),
+      col("members").as("ma"))
+    val memB = groups.select(col("doc_id").as("doc_b"),
+      col("members").as("mb"))
+    val cross = repPairs
+      .join(memA, "doc_a").join(memB, "doc_b")
+      .select(explode(col("ma")).as("a"), col("mb"),
+        col("hamming"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"),
+        col("hamming"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("hamming"), col("jaccard"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(0).cast("int").as("hamming"), lit(1.0).as("jaccard"))
+    cross.union(within)
+  }
+
+  /** Banding + verification over the duplicate-cluster representatives. */
+  private def simhashRepPairs(reps: DataFrame, sh: DataFrame,
+      threshold: Double, maxHamming: Int): DataFrame = {
+    val sig = reps.select(col("doc_id"),
+      Hashing.simhash64(col("text")).as("sig"))
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
@@ -205,7 +252,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-    val sh = shingled(docs, idCol, textCol)
     verified(candidates.select("doc_a", "doc_b"), sh, threshold)
       .join(candidates, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))

@@ -43,6 +43,23 @@ object ScaleProbe {
     t(s"jaccard prefix x$k")(
       println("  pairs=" + Dedup
         .jaccardPairs(docs, "doc_id", "text", 0.6).count()))
+    t(s"simhash x$k")(
+      println("  pairs=" + Dedup
+        .simhashPairs(docs, "doc_id", "text", 0.6).count()))
+
+    val emb0 = Tables(spark, dir, "embeddings")
+    val emb = (0 until k).map { i =>
+      emb0.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ union _).repartition(32).persist()
+    println(s"vectors: ${emb.count()}")
+    val queries = emb.filter(col("vec_id") < 25)
+    t(s"ivf topk x$k")(
+      println("  rows=" + Similarity
+        .ivfTopK(emb, queries, "vec_id", "embedding", 5).count()))
+    t(s"lsh topk x$k")(
+      println("  rows=" + Similarity
+        .lshTopK(emb, queries, "vec_id", "embedding", 5).count()))
     spark.stop()
   }
 }
