@@ -132,6 +132,21 @@ class ExtensionSpec extends SparkSuite {
     assert(df.collect().forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("batched mapPartitions decode equals the per-row expression path") {
+    val viaBatch = Multimodal
+      .decodeFeatures(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("p")),
+        "doc_id", "p", buckets = 8, batchSize = 7)
+      .collect().map(d => d.doc_id -> (d.n_bytes, d.features.toSeq)).toMap
+    val viaExpr = docs
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n"),
+        Hashing.byteHistogram(encode(col("text"), "UTF-8"), 8).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(viaBatch == viaExpr)
+  }
+
   test("approx distinct (HLL++) stays within its error bound vs exact") {
     val rows = RelationalQueries.queries
       .find(_.name == "q21_approx_distinct").get
