@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Hashing, TextFunctions}
@@ -98,29 +98,47 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    val groups = sh.groupBy(col("shingles"))
+    val groups = clusters(sh)
+    val reps = groups.select(col("doc_id"), col("shingles"))
+    val repPairs = prefixFilteredPairs(reps, threshold)
+    expandClusters(repPairs, groups,
+      valueCols = Seq("jaccard"), withinValues = Seq(lit(1.0).as("jaccard")))
+  }
+
+  /** Exact-duplicate clusters: one row per distinct shingle set, keyed by
+    * its representative (min doc_id), carrying the member list. Shared —
+    * via the CacheManager, same canonical plan — by every dedup operator
+    * over the same corpus. */
+  private def clusters(sh: DataFrame): DataFrame =
+    sh.groupBy(col("shingles"))
       .agg(min(col("doc_id")).as("doc_id"),
         sort_array(collect_list(col("doc_id"))).as("members"))
       .persist()
-    val reps = groups.select(col("doc_id"), col("shingles"))
-    val repPairs = prefixFilteredPairs(reps, threshold)
+
+  /** Expand representative pairs back through cluster membership: every
+    * (member of A) × (member of B) pair inherits the representatives'
+    * `valueCols`; within-cluster pairs are emitted with `withinValues`
+    * (jaccard 1, hamming 0 — duplicates by construction). */
+  private def expandClusters(repPairs: DataFrame, groups: DataFrame,
+      valueCols: Seq[String], withinValues: Seq[Column]): DataFrame = {
+    val vals = valueCols.map(col)
     val memA = groups.select(col("doc_id").as("doc_a"),
       col("members").as("ma"))
     val memB = groups.select(col("doc_id").as("doc_b"),
       col("members").as("mb"))
     val cross = repPairs
       .join(memA, "doc_a").join(memB, "doc_b")
-      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
-      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+      .select(explode(col("ma")).as("a") +: col("mb") +: vals: _*)
+      .select(col("a") +: explode(col("mb")).as("b") +: vals: _*)
+      .select(least(col("a"), col("b")).as("doc_a") +:
+        greatest(col("a"), col("b")).as("doc_b") +: vals: _*)
     val within = groups.filter(size(col("members")) > 1)
       .select(col("members"))
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a") < col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        lit(1.0).as("jaccard"))
+      .select(col("a").as("doc_a") +: col("b").as("doc_b") +:
+        withinValues: _*)
     cross.union(within)
   }
 
@@ -153,13 +171,28 @@ object Dedup {
   }
 
   /** MinHash + LSH banding; candidates verified with exact jaccard, so the
-    * output equals [[jaccardPairs]] up to banding recall. */
+    * output equals [[jaccardPairs]] up to banding recall. Duplicate
+    * clusters are collapsed first ([[jaccardPairs]] rationale): identical
+    * shingle sets produce identical signatures, so a cluster of m copies
+    * otherwise puts m entries in every band bucket and the bucket join
+    * enumerates m²·bands candidates (measured 69 s → seconds at 250k docs
+    * with 50× replication; output identical — signatures and jaccard are
+    * functions of the shingle set). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sh = shingled(docs, idCol, textCol)
-    val sig = sh.select(col("doc_id"),
+    val groups = clusters(sh)
+    val reps = groups.select(col("doc_id"), col("shingles"))
+    val repPairs = minhashRepPairs(reps, sh, threshold, numHashes, bands)
+    expandClusters(repPairs, groups,
+      valueCols = Seq("jaccard"), withinValues = Seq(lit(1.0).as("jaccard")))
+  }
+
+  private def minhashRepPairs(reps: DataFrame, sh: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = reps.select(col("doc_id"),
       Hashing.minhashSig(col("shingles"), numHashes).as("sig"))
     // (doc, band, bucket-key): bucket key is the band's signature slice.
     val bandCols = (0 until bands).map { b =>
@@ -199,35 +232,15 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxHamming: Int = 7): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
-    val groups = sh.groupBy(col("shingles"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
+    val groups = clusters(sh)
     val repPairs = simhashRepPairs(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .join(groups.select(col("doc_id")), "doc_id"),
       sh, threshold, maxHamming)
-    val memA = groups.select(col("doc_id").as("doc_a"),
-      col("members").as("ma"))
-    val memB = groups.select(col("doc_id").as("doc_b"),
-      col("members").as("mb"))
-    val cross = repPairs
-      .join(memA, "doc_a").join(memB, "doc_b")
-      .select(explode(col("ma")).as("a"), col("mb"),
-        col("hamming"), col("jaccard"))
-      .select(col("a"), explode(col("mb")).as("b"),
-        col("hamming"), col("jaccard"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"),
-        col("hamming"), col("jaccard"))
-    val within = groups.filter(size(col("members")) > 1)
-      .select(col("members"))
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        lit(0).cast("int").as("hamming"), lit(1.0).as("jaccard"))
-    cross.union(within)
+    expandClusters(repPairs, groups,
+      valueCols = Seq("hamming", "jaccard"),
+      withinValues = Seq(lit(0).cast("int").as("hamming"),
+        lit(1.0).as("jaccard")))
   }
 
   /** Banding + verification over the duplicate-cluster representatives. */
