@@ -9,10 +9,14 @@ import graft.functions.{Hashing, TextFunctions}
   * economics at 100 TB:
   *
   *  - exact: one hash-shuffle on a 16-byte fingerprint (not the document).
-  *  - exact jaccard: inverted shingle index — candidates share ≥1 shingle,
-  *    so cost is Σ df(shingle)², not n². Production corpora additionally cap
-  *    document frequency (`maxShingleDf`) to drop stop-shingles, which is
-  *    what bounds the quadratic term under skew.
+  *  - every near-dup operator first collapses exact-duplicate clusters
+  *    (identical shingle sets) to one representative — the dominant
+  *    duplicate class in web corpora would otherwise drive every
+  *    candidate join quadratic in cluster size (see [[jaccardPairs]];
+  *    measured with `tools/ScaleProbe` on replicated corpora).
+  *  - exact jaccard: prefix-filtered inverted shingle index
+  *    (AllPairs/PPJoin family) over the representatives — exact candidate
+  *    set without the Σ df² blowup on hot shingles.
   *  - MinHash LSH: signature + banding turns near-dup search into an
   *    equi-join on (band, bucket) — the Spark-native shape (shuffle on
   *    bucket key, AQE handles skewed buckets); candidates are then verified
