@@ -56,13 +56,24 @@ object Similarity {
 
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup). The
     * threshold is applied to the rounded similarity so boundary behavior
-    * is reproducible. */
+    * is reproducible.
+    *
+    * Identical vectors are collapsed to one representative before the
+    * O(n²) stage (same rationale as `Dedup.jaccardPairs`: duplicate
+    * clusters of size m otherwise cost m² pair evaluations for pairs
+    * that are cosine-1 by construction); representative pairs are then
+    * expanded back through cluster membership — output identical, since
+    * cosine is a function of the vector values alone. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = normalized(emb, idCol, vecCol)
-    val a = e.select(col("vid").as("id_a"), col("v").as("va"),
+    val groups = normalized(emb, idCol, vecCol)
+      .groupBy(col("v"), col("nrm"))
+      .agg(min(col("vid")).as("vid"),
+        sort_array(collect_list(col("vid"))).as("members"))
+      .persist()
+    val a = groups.select(col("vid").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
-    val b = e.select(col("vid").as("id_b"), col("v").as("vb"),
+    val b = groups.select(col("vid").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
     // One combined join condition with the cheap id comparison FIRST:
     // Catalyst pushes a post-join similarity filter into the nested-loop
@@ -70,11 +81,27 @@ object Similarity {
     // dot product for all n² ordered pairs instead of n²/2 (verified in
     // the physical plan). Conjunct order in an explicit condition is
     // preserved and BNLJ short-circuits left-to-right.
-    a.join(b,
+    val repPairs = a.join(b,
         col("id_a") < col("id_b") &&
           sim(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"),
         sim(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
+    val memA = groups.select(col("vid").as("id_a"), col("members").as("ma"))
+    val memB = groups.select(col("vid").as("id_b"), col("members").as("mb"))
+    val cross = repPairs
+      .join(memA, "id_a").join(memB, "id_b")
+      .select(explode(col("ma")).as("a"), col("mb"), col("sim"))
+      .select(col("a"), explode(col("mb")).as("b"), col("sim"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("sim"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        lit(1.0).as("sim"))
+    cross.union(within)
   }
 
   /** LSH-bucketed ANN: random-hyperplane signatures

@@ -60,6 +60,9 @@ object ScaleProbe {
     t(s"lsh topk x$k")(
       println("  rows=" + Similarity
         .lshTopK(emb, queries, "vec_id", "embedding", 5).count()))
+    t(s"near-dup pairs x$k")(
+      println("  pairs=" + Similarity
+        .nearDupPairs(emb, "vec_id", "embedding", 0.45).count()))
     spark.stop()
   }
 }
