@@ -442,6 +442,49 @@ object RelationalQueries extends QueryPack {
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY 1 ORDER BY segment""".stripMargin)),
 
+    // ---- Percentiles: exact interpolated percentile (both engines sort
+    // and interpolate with a + (b-a)·f over the same doubles).
+    Q("q22_quantiles",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+            percentile(col("l_quantity"), lit(0.95)).as("p95_qty"),
+            percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             | quantile_cont(l_quantity, 0.5) AS p50_qty,
+             | quantile_cont(l_quantity, 0.95) AS p95_qty,
+             | quantile_cont(l_extendedprice, 0.9) AS p90_price
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Pivot: wide conditional aggregation (the BI matrix shape);
+    // the oracle spells out the equivalent CASE aggregation.
+    Q("q23_pivot",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("status"),
+            coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("not_specified"),
+            coalesce(col("5-LOW"), lit(0L)).as("low"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status,
+             | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+             | COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+             | COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+             | COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+             | COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+             |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
+
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no
