@@ -30,4 +30,16 @@ class RendererSpec extends AnyFunSuite {
       Seq("x", "y"))
     assert(Renderer.sourcesIn("{{source('a','b')}}") == Seq(("a", "b")))
   }
+
+  test("this and incremental_filter render per target-relation state") {
+    val sql = "SELECT * FROM {{ ref('up') }} " +
+      "WHERE {{ incremental_filter('ts') }} -- target {{ this }}"
+    val firstRun = Renderer.render(sql, r => s"dev_$r", (_, t) => t,
+      thisRelation = Some("dev_m"), thisExists = false)
+    assert(firstRun.contains("WHERE 1=1"))
+    assert(firstRun.contains("target dev_m"))
+    val laterRun = Renderer.render(sql, r => s"dev_$r", (_, t) => t,
+      thisRelation = Some("dev_m"), thisExists = true)
+    assert(laterRun.contains("WHERE ts > (SELECT MAX(ts) FROM dev_m)"))
+  }
 }
