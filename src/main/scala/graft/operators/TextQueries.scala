@@ -139,6 +139,24 @@ object TextQueries extends QueryPack {
               .as("rolling_fp"))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // Generator (explode/UNNEST) + top-k: corpus vocabulary head. The
+    // explode stays inside the scan stage (Generate under the partial
+    // aggregate — no pre-shuffle materialization of the token stream).
+    Q("t07_token_topk",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)
+      },
+      Some("""SELECT token, COUNT(*) AS n FROM (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents WHERE length(trim(text)) > 0) t
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin))
   )
 }
