@@ -146,12 +146,18 @@ object EngineQueries extends QueryPack {
   }
 
   def queries: Seq[Q] = Seq(
+    // The mart itself keeps the reference-parity array column; the gate
+    // query serializes it to a delimited string because the driver's
+    // pandas-based compare cannot sort/hash array cells. Oracle decimal
+    // casts route through VARCHAR (shortest-repr; RelationalQueries doc).
     Q("m01_customer_order_metrics",
-      mart("customer_order_metrics", _.orderBy(col("customer_id"))),
+      mart("customer_order_metrics",
+        _.withColumn("priorities", array_join(col("priorities"), "|"))
+          .orderBy(col("customer_id"))),
       Some("""SELECT c_custkey AS customer_id, c_name AS customer_name,
              | c_mktsegment AS segment,
-             | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
-             | SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+             | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+             | SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total_sales,
              | COUNT(*) AS n_orders
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
@@ -163,7 +169,7 @@ object EngineQueries extends QueryPack {
              | o_orderpriority AS priority, c_custkey AS customer_id,
              | c_name AS customer_name, n_name AS nation, r_name AS region,
              | l_linenumber AS line_number, l_quantity AS quantity,
-             | CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS net_price
+             | CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4)) AS net_price
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |LEFT JOIN customer ON o_custkey = c_custkey
@@ -178,7 +184,7 @@ object EngineQueries extends QueryPack {
              |  FROM customer GROUP BY 1),
              |order_sums AS (
              |  SELECT c_nationkey,
-             |   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+             |   SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total_sales,
              |   COUNT(o_orderkey) AS n_orders
              |  FROM customer JOIN orders ON c_custkey = o_custkey
              |  GROUP BY 1)

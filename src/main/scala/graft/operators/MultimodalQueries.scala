@@ -84,23 +84,26 @@ object MultimodalQueries extends QueryPack {
             floor((length(t) - frameLen) / stride) + 1)).cast("int")
         Tables(s, dir, "documents")
           .select(col("doc_id"), t.as("text"), nFrames.as("n_frames"))
+          // Frames serialize to one delimited string for the driver's
+          // pandas compare (array cells are unhashable there); the array
+          // form stays available inside the plan for downstream dedup.
           .select(col("doc_id"), col("n_frames"),
             when(col("n_frames") > lit(0),
-              transform(sequence(lit(0), col("n_frames") - 1),
+              array_join(transform(sequence(lit(0), col("n_frames") - 1),
                 i => md5(encode(
                   col("text").substr(i * stride + 1, lit(frameLen)),
-                  "UTF-8"))))
-              .otherwise(array().cast("array<string>"))
+                  "UTF-8"))), "|"))
+              .otherwise(lit(""))
               .as("frames"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              | GREATEST(0, LEAST(8,
              |   CAST(floor((length(text) - 32) / 64) AS INT) + 1)) AS n_frames,
-             | list_transform(
+             | array_to_string(list_transform(
              |   range(0, GREATEST(0, LEAST(8,
              |     CAST(floor((length(text) - 32) / 64) AS INT) + 1))),
-             |   i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 32))) AS frames
+             |   i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 32))), '|') AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Nearest-neighbor downsample ("resize") of the payload to ≤16 strided
@@ -117,9 +120,12 @@ object MultimodalQueries extends QueryPack {
           .filter(length(trim(t)) > 0)
           .select(col("doc_id"), t.as("text"), len.as("orig_len"),
             stride.as("stride"), nOut.as("n_out"))
+          // Sample values serialize to a delimited string for the driver's
+          // pandas compare (array cells are unhashable there).
           .select(col("doc_id"), col("orig_len"),
-            transform(sequence(lit(0), col("n_out") - 1),
-              i => ascii(col("text").substr(i * col("stride") + 1, lit(1))))
+            array_join(transform(sequence(lit(0), col("n_out") - 1),
+              i => ascii(col("text").substr(i * col("stride") + 1, lit(1)))
+                .cast("string")), "|")
               .as("resized"))
           .orderBy(col("doc_id"))
       },
@@ -128,9 +134,9 @@ object MultimodalQueries extends QueryPack {
              |    CAST(floor((length(text) + 15) / 16) AS INT) AS stride
              |  FROM documents WHERE length(trim(text)) > 0)
              |SELECT doc_id, orig_len,
-             |  list_transform(
+             |  array_to_string(list_transform(
              |    range(0, CAST(floor((orig_len + stride - 1) / stride) AS INT)),
-             |    i -> ord(substring(text, CAST(i AS INT) * stride + 1, 1))) AS resized
+             |    i -> ord(substring(text, CAST(i AS INT) * stride + 1, 1))), '|') AS resized
              |FROM d ORDER BY doc_id""".stripMargin))
   )
 }

@@ -13,6 +13,15 @@ import graft.core.{Q, QueryPack, Tables}
   *    `DECIMAL` first, sum the decimals (exact, order-independent), cast
   *    the final value to `DOUBLE`. IEEE ops on identical scalar operands
   *    are bit-deterministic; only reductions over floats are order-sensitive.
+  *  - double→DECIMAL casts diverge between engines: Spark rounds the
+  *    double's SHORTEST decimal representation (Java `Double.toString`)
+  *    HALF_UP, while DuckDB rounds the exact binary expansion — e.g.
+  *    0.615 (binary ≈0.61499999…) → 0.62 in Spark, 0.61 in DuckDB. Every
+  *    oracle therefore routes the cast through VARCHAR —
+  *    `CAST(CAST(x AS VARCHAR) AS DECIMAL(p,s))` — which forces DuckDB
+  *    through the same shortest-repr string (shortest round-trip digits
+  *    are unique for a given double, so the two engines then round the
+  *    identical decimal literal).
   *  - No `avg()` (DuckDB computes it in doubles): derive exact sum / count.
   *  - `collect_set` arrays are `array_sort`ed on both sides (SURVEY §7.4).
   *  - Row-level outputs carry an ORDER BY on a unique key on both sides.
@@ -59,10 +68,10 @@ object RelationalQueries extends QueryPack {
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             | SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             | SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             | SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-             | SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,8))) AS sum_charge,
+             | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS sum_qty,
+             | SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) AS sum_base_price,
+             | SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS sum_disc_price,
+             | SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS VARCHAR) AS DECIMAL(18,8))) AS sum_charge,
              | COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -113,7 +122,7 @@ object RelationalQueries extends QueryPack {
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name,
-             | SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             | SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS revenue,
              | COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -135,7 +144,7 @@ object RelationalQueries extends QueryPack {
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
-             | SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS spend
+             | SUM(CAST(CAST(COALESCE(o_totalprice, 0.0) AS VARCHAR) AS DECIMAL(18,2))) AS spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)),
 
@@ -167,19 +176,23 @@ object RelationalQueries extends QueryPack {
              |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
-    // ---- A2: ARRAY_AGG(DISTINCT) ≡ collect_set, array_sorted for compare.
+    // ---- A2: ARRAY_AGG(DISTINCT) ≡ collect_set, array_sorted then
+    // serialized to a delimited string: the driver's oracle gate sorts
+    // result frames in pandas, which cannot hash array cells — so the
+    // array stays inside the plan and only its canonical string leaves.
     Q("q07_collect_set",
       (s, dir) => {
         val c = Tables(s, dir, "customer")
         val o = Tables(s, dir, "orders")
         c.join(o, col("c_custkey") === col("o_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+          .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+              .as("priorities"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment,
-             | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+             | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
              | COUNT(*) AS n_orders
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
@@ -253,7 +266,7 @@ object RelationalQueries extends QueryPack {
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             | SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) OVER (
              |   PARTITION BY l_suppkey
              |   ORDER BY l_shipdate, l_orderkey, l_linenumber
              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -301,7 +314,7 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
              | COALESCE(o_orderpriority, 'ALL') AS priority,
              | COUNT(*) AS n,
-             | SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             | SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
@@ -342,7 +355,7 @@ object RelationalQueries extends QueryPack {
       },
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              | COUNT(*) AS n_orders,
-             | SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             | SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total
              |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
 
     // ---- events: hourly tumbling buckets + conditional aggregation.
@@ -362,7 +375,7 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
              | COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
              | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-             | SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+             | SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS sum_value
              |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
 
     // ---- JSON extraction from semi-structured props column.
@@ -419,7 +432,7 @@ object RelationalQueries extends QueryPack {
              |SELECT user_id, sess_id,
              |  MIN(us) AS start_us, MAX(us) AS end_us,
              |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
              |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin)),
 
     // ---- Skew-salted join (operators/Skew.scala): result must be
@@ -438,7 +451,7 @@ object RelationalQueries extends QueryPack {
           .orderBy(col("segment"))
       },
       Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
-             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY 1 ORDER BY segment""".stripMargin)),
 

@@ -43,23 +43,31 @@ object VectorQueries extends QueryPack {
             // float→decimal cast rounds from the float's shortest decimal
             // representation in Spark but not in DuckDB.
             col("val").cast("double").cast("decimal(18,9)").as("val"))
+        // The per-dim sums stay exact decimals inside the plan; the output
+        // serializes them to one delimited string per label because the
+        // driver's pandas compare cannot sort/hash array cells. Decimal
+        // string form (full scale, `toPlainString`) is identical across
+        // both engines.
         ex.groupBy(col("label"), col("dim"))
           .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
           .groupBy(col("label"))
           .agg(
-            transform(
+            array_join(transform(
               array_sort(collect_list(struct(col("dim"), col("s")))),
-              x => x.getField("s")).as("centroid_sum"),
+              x => x.getField("s").cast("string")), "|").as("centroid_sum"),
             min(col("n")).as("n_vectors"))
           .orderBy(col("label"))
       },
+      // The double→DECIMAL cast routes through VARCHAR (shortest-repr
+      // alignment — see RelationalQueries doc).
       Some("""WITH ex AS (
              |  SELECT label, generate_subscripts(embedding, 1) dim,
-             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) val
+             |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) val
              |  FROM embeddings),
              |sums AS (
              |  SELECT label, dim, SUM(val) s, COUNT(*) n FROM ex GROUP BY 1, 2)
-             |SELECT label, list(s ORDER BY dim) centroid_sum, MIN(n) n_vectors
+             |SELECT label, array_to_string(list(s ORDER BY dim), '|') centroid_sum,
+             | MIN(n) n_vectors
              |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
 
     Q("v03_embedding_near_dup",
