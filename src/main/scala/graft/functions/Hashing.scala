@@ -98,6 +98,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     with CodegenFallback {
   require(k > 0, "k must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Empty input yields null even when the child is non-nullable; without
+  // this the non-nullable eval path would unbox the null (NPE) and the
+  // optimizer could elide downstream null checks.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   @transient private lazy val as: Array[Long] =
@@ -370,12 +374,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 /** Dot product of two array<double> columns as a single tight loop —
   * replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, which allocates a
   * zipped array and evaluates two lambda closures per element. Summation
-  * is sequential in element order, so results are bit-identical to the
-  * higher-order-function formulation (and to any sequential-loop oracle).
+  * is sequential in element order, so for equal-length inputs results are
+  * bit-identical to the higher-order-function formulation (and to any
+  * sequential-loop oracle). Mismatched lengths yield null — the same
+  * outcome as the HOF chain, where `zip_with` pads the shorter array with
+  * nulls and the null products poison the aggregate.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  // Null on length mismatch even for non-nullable children.
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override protected def doGenCode(
@@ -387,19 +396,24 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -426,6 +440,9 @@ case class RollingHashMin(child: Expression, window: Int)
     extends UnaryExpression with CodegenFallback {
   require(window > 0)
   override def dataType: DataType = LongType
+  // Sub-window text yields null even for a non-nullable child (see
+  // MinHashSig.nullable).
+  override def nullable: Boolean = true
   override def prettyName: String = "rolling_hash_min"
 
   private final val B = 257L

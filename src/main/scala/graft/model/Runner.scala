@@ -34,17 +34,21 @@ trait Materializer {
   /** Whether the relation exists from a previous run (drives
     * `incremental_filter` rendering: first run = full build). */
   def relationExists(spark: SparkSession, relation: String): Boolean
+}
 
-  protected def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+object CatalogMaterializer {
+  /** `insertInto` does not carry DataFrameWriter options through to the
+    * insert command, so dynamic partition overwrite can only come from
+    * the session conf. A session-wide toggle races under `--threads`
+    * (another node's finally-restore between our conf-set and the write
+    * flips dynamic → static, deleting every untouched partition), so the
+    * set → write → restore window is serialized JVM-wide. Only
+    * incremental catalog inserts take this lock; every other
+    * materialization path is either writer-option-scoped
+    * ([[PathMaterializer]]) or insensitive to the mode (unpartitioned
+    * saveAsTable), so DAG parallelism elsewhere is unaffected.
+    */
+  private[model] val dynamicOverwriteLock = new Object
 }
 
 final class CatalogMaterializer extends Materializer {
@@ -61,13 +65,21 @@ final class CatalogMaterializer extends Materializer {
       clearStaleLocation(spark, relation)
       df.write.partitionBy(partitionCols: _*)
         .format("parquet").saveAsTable(relation)
-    } else withDynamicOverwrite(spark) {
-      // insertInto resolves positionally against the catalog schema;
-      // reorder the increment to match (partition cols land last there).
-      val target = spark.table(relation).columns
-      df.select(target.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
-        .write.mode("overwrite").insertInto(relation)
+    } else CatalogMaterializer.dynamicOverwriteLock.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        // insertInto resolves positionally against the catalog schema;
+        // reorder the increment to match (partition cols land last there).
+        val target = spark.table(relation).columns
+        df.select(target.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(relation)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
 
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
@@ -109,9 +121,10 @@ final class PathMaterializer(base: String) extends Materializer {
   def materializeIncremental(spark: SparkSession, relation: String,
       df: DataFrame, partitionCols: Seq[String]): Unit = {
     val path = s"$base/$relation"
-    withDynamicOverwrite(spark) {
-      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    }
+    // Writer-scoped dynamic overwrite (thread-safe; see CatalogMaterializer).
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(relation)
   }
 }
@@ -209,14 +222,15 @@ final class Runner(
 
   /** O3/O4: toposorted materialization of the selected subgraph.
     *
-    * `threads = 1` (default) fails fast on the first node error (its
-    * downstream would read stale relations). `threads > 1` runs
-    * dependency-ready nodes concurrently on a fixed pool (dbt's
-    * `--threads`; Spark job submission is thread-safe and local[N] has
-    * the slots — a DAG of small models is latency- not throughput-bound,
-    * so width pays off directly): a failed node marks its descendants
-    * "skipped", independent branches still complete, and the first error
-    * is rethrown after the pool drains. Results are in topological order
+    * Both execution widths share dbt's failure semantics: a failed node
+    * marks its (transitive) selected descendants "skipped" — they would
+    * otherwise rebuild on a stale relation left by a previous run and
+    * report a bogus success — while independent branches still complete.
+    * `threads > 1` runs dependency-ready nodes concurrently on a fixed
+    * pool (dbt's `--threads`; Spark job submission is thread-safe and
+    * local[N] has the slots — a DAG of small models is latency- not
+    * throughput-bound, so width pays off directly). The first error is
+    * rethrown after the run drains. Results are in topological order
     * either way.
     */
   def run(
@@ -228,7 +242,7 @@ final class Runner(
     val chosen = select.map(Dag.select(_, deps)).getOrElse(deps.keySet)
     val ordered = Dag.toposort(deps).filter(chosen)
     val results =
-      if (threads <= 1) ordered.map(materializeNode(spark, _))
+      if (threads <= 1) runSerial(spark, ordered, chosen)
       else runParallel(spark, ordered, threads)
     runResultsPath.foreach(p => writeRunResults(p, results))
     results.find(_.status == "error").foreach { r =>
@@ -236,6 +250,22 @@ final class Runner(
         s"model ${r.name} failed: ${r.error.getOrElse("")}")
     }
     results
+  }
+
+  private def runSerial(spark: SparkSession, ordered: Seq[String],
+      chosen: String => Boolean): Seq[NodeResult] = {
+    val bad = scala.collection.mutable.Set.empty[String] // failed or skipped
+    ordered.map { n =>
+      if (deps(n).filter(chosen).exists(bad)) {
+        bad += n
+        NodeResult(n, relationOf(byName(n)), "skipped", 0,
+          Some("upstream failed"))
+      } else {
+        val r = materializeNode(spark, n)
+        if (r.status != "success") bad += n
+        r
+      }
+    }
   }
 
   private def runParallel(spark: SparkSession, ordered: Seq[String],

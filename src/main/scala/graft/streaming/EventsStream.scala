@@ -12,9 +12,16 @@ final case class Session(
     user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)
 
-/** Per-user live-session state for [[EventsStream.sessionize]]. */
+/** One session summary inside [[SessionsState]]. */
 final case class SessionState(
     start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+
+/** Per-user state for [[EventsStream.sessionize]]: every session whose gap
+  * horizon the watermark has not yet passed, ordered by start. More than
+  * one can be live at once — a gap observed inside a micro-batch is not
+  * yet final, because an out-of-order event still above the watermark may
+  * land inside it and bridge the two sides. */
+final case class SessionsState(sessions: Seq[SessionState])
 
 /** Structured Streaming path for the `events` table — the reference is
   * batch-only (hourly cron re-runs, SURVEY §2.6), so this is the
@@ -89,24 +96,32 @@ object EventsStream {
     hourlyAgg(events).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "dynamic")
-        try batch.write.mode("overwrite").partitionBy("hour").parquet(path)
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
+        // Writer-scoped dynamic overwrite — a session-wide conf toggle
+        // would race with concurrent writers (see Runner).
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("hour").parquet(path)
       }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: per user,
     * coalesce events into sessions closed by a 30-minute inactivity gap.
-    * State is one small record per live user — bounded by
-    * `GroupStateTimeout.EventTimeTimeout` against the watermark, so the
-    * state store cannot grow with history (the scale requirement for any
-    * stateful stream). Emits each session when its gap closes; the timeout
-    * path flushes sessions for users that simply stop sending.
+    *
+    * A session is only EMITTED once the watermark has passed its gap
+    * horizon (`end + gap`): a gap observed inside one micro-batch is not
+    * final — an out-of-order event still admissible under the 2-hour
+    * watermark can land inside it later and bridge the two sides, which
+    * is exactly what [[sessionizeBatch]] (global event-time order) would
+    * have produced. Until then the state holds every unflushed session
+    * summary; new events merge into / bridge them exactly like the
+    * classic session-window merge. Any event that could still change an
+    * emitted session would carry event time ≤ its gap horizon ≤ the
+    * watermark, i.e. it is late beyond the watermark and excluded by
+    * contract — so emitted sessions are final.
+    *
+    * State per user is the handful of sessions inside the watermark
+    * horizon (bounded by watermark delay / gap, not by history), expired
+    * via `GroupStateTimeout.EventTimeTimeout`; the timeout path flushes
+    * sessions for users that simply stop sending.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[Session] = {
@@ -114,7 +129,7 @@ object EventsStream {
     import org.apache.spark.sql.{Encoders, Row}
     val gapUs = gapMinutes * 60L * 1000000L
     implicit val sessEnc = Encoders.product[Session]
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[SessionsState]
     val keyed = events
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -123,48 +138,38 @@ object EventsStream {
 
     def flush(
         key: Long, rows: Iterator[Row],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      var closed = List.empty[Session]
-      if (state.hasTimedOut) {
-        state.getOption.foreach { s =>
-          closed ::= Session(key, s.start_us, s.end_us, s.n_events, s.sum_value)
-        }
-        state.remove()
-        return closed.iterator
-      }
-      var cur = state.getOption
-      // Batches deliver per-key rows unordered; sessionization needs
-      // event-time order within the group (group sizes are bounded by
-      // user activity per micro-batch, so the sort is row-local and tiny).
-      rows.toSeq.sortBy(_.getLong(1)).foreach { r =>
+        state: GroupState[SessionsState]): Iterator[Session] = {
+      val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      // Each event enters as a singleton session; sorting by start and
+      // folding adjacent-within-gap summaries reproduces sequential
+      // event-time-order accumulation and handles bridging (an event
+      // between two prior sessions merges all three). Group sizes are
+      // bounded by per-user activity per micro-batch — row-local and tiny.
+      val incoming = rows.map { r =>
         val us = r.getLong(1)
-        val v = r.getDouble(2)
-        cur match {
-          case Some(s) if us - s.end_us <= gapUs =>
-            cur = Some(SessionState(s.start_us, math.max(s.end_us, us),
-              s.n_events + 1, s.sum_value + v))
-          case Some(s) =>
-            closed ::= Session(key, s.start_us, s.end_us, s.n_events, s.sum_value)
-            cur = Some(SessionState(us, us, 1L, v))
-          case None =>
-            cur = Some(SessionState(us, us, 1L, v))
-        }
+        SessionState(us, us, 1L, r.getDouble(2))
+      }.toSeq
+      val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+      (prior ++ incoming).sortBy(s => (s.start_us, s.end_us)).foreach { s =>
+        if (merged.nonEmpty && s.start_us - merged.last.end_us <= gapUs) {
+          val l = merged.last
+          merged(merged.length - 1) = SessionState(
+            l.start_us, math.max(l.end_us, s.end_us),
+            l.n_events + s.n_events, l.sum_value + s.sum_value)
+        } else merged += s
       }
-      cur.foreach { s =>
-        val horizonMs = (s.end_us + gapUs) / 1000L
-        if (horizonMs <= state.getCurrentWatermarkMs()) {
-          // Gap horizon already behind the watermark (late/stale user):
-          // the session is closed by definition — setting a timeout in
-          // the past would throw.
-          closed ::= Session(key, s.start_us, s.end_us, s.n_events, s.sum_value)
-          state.remove()
-        } else {
-          state.update(s)
-          // Close the session once the watermark passes its gap horizon.
-          state.setTimeoutTimestamp(horizonMs)
-        }
+      val wm = state.getCurrentWatermarkMs()
+      def horizonMs(s: SessionState): Long = (s.end_us + gapUs) / 1000L
+      val (ripe, live) = merged.partition(horizonMs(_) < wm)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(SessionsState(live.toSeq))
+        // Wake when the watermark passes the earliest live horizon (must
+        // be strictly ahead of the current watermark to be settable).
+        state.setTimeoutTimestamp(math.max(live.map(horizonMs).min, wm + 1))
       }
-      closed.reverse.iterator
+      ripe.iterator.map(s =>
+        Session(key, s.start_us, s.end_us, s.n_events, s.sum_value))
     }
 
     keyed.flatMapGroupsWithState(

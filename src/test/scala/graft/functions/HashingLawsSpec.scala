@@ -105,15 +105,18 @@ class HashingLawsSpec extends AnyFunSuite {
     })
   }
 
-  test("dot product ≡ sequential fold, left-to-right") {
+  test("dot product ≡ sequential fold, left-to-right; null on mismatch") {
     val dp = DotProduct(Literal(1.0), Literal(1.0))
     val vec = Gen.listOf(Gen.chooseNum(-10.0, 10.0))
     check(Prop.forAll(vec, vec) { (x, y) =>
-      val n = math.min(x.length, y.length)
-      val expected = (0 until n).foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
       val xd = new GenericArrayData(x.toArray)
       val yd = new GenericArrayData(y.toArray)
-      dp.nullSafeEval(xd, yd) == expected
+      if (x.length != y.length) dp.nullSafeEval(xd, yd) == null
+      else {
+        val expected =
+          x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+        dp.nullSafeEval(xd, yd) == expected
+      }
     })
   }
 }

@@ -102,6 +102,33 @@ class RunnerSpec extends SparkSuite {
     assert(spark.table("dev_indep").count() == 25)
   }
 
+  test("serial run skips downstream of a failure but finishes siblings") {
+    val bad = Project(
+      TpchProject.sources(dir),
+      Seq(
+        SqlModel("ok_root_s", "SELECT * FROM {{ source('tpch','nation') }}"),
+        SqlModel("boom_s", "SELECT no_col FROM {{ source('tpch','orders') }}",
+          Materialization.Table),
+        SqlModel("down_s", "SELECT * FROM {{ ref('boom_s') }}",
+          Materialization.Table),
+        SqlModel("down2_s", "SELECT * FROM {{ ref('down_s') }}",
+          Materialization.Table),
+        SqlModel("indep_s", "SELECT * FROM {{ ref('ok_root_s') }}",
+          Materialization.Table)))
+    val runner = new Runner(bad, Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts-ser"))
+    val e = intercept[RuntimeException] {
+      runner.run(spark, threads = 1)
+    }
+    assert(e.getMessage.contains("boom_s"))
+    // independent branch still materialized (nation = 25 rows)…
+    assert(spark.table("dev_indep_s").count() == 25)
+    // …while the failed node's descendants (transitively) were skipped,
+    // never executed against a stale relation.
+    assert(!spark.catalog.tableExists("dev_down_s"))
+    assert(!spark.catalog.tableExists("dev_down2_s"))
+  }
+
   test("source freshness reports max(loaded_at) and age per source") {
     val runner = TpchProject.runner(dir)
     runner.registerSources(spark)
