@@ -22,7 +22,11 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Release pipeline caches so one query's persisted intermediates
+        // never pin executor memory into the next query's run.
+        graft.core.Caches.releaseAll()
+        name -> t
       }
     val p1 = pass().toMap
     val results = pass().map { case (name, t) =>

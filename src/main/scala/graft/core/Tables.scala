@@ -41,3 +41,26 @@ final case class Q(
     oracle: Option[String])
 
 trait QueryPack { def queries: Seq[Q] }
+
+/** Registry for DataFrames persisted inside operator pipelines (dedup /
+  * similarity caches). A persist without a matching unpersist pins executor
+  * memory for the life of the session — harmless in a one-query job, but a
+  * session that runs the whole query inventory (Bench, Verify) would
+  * accumulate every pipeline's cache. Pipelines register their persists
+  * here; the harness calls [[releaseAll]] between queries.
+  */
+object Caches {
+  private val registered =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    registered += p
+    p
+  }
+
+  def releaseAll(): Unit = synchronized {
+    registered.foreach(_.unpersist(blocking = false))
+    registered.clear()
+  }
+}

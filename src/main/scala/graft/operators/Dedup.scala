@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Caches
 import graft.functions.{Hashing, TextFunctions}
 
 /** Deduplication operators for document corpora, designed around shuffle
@@ -41,17 +42,16 @@ object Dedup {
     * n-grams ([[graft.functions.HashedShingles]]): jaccard on these equals
     * jaccard on the strings (hashing preserves set sizes and intersection
     * counts w.h.p.), while verification and index joins run on primitives.
-    * Persisted: shingling is the single most expensive expression in the
-    * dedup pipeline and every operator reads it 3-6× (index + both verify
-    * sides); Spark's CacheManager keys on the canonicalized plan, so the
-    * three dedup operators over the same corpus share one materialization.
+    * Persisted (via [[graft.core.Caches]], so the harness can release it
+    * between queries): shingling is the single most expensive expression
+    * in the dedup pipeline and every operator reads it 3-6× (index + both
+    * verify sides).
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Caches.persist(docs.select(col(idCol).as("doc_id"),
         Hashing.hashedWordShingles(col(textCol), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist()
+      .filter(size(col("shingles")) > 0))
 
   /** Exact-jaccard verification of candidate (doc_a, doc_b) pairs. A
     * length-ratio prefilter runs before the O(|A|+|B|) merge intersection:
@@ -114,10 +114,9 @@ object Dedup {
     * via the CacheManager, same canonical plan — by every dedup operator
     * over the same corpus. */
   private def clusters(sh: DataFrame): DataFrame =
-    sh.groupBy(col("shingles"))
+    Caches.persist(sh.groupBy(col("shingles"))
       .agg(min(col("doc_id")).as("doc_id"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
+        sort_array(collect_list(col("doc_id"))).as("members")))
 
   /** Expand representative pairs back through cluster membership: every
     * (member of A) × (member of B) pair inherits the representatives'
@@ -156,15 +155,15 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
-    // Persisted: the self-join below would otherwise recompute the whole
-    // explode→docFreq-join→window pipeline once per side (verified in the
-    // physical plan) — at corpus scale that doubles the dominant stage.
-    val prefix = ex.join(docFreq, "shingle")
+    // Persisted (Caches-registered): the self-join below would otherwise
+    // recompute the whole explode→docFreq-join→window pipeline once per
+    // side (verified in the physical plan) — at corpus scale that doubles
+    // the dominant stage.
+    val prefix = Caches.persist(ex.join(docFreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("shingle"))
-      .persist()
+      .select(col("doc_id"), col("shingle")))
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&

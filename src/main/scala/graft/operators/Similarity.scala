@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Caches
 import graft.functions.Hashing
 
 /** Similarity search over an embedding column (array<float>).
@@ -54,38 +55,23 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** All corpus pairs with cosine ≥ threshold (embedding near-dup). The
-    * threshold is applied to the rounded similarity so boundary behavior
-    * is reproducible.
-    *
-    * Identical vectors are collapsed to one representative before the
-    * O(n²) stage (same rationale as `Dedup.jaccardPairs`: duplicate
-    * clusters of size m otherwise cost m² pair evaluations for pairs
-    * that are cosine-1 by construction); representative pairs are then
-    * expanded back through cluster membership — output identical, since
-    * cosine is a function of the vector values alone. */
-  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val groups = normalized(emb, idCol, vecCol)
+  /** Identical-vector clusters: one row per distinct (v, nrm), keyed by
+    * the representative (min id), carrying the member list. Same rationale
+    * as `Dedup.clusters`: duplicate clusters of size m otherwise cost m²
+    * pair evaluations for pairs that are cosine-1 by construction. */
+  private def vectorClusters(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    Caches.persist(normalized(emb, idCol, vecCol)
       .groupBy(col("v"), col("nrm"))
       .agg(min(col("vid")).as("vid"),
-        sort_array(collect_list(col("vid"))).as("members"))
-      .persist()
-    val a = groups.select(col("vid").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = groups.select(col("vid").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    // One combined join condition with the cheap id comparison FIRST:
-    // Catalyst pushes a post-join similarity filter into the nested-loop
-    // join condition ANDed ahead of the id predicate, which evaluates the
-    // dot product for all n² ordered pairs instead of n²/2 (verified in
-    // the physical plan). Conjunct order in an explicit condition is
-    // preserved and BNLJ short-circuits left-to-right.
-    val repPairs = a.join(b,
-        col("id_a") < col("id_b") &&
-          sim(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
-      .select(col("id_a"), col("id_b"),
-        sim(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
+        sort_array(collect_list(col("vid"))).as("members")))
+
+  /** Expand representative pairs (id_a, id_b, sim) back through cluster
+    * membership; within-cluster pairs are emitted with sim = 1 (cosine of
+    * identical vectors). Output identical to enumerating raw pairs, since
+    * cosine is a function of the vector values alone. */
+  private def expandVectorClusters(repPairs: DataFrame,
+      groups: DataFrame): DataFrame = {
     val memA = groups.select(col("vid").as("id_a"), col("members").as("ma"))
     val memB = groups.select(col("vid").as("id_b"), col("members").as("mb"))
     val cross = repPairs
@@ -102,6 +88,107 @@ object Similarity {
       .select(col("a").as("id_a"), col("b").as("id_b"),
         lit(1.0).as("sim"))
     cross.union(within)
+  }
+
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup), EXACT.
+    * The threshold is applied to the rounded similarity so boundary
+    * behavior is reproducible.
+    *
+    * Exactness at a mid-range threshold is an all-pairs problem: on a
+    * measured corpus like the testdata embeddings the similarity
+    * distribution is a smooth Gaussian tail with NO gap at the threshold
+    * (background max 0.4497 vs qualifying min 0.4501 at sf0.1), so no
+    * sublinear candidate filter — LSH banding included — can reach recall
+    * 1 without admitting nearly all pairs (hyperplane agreement 0.649 at
+    * sim 0.45 vs 0.5 at sim 0: any (r, bands) amplification separating
+    * those also keeps the bulk). The O(n²) dot products are therefore
+    * irreducible for exact output; what must NOT be O(n²) at 100 TB is
+    * memory and data movement. This runs as a TILED self-join over the
+    * distinct-vector representatives:
+    *
+    *  - each representative is hashed to one of `blocks` blocks, and
+    *    replicated to the tiles (its block, j≥block) on the left and
+    *    (i≤block, its block) on the right — (blocks+1)× linear
+    *    replication, every unordered pair meets in exactly one tile;
+    *  - tiles are an equi-join key, so this is one hash shuffle into
+    *    B(B+1)/2 independent tasks whose memory is bounded by 2n/B
+    *    vectors — no corpus broadcast, no driver collect, and `blocks`
+    *    scales with the cluster (B ∝ √executors keeps per-task work
+    *    constant as data grows);
+    *  - the cheap diagonal/id predicate sits FIRST in the explicit join
+    *    condition (conjunct order is preserved; the similarity conjunct
+    *    short-circuits away for the skipped half of diagonal tiles).
+    *
+    * For corpora that DO have a similarity gap (true near-dups at ≥0.8
+    * against an orthogonal background), [[nearDupPairsBanded]] is the
+    * sub-quadratic path.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 8): DataFrame = {
+    require(blocks > 0)
+    val groups = vectorClusters(emb, idCol, vecCol)
+    val reps = groups
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
+    val left = reps.select(col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("lti"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("ltj"))
+    val right = reps.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"),
+      explode(sequence(lit(0), col("blk"))).as("rti"),
+      col("blk").as("rtj"))
+    val repPairs = left.join(right,
+        col("lti") === col("rti") && col("ltj") === col("rtj") &&
+          (col("lti") =!= col("ltj") || col("id_a") < col("id_b")) &&
+          sim(col("va"), col("na"), col("vb"), col("nb")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        sim(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
+    expandVectorClusters(repPairs, groups)
+  }
+
+  /** Sub-quadratic near-dup pairs for corpora WITH a similarity gap:
+    * hyperplane-LSH banded candidate generation (the `lshTopK` machinery,
+    * self-join form) + exact cosine verification, mirroring
+    * `Dedup.minhashLshPairs`. Precision is exactly 1 (every emitted pair
+    * is verified ≥ threshold, a subset of [[nearDupPairs]]); recall is the
+    * banding probability — with bits=64, bands=8 a true pair at cosine
+    * 0.95 is missed with p ≈ 1e-2, at 0.99 with p ≈ 1e-4, while a random
+    * near-orthogonal pair collides in any band with p ≈ 0.03, keeping
+    * candidates near-linear. Identical-vector clusters are collapsed
+    * first (identical vectors ⇒ identical signatures would flood their
+    * buckets m² deep).
+    */
+  def nearDupPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 64, bands: Int = 8): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val mask = if (r == 64) -1L else (1L << r) - 1
+    val groups = vectorClusters(emb, idCol, vecCol)
+    val banded = groups
+      .withColumn("sig", Hashing.hyperplaneSig(col("v"), bits))
+      .select(col("vid"), col("v"), col("nrm"), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("vid"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    val va = groups.select(col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = groups.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val repPairs = candidates.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", sim(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    expandVectorClusters(repPairs, groups)
   }
 
   /** LSH-bucketed ANN: random-hyperplane signatures
@@ -151,27 +238,44 @@ object Similarity {
     * (centroids = the first `nlist` vectors by id — deterministic seeding;
     * k-means refinement would slot in here), queries probe the `nprobe`
     * nearest centroid buckets only.
+    *
+    * Centroid assignment is ROW-LOCAL: the `nlist` codebook rows are
+    * collected once (a bounded, tiny structure — the same move MLlib
+    * k-means makes every iteration) and inlined as literals into one
+    * expression per row — an array of (−sim, cid) structs, `array_sort`ed
+    * lexicographically so ties break exactly like the former
+    * (csim DESC, cid ASC) ranking, then sliced to the probe count. Zero
+    * shuffle and zero row expansion for the corpus pass; the previous
+    * formulation (crossJoin(broadcast(centroids)) + row_number window)
+    * blew the corpus up ×nlist and then shuffled the blown-up rows just
+    * to take a per-row argmax — a non-starter at 100 TB.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
-    val centroids = corpus.orderBy(col("vid")).limit(nlist)
-      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val codebook: Array[(Long, Array[Double], Double)] =
+      corpus.orderBy(col("vid")).limit(nlist)
+        .select(col("vid"), col("v"), col("nrm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     def nearestBuckets(points: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("csim").desc, col("cid"))
-      points.crossJoin(broadcast(centroids))
-        .select(col("vid"), col("v"), col("nrm"), col("cid"),
-          sim(col("v"), col("nrm"), col("cv"), col("cn")).as("csim"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
-        .drop("csim", "crn")
+      val entries = codebook.map { case (cid, cv, cn) =>
+        struct(
+          (-sim(col("v"), col("nrm"), lit(cv), lit(cn))).as("neg"),
+          lit(cid).as("cid"))
+      }
+      points
+        .withColumn("cid_top", slice(array_sort(array(entries.toIndexedSeq: _*)), 1, n))
+        .select(col("vid"), col("v"), col("nrm"),
+          explode(col("cid_top")).as("cc"))
+        .select(col("vid"), col("v"), col("nrm"), col("cc.cid").as("cid"))
     }
     val bucketed = nearestBuckets(corpus, 1) // corpus: single assignment
     val probes = nearestBuckets(normalized(queries, idCol, vecCol), nprobe)
       .select(col("vid").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid"))
-    val scored = probes.join(bucketed, Seq("cid"))
+    // Queries are the small side by construction — broadcast them so the
+    // bucketed corpus never shuffles.
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("nid"),
         sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))

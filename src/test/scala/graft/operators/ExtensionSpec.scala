@@ -84,6 +84,48 @@ class ExtensionSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("tiled exact near-dup pairs ≡ naive all-pairs enumeration") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiled = pairs(Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, blocks = 5))
+    // Naive reference: plain cartesian over normalized vectors.
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Hashing.dotProduct(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val naive = pairs(a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Hashing.dotProduct(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.4))
+    assert(tiled.nonEmpty)
+    assert(tiled == naive)
+  }
+
+  test("banded near-dup pairs: precision 1 and full recall on planted dups") {
+    // Synthetic gapped corpus: 30 random base vectors (near-orthogonal,
+    // cosine ~N(0, 1/8)) + a tiny-noise copy of each ⇒ 30 planted pairs
+    // at cosine ≈ 0.999 against a background far below the threshold.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val planted = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02 * rnd.nextGaussian()))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Similarity
+      .nearDupPairsBanded(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(i => (i.toLong, i + 1000L)).toSet
+    assert(out == expected) // recall 1 on planted dups, no false positives
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity
