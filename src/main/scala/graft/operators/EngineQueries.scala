@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Q, QueryPack, Tables}
+import graft.core.{CsvIngest, Q, QueryPack, Tables}
 import graft.model._
 
 /** A complete engine project over the driver testdata, structurally
@@ -248,6 +248,94 @@ object EngineQueries extends QueryPack {
              |    GROUP BY c_custkey) m
              |   WHERE total_sales IS NOT NULL
              |    AND TRY_CAST(total_sales AS DECIMAL(38,4)) <= 0)
-             |) t ORDER BY test_id""".stripMargin))
+             |) t ORDER BY test_id""".stripMargin)),
+
+    // ---- O1/O2 surface: the compiled DAG as rows — every (model,
+    // upstream) edge with the upstream's resolved physical relation, i.e.
+    // what `deps`/`compile` print. The oracle pins the expected graph
+    // statically (it is project metadata, not data).
+    Q("o01_compile_edges",
+      (spark, dir) => {
+        val r = TpchProject.runner(dir)
+        val models = r.project.models.map(m => m.name -> m).toMap
+        val rows = r.deps.toSeq.flatMap { case (m, ups) =>
+          ups.map(u => (m, u, r.relationOf(models(u))))
+        }
+        import spark.implicits._
+        rows.toDF("model", "upstream", "upstream_relation")
+          .orderBy(col("model"), col("upstream"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('customer_order_metrics','stg_customer','dev_stg_customer'),
+             | ('customer_order_metrics','stg_orders','dev_stg_orders'),
+             | ('order_lines_enriched','stg_customer','dev_stg_customer'),
+             | ('order_lines_enriched','stg_lineitem','dev_stg_lineitem'),
+             | ('order_lines_enriched','stg_nation','dev_stg_nation'),
+             | ('order_lines_enriched','stg_orders','dev_stg_orders'),
+             | ('order_lines_enriched','stg_region','dev_stg_region'),
+             | ('sales_by_region','stg_customer','dev_stg_customer'),
+             | ('sales_by_region','stg_nation','dev_stg_nation'),
+             | ('sales_by_region','stg_orders','dev_stg_orders'),
+             | ('sales_by_region','stg_region','dev_stg_region')
+             |) AS t(model, upstream, upstream_relation)
+             |ORDER BY model, upstream""".stripMargin)),
+
+    // ---- A7/F5 surface: source freshness. `age_seconds` depends on the
+    // wall clock, so the gate compares the deterministic part — the
+    // max(loaded_at_field) per declared source.
+    Q("o02_source_freshness",
+      (spark, dir) => {
+        TpchProject.runner(dir).freshnessReport(spark)
+          .select(col("source"), col("max_loaded_at"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT 'tpch.orders' AS source,
+             | MAX(o_orderdate) AS max_loaded_at
+             |FROM orders""".stripMargin)),
+
+    // ---- O7 surface: run_results.json read back through the engine —
+    // runs the full DAG with the artifact path set, then parses the JSON
+    // it wrote. Timings are nondeterministic, so the gate pins
+    // (model, relation, status).
+    Q("o03_run_results",
+      (spark, dir) => {
+        val r = TpchProject.runner(dir)
+        val path = java.nio.file.Files.createTempDirectory("graft_rr")
+          .toString + "/run_results.json"
+        r.run(spark, runResultsPath = Some(path))
+        spark.read.json(path)
+          .select(explode(col("results")).as("n"))
+          .select(col("n.name").as("model"),
+            col("n.relation").as("relation"),
+            col("n.status").as("status"))
+          .orderBy(col("model"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('customer_order_metrics','dev_customer_order_metrics','success'),
+             | ('order_lines_enriched','dev_order_lines_enriched','success'),
+             | ('sales_by_region','dev_sales_by_region','success'),
+             | ('stg_customer','dev_stg_customer','success'),
+             | ('stg_lineitem','dev_stg_lineitem','success'),
+             | ('stg_nation','dev_stg_nation','success'),
+             | ('stg_orders','dev_stg_orders','success'),
+             | ('stg_region','dev_stg_region','success')
+             |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
+
+    // ---- S1 surface: the reference's CSV ingestion hop, end to end —
+    // stage a typed table as headerless CSV, positionally load it against
+    // the explicit schema, materialize as parquet, read back. The oracle
+    // reads the original parquet: a lossless round-trip is the check
+    // (doubles survive via shortest-repr strings).
+    Q("s01_csv_roundtrip",
+      (spark, dir) => {
+        val supplier = Tables(spark, dir, "supplier")
+        val base = java.nio.file.Files.createTempDirectory("graft_csv")
+          .toString
+        CsvIngest.stage(supplier, s"$base/supplier_csv")
+        CsvIngest.ingestToParquet(spark, s"$base/supplier_csv",
+            supplier.schema, s"$base/supplier_tbl")
+          .orderBy(col("s_suppkey"))
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey"))
   )
 }
