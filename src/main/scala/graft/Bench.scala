@@ -15,9 +15,10 @@ object Bench {
     // codegen paths and datasource init so the first timed query isn't
     // charged for session warmup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Two timed passes per query, report the min — local bench timings
+    // Three timed passes per query, report the min — local bench timings
     // are exposed to host-level noise (observed 2× swings on identical
     // binaries); the min is the stable estimate of the plan's cost.
+    val passes = 3
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -28,14 +29,13 @@ object Bench {
         graft.core.Caches.releaseAll()
         name -> t
       }
-    val p1 = pass().toMap
-    val results = pass().map { case (name, t) =>
-      name -> math.min(t, p1(name))
-    }
+    val results = (1 to passes).map(_ => pass().toMap)
+      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      .toSeq.sortBy(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$passes}""")
     spark.stop()
   }
 }

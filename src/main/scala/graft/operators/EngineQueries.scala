@@ -110,6 +110,16 @@ object TpchProject {
             lit(" customers)")).as("description"))
     })
 
+  /** U2: schema-name macro semantics — `customSchema` REPLACES the target
+    * schema (generate_schema_name.sql:1-14), so this mart lands in
+    * `analytics_…` regardless of dev/prod target. */
+  val nationBrief: SqlModel = SqlModel(
+    "nation_brief",
+    """SELECT n_nationkey AS nation_id, upper(n_name) AS nation
+      |FROM {{ ref('stg_nation') }}""".stripMargin,
+    Materialization.Table,
+    customSchema = Some("analytics"))
+
   val tests: Seq[DataTest] = Seq(
     NotNull("tpch.orders", "o_orderkey"),
     NotNull("tpch.customer", "c_name"),
@@ -124,7 +134,8 @@ object TpchProject {
 
   def project(dir: String): Project = Project(
     sources(dir),
-    staging ++ Seq(customerOrderMetrics, orderLinesEnriched, salesByRegion),
+    staging ++ Seq(customerOrderMetrics, orderLinesEnriched, salesByRegion,
+      nationBrief),
     tests)
 
   def runner(dir: String): Runner =
@@ -273,6 +284,7 @@ object EngineQueries extends QueryPack {
              | ('order_lines_enriched','stg_nation','dev_stg_nation'),
              | ('order_lines_enriched','stg_orders','dev_stg_orders'),
              | ('order_lines_enriched','stg_region','dev_stg_region'),
+             | ('nation_brief','stg_nation','dev_stg_nation'),
              | ('sales_by_region','stg_customer','dev_stg_customer'),
              | ('sales_by_region','stg_nation','dev_stg_nation'),
              | ('sales_by_region','stg_orders','dev_stg_orders'),
@@ -294,15 +306,17 @@ object EngineQueries extends QueryPack {
              |FROM orders""".stripMargin)),
 
     // ---- O7 surface: run_results.json read back through the engine —
-    // runs the full DAG with the artifact path set, then parses the JSON
-    // it wrote. Timings are nondeterministic, so the gate pins
-    // (model, relation, status).
+    // runs the `+customer_order_metrics` subgraph (selection keeps the
+    // check out of the heavy m02 mart, which m02 itself already gates)
+    // with the artifact path set, then parses the JSON it wrote. Timings
+    // are nondeterministic, so the gate pins (model, relation, status).
     Q("o03_run_results",
       (spark, dir) => {
         val r = TpchProject.runner(dir)
         val path = java.nio.file.Files.createTempDirectory("graft_rr")
           .toString + "/run_results.json"
-        r.run(spark, runResultsPath = Some(path))
+        r.run(spark, select = Some("+customer_order_metrics"),
+          runResultsPath = Some(path))
         spark.read.json(path)
           .select(explode(col("results")).as("n"))
           .select(col("n.name").as("model"),
@@ -312,14 +326,35 @@ object EngineQueries extends QueryPack {
       },
       Some("""SELECT * FROM (VALUES
              | ('customer_order_metrics','dev_customer_order_metrics','success'),
-             | ('order_lines_enriched','dev_order_lines_enriched','success'),
-             | ('sales_by_region','dev_sales_by_region','success'),
              | ('stg_customer','dev_stg_customer','success'),
-             | ('stg_lineitem','dev_stg_lineitem','success'),
-             | ('stg_nation','dev_stg_nation','success'),
-             | ('stg_orders','dev_stg_orders','success'),
-             | ('stg_region','dev_stg_region','success')
+             | ('stg_orders','dev_stg_orders','success')
              |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
+
+    // ---- U2/O5 surface: run the `nation_brief` subgraph under the PROD
+    // target — staging views land in `prod_…` (target switch, O5) while
+    // the mart's customSchema REPLACES the target schema entirely
+    // (`analytics_nation_brief`, the generate_schema_name macro
+    // semantics, U2). The resolved relation is emitted as a column so the
+    // oracle pins the naming, not just the data.
+    Q("m05_custom_schema_target",
+      (spark, dir) => {
+        val r = new Runner(TpchProject.project(dir), Target.prod,
+          new PathMaterializer(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+              "/graft_marts_prod"))
+        r.run(spark, select = Some("+nation_brief"))
+        r.table(spark, "nation_brief")
+          .withColumn("relation",
+            lit(r.relationOf(TpchProject.nationBrief)))
+          .withColumn("staging_relation",
+            lit(r.relationOf(TpchProject.staging
+              .find(_.name == "stg_nation").get)))
+          .orderBy(col("nation_id"))
+      },
+      Some("""SELECT n_nationkey AS nation_id, upper(n_name) AS nation,
+             | 'analytics_nation_brief' AS relation,
+             | 'prod_stg_nation' AS staging_relation
+             |FROM nation ORDER BY nation_id""".stripMargin)),
 
     // ---- S1 surface: the reference's CSV ingestion hop, end to end —
     // stage a typed table as headerless CSV, positionally load it against

@@ -14,7 +14,7 @@ class RunnerSpec extends SparkSuite {
     val resultsPath = "/tmp/graft-test/run_results.json"
     val results = runner.run(spark,
       runResultsPath = Some(resultsPath))
-    assert(results.size == 8)
+    assert(results.size == TpchProject.project(dir).models.size)
     assert(results.forall(_.status == "success"))
     // staging views precede marts in execution order
     val names = results.map(_.name)
@@ -73,7 +73,7 @@ class RunnerSpec extends SparkSuite {
   test("parallel run (threads=4) produces the same marts as sequential") {
     val runner = TpchProject.runner(dir)
     val results = runner.run(spark, threads = 4)
-    assert(results.size == 8)
+    assert(results.size == TpchProject.project(dir).models.size)
     assert(results.forall(_.status == "success"))
     // topological order preserved in the report
     assert(results.map(_.name).indexOf("stg_orders") <
