@@ -35,6 +35,13 @@ object Fnv {
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+
+  /** Shared compiled tokenizer. `String.split("\\s+")` has no single-char
+    * fast path, so it recompiles the Pattern on EVERY row — a measurable
+    * per-document constant in the dedup kernels. Pattern.split with the
+    * default limit is behavior-identical to String.split. */
+  private[functions] val Whitespace: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
 }
 
 /** 64-bit SimHash over whitespace tokens of a string column — a native
@@ -186,7 +193,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.trim
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val tokens = s.split("\\s+")
+    val tokens = Fnv.Whitespace.split(s)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -274,7 +281,7 @@ case class HashedWordShingles(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.trim
     if (s.isEmpty) return Empty
-    val tokens = s.split("\\s+") // same tokenizer as WordShingles
+    val tokens = Fnv.Whitespace.split(s) // same tokenizer as WordShingles
     val m = tokens.length - n + 1
     if (m <= 0) return Empty
     val tokBytes = new Array[Array[Byte]](tokens.length)
@@ -486,18 +493,36 @@ case class HyperplaneSig(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
+  /** Rademacher components as ±1.0 factors, derived once per operator
+    * instance instead of bits×dims splitmix64 calls PER ROW. The table
+    * grows lazily to the widest vector seen (dims are per-dataset
+    * constant in practice); multiplication by ±1.0 only flips the sign
+    * bit, so `acc + s*x` is bit-identical to the former add/sub branch.
+    */
+  @transient private var signs: Array[Array[Double]] = _
+
+  private def signTable(d: Int): Array[Array[Double]] = {
+    if (signs == null || signs(0).length < d) {
+      signs = Array.tabulate(bits, d) { (i, j) =>
+        if ((Fnv.splitmix64((i.toLong << 32) | j.toLong) & 1L) == 1L) 1.0
+        else -1.0
+      }
+    }
+    signs
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val d = v.numElements()
+    val s = signTable(d)
     var sig = 0L
     var i = 0
     while (i < bits) {
+      val si = s(i)
       var acc = 0.0
       var j = 0
       while (j < d) {
-        val s = Fnv.splitmix64((i.toLong << 32) | j.toLong)
-        val x = v.getDouble(j)
-        acc += (if ((s & 1L) == 1L) x else -x)
+        acc += si(j) * v.getDouble(j)
         j += 1
       }
       if (acc > 0) sig |= 1L << i
