@@ -498,6 +498,44 @@ object RelationalQueries extends QueryPack {
              | COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
              |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    // ---- As-of join (operators/AsofJoin.scala): each purchase picks up
+    // the latest click at-or-before it per user — the point-in-time
+    // operator Spark lacks, expressed as one union + window shuffle
+    // instead of a range join. Oracle: DuckDB's native ASOF LEFT JOIN.
+    Q("q24_asof_join",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        // One click per (user, instant): max value — keeps the match
+        // deterministic when several clicks share a timestamp.
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("us"))
+          .agg(max(col("value")).as("click_value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us"))
+        AsofJoin.asofJoin(purchases, clicks, "user_id", "us")
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("asof_us").as("click_us"), col("asof_click_value")
+              .as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, us, MAX(value) AS click_value
+             |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+             |p AS (
+             |  SELECT event_id, user_id, us FROM e
+             |  WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.us,
+             |  c.us AS click_us, c.click_value
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.us >= c.us
+             |ORDER BY p.event_id""".stripMargin)),
+
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no

@@ -84,6 +84,28 @@ class ExtensionSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("as-of join ≡ naive range-join argmax formulation") {
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 15L, "p3"), (3L, 7L, "p4"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 1.5), (1L, 12L, 2.5), (1L, 3L, 0.5),
+      (2L, 15L, 3.5), (2L, 16L, 4.5))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "t")
+      .select("k", "t", "tag", "asof_v", "asof_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    // Naive reference: inequality join + per-left-row latest right row.
+    assert(out == Set(
+      (1L, 10L, "p1", Some(1.5), Some(10L)), // inclusive tie at t=10
+      (1L, 20L, "p2", Some(2.5), Some(12L)),
+      (1L, 5L, "p0", Some(0.5), Some(3L)),
+      (2L, 15L, "p3", Some(3.5), Some(15L)),
+      (3L, 7L, "p4", None, None))) // no right rows for key 3
+  }
+
   test("tiled exact near-dup pairs ≡ naive all-pairs enumeration") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "sim").collect()
