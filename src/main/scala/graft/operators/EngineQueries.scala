@@ -330,6 +330,41 @@ object EngineQueries extends QueryPack {
              | ('stg_orders','dev_stg_orders','success')
              |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
 
+    // ---- Incremental-materialization surface (engine extension, S5+):
+    // an hourly events mart materialized IncrementalByPartition, run
+    // TWICE — the first run creates the partitioned relation, the second
+    // exercises the dynamic-partition-overwrite path end to end (same
+    // input ⇒ every partition replaced in place with identical content,
+    // which the oracle then pins value-for-value).
+    Q("m06_incremental_mart",
+      (spark, dir) => {
+        val src = SourceDef("ev", "events", s => Tables(s, dir, "events"))
+        val model = SqlModel(
+          "events_hourly_inc",
+          """SELECT date_trunc('hour', ts) AS hour,
+            |  CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+            |  COUNT(*) AS n_events,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+            |    AS sum_value
+            |FROM {{ source('ev', 'events') }}
+            |GROUP BY 1, 2""".stripMargin,
+          Materialization.IncrementalByPartition(Seq("day")))
+        val base = java.nio.file.Files.createTempDirectory("graft_inc")
+          .toString
+        val r = new Runner(Project(Seq(src), Seq(model)), Target.dev,
+          new PathMaterializer(base))
+        r.run(spark)
+        r.run(spark) // second run: dynamic partition overwrite in place
+        r.table(spark, "events_hourly_inc")
+          .select(col("hour"), col("n_events"), col("sum_value"))
+          .orderBy(col("hour"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             | COUNT(*) AS n_events,
+             | CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
+             |   AS DECIMAL(38,4)) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
     // ---- U2/O5 surface: run the `nation_brief` subgraph under the PROD
     // target — staging views land in `prod_…` (target switch, O5) while
     // the mart's customSchema REPLACES the target schema entirely

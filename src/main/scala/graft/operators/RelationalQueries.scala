@@ -536,6 +536,69 @@ object RelationalQueries extends QueryPack {
              |  ON p.user_id = c.user_id AND p.us >= c.us
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- Range (interval-containment) join: assign each event to the
+    // session interval that contains it. Spark would execute the naive
+    // `e.us BETWEEN s.start AND s.end` join as a broadcast-nested-loop
+    // per key group; instead the intervals are replicated once per
+    // overlapped hour bucket and the probe becomes an EQUI-join on
+    // (user, bucket) + a residual range filter — bounded duplication
+    // (interval length / bucket width), one hash shuffle, AQE-friendly.
+    // Each event has exactly one bucket, so no post-join dedup is needed.
+    Q("q25_range_join",
+      (s, dir) => {
+        val bucketUs = 3600L * 1000000L
+        val sess = Tables(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .transform { e =>
+            val gapUs = 30L * 60L * 1000000L
+            val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+            e.withColumn("prev_us", lag(col("us"), 1).over(w))
+              .withColumn("brk",
+                when(col("prev_us").isNull ||
+                  col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+              .withColumn("sess_id", sum(col("brk")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .groupBy(col("user_id"), col("sess_id"))
+              .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          }
+          .withColumn("bucket", explode(sequence(
+            floor(col("start_us") / bucketUs).cast("long"),
+            floor(col("end_us") / bucketUs).cast("long"))))
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("bucket", floor(col("us") / bucketUs).cast("long"))
+        ev.join(sess, Seq("user_id", "bucket"))
+          .filter(col("us").between(col("start_us"), col("end_us")))
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("sess_id"), col("start_us"), col("end_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |sx AS (
+             |  SELECT *, SUM(brk) OVER (
+             |    PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sess_id
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sess_id,
+             |    MIN(us) AS start_us, MAX(us) AS end_us
+             |  FROM sx GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.us,
+             |  s.sess_id, s.start_us, s.end_us
+             |FROM e JOIN sess s
+             |  ON e.user_id = s.user_id
+             |  AND e.us BETWEEN s.start_us AND s.end_us
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no
