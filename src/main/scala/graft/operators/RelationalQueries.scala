@@ -253,11 +253,17 @@ object RelationalQueries extends QueryPack {
              | FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
-    // ---- window running aggregate (exact decimal frame sum).
+    // ---- window running aggregate (exact decimal frame sum). The frame
+    // order must be TOTAL for the running values to be engine-independent:
+    // the testdata contains duplicate (l_orderkey, l_linenumber) rows at
+    // sf0.1, so l_quantity joins the sort key — and if that too ties, the
+    // tied rows contribute equal addends, making the prefix sums
+    // order-invariant anyway.
     Q("q11_window_running",
       (s, dir) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables(s, dir, "lineitem")
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -268,7 +274,7 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) OVER (
              |   PARTITION BY l_suppkey
-             |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |  AS running_qty
              |FROM lineitem
