@@ -173,6 +173,54 @@ object Dedup {
     verified(candidates, sh, threshold)
   }
 
+  /** Duplicate-cluster assignment: every document labeled with the
+    * smallest doc_id reachable through near-duplicate pairs (connected
+    * components of the jaccard-≥threshold graph), plus a representative
+    * flag — the operator a dedup pipeline actually keys its keep/drop
+    * decision on. Documents with no qualifying pair are singleton
+    * clusters of themselves.
+    *
+    * Components run as Pregel-style min-label propagation over
+    * DataFrames: each round joins current labels across (symmetrized)
+    * edges and takes the per-vertex min — one shuffle per round,
+    * converging in graph-diameter rounds (near-dup clusters are
+    * clique-like, so 2-3 in practice; `maxIter` caps pathological
+    * chains). This is GraphX's CC algorithm shape; at 100 TB the
+    * large-star/small-star contraction drops in here to shorten long
+    * chains. Labels are re-persisted per round and the previous round is
+    * released, so state stays one labels-table wide.
+    */
+  def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxIter: Int = 15): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = edges.join(labels, edges("doc_a") === labels("id"))
+        .select(col("doc_b").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .limit(1).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    // The final labels table stays cached (the output reads it; dropping
+    // it would replay the whole iteration) and is handed to the registry
+    // for release after the query completes.
+    Caches.register(labels)
+      .select(col("id").as("doc_id"), col("label").as("cluster"),
+        (col("label") === col("id")).as("is_representative"))
+  }
+
   /** MinHash + LSH banding; candidates verified with exact jaccard, so the
     * output equals [[jaccardPairs]] up to banding recall. Duplicate
     * clusters are collapsed first ([[jaccardPairs]] rationale): identical

@@ -61,6 +61,45 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardOracle)),
 
+    // Cluster assignment over the near-dup graph: min-label-propagation
+    // connected components in Spark vs a recursive-CTE reachability
+    // closure in the oracle — structurally independent algorithms pinned
+    // to the same answer.
+    Q("d05_dup_clusters",
+      (s, dir) => Dedup
+        .duplicateClusters(Tables(s, dir, "documents"), "doc_id", "text",
+          Threshold)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE toks AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+              |  FROM documents WHERE length(trim(text)) > 0),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(range(1, len(w)-1),
+              |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+              |  FROM toks WHERE len(w) >= 3),
+              |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+              |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+              |inter AS (
+              |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+              |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= $Threshold),
+              |edges AS (
+              |  SELECT doc_a a, doc_b b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+              |SELECT id AS doc_id, MIN(r) AS cluster,
+              |  MIN(r) = id AS is_representative
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // SimHash banding recall below ~hamming-8 is guaranteed, but the
     // hamming distance of a jaccard-0.9 pair is data-dependent — no exact
     // SQL oracle; the driver records a rows-only check, and the ScalaTest
