@@ -8,13 +8,16 @@ import graft.functions.Hashing
 
 /** Similarity search over an embedding column (array<float>).
   *
-  * Scale design: brute force is the exact baseline — a broadcast
-  * nested-loop of queries × corpus, linear in corpus size per query and
-  * embarrassingly parallel (each partition scores its rows; no shuffle
-  * until the per-query top-k). The IVF variant is the 100 TB path: corpus
-  * is bucketed by nearest centroid once (one shuffle, reusable as a
-  * partitioned table), and each query probes only `nprobe` buckets —
-  * turning full scans into partition-pruned reads.
+  * Scale design: brute force is the exact baseline — queries broadcast
+  * against a linear corpus scan, embarrassingly parallel (each partition
+  * scores its rows; no shuffle until the per-query top-k). The IVF
+  * variant is the 100 TB path: corpus rows are assigned to their nearest
+  * centroid ROW-LOCALLY (the codebook rides inline in the expression —
+  * zero shuffle, zero expansion), so the bucketed corpus can live as a
+  * partitioned table and each query probes only `nprobe` buckets. LSH
+  * (`lshTopK`, `nearDupPairsBanded`) is the train-free alternative;
+  * exact all-pairs (`nearDupPairs`) runs as a tiled self-join with
+  * linear replication and bounded task memory.
   *
   * Per-pair arithmetic: norms are computed once per vector (not per pair)
   * and the dot product is a native single-pass expression
