@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, QueryPack, Tables}
 import graft.functions.TextFunctions._
 
@@ -157,6 +158,58 @@ object TextQueries extends QueryPack {
       Some("""SELECT token, COUNT(*) AS n FROM (
              |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
              |  FROM documents WHERE length(trim(text)) > 0) t
-             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- TF-IDF keyword extraction: top-3 most distinctive tokens per
+    // document. Corpus statistics (document frequency, corpus size) join
+    // back to the per-doc term frequencies — the canonical two-pass
+    // shape: tf is a partial+final hash agg off the exploded scan, df a
+    // second agg over it keyed by token (one shuffle each), the corpus
+    // size a broadcast single row. Scores round to 6dp before ranking so
+    // ties (and any last-ulp ln() divergence between engines) break on
+    // the token string deterministically.
+    Q("t08_tfidf_topk",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))
+        tf.join(df, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("token"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE length(trim(text)) > 0),
+             |tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+             |    SELECT doc_id,
+             |      unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |    FROM d) t GROUP BY 1, 2),
+             |df AS (
+             |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM d),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.token,
+             |    ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS score
+             |  FROM tf JOIN df USING (token) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, token, score, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, token, score FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin))
   )
 }
