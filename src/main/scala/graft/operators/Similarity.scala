@@ -237,6 +237,82 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rn"))
   }
 
+  /** Spherical k-means (Lloyd's iterations under cosine similarity) —
+    * the training pass that refines [[ivfTopK]]'s codebook. Each
+    * iteration is one row-local assignment pass (the codebook rides
+    * inline in an argmax expression — no shuffle, no expansion, same
+    * mechanics as `ivfTopK`) plus one per-(cluster, dim) aggregation for
+    * the mean update. Fully DETERMINISTIC across runs: seeding is the
+    * first k vectors by id, assignment compares raw IEEE doubles against
+    * a fixed codebook, and mean updates sum per-dimension as exact
+    * decimals (order-independent) before one double division — so no
+    * partition-order nondeterminism ever reaches the centroids. Empty
+    * clusters keep their previous centroid.
+    *
+    * Returns the final codebook (k × dim means with their norms) and the
+    * per-iteration objective Σ(1 − cos(v, c(v))) — non-increasing for
+    * spherical k-means, which the spec asserts.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): (Array[(Array[Double], Double)], Seq[Double]) = {
+    val corpus = Caches.persist(normalized(emb, idCol, vecCol))
+    var codebook: Array[(Array[Double], Double)] =
+      corpus.orderBy(col("vid")).limit(k)
+        .select(col("v"), col("nrm")).collect()
+        .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      val assigned = assignClusters(corpus, codebook)
+      history += assigned
+        .agg(sum((lit(1.0) - col("csim")).cast("decimal(38,12)"))
+          .cast("double"))
+        .head().getDouble(0)
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+      val next = codebook.map { case (cv, cn) => (cv.clone(), cn) }
+      means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val m = new Array[Double](next(cid)._1.length)
+        rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+        var ss = 0.0
+        var i = 0
+        while (i < m.length) { ss += m(i) * m(i); i += 1 }
+        next(cid) = (m, math.sqrt(ss))
+      }
+      codebook = next
+    }
+    (codebook, history.toSeq)
+  }
+
+  /** Row-local nearest-centroid assignment against an in-line codebook:
+    * adds `cid` (codebook index; ties toward the lower index) and `csim`
+    * (raw cosine to it) to a (vid, v, nrm) frame. */
+  private def assignClusters(corpus: DataFrame,
+      codebook: Array[(Array[Double], Double)]): DataFrame = {
+    val entries = codebook.zipWithIndex.map { case ((cv, cn), i) =>
+      struct(
+        (-(Hashing.dotProduct(col("v"), lit(cv)) /
+          (col("nrm") * lit(cn)))).as("neg"),
+        lit(i).as("cid"))
+    }
+    val best = element_at(array_sort(array(entries.toIndexedSeq: _*)), 1)
+    corpus.withColumn("cid", best.getField("cid"))
+      .withColumn("csim", -best.getField("neg"))
+  }
+
+  /** Cluster sizes under a trained codebook (driver-gated v06 shape). */
+  def kmeansClusterSizes(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val (codebook, _) = kmeansFit(emb, idCol, vecCol, k, iters)
+    assignClusters(normalized(emb, idCol, vecCol), codebook)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cid"))
+  }
+
   /** IVF-style approximate top-k: corpus assigned to its nearest centroid
     * (centroids = the first `nlist` vectors by id — deterministic seeding;
     * k-means refinement would slot in here), queries probe the `nprobe`

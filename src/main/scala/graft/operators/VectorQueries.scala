@@ -105,6 +105,16 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
+      None),
+
+    // Spherical k-means training (5 Lloyd iterations, deterministic by
+    // construction — see Similarity.kmeansFit) + final cluster census.
+    // Iterative float training has no SQL oracle; ScalaTest pins
+    // run-to-run determinism and the non-increasing objective.
+    Q("v06_kmeans_clusters",
+      (s, dir) => Similarity.kmeansClusterSizes(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 5),
       None)
   )
 }

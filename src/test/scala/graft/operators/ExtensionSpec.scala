@@ -148,6 +148,19 @@ class ExtensionSpec extends SparkSuite {
     assert(out == expected) // recall 1 on planted dups, no false positives
   }
 
+  test("k-means: deterministic across runs, objective non-increasing") {
+    val (cb1, h1) = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 4)
+    val (cb2, h2) = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 4)
+    assert(h1 == h2)
+    assert(cb1.map(_._1.toSeq).toSeq == cb2.map(_._1.toSeq).toSeq)
+    // Spherical k-means objective Σ(1 − cos) never increases (small eps
+    // absorbs last-ulp float wiggle in the per-row cosines).
+    h1.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9) }
+    val sizes = Similarity.kmeansClusterSizes(
+      emb, "vec_id", "embedding", 8, 4).collect()
+    assert(sizes.map(_.getLong(1)).sum == emb.count())
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity
