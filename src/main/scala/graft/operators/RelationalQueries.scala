@@ -605,6 +605,54 @@ object RelationalQueries extends QueryPack {
              |  AND e.us BETWEEN s.start_us AND s.end_us
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ---- Ordered funnel (sequential pattern): users who signed up, then
+    // clicked at-or-after the signup, then purchased at-or-after that
+    // click. Each stage is one aggregate on the previous stage's
+    // survivors — all three shuffles share the user_id key, so the
+    // exchanges line up and the stage frames stay small (survivors only).
+    Q("q26_funnel_steps",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("us") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("us") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        s1.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_signup").as("step"), col("n_users"))
+          .unionByName(s2.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("step"), col("n_users")))
+          .unionByName(s3.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("step"), col("n_users")))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |s1 AS (
+             |  SELECT user_id, MIN(us) AS t1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.us) AS t2 FROM e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.us >= s1.t1 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.us) AS t3 FROM e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2 GROUP BY 1)
+             |SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s1
+             |UNION ALL
+             |SELECT '2_click', COUNT(*) FROM s2
+             |UNION ALL
+             |SELECT '3_purchase', COUNT(*) FROM s3
+             |ORDER BY step""".stripMargin)),
+
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no
