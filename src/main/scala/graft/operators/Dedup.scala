@@ -194,8 +194,11 @@ object Dedup {
       threshold: Double, maxIter: Int = 15): DataFrame = {
     val pairs = jaccardPairs(docs, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Persisted: every propagation round joins against the edge set; an
+    // unpinned frame would replay the whole pair-generation pipeline
+    // (shingle → index → verify → expand) once per round.
+    val edges = Caches.persist(pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var labels = docs.select(col(idCol).as("id"))
       .withColumn("label", col("id")).persist()
     var iter = 0
