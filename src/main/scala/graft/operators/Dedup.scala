@@ -194,13 +194,22 @@ object Dedup {
       threshold: Double, maxIter: Int = 15): DataFrame = {
     val pairs = jaccardPairs(docs, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"))
-    // Persisted: every propagation round joins against the edge set; an
-    // unpinned frame would replay the whole pair-generation pipeline
-    // (shingle → index → verify → expand) once per round.
-    val edges = Caches.persist(pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    var labels = docs.select(col(idCol).as("id"))
-      .withColumn("label", col("id")).persist()
+    // Lineage is TRUNCATED at the edge set (eager localCheckpoint, not
+    // persist): a plain cache skips re-execution but not re-planning,
+    // and every round's plan would otherwise embed the whole
+    // shingle→index→verify→expand tree again — doubling per round, so
+    // Catalyst analysis itself became the dominant cost (measured
+    // seconds per round on a 256-pair graph). On a cluster deployment
+    // swap in reliable `checkpoint()` against the checkpoint dir.
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    // Propagation runs ONLY over vertices that have at least one edge —
+    // on a real corpus the near-dup graph is a vanishing fraction of the
+    // documents, so rounds operate on the small frame; isolated
+    // documents become singleton clusters via the final left join.
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -208,20 +217,19 @@ object Dedup {
         .select(col("doc_b").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
         .limit(1).isEmpty
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    // The final labels table stays cached (the output reads it; dropping
-    // it would replay the whole iteration) and is handed to the registry
-    // for release after the query completes.
-    Caches.register(labels)
-      .select(col("id").as("doc_id"), col("label").as("cluster"),
-        (col("label") === col("id")).as("is_representative"))
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster"),
+        (coalesce(col("label"), col("id")) === col("id"))
+          .as("is_representative"))
   }
 
   /** MinHash + LSH banding; candidates verified with exact jaccard, so the

@@ -254,7 +254,8 @@ object Similarity {
     * spherical k-means, which the spec asserts.
     */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): (Array[(Array[Double], Double)], Seq[Double]) = {
+      iters: Int, trackObjective: Boolean = true)
+      : (Array[(Array[Double], Double)], Seq[Double]) = {
     val corpus = Caches.persist(normalized(emb, idCol, vecCol))
     var codebook: Array[(Array[Double], Double)] =
       corpus.orderBy(col("vid")).limit(k)
@@ -263,7 +264,9 @@ object Similarity {
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
       val assigned = assignClusters(corpus, codebook)
-      history += assigned
+      // The objective costs one extra pass per iteration — callers that
+      // only want the codebook (serving paths) skip it.
+      if (trackObjective) history += assigned
         .agg(sum((lit(1.0) - col("csim")).cast("decimal(38,12)"))
           .cast("double"))
         .head().getDouble(0)
@@ -306,7 +309,8 @@ object Similarity {
   /** Cluster sizes under a trained codebook (driver-gated v06 shape). */
   def kmeansClusterSizes(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    val (codebook, _) = kmeansFit(emb, idCol, vecCol, k, iters)
+    val (codebook, _) =
+      kmeansFit(emb, idCol, vecCol, k, iters, trackObjective = false)
     assignClusters(normalized(emb, idCol, vecCol), codebook)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"))
