@@ -59,14 +59,6 @@ object Caches {
     p
   }
 
-  /** Register an ALREADY-persisted frame for release (e.g. the surviving
-    * table of an iterative pipeline that managed its own per-round
-    * persists). */
-  def register(df: DataFrame): DataFrame = synchronized {
-    registered += df
-    df
-  }
-
   def releaseAll(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))
     registered.clear()
