@@ -47,8 +47,10 @@ object Fnv {
 /** 64-bit SimHash over whitespace tokens of a string column — a native
   * Catalyst expression (single pass per row, no UDF serialization).
   * CodegenFallback: the hash is not on a codegen-critical path (it feeds a
-  * shuffle for banding); a `doGenCode` version is a straightforward upgrade
-  * if profiling demands it.
+  * shuffle for banding), and profiling (`tools/ProfileSig`, sf0.1) puts the
+  * whole signature pass at ~0.3 s of the ~2.8 s simhash pipeline — the
+  * candidate join + verify stages dominate, so a `doGenCode` upgrade has
+  * no leverage here.
   *
   * Algorithm: per token t, h = fnv1a64(t); for each bit b, accumulate +1 if
   * set else -1; the signature has bit b set iff the accumulator is > 0.
