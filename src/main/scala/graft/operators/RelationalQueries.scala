@@ -461,6 +461,34 @@ object RelationalQueries extends QueryPack {
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY 1 ORDER BY segment""".stripMargin)),
 
+    // ---- Bucketed co-located join (operators/Bucketing.scala): both
+    // fact tables written bucketBy+sortBy the join key, so the join runs
+    // as a per-bucket merge with NO Exchange and no Sort (plan property
+    // pinned by BucketingSpec) — and the result must equal the plain
+    // shuffled join, which IS the oracle, so this gate proves the layout
+    // rewrite changes only data movement, never semantics.
+    Q("q27_bucketed_join",
+      (s, dir) => {
+        Bucketing.writeBucketed(
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+          "bkt_orders", "o_orderkey", buckets = 8)
+        Bucketing.writeBucketed(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity")),
+          "bkt_lineitem", "l_orderkey", buckets = 8)
+        Bucketing.table(s, "bkt_orders")
+          .join(Bucketing.table(s, "bkt_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_lines,
+             | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // ---- Percentiles: exact interpolated percentile (both engines sort
     // and interpolate with a + (b-a)·f over the same doubles).
     Q("q22_quantiles",
