@@ -72,6 +72,13 @@ def main(sf_dir, out_dir):
             failures += 1
         else:
             print(f"  OK {name} ({len(got)} rows)")
+    # A query that crashed during the Verify dump leaves NO output dir —
+    # without this check it would silently vanish from the report.
+    written = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracles) - written):
+        print(f"FAIL {name}: no output written (query crashed in Verify)")
+        failures += 1
     print(f"{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
     return 1 if failures else 0
 

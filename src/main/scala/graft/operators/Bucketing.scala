@@ -17,10 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A previous PROCESS may have left the managed location on disk while
+    // the in-memory catalog forgot the table; saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS (same failure mode handled by
+    // CatalogMaterializer.clearStaleLocation).
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
