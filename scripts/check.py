@@ -2,39 +2,47 @@
 """Local stand-in for the driver's t2 correctness gate.
 
 Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
-for each query dir in <outDir>, reads the Spark parquet result and the
-oracle SQL from oracle_sql.json, executes the oracle in DuckDB against
-the same testdata parquet tables, canonicalizes both frames (columns
-sorted by name, rows sorted by all columns), and diffs values.
+for each query dir in <outDir>, reads the SPARK PARQUET VIA PANDAS and the
+oracle result via DuckDB's `.df()` (pandas) — the same conversion layers the
+driver uses — canonicalizes both frames (columns sorted by name, rows sorted
+by their stringified tuple), and compares the `astype(str)` cell values.
+
+This reproduces the driver's exact failure mode (verified round 4 against
+CORRECTNESS_r03: this comparison flags precisely the driver's 13 red
+queries on the round-3 HEAD, while routing both sides through DuckDB — the
+old check — flagged none of them):
+  - Spark DECIMAL arrives as Python Decimal ("184968.00", full scale);
+    DuckDB 1.0 `.df()` converts DECIMAL to float64 ("184968.0", shortest
+    repr) → string mismatch whenever a value has trailing zeros.
+  - DuckDB window SUM(int) is HUGEINT → float64 ("3.0") vs Spark's int64
+    ("3").
+  - Timestamps are str-stable (str() hides the ns/us unit) as long as the
+    sub-second part is zero.
+Gate rule derived from this: no DECIMAL column may leave a gate frame —
+serialize to VARCHAR on BOTH sides; cast DuckDB window sums to BIGINT.
 
 Usage: python3 scripts/check.py <sfDir> <outDir>
 """
+import glob
 import json
-import math
 import os
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return v
-        if isinstance(v, list):
-            return tuple(norm(x) for x in v)
-        return v
-
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple(
-        (x is None, str(type(x)), str(x)) for x in t)), [cols[i] for i in order]
+def canon(df):
+    df = df[sorted(df.columns)]
+    s = df.astype(str)
+    if len(df):
+        key = s.apply(lambda r: tuple(r), axis=1)
+        s = s.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
+    return s
 
 
 def main(sf_dir, out_dir):
@@ -50,25 +58,26 @@ def main(sf_dir, out_dir):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        got_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-        got, gcols = canon(got_rel.fetchall(), got_rel.columns)
+        files = glob.glob(f"{qdir}/*.parquet")
+        got = canon(pd.read_parquet(files[0] if len(files) == 1 else qdir))
         if name not in oracles:
             print(f"  {name}: rows-only ({len(got)} rows)")
             continue
-        exp_rel = con.sql(oracles[name])
-        exp, ecols = canon(exp_rel.fetchall(), exp_rel.columns)
-        if gcols != ecols:
-            print(f"FAIL {name}: columns {gcols} != {ecols}")
+        exp = canon(con.sql(oracles[name]).df())
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != "
+                  f"{list(exp.columns)}")
             failures += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rowcount {len(got)} != {len(exp)}")
             failures += 1
             continue
-        bad = [(g, e) for g, e in zip(got, exp) if g != e]
-        if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(got)} rows differ; first: "
-                  f"got={bad[0][0]} exp={bad[0][1]}")
+        neq = (got != exp).any(axis=1)
+        if neq.any():
+            i = int(neq.idxmax())
+            print(f"FAIL {name}: {int(neq.sum())}/{len(got)} rows differ; "
+                  f"first: got={tuple(got.iloc[i])} exp={tuple(exp.iloc[i])}")
             failures += 1
         else:
             print(f"  OK {name} ({len(got)} rows)")

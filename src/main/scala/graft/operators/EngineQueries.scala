@@ -46,7 +46,8 @@ object TpchProject {
       |  c.c_name AS customer_name,
       |  c.c_mktsegment AS segment,
       |  array_sort(collect_set(o.o_orderpriority)) AS priorities,
-      |  SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_sales,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |    AS total_sales,
       |  COUNT(*) AS n_orders
       |FROM {{ ref('stg_customer') }} c
       |JOIN {{ ref('stg_orders') }} o ON c.c_custkey = o.o_custkey
@@ -157,30 +158,34 @@ object EngineQueries extends QueryPack {
   }
 
   def queries: Seq[Q] = Seq(
-    // The mart itself keeps the reference-parity array column; the gate
-    // query serializes it to a delimited string because the driver's
-    // pandas-based compare cannot sort/hash array cells. Oracle decimal
-    // casts route through VARCHAR (shortest-repr; RelationalQueries doc).
+    // The mart itself keeps the reference-parity array and DECIMAL
+    // columns; the gate query serializes arrays to delimited strings and
+    // decimals to VARCHAR (both sides) because the driver's pandas-based
+    // compare stringifies cells — Spark Decimal prints full scale, DuckDB's
+    // pandas layer converts DECIMAL to float64 (shortest repr), so raw
+    // decimals mismatch on trailing zeros (RelationalQueries.dsumStr doc).
     Q("m01_customer_order_metrics",
       mart("customer_order_metrics",
         _.withColumn("priorities", array_join(col("priorities"), "|"))
+          .withColumn("total_sales", col("total_sales").cast("string"))
           .orderBy(col("customer_id"))),
       Some("""SELECT c_custkey AS customer_id, c_name AS customer_name,
              | c_mktsegment AS segment,
              | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
-             | SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total_sales,
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS total_sales,
              | COUNT(*) AS n_orders
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
 
     Q("m02_order_lines_enriched",
       mart("order_lines_enriched",
-        _.orderBy(col("order_id"), col("line_number"))),
+        _.withColumn("net_price", col("net_price").cast("string"))
+          .orderBy(col("order_id"), col("line_number"))),
       Some("""SELECT o_orderkey AS order_id, o_orderdate AS order_date,
              | o_orderpriority AS priority, c_custkey AS customer_id,
              | c_name AS customer_name, n_name AS nation, r_name AS region,
              | l_linenumber AS line_number, l_quantity AS quantity,
-             | CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4)) AS net_price
+             | CAST(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR) AS net_price
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |LEFT JOIN customer ON o_custkey = c_custkey
@@ -189,7 +194,9 @@ object EngineQueries extends QueryPack {
              |ORDER BY order_id, line_number""".stripMargin)),
 
     Q("m03_sales_by_region",
-      mart("sales_by_region", _.orderBy(col("region"), col("nation"))),
+      mart("sales_by_region",
+        _.withColumn("total_sales", col("total_sales").cast("string"))
+          .orderBy(col("region"), col("nation"))),
       Some("""WITH cust_count AS (
              |  SELECT c_nationkey, COUNT(*) AS n_customers
              |  FROM customer GROUP BY 1),
@@ -202,7 +209,7 @@ object EngineQueries extends QueryPack {
              |SELECT r_name AS region, n_name AS nation,
              | COALESCE(cc.n_customers, 0) AS n_customers,
              | COALESCE(os.n_orders, 0) AS n_orders,
-             | CAST(COALESCE(os.total_sales, 0) AS DECIMAL(38,2)) AS total_sales,
+             | CAST(CAST(COALESCE(os.total_sales, 0) AS DECIMAL(38,2)) AS VARCHAR) AS total_sales,
              | n_name || ' (' || CAST(COALESCE(cc.n_customers, 0) AS VARCHAR)
              |   || ' customers)' AS description
              |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -356,13 +363,14 @@ object EngineQueries extends QueryPack {
         r.run(spark)
         r.run(spark) // second run: dynamic partition overwrite in place
         r.table(spark, "events_hourly_inc")
-          .select(col("hour"), col("n_events"), col("sum_value"))
+          .select(col("hour"), col("n_events"),
+            col("sum_value").cast("string").as("sum_value"))
           .orderBy(col("hour"))
       },
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
              | COUNT(*) AS n_events,
-             | CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
-             |   AS DECIMAL(38,4)) AS sum_value
+             | CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
+             |   AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
              |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
 
     // ---- U2/O5 surface: run the `nation_brief` subgraph under the PROD

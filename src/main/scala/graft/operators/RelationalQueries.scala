@@ -47,6 +47,18 @@ object RelationalQueries extends QueryPack {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast("decimal(38," + scale + ")")
 
+  /** Exact decimal sum serialized for the gate frame. DECIMAL must never
+    * leave a gate query: the driver's compare stringifies cell values, and
+    * Spark's Decimal prints full scale ("184968.00") while DuckDB 1.0's
+    * pandas conversion turns DECIMAL into float64 (shortest repr,
+    * "184968.0") — so any value with trailing zeros hash-mismatches even
+    * though the math agrees decimal-exactly. Serializing to VARCHAR on
+    * BOTH sides (oracle: `CAST(SUM(...) AS VARCHAR)`) makes the strings
+    * identical; the decimals stay exact inside the plan.
+    */
+  private def dsumStr(c: Column, scale: Int = 2): Column =
+    dsum(c, scale).cast("string")
+
   def queries: Seq[Q] = Seq(
     // ---- A1/A5/P5: scan → pushed filter → partial+final hash aggregate.
     Q("q01_pricing_summary",
@@ -55,23 +67,23 @@ object RelationalQueries extends QueryPack {
           .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            dsumStr(col("l_quantity")).as("sum_qty"),
+            dsumStr(col("l_extendedprice")).as("sum_base_price"),
+            dsumStr(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("sum_disc_price"),
             // scale 8: the product has up to 6 decimal digits (2dp price ×
             // 2dp discount × 2dp tax); casting at a scale beyond the exact
             // decimal content avoids engine-specific midpoint rounding.
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            dsumStr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
               * (lit(1.0) + col("l_tax")), 8).as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS sum_qty,
-             | SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) AS sum_base_price,
-             | SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS sum_disc_price,
-             | SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS VARCHAR) AS DECIMAL(18,8))) AS sum_charge,
+             | CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+             | CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+             | CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS sum_disc_price,
+             | CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS VARCHAR) AS DECIMAL(18,8))) AS VARCHAR) AS sum_charge,
              | COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -116,13 +128,13 @@ object RelationalQueries extends QueryPack {
           .filter(col("r_name") === "EUROPE")
           .groupBy(col("n_name"))
           .agg(
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            dsumStr(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name,
-             | SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS revenue,
+             | CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS revenue,
              | COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -140,11 +152,11 @@ object RelationalQueries extends QueryPack {
         c.join(o, col("c_custkey") === col("o_custkey"), "left")
           .groupBy(col("c_custkey"), col("c_mktsegment"))
           .agg(count(col("o_orderkey")).as("n_orders"),
-            dsum(coalesce(col("o_totalprice"), lit(0.0))).as("spend"))
+            dsumStr(coalesce(col("o_totalprice"), lit(0.0))).as("spend"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
-             | SUM(CAST(CAST(COALESCE(o_totalprice, 0.0) AS VARCHAR) AS DECIMAL(18,2))) AS spend
+             | CAST(SUM(CAST(CAST(COALESCE(o_totalprice, 0.0) AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)),
 
@@ -268,15 +280,15 @@ object RelationalQueries extends QueryPack {
         Tables(s, dir, "lineitem")
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum(dec(col("l_quantity"))).over(w).cast("decimal(38,2)")
-              .as("running_qty"))
+              .cast("string").as("running_qty"))
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) OVER (
+             | CAST(CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) OVER (
              |   PARTITION BY l_suppkey
              |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |  AS running_qty
+             |  AS DECIMAL(38,2)) AS VARCHAR) AS running_qty
              |FROM lineitem
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
@@ -310,7 +322,7 @@ object RelationalQueries extends QueryPack {
       (s, dir) => {
         Tables(s, dir, "orders")
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n"), dsumStr(col("o_totalprice")).as("total"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -320,7 +332,7 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
              | COALESCE(o_orderpriority, 'ALL') AS priority,
              | COUNT(*) AS n,
-             | SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS total
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
@@ -356,12 +368,12 @@ object RelationalQueries extends QueryPack {
         Tables(s, dir, "orders")
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(count(lit(1)).as("n_orders"),
-            dsum(col("o_totalprice")).as("total"))
+            dsumStr(col("o_totalprice")).as("total"))
           .orderBy(col("month"))
       },
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              | COUNT(*) AS n_orders,
-             | SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS total
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS total
              |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
 
     // ---- events: hourly tumbling buckets + conditional aggregation.
@@ -375,13 +387,13 @@ object RelationalQueries extends QueryPack {
               .as("n_clicks"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("n_purchases"),
-            dsum(col("value"), 4).as("sum_value"))
+            dsumStr(col("value"), 4).as("sum_value"))
           .orderBy(col("hour"))
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
              | COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
              | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-             | SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS sum_value
+             | CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
              |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
 
     // ---- JSON extraction from semi-structured props column.
@@ -419,9 +431,12 @@ object RelationalQueries extends QueryPack {
           .groupBy(col("user_id"), col("sess_id"))
           .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
             count(lit(1)).as("n_events"),
-            dsum(col("value")).as("sum_value"))
+            dsumStr(col("value")).as("sum_value"))
           .orderBy(col("user_id"), col("sess_id"))
       },
+      // Oracle: DuckDB's window SUM(int) yields HUGEINT, which its pandas
+      // layer renders as float64 ("3.0" vs Spark's "3") — sess_id is
+      // therefore pinned to BIGINT at the window.
       Some("""WITH e AS (
              |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
              |  FROM events),
@@ -431,14 +446,14 @@ object RelationalQueries extends QueryPack {
              |    THEN 1 ELSE 0 END AS brk
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
              |s AS (
-             |  SELECT *, SUM(brk) OVER (
+             |  SELECT *, CAST(SUM(brk) OVER (
              |    PARTITION BY user_id ORDER BY us
-             |    ROWS UNBOUNDED PRECEDING) AS sess_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
              |  FROM g)
              |SELECT user_id, sess_id,
              |  MIN(us) AS start_us, MAX(us) AS end_us,
              |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
              |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin)),
 
     // ---- Skew-salted join (operators/Skew.scala): result must be
@@ -453,11 +468,11 @@ object RelationalQueries extends QueryPack {
         joined.groupBy(col("c_mktsegment").as("segment"))
           .agg(count(lit(1)).as("n_orders"),
             sum(col("o_totalprice").cast("decimal(18,2)"))
-              .cast("decimal(38,2)").as("total"))
+              .cast("decimal(38,2)").cast("string").as("total"))
           .orderBy(col("segment"))
       },
       Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
-             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             | CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY 1 ORDER BY segment""".stripMargin)),
 
@@ -481,11 +496,11 @@ object RelationalQueries extends QueryPack {
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_lines"),
-            dsum(col("l_quantity")).as("sum_qty"))
+            dsumStr(col("l_quantity")).as("sum_qty"))
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus, COUNT(*) AS n_lines,
-             | SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS sum_qty
+             | CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
@@ -618,9 +633,9 @@ object RelationalQueries extends QueryPack {
              |    THEN 1 ELSE 0 END AS brk
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
              |sx AS (
-             |  SELECT *, SUM(brk) OVER (
+             |  SELECT *, CAST(SUM(brk) OVER (
              |    PARTITION BY user_id ORDER BY us
-             |    ROWS UNBOUNDED PRECEDING) AS sess_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
              |  FROM g),
              |sess AS (
              |  SELECT user_id, sess_id,
