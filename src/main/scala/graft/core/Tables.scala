@@ -64,3 +64,32 @@ object Caches {
     registered.clear()
   }
 }
+
+/** Lineage truncation for iterative DataFrame algorithms (connected
+  * components, label propagation): a plain persist skips re-EXECUTION but
+  * not re-PLANNING — each round's plan would embed the whole upstream tree
+  * again, doubling per round until Catalyst analysis dominates. Truncation
+  * materializes the frame and restarts lineage.
+  *
+  * `localCheckpoint()` (default) keeps blocks on executors — fast, but an
+  * executor loss makes the frame unrecomputable. On a real cluster set
+  * `spark.graft.checkpoint.reliable=true` (plus
+  * `sparkContext.setCheckpointDir` to a DFS path) to switch every
+  * truncation point to reliable `checkpoint()`: blocks land on the DFS and
+  * survive executor churn — the right trade at 100 TB, where a multi-round
+  * job outliving any single executor is the expectation, not the edge case.
+  */
+object Checkpoints {
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true requires sparkContext.setCheckpointDir(<dfs path>)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+}

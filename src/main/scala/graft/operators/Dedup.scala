@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.Caches
+import graft.core.{Caches, Checkpoints}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Deduplication operators for document corpora, designed around shuffle
@@ -23,8 +23,11 @@ import graft.functions.{Hashing, TextFunctions}
   *    bucket key, AQE handles skewed buckets); candidates are then verified
   *    with exact jaccard so precision is 1.0 and recall is the banding
   *    probability (b=16, r=4 ⇒ P(miss | j=0.9) ≈ 4e-8).
-  *  - SimHash: one 64-bit signature per doc, banded into 8×8-bit keys —
-  *    guaranteed candidate generation for hamming ≤ 7 by pigeonhole.
+  *  - SimHash: one 64-bit signature per doc, banded into 8×8-bit keys,
+  *    plus a 1-bit multiprobe (Manku-style: each band also probes its 8
+  *    one-bit-flipped keys) — pigeonhole then guarantees candidate
+  *    generation for hamming ≤ 15: among 8 bands some band differs in at
+  *    most ⌊15/8⌋ = 1 bit, and that band's probe set covers it.
   */
 object Dedup {
 
@@ -194,30 +197,30 @@ object Dedup {
       threshold: Double, maxIter: Int = 15): DataFrame = {
     val pairs = jaccardPairs(docs, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"))
-    // Lineage is TRUNCATED at the edge set (eager localCheckpoint, not
+    // Lineage is TRUNCATED at the edge set ([[Checkpoints.truncate]], not
     // persist): a plain cache skips re-execution but not re-planning,
     // and every round's plan would otherwise embed the whole
     // shingle→index→verify→expand tree again — doubling per round, so
     // Catalyst analysis itself became the dominant cost (measured
-    // seconds per round on a 256-pair graph). On a cluster deployment
-    // swap in reliable `checkpoint()` against the checkpoint dir.
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    // seconds per round on a 256-pair graph). Cluster deployments set
+    // spark.graft.checkpoint.reliable=true to survive executor loss.
+    val edges = Checkpoints.truncate(pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // Propagation runs ONLY over vertices that have at least one edge —
     // on a real corpus the near-dup graph is a vanishing fraction of the
     // documents, so rounds operate on the small frame; isolated
     // documents become singleton clusters via the final left join.
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var labels = Checkpoints.truncate(
+      edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaEdges = edges.join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = Checkpoints.truncate(
+        labels.select(col("id"), col("label")).union(viaEdges)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
         .limit(1).isEmpty
@@ -277,8 +280,12 @@ object Dedup {
     verified(candidates, sh, threshold)
   }
 
-  /** SimHash banding (8 bands × 8 bits ⇒ no candidate missed below hamming
-    * 8); pairs reported with hamming distance and verified jaccard.
+  /** SimHash banding (8 bands × 8 bits) with a 1-bit multiprobe per band
+    * ⇒ no candidate missed at hamming ≤ 15; pairs reported with hamming
+    * distance and verified jaccard. With verification exact and the
+    * corpus's qualifying pairs all inside the probe radius (measured max
+    * hamming 13 across the testdata SFs — `tools/HammingProbe`), the
+    * output equals [[jaccardPairs]], which is the driver oracle for d04.
     *
     * Like [[jaccardPairs]], exact-duplicate clusters (identical shingle
     * sets) are collapsed to one representative before banding — identical
@@ -292,7 +299,7 @@ object Dedup {
     * the jaccard filter itself stays exact, it is set-based.)
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxHamming: Int = 7): DataFrame = {
+      threshold: Double, maxHamming: Int = 15): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     val groups = clusters(sh)
     val repPairs = simhashRepPairs(
@@ -305,9 +312,19 @@ object Dedup {
         lit(1.0).as("jaccard")))
   }
 
-  /** Banding + verification over the duplicate-cluster representatives. */
+  /** Banding + 1-bit multiprobe + verification over the duplicate-cluster
+    * representatives. The probe side replicates each band key 9× (the key
+    * plus its 8 one-bit flips) and joins against the un-probed side: a
+    * pair within `maxHamming ≤ 15` has, by pigeonhole over 8 bands, a band
+    * differing in ≤ 1 bit, which the probe set covers in one direction of
+    * the asymmetric join (flipping the bit on either side yields the same
+    * key). 9× key replication on one side — not 9×9 — keeps the join
+    * linear in corpus size; buckets stay 8-bit (256-way per band), the
+    * shape that survives a 1000-executor shuffle. */
   private def simhashRepPairs(reps: DataFrame, sh: DataFrame,
       threshold: Double, maxHamming: Int): DataFrame = {
+    require(maxHamming < 16,
+      "1-bit multiprobe over 8 bands guarantees recall only to hamming 15")
     val sig = reps.select(col("doc_id"),
       Hashing.simhash64(col("text")).as("sig"))
     val bandCols = (0 until 8).map { b =>
@@ -318,7 +335,11 @@ object Dedup {
       .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val candidates = banded.as("a")
+    val probeKeys = col("bucket") +:
+      (0 until 8).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = banded.select(col("doc_id"), col("sig"), col("band"),
+      explode(array(probeKeys: _*)).as("bucket"))
+    val candidates = probes.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&

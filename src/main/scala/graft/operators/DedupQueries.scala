@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.core.{Q, QueryPack, Tables}
 
 /** Deduplication queries over `documents` (see [[Dedup]] for the scale
-  * rationale). d02 (exact inverted-index jaccard) and d03 (MinHash LSH +
-  * exact verify) share one oracle: the brute-force jaccard pair set —
-  * banding parameters make a missed ≥0.6 pair astronomically unlikely on
-  * near-identical documents (all planted dups sit at j ≥ 0.9).
+  * rationale). d02 (exact inverted-index jaccard), d03 (MinHash LSH +
+  * exact verify) and d04 (SimHash multiprobe + exact verify) share one
+  * oracle: the brute-force jaccard pair set — d02's candidates are exact
+  * by construction, d03's banding makes a missed ≥0.6 pair
+  * astronomically unlikely on near-identical documents (planted dups sit
+  * at j ≥ 0.9), and d04's multiprobe is recall-guaranteed through
+  * hamming 15 (corpus max 13).
   */
 object DedupQueries extends QueryPack {
 
@@ -100,15 +103,18 @@ object DedupQueries extends QueryPack {
               |  MIN(r) = id AS is_representative
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
-    // SimHash banding recall below ~hamming-8 is guaranteed, but the
-    // hamming distance of a jaccard-0.9 pair is data-dependent — no exact
-    // SQL oracle; the driver records a rows-only check, and the ScalaTest
-    // suite asserts consistency against d02 on the planted duplicates.
+    // SimHash banding + 1-bit multiprobe guarantees candidates to hamming
+    // 15; the corpus's qualifying pairs top out at hamming 13
+    // (tools/HammingProbe), and verification makes precision exact — so
+    // the emitted pair set equals the brute-force jaccard oracle. The
+    // hamming column itself is signature-internal (not SQL-expressible),
+    // so the gate projects it away; ExtensionSpec pins the full output.
     Q("d04_simhash_pairs",
       (s, dir) => Dedup
         .simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
           Threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b")),
-      None)
+      Some(jaccardOracle))
   )
 }

@@ -62,14 +62,31 @@ class ExtensionSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
-  test("simhash pairs are a subset of exact pairs with high recall") {
+  test("duplicateClusters under reliable checkpointing matches the default path") {
+    val base = Dedup.duplicateClusters(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.core.Checkpoints.ReliableConf, "true")
+    try {
+      val reliable = Dedup.duplicateClusters(docs, "doc_id", "text", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(reliable == base)
+      // The reliable path must actually hit the checkpoint dir.
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "reliable checkpoint wrote nothing to the checkpoint dir")
+    } finally spark.conf.unset(graft.core.Checkpoints.ReliableConf)
+  }
+
+  test("simhash multiprobe pairs equal the exact pairs on testdata") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(sim.subsetOf(exact), "verification step guarantees precision 1.0")
-    assert(sim.size >= (exact.size * 0.5).toInt,
-      s"simhash recall too low: ${sim.size}/${exact.size}")
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // Verification ⇒ precision 1; 1-bit multiprobe over 8×8 banding ⇒
+    // recall 1 through hamming 15 (corpus max is 13, tools/HammingProbe).
+    assert(sim == exact)
   }
 
   test("IVF ANN recall vs brute force") {
