@@ -1,0 +1,1 @@
+SELECT * FROM {{ source('tb_101', 'order_detail') }}

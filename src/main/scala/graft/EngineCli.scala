@@ -9,7 +9,7 @@ import graft.operators.TpchProject
   * --target dev'` path (setup/task.sql:1-6, SURVEY EP3).
   *
   * Usage:
-  *   run     [--project tpch|tastybytes] [--select EXPR]
+  *   run     [--project tpch|tastybytes|dir:PATH] [--select EXPR]
   *           [--target dev|prod] [--dir PATH] [--threads N]
   *           [--materializer catalog|path] [--warehouse PATH]
   *   test    [--project ...] [--dir PATH] [--target ...]
@@ -18,9 +18,13 @@ import graft.operators.TpchProject
   *   freshness A7: max(loaded_at_field) + age per declared source
   *   ls        S7: catalog listing (SHOW TABLES equivalent) post-run
   *
-  * Projects: `tpch` (driver-testdata demo) and `tastybytes` (the full
-  * reference port over deterministic fixtures). A production deployment
-  * would load model definitions from a registry or directory instead.
+  * Projects: `tpch` (driver-testdata demo, SQL tier loaded from
+  * models/tpch), `tastybytes` (the full reference port over deterministic
+  * fixtures, SQL tier from models/tastybytes), or `dir:PATH` — any
+  * directory of `*.sql` model files (dbt's model-paths layout,
+  * ProjectLoader), bound to the `tpch` testdata source registry from
+  * `--dir`; a deployment supplies its own SourceDef registry the same way
+  * TpchProject does.
   */
 object EngineCli {
 
@@ -53,6 +57,8 @@ object EngineCli {
     }
     val project = opts.getOrElse("project", "tpch") match {
       case "tastybytes" => graft.tastybytes.TastyBytesProject.project
+      case p if p.startsWith("dir:") =>
+        ProjectLoader.load(p.stripPrefix("dir:"), TpchProject.sources(dir))
       case _ => TpchProject.project(dir)
     }
     val runner = new Runner(project, target, materializer)

@@ -1,0 +1,106 @@
+package graft.model
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+/** Loads SQL models from a `models/` directory — the reference's
+  * file-per-model layout (dbt_project.yml:8 `model-paths: ["models"]`,
+  * dbt/models/staging and dbt/models/marts): a user adds or edits a
+  * `.sql` file and the next run picks it up, no recompilation.
+  *
+  * Each file is one SELECT; the model name is the file name. Per-model
+  * config rides in the file as the dbt `{{ config(...) }}` header:
+  *
+  * {{ config(materialized='table') }}
+  * {{ config(materialized='incremental', partition_by=['day']) }}
+  * {{ config(materialized='table', schema='analytics') }}
+  *
+  * Supported keys mirror the reference surface: `materialized`
+  * (view | table | incremental — dbt_project.yml:20-25), `partition_by`
+  * (incremental partition columns), and `schema` (the
+  * generate_schema_name.sql custom-schema override). Unknown keys fail
+  * fast — a typo'd config silently defaulting to a view is how marts
+  * quietly become temp views in production.
+  *
+  * Code models (the reference's Python models) and sources (loaders are
+  * code by nature) stay programmatic and are merged in via `load`.
+  */
+object ProjectLoader {
+
+  private val ConfigR: Regex = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
+  private val PairR: Regex = """(\w+)\s*=\s*(?:'([^']*)'|(\[[^\]]*\]))""".r
+  private val ItemR: Regex = """'([^']*)'""".r
+
+  /** All `*.sql` files under `modelsDir` (recursive, deterministic path
+    * order) as SqlModels. */
+  def loadModels(modelsDir: String): Seq[SqlModel] = {
+    val root = Paths.get(modelsDir)
+    require(Files.isDirectory(root), s"models dir not found: $modelsDir")
+    val stream = Files.walk(root)
+    val files =
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+        .toList.sortBy(_.toString)
+      finally stream.close()
+    files.map(parseModelFile)
+  }
+
+  /** A complete project from a models directory plus the programmatic
+    * tier: sources, code models, declared tests. */
+  def load(modelsDir: String, sources: Seq[SourceDef],
+      codeModels: Seq[Model] = Nil, tests: Seq[DataTest] = Nil): Project =
+    Project(sources, loadModels(modelsDir) ++ codeModels, tests)
+
+  def parseModelFile(p: Path): SqlModel = {
+    val name = p.getFileName.toString.stripSuffix(".sql")
+    parseModel(name,
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8), p.toString)
+  }
+
+  /** Splits the optional config header from the SQL body and builds the
+    * model. Exposed for spec-level parsing tests. */
+  def parseModel(name: String, raw: String, where: String = "<inline>")
+      : SqlModel = {
+    val cfg: Map[String, Either[String, Seq[String]]] =
+      ConfigR.findFirstMatchIn(raw).map { m =>
+        PairR.findAllMatchIn(m.group(1)).map { kv =>
+          val value = Option(kv.group(2)).map(Left(_)).getOrElse(
+            Right(ItemR.findAllMatchIn(kv.group(3)).map(_.group(1)).toSeq))
+          kv.group(1) -> value
+        }.toMap
+      }.getOrElse(Map.empty)
+    val unknown = cfg.keySet -- Set("materialized", "partition_by", "schema")
+    require(unknown.isEmpty, s"$where: unsupported config keys: " +
+      unknown.mkString(", "))
+
+    def str(k: String): Option[String] = cfg.get(k).map {
+      case Left(s) => s
+      case Right(_) => throw new IllegalArgumentException(
+        s"$where: config $k must be a string")
+    }
+    def list(k: String): Option[Seq[String]] = cfg.get(k).map {
+      case Right(xs) => xs
+      case Left(s) => Seq(s)
+    }
+
+    val materialization = str("materialized").getOrElse("view") match {
+      case "view" => Materialization.View
+      case "table" => Materialization.Table
+      case "incremental" =>
+        Materialization.IncrementalByPartition(list("partition_by")
+          .getOrElse(throw new IllegalArgumentException(
+            s"$where: incremental model requires partition_by")))
+      case other => throw new IllegalArgumentException(
+        s"$where: unknown materialization '$other'")
+    }
+    require(materialization.isInstanceOf[Materialization.IncrementalByPartition]
+        || cfg.get("partition_by").isEmpty,
+      s"$where: partition_by requires materialized='incremental'")
+
+    val sql = ConfigR.replaceAllIn(raw, "").trim
+    require(sql.nonEmpty, s"$where: model file has no SQL body")
+    SqlModel(name, sql, materialization, customSchema = str("schema"))
+  }
+}

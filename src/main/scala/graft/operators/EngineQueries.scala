@@ -35,44 +35,20 @@ object TpchProject {
       SourceDef("tpch", t, s => Tables(s, dir, t), loadedAt)
     }
 
-  val staging: Seq[Model] = stagingTables.map { t =>
-    SqlModel(s"stg_$t", s"SELECT * FROM {{ source('tpch', '$t') }}")
-  }
+  /** The SQL tier loads from the `models/tpch` dir (ProjectLoader) — the
+    * reference's file-per-model layout: these gates therefore exercise
+    * the file-loading path end to end (parse config header → build DAG →
+    * run → materialize), and a model added to the directory joins the
+    * project without recompilation. */
+  val modelsDir = "models/tpch"
+  private lazy val fileModels: Map[String, SqlModel] =
+    ProjectLoader.loadModels(modelsDir).map(m => m.name -> m).toMap
 
-  val customerOrderMetrics: SqlModel = SqlModel(
-    "customer_order_metrics",
-    """SELECT
-      |  c.c_custkey AS customer_id,
-      |  c.c_name AS customer_name,
-      |  c.c_mktsegment AS segment,
-      |  array_sort(collect_set(o.o_orderpriority)) AS priorities,
-      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      |    AS total_sales,
-      |  COUNT(*) AS n_orders
-      |FROM {{ ref('stg_customer') }} c
-      |JOIN {{ ref('stg_orders') }} o ON c.c_custkey = o.o_custkey
-      |GROUP BY c.c_custkey, c.c_name, c.c_mktsegment""".stripMargin,
-    Materialization.Table)
+  lazy val staging: Seq[Model] = stagingTables.map(t => fileModels(s"stg_$t"))
 
-  val orderLinesEnriched: SqlModel = SqlModel(
-    "order_lines_enriched",
-    """SELECT
-      |  o.o_orderkey AS order_id,
-      |  o.o_orderdate AS order_date,
-      |  o.o_orderpriority AS priority,
-      |  c.c_custkey AS customer_id,
-      |  c.c_name AS customer_name,
-      |  n.n_name AS nation,
-      |  r.r_name AS region,
-      |  l.l_linenumber AS line_number,
-      |  l.l_quantity AS quantity,
-      |  CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)) AS net_price
-      |FROM {{ ref('stg_lineitem') }} l
-      |JOIN {{ ref('stg_orders') }} o ON l.l_orderkey = o.o_orderkey
-      |LEFT JOIN {{ ref('stg_customer') }} c ON o.o_custkey = c.c_custkey
-      |LEFT JOIN {{ ref('stg_nation') }} n ON c.c_nationkey = n.n_nationkey
-      |LEFT JOIN {{ ref('stg_region') }} r ON n.n_regionkey = r.r_regionkey""".stripMargin,
-    Materialization.Table)
+  lazy val customerOrderMetrics: SqlModel = fileModels("customer_order_metrics")
+
+  lazy val orderLinesEnriched: SqlModel = fileModels("order_lines_enriched")
 
   val salesByRegion: DfModel = DfModel(
     "sales_by_region",
@@ -111,15 +87,10 @@ object TpchProject {
             lit(" customers)")).as("description"))
     })
 
-  /** U2: schema-name macro semantics — `customSchema` REPLACES the target
-    * schema (generate_schema_name.sql:1-14), so this mart lands in
-    * `analytics_…` regardless of dev/prod target. */
-  val nationBrief: SqlModel = SqlModel(
-    "nation_brief",
-    """SELECT n_nationkey AS nation_id, upper(n_name) AS nation
-      |FROM {{ ref('stg_nation') }}""".stripMargin,
-    Materialization.Table,
-    customSchema = Some("analytics"))
+  /** U2: schema-name macro semantics — the file's `schema='analytics'`
+    * config REPLACES the target schema (generate_schema_name.sql:1-14),
+    * so this mart lands in `analytics_…` regardless of dev/prod target. */
+  lazy val nationBrief: SqlModel = fileModels("nation_brief")
 
   val tests: Seq[DataTest] = Seq(
     NotNull("tpch.orders", "o_orderkey"),
@@ -133,11 +104,8 @@ object TpchProject {
     IsPositiveAmount("tpch.orders", "o_totalprice"),
     IsPositiveAmount("customer_order_metrics", "total_sales"))
 
-  def project(dir: String): Project = Project(
-    sources(dir),
-    staging ++ Seq(customerOrderMetrics, orderLinesEnriched, salesByRegion,
-      nationBrief),
-    tests)
+  def project(dir: String): Project = ProjectLoader.load(
+    modelsDir, sources(dir), codeModels = Seq(salesByRegion), tests = tests)
 
   def runner(dir: String): Runner =
     new Runner(project(dir), Target.dev,

@@ -19,88 +19,32 @@ object TastyBytesProject {
     SourceDef("tb_101", t, spark => FixtureGen.all(t)(spark))
   }
 
+  /** The SQL tier lives in the `models/tastybytes` dir — the reference's
+    * own file layout (dbt/models/staging, dbt/models/marts), loaded via
+    * [[graft.model.ProjectLoader]]. */
+  val modelsDir = "models/tastybytes"
+  private lazy val fileModels: Map[String, SqlModel] =
+    ProjectLoader.loadModels(modelsDir).map(m => m.name -> m).toMap
+
   /** 8 staging passthrough views (raw_pos_*.sql / raw_customer_*.sql:
     * each is `SELECT * FROM {{ source('tb_101', t) }}`). */
-  val staging: Seq[Model] = sourceTables.map { t =>
+  lazy val staging: Seq[Model] = sourceTables.map { t =>
     val prefix = if (t == "customer_loyalty") "raw_customer" else "raw_pos"
-    SqlModel(s"${prefix}_$t", s"SELECT * FROM {{ source('tb_101', '$t') }}")
+    fileModels(s"${prefix}_$t")
   }
 
   /** Port of dbt/models/marts/orders.sql:1-47 — 31-column projection over
     * a 5-way inner join star plus a left join to customer_loyalty
-    * (anonymous orders keep NULL customer columns). */
-  val orders: SqlModel = SqlModel(
-    "orders",
-    """SELECT
-      |    oh.order_id,
-      |    oh.truck_id,
-      |    oh.order_ts,
-      |    od.order_detail_id,
-      |    od.line_number,
-      |    m.truck_brand_name,
-      |    m.menu_type,
-      |    t.primary_city,
-      |    t.region,
-      |    t.country,
-      |    t.franchise_flag,
-      |    t.franchise_id,
-      |    f.first_name AS franchisee_first_name,
-      |    f.last_name AS franchisee_last_name,
-      |    l.location_id,
-      |    cl.customer_id,
-      |    cl.first_name,
-      |    cl.last_name,
-      |    cl.e_mail,
-      |    cl.phone_number,
-      |    cl.children_count,
-      |    cl.gender,
-      |    cl.marital_status,
-      |    od.menu_item_id,
-      |    m.menu_item_name,
-      |    od.quantity,
-      |    od.unit_price,
-      |    od.price,
-      |    oh.order_amount,
-      |    oh.order_tax_amount,
-      |    oh.order_discount_amount,
-      |    oh.order_total,
-      |    oh.order_failed
-      |FROM {{ ref('raw_pos_order_detail') }} od
-      |JOIN {{ ref('raw_pos_order_header') }} oh
-      |    ON od.order_id = oh.order_id
-      |JOIN {{ ref('raw_pos_truck') }} t
-      |    ON oh.truck_id = t.truck_id
-      |JOIN {{ ref('raw_pos_menu') }} m
-      |    ON od.menu_item_id = m.menu_item_id
-      |JOIN {{ ref('raw_pos_franchise') }} f
-      |    ON t.franchise_id = f.franchise_id
-      |JOIN {{ ref('raw_pos_location') }} l
-      |    ON oh.location_id = l.location_id
-      |LEFT JOIN {{ ref('raw_customer_customer_loyalty') }} cl
-      |    ON oh.customer_id = cl.customer_id""".stripMargin,
-    Materialization.Table)
+    * (anonymous orders keep NULL customer columns). Lives at
+    * models/tastybytes/marts/orders.sql. */
+  lazy val orders: SqlModel = fileModels("orders")
 
   /** Port of dbt/models/marts/customer_loyalty_metrics.sql:1-16.
     * `ARRAY_AGG(DISTINCT ...)` maps exactly to `collect_set` (both are
-    * unordered distinct aggregation — SURVEY A2). */
-  val customerLoyaltyMetrics: SqlModel = SqlModel(
-    "customer_loyalty_metrics",
-    """SELECT
-      |    cl.customer_id,
-      |    cl.city,
-      |    cl.country,
-      |    cl.first_name,
-      |    cl.last_name,
-      |    cl.phone_number,
-      |    cl.e_mail,
-      |    SUM(oh.order_total) AS total_sales,
-      |    collect_set(oh.location_id) AS visited_location_ids_array
-      |FROM {{ ref('raw_customer_customer_loyalty') }} cl
-      |JOIN {{ ref('raw_pos_order_header') }} oh
-      |ON cl.customer_id = oh.customer_id
-      |GROUP BY cl.customer_id, cl.city, cl.country, cl.first_name,
-      |cl.last_name, cl.phone_number, cl.e_mail""".stripMargin,
-    Materialization.Table)
+    * unordered distinct aggregation — SURVEY A2). Lives at
+    * models/tastybytes/marts/customer_loyalty_metrics.sql. */
+  lazy val customerLoyaltyMetrics: SqlModel =
+    fileModels("customer_loyalty_metrics")
 
   /** Op-for-op port of the Snowpark Python model
     * (dbt/models/marts/sales_metrics_by_location.py:3-78) as a Scala code
@@ -218,10 +162,9 @@ object TastyBytesProject {
       IsPositiveAmount(src("order_detail"), "price"))
   }
 
-  val project: Project = Project(
-    sources,
-    staging ++ Seq(orders, customerLoyaltyMetrics, salesMetricsByLocation),
-    tests)
+  lazy val project: Project = ProjectLoader.load(
+    modelsDir, sources, codeModels = Seq(salesMetricsByLocation),
+    tests = tests)
 
   def runner(target: Target = Target.dev): Runner =
     new Runner(project, target,

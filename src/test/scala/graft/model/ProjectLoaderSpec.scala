@@ -1,0 +1,81 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-per-model loading (the reference's `model-paths` layout):
+  * config-header parsing, DAG parity with the registry projects, and
+  * fail-fast on malformed config. */
+class ProjectLoaderSpec extends AnyFunSuite {
+
+  test("config header: defaults, table, incremental, schema") {
+    val view = ProjectLoader.parseModel("v", "SELECT 1")
+    assert(view.materialization == Materialization.View)
+    assert(view.customSchema.isEmpty)
+
+    val table = ProjectLoader.parseModel("t",
+      "{{ config(materialized='table') }}\nSELECT 1")
+    assert(table.materialization == Materialization.Table)
+    assert(table.sql == "SELECT 1")
+
+    val inc = ProjectLoader.parseModel("i",
+      "{{ config(materialized='incremental', partition_by=['day','hour']) }}\n" +
+        "SELECT * FROM {{ ref('up') }}")
+    assert(inc.materialization ==
+      Materialization.IncrementalByPartition(Seq("day", "hour")))
+    assert(inc.refs == Seq("up"))
+
+    val sch = ProjectLoader.parseModel("s",
+      "{{ config(materialized='table', schema='analytics') }}\nSELECT 1")
+    assert(sch.customSchema.contains("analytics"))
+  }
+
+  test("malformed config fails fast") {
+    intercept[IllegalArgumentException](
+      ProjectLoader.parseModel("m", "{{ config(materialised='table') }}\nSELECT 1"))
+    intercept[IllegalArgumentException](
+      ProjectLoader.parseModel("m", "{{ config(materialized='tabel') }}\nSELECT 1"))
+    intercept[IllegalArgumentException](
+      ProjectLoader.parseModel("m", "{{ config(materialized='incremental') }}\nSELECT 1"))
+    intercept[IllegalArgumentException](
+      ProjectLoader.parseModel("m",
+        "{{ config(materialized='table', partition_by=['d']) }}\nSELECT 1"))
+    intercept[IllegalArgumentException](
+      ProjectLoader.parseModel("m", "{{ config(materialized='table') }}\n  "))
+  }
+
+  test("models/tpch loads the gate project: names, configs, refs") {
+    val models = ProjectLoader.loadModels("models/tpch")
+    assert(models.map(_.name).sorted == Seq(
+      "customer_order_metrics", "nation_brief", "order_lines_enriched",
+      "stg_customer", "stg_lineitem", "stg_nation", "stg_orders",
+      "stg_region"))
+    val byName = models.map(m => m.name -> m).toMap
+    assert(byName("stg_orders").materialization == Materialization.View)
+    assert(byName("stg_orders").sources == Seq(("tpch", "orders")))
+    assert(byName("customer_order_metrics").materialization ==
+      Materialization.Table)
+    assert(byName("customer_order_metrics").refs.sorted ==
+      Seq("stg_customer", "stg_orders"))
+    assert(byName("nation_brief").customSchema.contains("analytics"))
+    assert(byName("order_lines_enriched").refs.sorted == Seq(
+      "stg_customer", "stg_lineitem", "stg_nation", "stg_orders",
+      "stg_region"))
+  }
+
+  test("models/tastybytes mirrors the reference project layout") {
+    val models = ProjectLoader.loadModels("models/tastybytes")
+    assert(models.size == 10)
+    val byName = models.map(m => m.name -> m).toMap
+    assert(byName("orders").materialization == Materialization.Table)
+    assert(byName("orders").refs.size == 7)
+    assert(byName("customer_loyalty_metrics").refs.sorted ==
+      Seq("raw_customer_customer_loyalty", "raw_pos_order_header"))
+    assert(byName("raw_customer_customer_loyalty").sources ==
+      Seq(("tb_101", "customer_loyalty")))
+  }
+
+  test("missing models dir fails fast") {
+    intercept[IllegalArgumentException](
+      ProjectLoader.loadModels("models/no_such_project"))
+  }
+}
