@@ -10,8 +10,11 @@ import graft.operators.TpchProject
   *
   * Usage:
   *   run     [--project tpch|tastybytes|dir:PATH] [--select EXPR]
-  *           [--target dev|prod] [--dir PATH] [--threads N]
-  *           [--materializer catalog|path] [--warehouse PATH]
+  *           [--exclude EXPR] [--target dev|prod] [--dir PATH]
+  *           [--threads N] [--materializer catalog|path]
+  *           [--warehouse PATH]
+  *           (EXPR: dbt algebra — `+name+` graph ops, space = union,
+  *            comma = intersection; --exclude subtracts its selection)
   *   test    [--project ...] [--dir PATH] [--target ...]
   *   compile [--project ...] [--target ...]
   *   deps      O1: package resolution report (dbt_utils tests are inlined)
@@ -67,7 +70,8 @@ object EngineCli {
       case "run" =>
         val results = runner.run(spark, opts.get("select"),
           runResultsPath = Some(s"$warehouse/run_results.json"),
-          threads = opts.getOrElse("threads", "1").toInt)
+          threads = opts.getOrElse("threads", "1").toInt,
+          exclude = opts.get("exclude"))
         results.foreach { r =>
           println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
             f"-> ${r.relation}%-32s ${r.millis}%6d ms")
@@ -107,10 +111,13 @@ object EngineCli {
         println("0 packages to resolve")
       case "freshness" =>
         runner.registerSources(spark)
-        runner.freshnessReport(spark).collect().foreach { row =>
-          println(f"${row.getString(0)}%-24s max_loaded_at=${row.get(1)} " +
-            f"age_s=${row.getLong(2)}")
+        val rows = runner.freshnessReport(spark).collect()
+        rows.foreach { row =>
+          println(f"${row.getString(3).toUpperCase}%-6s ${row.getString(0)}%-24s " +
+            f"max_loaded_at=${row.get(1)} age_s=${row.getLong(2)}")
         }
+        // dbt exit semantics: stale sources fail the invocation.
+        if (rows.exists(_.getString(3) == "error")) sys.exit(1)
       case "ls" =>
         // S7: `SHOW TABLES IN SCHEMA` (tasty_bytes_example_query.sql:2).
         runner.run(spark)

@@ -4,7 +4,10 @@ import scala.collection.mutable
 
 /** Dependency graph utilities: deterministic toposort (Kahn, alphabetical
   * tie-break), cycle detection, and dbt-style node selection
-  * (`name`, `+name`, `name+`, `+name+` — setup/task.sql:5, README:131).
+  * (`name`, `+name`, `name+`, `+name+` — setup/task.sql:5, README:131),
+  * composed with dbt's full expression algebra: space-separated selectors
+  * union, comma-separated selectors intersect, and `--exclude` subtracts
+  * its own selection from the result.
   */
 object Dag {
 
@@ -58,14 +61,35 @@ object Dag {
     seen.toSet
   }
 
-  /** Resolve a selection expression to the set of nodes to run. */
+  /** Resolve one atomic selector (`name`, `+name`, `name+`, `+name+`). */
   def select(expr: String, deps: Map[String, Seq[String]]): Set[String] = {
     val plusBefore = expr.startsWith("+")
     val plusAfter = expr.endsWith("+")
     val name = expr.stripPrefix("+").stripSuffix("+")
-    require(deps.contains(name), s"unknown model in --select: $name")
+    require(deps.contains(name), s"unknown model in selection: $name")
     Set(name) ++
       (if (plusBefore) ancestors(name, deps) else Set.empty) ++
       (if (plusAfter) descendants(name, deps) else Set.empty)
+  }
+
+  /** dbt expression algebra: space-separated terms union; within a term,
+    * comma-separated selectors intersect (`"a+ +b"` = either subgraph,
+    * `"a+,+b"` = nodes on a path from a to b). */
+  def selectMany(expr: String, deps: Map[String, Seq[String]]): Set[String] = {
+    val terms = expr.trim.split("""\s+""").filter(_.nonEmpty)
+    require(terms.nonEmpty, s"empty selection expression: '$expr'")
+    terms.map { term =>
+      term.split(",").filter(_.nonEmpty)
+        .map(select(_, deps)).reduce(_ intersect _)
+    }.foldLeft(Set.empty[String])(_ union _)
+  }
+
+  /** Full selection resolution: `--select` (default: everything) minus
+    * `--exclude` (dbt's subtraction semantics — the exclude expression
+    * expands through the same graph operators). */
+  def resolve(select: Option[String], exclude: Option[String],
+      deps: Map[String, Seq[String]]): Set[String] = {
+    val base = select.map(selectMany(_, deps)).getOrElse(deps.keySet)
+    base -- exclude.map(selectMany(_, deps)).getOrElse(Set.empty)
   }
 }

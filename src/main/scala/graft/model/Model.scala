@@ -76,19 +76,32 @@ final case class DfModel(
   def sources: Seq[(String, String)] = sourceNames
 }
 
+/** Source-freshness thresholds — dbt's `freshness: warn_after /
+  * error_after` blocks (the reference declares only `loaded_at_field`,
+  * __sources.yml:168; thresholds are the dbt semantics layered on top):
+  * age ≤ warn ⇒ pass, ≤ error ⇒ warn, beyond ⇒ error. */
+final case class FreshnessPolicy(
+    warnAfterSeconds: Long,
+    errorAfterSeconds: Long) {
+  require(warnAfterSeconds > 0 && errorAfterSeconds >= warnAfterSeconds,
+    "error_after must be at least warn_after, both positive")
+}
+
 /** A declared source: a named external relation with a loader — the engine
   * analogue of a dbt source registry entry (__sources.yml:2-7). At cluster
   * scale the loader is a catalog/parquet-path read; tests attach here.
   *
   * `loadedAtField` is dbt's source-freshness hook (`loaded_at_field:
   * ORDER_TS`, __sources.yml:168, SURVEY A7): when set, the engine can
-  * report `max(loadedAtField)` vs the wall clock per source.
+  * report `max(loadedAtField)` vs the wall clock per source; `freshness`
+  * adds the warn/error verdict thresholds.
   */
 final case class SourceDef(
     sourceName: String,
     table: String,
     load: SparkSession => DataFrame,
-    loadedAtField: Option[String] = None)
+    loadedAtField: Option[String] = None,
+    freshness: Option[FreshnessPolicy] = None)
 
 /** Target environment (profiles.yml:2-19 — dev/prod outputs differing only
   * in schema). */

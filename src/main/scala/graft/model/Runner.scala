@@ -237,9 +237,10 @@ final class Runner(
       spark: SparkSession,
       select: Option[String] = None,
       runResultsPath: Option[String] = None,
-      threads: Int = 1): Seq[NodeResult] = {
+      threads: Int = 1,
+      exclude: Option[String] = None): Seq[NodeResult] = {
     registerSources(spark)
-    val chosen = select.map(Dag.select(_, deps)).getOrElse(deps.keySet)
+    val chosen = Dag.resolve(select, exclude, deps)
     val ordered = Dag.toposort(deps).filter(chosen)
     val results =
       if (threads <= 1) runSerial(spark, ordered, chosen)
@@ -363,15 +364,28 @@ final class Runner(
 
   /** A7: source freshness — `max(loaded_at_field)` per source that
     * declares one (dbt's `loaded_at_field`, __sources.yml:168), with the
-    * age relative to `current_timestamp()`. One row per declared source;
-    * each is a single max-aggregate scan (Catalyst prunes to the one
-    * column, and a columnar format answers it from statistics at scale).
+    * age relative to `current_timestamp()` and the pass/warn/error
+    * verdict against the source's [[FreshnessPolicy]] (dbt's
+    * `warn_after`/`error_after`; sources without a policy report
+    * `pass`). One row per declared source; each is a single
+    * max-aggregate scan (Catalyst prunes to the one column, and a
+    * columnar format answers it from statistics at scale). A NULL max
+    * (empty source) is an `error` under a policy — an empty feed is the
+    * stalest possible one.
     */
   def freshnessReport(spark: SparkSession): DataFrame = {
     val withField = project.sources.filter(_.loadedAtField.isDefined)
     require(withField.nonEmpty, "no source declares loaded_at_field")
     withField.map { sd =>
       val f = sd.loadedAtField.get
+      val verdict = sd.freshness match {
+        case None => lit("pass")
+        case Some(p) =>
+          when(col("age_seconds").isNull ||
+            col("age_seconds") > p.errorAfterSeconds, "error")
+            .when(col("age_seconds") > p.warnAfterSeconds, "warn")
+            .otherwise("pass")
+      }
       sd.load(spark).agg(max(col(f)).as("max_loaded_at"))
         .select(
           lit(s"${sd.sourceName}.${sd.table}").as("source"),
@@ -379,6 +393,7 @@ final class Runner(
           (unix_timestamp(current_timestamp()) -
             unix_timestamp(col("max_loaded_at").cast("timestamp")))
             .as("age_seconds"))
+        .withColumn("verdict", verdict)
     }.reduce(_.union(_))
   }
 

@@ -30,9 +30,14 @@ object TpchProject {
   def sources(dir: String): Seq[SourceDef] =
     stagingTables.map { t =>
       // A7: orders.o_orderdate is the freshness hook, mirroring the
-      // reference's `loaded_at_field: ORDER_TS` (__sources.yml:168).
+      // reference's `loaded_at_field: ORDER_TS` (__sources.yml:168), with
+      // dbt warn_after/error_after thresholds matched to the reference's
+      // hourly refresh cadence (setup/task.sql:1-6): stale after 2 missed
+      // runs, error after a day.
       val loadedAt = if (t == "orders") Some("o_orderdate") else None
-      SourceDef("tpch", t, s => Tables(s, dir, t), loadedAt)
+      val policy = if (t == "orders")
+        Some(FreshnessPolicy(2L * 3600, 24L * 3600)) else None
+      SourceDef("tpch", t, s => Tables(s, dir, t), loadedAt, policy)
     }
 
   /** The SQL tier loads from the `models/tpch` dir (ProjectLoader) — the
@@ -278,6 +283,22 @@ object EngineQueries extends QueryPack {
       },
       Some("""SELECT 'tpch.orders' AS source,
              | MAX(o_orderdate) AS max_loaded_at
+             |FROM orders""".stripMargin)),
+
+    // ---- A7 thresholds: the warn_after/error_after verdict
+    // (FreshnessPolicy). The testdata's newest order is decades old, so
+    // against the declared 2h/24h policy the verdict is deterministically
+    // 'error' — which is exactly what the oracle pins (the pass/warn
+    // boundaries are wall-clock-relative and spec-gated instead).
+    Q("o04_freshness_verdict",
+      (spark, dir) => {
+        TpchProject.runner(dir).freshnessReport(spark)
+          .select(col("source"), col("max_loaded_at"), col("verdict"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT 'tpch.orders' AS source,
+             | MAX(o_orderdate) AS max_loaded_at,
+             | 'error' AS verdict
              |FROM orders""".stripMargin)),
 
     // ---- O7 surface: run_results.json read back through the engine —

@@ -39,4 +39,18 @@ class DagSpec extends AnyFunSuite {
     assert(Dag.select("+b+", deps) == Set("a", "b", "d"))
     intercept[IllegalArgumentException](Dag.select("nope", deps))
   }
+
+  test("selection algebra: union, intersection, exclude") {
+    // space = union
+    assert(Dag.selectMany("b e", deps) == Set("b", "e"))
+    assert(Dag.selectMany("+b e", deps) == Set("a", "b", "e"))
+    // comma = intersection: nodes both downstream of b and upstream of d
+    assert(Dag.selectMany("b+,+d", deps) == Set("b", "d"))
+    // exclude subtracts its own graph-expanded selection
+    assert(Dag.resolve(None, None, deps) == deps.keySet)
+    assert(Dag.resolve(None, Some("d"), deps) == Set("a", "b", "c", "e"))
+    assert(Dag.resolve(Some("+d"), Some("c+"), deps) == Set("a", "b"))
+    assert(Dag.resolve(Some("a+ e"), Some("+d"), deps) == Set("e"))
+    intercept[IllegalArgumentException](Dag.selectMany("  ", deps))
+  }
 }

@@ -129,6 +129,15 @@ class RunnerSpec extends SparkSuite {
     assert(!spark.catalog.tableExists("dev_down2_s"))
   }
 
+  test("--exclude removes its subgraph from the run") {
+    val runner = TpchProject.runner(dir)
+    val results = runner.run(spark,
+      select = Some("+customer_order_metrics"),
+      exclude = Some("customer_order_metrics"))
+    assert(results.map(_.name).toSet == Set("stg_customer", "stg_orders"))
+    assert(results.forall(_.status == "success"))
+  }
+
   test("source freshness reports max(loaded_at) and age per source") {
     val runner = TpchProject.runner(dir)
     runner.registerSources(spark)
@@ -136,6 +145,29 @@ class RunnerSpec extends SparkSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("tpch.orders"))
     assert(rows.head.get(1) != null) // max(o_orderdate) on real data
     assert(rows.head.getLong(2) > 0) // historical data ⇒ positive age
+    assert(rows.head.getString(3) == "error") // decades stale vs 2h/24h
+  }
+
+  test("freshness verdicts: pass / warn / error / no-policy boundaries") {
+    import org.apache.spark.sql.functions.{current_timestamp, expr}
+    def src(name: String, lag: String, policy: Option[FreshnessPolicy]) =
+      SourceDef("fx", name,
+        s => s.range(1).select(
+          (current_timestamp() - expr(s"INTERVAL $lag")).as("loaded_at")),
+        Some("loaded_at"), policy)
+    val policy = Some(FreshnessPolicy(2L * 3600, 24L * 3600))
+    val p = Project(Seq(
+      src("fresh", "10 MINUTE", policy),   // age < warn_after  -> pass
+      src("stale", "3 HOUR", policy),      // warn < age < err  -> warn
+      src("dead", "48 HOUR", policy),      // age > error_after -> error
+      src("nopolicy", "48 HOUR", None)),   // no thresholds     -> pass
+      Seq(SqlModel("unused_fx", "SELECT * FROM {{ source('fx','fresh') }}")))
+    val verdicts = new Runner(p, Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts-fx"))
+      .freshnessReport(spark).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(verdicts == Map("fx.fresh" -> "pass", "fx.stale" -> "warn",
+      "fx.dead" -> "error", "fx.nopolicy" -> "pass"))
   }
 
   test("failing model aborts the run with context") {
