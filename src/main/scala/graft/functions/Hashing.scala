@@ -94,6 +94,53 @@ case class SimHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** SimHash over a pre-hashed shingle SET (array<long> from
+  * [[HashedShingles]]/[[HashedWordShingles]]): bit b of the signature is
+  * the majority vote of bit b across the element hashes. Shingle-level
+  * simhash is far more discriminative than the token-level [[SimHash64]]
+  * on template-heavy corpora: unrelated documents share common TOKENS
+  * (which drags every token signature toward the corpus majority and
+  * floods banded joins with false candidates — measured 3.3M candidate
+  * pairs at hamming ≤ 15 on the sf0.1 corpus) but few word 3-grams
+  * (453 candidates, same cutoff, same banding — `tools/
+  * ShingleSimhashProbe`), while near-duplicates share most shingles and
+  * stay within a small hamming radius (true-pair max 12 vs 13
+  * token-level). Empty input → null, like [[MinHashSig]].
+  */
+case class SimHashOfHashes(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_of_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over a shingle set: k permutations via universal
   * hashing h_i(x) = a_i * fnv(x) + b_i with splitmix64-derived odd
   * multipliers. Accepts either array<string> (raw shingles; FNV-hashed
@@ -543,6 +590,7 @@ object Hashing {
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
+  def simhashOfHashes(col: Column): Column = c(SimHashOfHashes(e(col)))
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def wordShingles(col: Column, n: Int): Column = c(WordShingles(e(col), n))
   def hashedShingles(col: Column): Column = c(HashedShingles(e(col)))

@@ -23,11 +23,12 @@ import graft.functions.{Hashing, TextFunctions}
   *    bucket key, AQE handles skewed buckets); candidates are then verified
   *    with exact jaccard so precision is 1.0 and recall is the banding
   *    probability (b=16, r=4 ⇒ P(miss | j=0.9) ≈ 4e-8).
-  *  - SimHash: one 64-bit signature per doc, banded into 8×8-bit keys,
-  *    plus a 1-bit multiprobe (Manku-style: each band also probes its 8
-  *    one-bit-flipped keys) — pigeonhole then guarantees candidate
-  *    generation for hamming ≤ 15: among 8 bands some band differs in at
-  *    most ⌊15/8⌋ = 1 bit, and that band's probe set covers it.
+  *  - SimHash: one 64-bit shingle-set signature per doc, banded into
+  *    8×8-bit keys, plus a 1-bit multiprobe (Manku-style: each band also
+  *    probes its 8 one-bit-flipped keys) — pigeonhole then guarantees
+  *    candidate generation for hamming ≤ 15: among 8 bands some band
+  *    differs in at most ⌊15/8⌋ = 1 bit, and that band's probe set
+  *    covers it.
   */
 object Dedup {
 
@@ -282,30 +283,33 @@ object Dedup {
 
   /** SimHash banding (8 bands × 8 bits) with a 1-bit multiprobe per band
     * ⇒ no candidate missed at hamming ≤ 15; pairs reported with hamming
-    * distance and verified jaccard. With verification exact and the
-    * corpus's qualifying pairs all inside the probe radius (measured max
-    * hamming 13 across the testdata SFs — `tools/HammingProbe`), the
-    * output equals [[jaccardPairs]], which is the driver oracle for d04.
+    * distance and verified jaccard. The signature is
+    * [[graft.functions.SimHashOfHashes]] over the document's hashed
+    * shingle SET — not the token-level [[graft.functions.SimHash64]]:
+    * shingles decorrelate unrelated documents (see the kernel's scaladoc;
+    * token signatures flooded verification with 3.3M candidates at sf0.1
+    * vs 453 for shingle signatures, same banding), and the signature then
+    * derives from exactly the set jaccard compares, so identical shingle
+    * sets ⇒ hamming 0 by construction. With verification exact and the
+    * corpus's qualifying pairs inside the probe radius (measured max
+    * hamming 12 — `tools/ShingleSimhashProbe`), the output equals
+    * [[jaccardPairs]], which is the driver oracle for d04.
     *
     * Like [[jaccardPairs]], exact-duplicate clusters (identical shingle
     * sets) are collapsed to one representative before banding — identical
-    * text means identical signature, so a cluster of m copies otherwise
+    * sets mean identical signatures, so a cluster of m copies otherwise
     * floods every one of its bands' buckets with m entries and the bucket
     * join enumerates m²·bands candidates for pairs that are trivially
     * duplicates. Cross-cluster pairs inherit the representatives' hamming
     * and jaccard; within-cluster pairs are emitted with hamming 0 and
-    * jaccard 1. (For the pathological case of equal shingle SETS under
-    * different token bags the reported hamming is the representative's —
-    * the jaccard filter itself stays exact, it is set-based.)
+    * jaccard 1.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxHamming: Int = 15): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     val groups = clusters(sh)
     val repPairs = simhashRepPairs(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .join(groups.select(col("doc_id")), "doc_id"),
-      sh, threshold, maxHamming)
+      groups.select(col("doc_id"), col("shingles")), sh, threshold, maxHamming)
     expandClusters(repPairs, groups,
       valueCols = Seq("hamming", "jaccard"),
       withinValues = Seq(lit(0).cast("int").as("hamming"),
@@ -326,7 +330,7 @@ object Dedup {
     require(maxHamming < 16,
       "1-bit multiprobe over 8 bands guarantees recall only to hamming 15")
     val sig = reps.select(col("doc_id"),
-      Hashing.simhash64(col("text")).as("sig"))
+      Hashing.simhashOfHashes(col("shingles")).as("sig"))
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL)).as("bucket"))

@@ -10,7 +10,7 @@ import graft.core.{Q, QueryPack, Tables}
   * by construction, d03's banding makes a missed ≥0.6 pair
   * astronomically unlikely on near-identical documents (planted dups sit
   * at j ≥ 0.9), and d04's multiprobe is recall-guaranteed through
-  * hamming 15 (corpus max 13).
+  * hamming 15 (corpus max 12 on the shingle-set signature).
   */
 object DedupQueries extends QueryPack {
 
@@ -104,8 +104,9 @@ object DedupQueries extends QueryPack {
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // SimHash banding + 1-bit multiprobe guarantees candidates to hamming
-    // 15; the corpus's qualifying pairs top out at hamming 13
-    // (tools/HammingProbe), and verification makes precision exact — so
+    // 15; the corpus's qualifying pairs top out at hamming 12 on the
+    // shingle-set signature (tools/ShingleSimhashProbe), and
+    // verification makes precision exact — so
     // the emitted pair set equals the brute-force jaccard oracle. The
     // hamming column itself is signature-internal (not SQL-expressible),
     // so the gate projects it away; ExtensionSpec pins the full output.

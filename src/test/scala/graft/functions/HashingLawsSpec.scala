@@ -77,6 +77,20 @@ class HashingLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("simhash-of-hashes: order-invariant, majority law, empty → null") {
+    val sig = SimHashOfHashes(Literal("x"))
+    def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray[Any])
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.long), Gen.long) { (hs, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(hs)
+      sig.nullSafeEval(arr(hs)) == sig.nullSafeEval(arr(shuffled))
+    })
+    // unanimous bits: a single element's signature is the element itself
+    check(Prop.forAll(Gen.long) { h =>
+      sig.nullSafeEval(arr(Seq(h))) == h
+    })
+    assert(sig.nullSafeEval(arr(Nil)) == null)
+  }
+
   test("minhash signature is order-invariant and k-length") {
     val mh = MinHashSig(Literal("x"), 16)
     val shinglesGen = Gen.nonEmptyListOf(word)

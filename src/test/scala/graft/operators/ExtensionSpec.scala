@@ -85,7 +85,8 @@ class ExtensionSpec extends SparkSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
     // Verification ⇒ precision 1; 1-bit multiprobe over 8×8 banding ⇒
-    // recall 1 through hamming 15 (corpus max is 13, tools/HammingProbe).
+    // recall 1 through hamming 15 (corpus max on the shingle-set
+    // signature is 12, tools/ShingleSimhashProbe).
     assert(sim == exact)
   }
 
