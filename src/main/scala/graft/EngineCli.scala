@@ -10,11 +10,13 @@ import graft.operators.TpchProject
   *
   * Usage:
   *   run     [--project tpch|tastybytes|dir:PATH] [--select EXPR]
-  *           [--exclude EXPR] [--target dev|prod] [--dir PATH]
-  *           [--threads N] [--materializer catalog|path]
+  *           [--exclude EXPR] [--state MANIFEST] [--target dev|prod]
+  *           [--dir PATH] [--threads N] [--materializer catalog|path]
   *           [--warehouse PATH]
   *           (EXPR: dbt algebra — `+name+` graph ops, space = union,
-  *            comma = intersection; --exclude subtracts its selection)
+  *            comma = intersection, `state:modified`/`state:new` against
+  *            --state; --exclude subtracts its selection. Every run
+  *            writes WAREHOUSE/manifest.json for the next --state.)
   *   test    [--project ...] [--dir PATH] [--target ...]
   *   compile [--project ...] [--target ...]
   *   deps      O1: package resolution report (dbt_utils tests are inlined)
@@ -71,7 +73,9 @@ object EngineCli {
         val results = runner.run(spark, opts.get("select"),
           runResultsPath = Some(s"$warehouse/run_results.json"),
           threads = opts.getOrElse("threads", "1").toInt,
-          exclude = opts.get("exclude"))
+          exclude = opts.get("exclude"),
+          state = opts.get("state"),
+          manifestPath = Some(s"$warehouse/manifest.json"))
         results.foreach { r =>
           println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
             f"-> ${r.relation}%-32s ${r.millis}%6d ms")

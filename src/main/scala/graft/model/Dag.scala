@@ -61,35 +61,45 @@ object Dag {
     seen.toSet
   }
 
-  /** Resolve one atomic selector (`name`, `+name`, `name+`, `+name+`). */
-  def select(expr: String, deps: Map[String, Seq[String]]): Set[String] = {
+  /** Resolve one atomic selector: `name` (with optional `+` graph
+    * prefix/suffix applying ancestors/descendants), or a non-name atom
+    * (`state:modified`, `state:new`, …) resolved by `atom` to a node SET —
+    * the graph operators then expand over every member (dbt's
+    * `state:modified+`). */
+  def select(expr: String, deps: Map[String, Seq[String]],
+      atom: String => Option[Set[String]] = _ => None): Set[String] = {
     val plusBefore = expr.startsWith("+")
     val plusAfter = expr.endsWith("+")
     val name = expr.stripPrefix("+").stripSuffix("+")
-    require(deps.contains(name), s"unknown model in selection: $name")
-    Set(name) ++
-      (if (plusBefore) ancestors(name, deps) else Set.empty) ++
-      (if (plusAfter) descendants(name, deps) else Set.empty)
+    val base = atom(name).getOrElse {
+      require(deps.contains(name), s"unknown model in selection: $name")
+      Set(name)
+    }
+    base ++
+      (if (plusBefore) base.flatMap(ancestors(_, deps)) else Set.empty) ++
+      (if (plusAfter) base.flatMap(descendants(_, deps)) else Set.empty)
   }
 
   /** dbt expression algebra: space-separated terms union; within a term,
     * comma-separated selectors intersect (`"a+ +b"` = either subgraph,
     * `"a+,+b"` = nodes on a path from a to b). */
-  def selectMany(expr: String, deps: Map[String, Seq[String]]): Set[String] = {
+  def selectMany(expr: String, deps: Map[String, Seq[String]],
+      atom: String => Option[Set[String]] = _ => None): Set[String] = {
     val terms = expr.trim.split("""\s+""").filter(_.nonEmpty)
     require(terms.nonEmpty, s"empty selection expression: '$expr'")
     terms.map { term =>
       term.split(",").filter(_.nonEmpty)
-        .map(select(_, deps)).reduce(_ intersect _)
+        .map(select(_, deps, atom)).reduce(_ intersect _)
     }.foldLeft(Set.empty[String])(_ union _)
   }
 
   /** Full selection resolution: `--select` (default: everything) minus
     * `--exclude` (dbt's subtraction semantics — the exclude expression
-    * expands through the same graph operators). */
+    * expands through the same graph operators and atoms). */
   def resolve(select: Option[String], exclude: Option[String],
-      deps: Map[String, Seq[String]]): Set[String] = {
-    val base = select.map(selectMany(_, deps)).getOrElse(deps.keySet)
-    base -- exclude.map(selectMany(_, deps)).getOrElse(Set.empty)
+      deps: Map[String, Seq[String]],
+      atom: String => Option[Set[String]] = _ => None): Set[String] = {
+    val base = select.map(selectMany(_, deps, atom)).getOrElse(deps.keySet)
+    base -- exclude.map(selectMany(_, deps, atom)).getOrElse(Set.empty)
   }
 }

@@ -238,9 +238,12 @@ final class Runner(
       select: Option[String] = None,
       runResultsPath: Option[String] = None,
       threads: Int = 1,
-      exclude: Option[String] = None): Seq[NodeResult] = {
+      exclude: Option[String] = None,
+      state: Option[String] = None,
+      manifestPath: Option[String] = None): Seq[NodeResult] = {
     registerSources(spark)
-    val chosen = Dag.resolve(select, exclude, deps)
+    val chosen = Dag.resolve(select, exclude, deps, stateAtom(state))
+    manifestPath.foreach(writeManifest)
     val ordered = Dag.toposort(deps).filter(chosen)
     val results =
       if (threads <= 1) runSerial(spark, ordered, chosen)
@@ -395,6 +398,60 @@ final class Runner(
             .as("age_seconds"))
         .withColumn("verdict", verdict)
     }.reduce(_.union(_))
+  }
+
+  /** dbt state-comparison surface (`--select state:modified --state
+    * PATH`): each model's definition is fingerprinted; a manifest maps
+    * model name → fingerprint. `state:modified` selects models whose
+    * fingerprint differs from (or is absent in) the manifest written by a
+    * previous run; `state:new` selects only the absent ones. SQL models
+    * fingerprint their full definition (raw SQL + materialization +
+    * schema override); code models fingerprint their declared interface
+    * (refs + materialization + schema) — a changed Scala body is a
+    * recompile, which dbt-style state comparison cannot see, exactly as
+    * dbt's python-model checksums only cover the file content.
+    */
+  def fingerprints: Map[String, String] = project.models.map { m =>
+    val parts = m match {
+      case s: SqlModel =>
+        Seq("sql", s.sql, s.materialization.toString, s.customSchema.toString)
+      case d: DfModel =>
+        Seq("df", d.refNames.mkString(","), d.materialization.toString,
+          d.customSchema.toString)
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(parts.mkString(" ").getBytes("UTF-8"))
+    m.name -> digest.map("%02x".format(_)).mkString
+  }.toMap
+
+  def writeManifest(path: String): Unit = {
+    val entries = fingerprints.toSeq.sortBy(_._1)
+      .map { case (n, f) => s"""    "$n": "$f"""" }
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p,
+      s"""{\n  "models": {\n${entries.mkString(",\n")}\n  }\n}\n""")
+  }
+
+  /** Flat name→fingerprint parse of [[writeManifest]]'s artifact (model
+    * names cannot contain quotes; fingerprints are hex). */
+  private def readManifest(path: String): Map[String, String] =
+    """"([^"]+)"\s*:\s*"([0-9a-f]{64})"""".r
+      .findAllMatchIn(Files.readString(Paths.get(path)))
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  private def stateAtom(state: Option[String])
+      : String => Option[Set[String]] = {
+    case a @ ("state:modified" | "state:new") =>
+      val manifest = readManifest(state.getOrElse(throw
+        new IllegalArgumentException(s"$a selector requires a state manifest path")))
+      val cur = fingerprints
+      Some(
+        if (a == "state:new") cur.keySet.filterNot(manifest.contains)
+        else cur.collect {
+          case (n, f) if !manifest.get(n).contains(f) => n
+        }.toSet)
+    case _ => None
   }
 
   /** O7: run_results.json — per-node status/timing artifact. */

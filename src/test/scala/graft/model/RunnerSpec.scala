@@ -138,6 +138,50 @@ class RunnerSpec extends SparkSuite {
     assert(results.forall(_.status == "success"))
   }
 
+  test("state:modified selects changed models against a prior manifest") {
+    val runner = TpchProject.runner(dir)
+    val manifest = "/tmp/graft-test/state/manifest.json"
+    runner.writeManifest(manifest)
+
+    // Unchanged project: nothing is modified, so a state:modified run is
+    // an empty (but valid) invocation.
+    assert(runner.run(spark, select = Some("state:modified"),
+      state = Some(manifest)).isEmpty)
+
+    // Change one mart's SQL: it and (with the + suffix) its descendants
+    // are selected; everything untouched is not.
+    val changed = TpchProject.project(dir)
+    val patched = Project(
+      changed.sources,
+      changed.models.map {
+        case s: SqlModel if s.name == "stg_orders" =>
+          s.copy(sql = s.sql + " WHERE o_orderkey IS NOT NULL")
+        case m => m
+      },
+      changed.tests)
+    val r2 = new Runner(patched, Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts-state"))
+    val results = r2.run(spark, select = Some("state:modified+"),
+      state = Some(manifest))
+    val names = results.map(_.name).toSet
+    assert(names.contains("stg_orders"))
+    assert(names.contains("customer_order_metrics")) // downstream
+    assert(!names.contains("stg_region")) // untouched branch
+    assert(results.forall(_.status == "success"))
+
+    // state:new: a model added to the project (absent from the manifest).
+    val withNew = Project(changed.sources,
+      changed.models :+ SqlModel("brand_new",
+        "SELECT * FROM {{ ref('stg_nation') }}"), changed.tests)
+    val r3 = new Runner(withNew, Target.dev,
+      new PathMaterializer("/tmp/graft-test/marts-state"))
+    assert(r3.run(spark, select = Some("state:new"), state = Some(manifest))
+      .map(_.name) == Seq("brand_new"))
+
+    intercept[IllegalArgumentException](
+      runner.run(spark, select = Some("state:modified")))
+  }
+
   test("source freshness reports max(loaded_at) and age per source") {
     val runner = TpchProject.runner(dir)
     runner.registerSources(spark)
