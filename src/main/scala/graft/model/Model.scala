@@ -33,6 +33,21 @@ object Materialization {
       extends Materialization {
     require(partitionCols.nonEmpty, "partition columns required")
   }
+
+  /** Engine extension: dbt snapshots (SCD type-2 history, timestamp
+    * strategy). The model SELECT must yield at most one row per
+    * `uniqueKey` with a monotone `updatedAt` column; each run compares
+    * against the open rows in the existing snapshot and (a) inserts new
+    * keys, (b) closes the open row (`valid_to` = new `updatedAt`) and
+    * opens a fresh one whenever the source row is newer, (c) leaves
+    * untouched keys (and all closed history) as-is. `valid_to IS NULL`
+    * marks the current row — dbt's dbt_valid_from/dbt_valid_to contract.
+    */
+  final case class Snapshot(uniqueKey: String, updatedAt: String)
+      extends Materialization {
+    require(uniqueKey.nonEmpty && updatedAt.nonEmpty,
+      "snapshot requires unique_key and updated_at")
+  }
 }
 
 sealed trait Model {

@@ -18,11 +18,12 @@ import scala.util.matching.Regex
   * {{ config(materialized='table', schema='analytics') }}
   *
   * Supported keys mirror the reference surface: `materialized`
-  * (view | table | incremental — dbt_project.yml:20-25), `partition_by`
-  * (incremental partition columns), and `schema` (the
-  * generate_schema_name.sql custom-schema override). Unknown keys fail
-  * fast — a typo'd config silently defaulting to a view is how marts
-  * quietly become temp views in production.
+  * (view | table | incremental | snapshot — dbt_project.yml:20-25 plus
+  * dbt's snapshot blocks), `partition_by` (incremental partition
+  * columns), `unique_key`/`updated_at` (snapshot SCD2 contract), and
+  * `schema` (the generate_schema_name.sql custom-schema override).
+  * Unknown keys fail fast — a typo'd config silently defaulting to a
+  * view is how marts quietly become temp views in production.
   *
   * Code models (the reference's Python models) and sources (loaders are
   * code by nature) stay programmatic and are merged in via `load`.
@@ -71,7 +72,8 @@ object ProjectLoader {
           kv.group(1) -> value
         }.toMap
       }.getOrElse(Map.empty)
-    val unknown = cfg.keySet -- Set("materialized", "partition_by", "schema")
+    val unknown = cfg.keySet --
+      Set("materialized", "partition_by", "schema", "unique_key", "updated_at")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -85,6 +87,9 @@ object ProjectLoader {
       case Left(s) => Seq(s)
     }
 
+    def required(k: String, forWhat: String): String =
+      str(k).getOrElse(throw new IllegalArgumentException(
+        s"$where: $forWhat model requires $k"))
     val materialization = str("materialized").getOrElse("view") match {
       case "view" => Materialization.View
       case "table" => Materialization.Table
@@ -92,12 +97,18 @@ object ProjectLoader {
         Materialization.IncrementalByPartition(list("partition_by")
           .getOrElse(throw new IllegalArgumentException(
             s"$where: incremental model requires partition_by")))
+      case "snapshot" =>
+        Materialization.Snapshot(required("unique_key", "snapshot"),
+          required("updated_at", "snapshot"))
       case other => throw new IllegalArgumentException(
         s"$where: unknown materialization '$other'")
     }
     require(materialization.isInstanceOf[Materialization.IncrementalByPartition]
         || cfg.get("partition_by").isEmpty,
       s"$where: partition_by requires materialized='incremental'")
+    require(materialization.isInstanceOf[Materialization.Snapshot]
+        || (cfg.get("unique_key").isEmpty && cfg.get("updated_at").isEmpty),
+      s"$where: unique_key/updated_at require materialized='snapshot'")
 
     val sql = ConfigR.replaceAllIn(raw, "").trim
     require(sql.nonEmpty, s"$where: model file has no SQL body")

@@ -34,6 +34,26 @@ trait Materializer {
   /** Whether the relation exists from a previous run (drives
     * `incremental_filter` rendering: first run = full build). */
   def relationExists(spark: SparkSession, relation: String): Boolean
+
+  /** Read-modify-replace (snapshots): `df`'s plan READS the current
+    * contents of `relation`, so a direct overwrite would consume its own
+    * output. The result is staged to a side relation first, then
+    * re-read and written over the target — two writes, but correct on
+    * every filesystem (renames are copies on object stores anyway). On a
+    * lakehouse table format this whole method collapses to MERGE INTO;
+    * snapshot tables are dimension-history-sized, so the double write is
+    * not the scaling term.
+    */
+  def materializeReplace(spark: SparkSession, relation: String,
+      df: DataFrame): Unit = {
+    val stage = s"${relation}__stage"
+    materializeTable(spark, stage, df)
+    materializeTable(spark, relation, spark.table(stage))
+    dropRelation(spark, stage)
+  }
+
+  /** Remove a staged relation (view + backing storage). */
+  def dropRelation(spark: SparkSession, relation: String): Unit
 }
 
 object CatalogMaterializer {
@@ -90,6 +110,9 @@ final class CatalogMaterializer extends Materializer {
     df.write.mode("overwrite").format("parquet").saveAsTable(relation)
   }
 
+  def dropRelation(spark: SparkSession, relation: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $relation")
+
   /** Full-refresh (and first incremental) semantics must survive a dead
     * catalog entry: with a non-Hive (in-memory) catalog a previous process
     * may have left the managed location on disk while the catalog forgot
@@ -126,6 +149,13 @@ final class PathMaterializer(base: String) extends Materializer {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(relation)
+  }
+
+  def dropRelation(spark: SparkSession, relation: String): Unit = {
+    spark.catalog.dropTempView(relation)
+    val p = new org.apache.hadoop.fs.Path(s"$base/$relation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }
 
@@ -210,6 +240,9 @@ final class Runner(
           materializer.materializeTable(spark, relation, df)
         case Materialization.IncrementalByPartition(pcols) =>
           materializer.materializeIncremental(spark, relation, df, pcols)
+        case s: Materialization.Snapshot =>
+          materializer.materializeReplace(spark, relation,
+            snapshotFrame(spark, relation, df, s))
       }
       NodeResult(name, relation, "success",
         (System.nanoTime() - t0) / 1000000, None)
@@ -311,6 +344,52 @@ final class Runner(
     done.await()
     pool.shutdown()
     ordered.map(results.get)
+  }
+
+  /** SCD2 merge (dbt snapshot, timestamp strategy — see
+    * [[Materialization.Snapshot]]). First run: every source row opens
+    * (`valid_from` = its `updatedAt`, `valid_to` NULL). Later runs
+    * compare the source against the snapshot's OPEN rows only — closed
+    * history is immutable by construction and flows through untouched:
+    *  - key absent from the snapshot           → open a new row
+    *  - source `updatedAt` > open `valid_from` → close the open row at
+    *    the new `updatedAt` and open a fresh one
+    *  - otherwise                              → keep the open row as-is
+    * One shuffle on the key joins source and open rows; history never
+    * joins anything.
+    */
+  private def snapshotFrame(spark: SparkSession, relation: String,
+      src: DataFrame, s: Materialization.Snapshot): DataFrame = {
+    val key = s.uniqueKey
+    val srcCols = src.columns.toSeq
+    require(srcCols.contains(key) && srcCols.contains(s.updatedAt),
+      s"snapshot source must select $key and ${s.updatedAt}")
+    val tsType = src.schema(s.updatedAt).dataType
+    val open = src
+      .withColumn("valid_from", col(s.updatedAt))
+      .withColumn("valid_to", lit(null).cast(tsType))
+    if (!materializer.relationExists(spark, relation)) open
+    else {
+      val existing = spark.table(relation)
+      val history = existing.filter(col("valid_to").isNotNull)
+      val current = existing.filter(col("valid_to").isNull)
+      val srcKeys = src.select(col(key).as("__k"),
+        col(s.updatedAt).as("__new_from"))
+      val cur = current.join(srcKeys, current(key) === srcKeys("__k"), "left")
+      val isNewer = col("__k").isNotNull && col("__new_from") > col("valid_from")
+      val closed = cur.filter(isNewer)
+        .withColumn("valid_to", col("__new_from"))
+        .drop("__k", "__new_from")
+      val kept = cur.filter(!coalesce(isNewer, lit(false)))
+        .drop("__k", "__new_from")
+      val currentKeys = current.select(col(key).as("__ck"))
+      val opened = open
+        .join(currentKeys, open(key) === col("__ck"), "left_anti")
+        .unionByName(open.join(
+          cur.filter(isNewer).select(col("__k").as("__ck")),
+          open(key) === col("__ck"), "left_semi"))
+      history.unionByName(kept).unionByName(closed).unionByName(opened)
+    }
   }
 
   /** The materialized relation of a model, post-run. */
@@ -420,7 +499,7 @@ final class Runner(
           d.customSchema.toString)
     }
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(parts.mkString(" ").getBytes("UTF-8"))
+      .digest(parts.mkString("\u0000").getBytes("UTF-8"))
     m.name -> digest.map("%02x".format(_)).mkString
   }.toMap
 

@@ -388,6 +388,51 @@ object EngineQueries extends QueryPack {
              | 'prod_stg_nation' AS staging_relation
              |FROM nation ORDER BY nation_id""".stripMargin)),
 
+    // ---- Snapshot (SCD2) surface: a customer-segment snapshot run
+    // TWICE against a deterministically "updated" source — run 1 sees
+    // every customer at 2024-01-01; run 2 sees customers with
+    // customer_id % 3 = 0 re-segmented at 2024-02-01. The final state
+    // must hold, per changed key, a closed row (valid_to = the new
+    // updated_at) plus the new open row, and exactly the original open
+    // row for untouched keys — which the oracle reproduces in closed
+    // form. Dates ride as ISO strings: lexicographic order == date
+    // order, and strings are the driver-hash-stable type.
+    Q("m07_snapshot_scd2",
+      (spark, dir) => {
+        def srcSql(changed: Boolean) =
+          if (!changed)
+            """SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+              |  '2024-01-01' AS updated_at
+              |FROM {{ source('tpch', 'customer') }}""".stripMargin
+          else
+            """SELECT c_custkey AS customer_id,
+              |  CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED'
+              |       ELSE c_mktsegment END AS segment,
+              |  CASE WHEN c_custkey % 3 = 0 THEN '2024-02-01'
+              |       ELSE '2024-01-01' END AS updated_at
+              |FROM {{ source('tpch', 'customer') }}""".stripMargin
+        val base = java.nio.file.Files.createTempDirectory("graft_snap")
+          .toString
+        def runner(changed: Boolean) = new Runner(
+          Project(TpchProject.sources(dir),
+            Seq(SqlModel("customer_segments", srcSql(changed),
+              Materialization.Snapshot("customer_id", "updated_at")))),
+          Target.dev, new PathMaterializer(base))
+        runner(changed = false).run(spark)
+        val r2 = runner(changed = true)
+        r2.run(spark)
+        r2.table(spark, "customer_segments")
+          .orderBy(col("customer_id"), col("valid_from"))
+      },
+      Some("""SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+             |  '2024-01-01' AS updated_at, '2024-01-01' AS valid_from,
+             |  CASE WHEN c_custkey % 3 = 0 THEN '2024-02-01' END AS valid_to
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'CHANGED', '2024-02-01', '2024-02-01', NULL
+             |FROM customer WHERE c_custkey % 3 = 0
+             |ORDER BY customer_id, valid_from""".stripMargin)),
+
     // ---- S1 surface: the reference's CSV ingestion hop, end to end —
     // stage a typed table as headerless CSV, positionally load it against
     // the explicit schema, materialize as parquet, read back. The oracle
