@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Q, QueryPack}
 import graft.operators.{DedupQueries, EngineQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries, EngineQueries, TextQueries, DedupQueries,
-    VectorQueries, MultimodalQueries)
+    VectorQueries, MultimodalQueries, StreamingQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

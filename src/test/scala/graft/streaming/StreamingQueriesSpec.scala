@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.core.Tables
+
+/** Gate-level specs for the driver-facing streaming queries: the streamed
+  * result must equal the batch twin over the same feed, and replayed input
+  * must collapse to exactly the original rows. */
+class StreamingQueriesSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    StreamingQueries.queries.find(_.name == name).get.fn(spark, dir)
+
+  test("st01 streamed hourly agg equals the batch twin over the same feed") {
+    val streamed = run("st01_stream_hourly").collect()
+    val batch = EventsStream
+      .hourlyAggBatch(Tables(spark, dir, "events"))
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("sum_value").cast("decimal(38,4)").cast("string").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("st02 dedups a full replay back to exactly the original feed") {
+    val streamed = run("st02_stream_dedup_replay").collect()
+    val original = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+      .collect()
+    assert(streamed.length == original.length)
+    assert(streamed.map(_.toSeq).toSeq == original.map(_.toSeq).toSeq)
+  }
+}
