@@ -6,15 +6,18 @@ import org.apache.spark.sql.types._
 
 /** One closed user session: events gapped ≤ the inactivity gap apart,
   * keyed by user. Timestamps are epoch micros (stable encoder, no TZ
-  * dependence). Top-level so the product encoder codegen needs no outer
-  * instance. */
+  * dependence); `sum_s4` is the exact DECIMAL(·,4) event-value sum as a
+  * scaled long (×10⁴) — state accumulation must be exact integers, not
+  * doubles, so the emitted sessions are bit-identical regardless of
+  * micro-batch order / replay (float addition is not associative).
+  * Top-level so the product encoder codegen needs no outer instance. */
 final case class Session(
     user_id: Long, start_us: Long, end_us: Long,
-    n_events: Long, sum_value: Double)
+    n_events: Long, sum_s4: Long)
 
 /** One session summary inside [[SessionsState]]. */
 final case class SessionState(
-    start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+    start_us: Long, end_us: Long, n_events: Long, sum_s4: Long)
 
 /** Per-user state for [[EventsStream.sessionize]]: every session whose gap
   * horizon the watermark has not yet passed, ordered by start. More than
@@ -133,7 +136,11 @@ object EventsStream {
     val keyed = events
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("value"), col("ts"))
+        // Exact scaled-decimal value (Spark's own double→decimal cast
+        // semantics), so state addition is integer-exact — see [[Session]].
+        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long")
+          .as("v_s4"),
+        col("ts"))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
 
     def flush(
@@ -147,7 +154,7 @@ object EventsStream {
       // bounded by per-user activity per micro-batch — row-local and tiny.
       val incoming = rows.map { r =>
         val us = r.getLong(1)
-        SessionState(us, us, 1L, r.getDouble(2))
+        SessionState(us, us, 1L, r.getLong(2))
       }.toSeq
       val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
       (prior ++ incoming).sortBy(s => (s.start_us, s.end_us)).foreach { s =>
@@ -155,7 +162,7 @@ object EventsStream {
           val l = merged.last
           merged(merged.length - 1) = SessionState(
             l.start_us, math.max(l.end_us, s.end_us),
-            l.n_events + s.n_events, l.sum_value + s.sum_value)
+            l.n_events + s.n_events, l.sum_s4 + s.sum_s4)
         } else merged += s
       }
       val wm = state.getCurrentWatermarkMs()
@@ -169,7 +176,7 @@ object EventsStream {
         state.setTimeoutTimestamp(math.max(live.map(horizonMs).min, wm + 1))
       }
       ripe.iterator.map(s =>
-        Session(key, s.start_us, s.end_us, s.n_events, s.sum_value))
+        Session(key, s.start_us, s.end_us, s.n_events, s.sum_s4))
     }
 
     keyed.flatMapGroupsWithState(
@@ -183,7 +190,9 @@ object EventsStream {
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
     events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long")
+          .as("v_s4"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
@@ -192,8 +201,8 @@ object EventsStream {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        count(lit(1)).as("n_events"), sum(col("v_s4")).as("sum_s4"))
       .select(col("user_id"), col("start_us"), col("end_us"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_s4"))
   }
 }

@@ -81,6 +81,86 @@ object StreamingQueries extends QueryPack {
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id, event_type, value
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // foreachBatch incremental mart: update-mode hourly agg where each
+    // micro-batch dynamically overwrites exactly the hour partitions it
+    // touched. The gate reads the MART PARQUET back — so the oracle checks
+    // the materialized incremental table, not the in-flight stream.
+    Q("st04_stream_incremental_mart",
+      (s, dir) => {
+        val feedDir = Files.createTempDirectory("graft_st04_feed")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          feedDir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val mart = Files.createTempDirectory("graft_st04_mart")
+          .resolve("hourly").toString
+        val q = EventsStream
+          .hourlyMart(EventsStream.read(s, feedDir.toString), mart)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st04_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(mart)
+          .select(col("hour").cast("timestamp").as("hour"), col("event_type"),
+            col("n_events"),
+            col("sum_value").cast("decimal(38,4)").cast("string")
+              .as("sum_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             | COUNT(*) AS n_events,
+             | CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
+             |   AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Custom-state sessionization (flatMapGroupsWithState, event-time
+    // timeout) against the batch gaps-and-islands oracle. A sentinel event
+    // far in the future (user_id = -1, filtered out below) advances the
+    // final watermark past every real session's gap horizon, so the
+    // stream's own timeout path — not a batch twin — flushes every
+    // session before AvailableNow terminates.
+    Q("st03_stream_sessionize",
+      (s, dir) => {
+        val feedDir = Files.createTempDirectory("graft_st03_feed")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          feedDir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        s.read.schema(EventsStream.rawSchema)
+          .parquet(s"$dir/events.parquet").limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts",
+            (col("ts") + lit(3650L * 86400L * 1000000000L)).cast("long"))
+          .write.mode("append").parquet(feedDir.toString)
+        val sessions = EventsStream.sessionize(
+          EventsStream.read(s, feedDir.toString)).toDF()
+        runToCompletion(sessions, "st03_stream_sessionize_sink", "append")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events"),
+            (col("sum_s4").cast("decimal(38,4)") / lit(10000))
+              .cast("decimal(38,4)").cast("string").as("sum_value"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) AS v
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s AS (
+             |  SELECT *, CAST(SUM(brk) OVER (
+             |    PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+             |  FROM g)
+             |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+             |  COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+             |FROM s GROUP BY user_id, sess_id
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }

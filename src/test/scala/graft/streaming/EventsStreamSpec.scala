@@ -88,11 +88,12 @@ class EventsStreamSpec extends SparkSuite {
       q.processAllAvailable()
       q.processAllAvailable() // one more trigger for the timeout batch
 
+      // sum_s4 is an exact scaled long — streamed and batch results must
+      // be bit-identical, no rounding tolerance.
       def canon(df: org.apache.spark.sql.DataFrame) = df
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("start_us"), col("end_us"),
-          col("n_events").cast("long").as("n_events"),
-          round(col("sum_value"), 6).as("sum_value"))
+          col("n_events").cast("long").as("n_events"), col("sum_s4"))
         .orderBy(col("user_id"), col("start_us"))
         .collect().toSeq.map(_.toSeq)
 

@@ -26,6 +26,20 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("st03 sessionizes via stream state equal to batch gaps-and-islands") {
+    val streamed = run("st03_stream_sessionize").collect()
+    val batch = EventsStream
+      .sessionizeBatch(Tables(spark, dir, "events"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"),
+        (col("sum_s4").cast("decimal(38,4)") / lit(10000))
+          .cast("decimal(38,4)").cast("string").as("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("st02 dedups a full replay back to exactly the original feed") {
     val streamed = run("st02_stream_dedup_replay").collect()
     val original = Tables(spark, dir, "events")
