@@ -34,6 +34,29 @@ object Materialization {
     require(partitionCols.nonEmpty, "partition columns required")
   }
 
+  /** Engine extension: dbt's `incremental` with `unique_key` (the
+    * merge / delete+insert strategy). Each run's increment frame REPLACES
+    * the target rows sharing its keys and appends new ones; untouched
+    * keys survive. On plain parquet this is read-modify-replace
+    * (anti-join on the key + union + staged swap); on a lakehouse table
+    * format the identical contract is a single `MERGE INTO`. Use
+    * [[IncrementalByPartition]] when increments align with partitions —
+    * it rewrites only touched partitions; key-merge rewrites the table.
+    */
+  final case class IncrementalByKey(uniqueKey: Seq[String])
+      extends Materialization {
+    require(uniqueKey.nonEmpty, "unique_key required")
+  }
+
+  /** dbt's ephemeral materialization: never materialized. Downstream SQL
+    * models inline this model's rendered SELECT as a CTE
+    * (`WITH __cte__name AS (...)`), code models receive its DataFrame
+    * built on the fly — either way Catalyst sees one composed plan and
+    * optimizes through it, so staging logic can be factored out with
+    * zero storage or scheduling cost.
+    */
+  case object Ephemeral extends Materialization
+
   /** Engine extension: dbt snapshots (SCD type-2 history, timestamp
     * strategy). The model SELECT must yield at most one row per
     * `uniqueKey` with a monotone `updatedAt` column; each run compares

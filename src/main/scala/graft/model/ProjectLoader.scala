@@ -93,10 +93,17 @@ object ProjectLoader {
     val materialization = str("materialized").getOrElse("view") match {
       case "view" => Materialization.View
       case "table" => Materialization.Table
+      case "ephemeral" => Materialization.Ephemeral
       case "incremental" =>
-        Materialization.IncrementalByPartition(list("partition_by")
-          .getOrElse(throw new IllegalArgumentException(
-            s"$where: incremental model requires partition_by")))
+        // dbt keys the strategy off the config: partition_by → dynamic
+        // partition overwrite, unique_key → delete+insert merge.
+        (list("partition_by"), list("unique_key")) match {
+          case (Some(p), None) => Materialization.IncrementalByPartition(p)
+          case (None, Some(k)) => Materialization.IncrementalByKey(k)
+          case _ => throw new IllegalArgumentException(
+            s"$where: incremental model requires exactly one of " +
+              "partition_by or unique_key")
+        }
       case "snapshot" =>
         Materialization.Snapshot(required("unique_key", "snapshot"),
           required("updated_at", "snapshot"))
@@ -106,9 +113,13 @@ object ProjectLoader {
     require(materialization.isInstanceOf[Materialization.IncrementalByPartition]
         || cfg.get("partition_by").isEmpty,
       s"$where: partition_by requires materialized='incremental'")
+    require(cfg.get("unique_key").isEmpty
+        || materialization.isInstanceOf[Materialization.Snapshot]
+        || materialization.isInstanceOf[Materialization.IncrementalByKey],
+      s"$where: unique_key requires materialized='snapshot' or 'incremental'")
     require(materialization.isInstanceOf[Materialization.Snapshot]
-        || (cfg.get("unique_key").isEmpty && cfg.get("updated_at").isEmpty),
-      s"$where: unique_key/updated_at require materialized='snapshot'")
+        || cfg.get("updated_at").isEmpty,
+      s"$where: updated_at requires materialized='snapshot'")
 
     val sql = ConfigR.replaceAllIn(raw, "").trim
     require(sql.nonEmpty, s"$where: model file has no SQL body")

@@ -190,6 +190,15 @@ final class Runner(
     m.name -> m.refs
   }.toMap
 
+  /** Execution-time deps: ephemeral hops collapsed to their own
+    * (transitive) executable upstreams — an ephemeral node never runs, so
+    * scheduling and failure-skip must see through it to the real edge. */
+  private lazy val execDeps: Map[String, Seq[String]] = {
+    def expand(r: String): Seq[String] =
+      if (isEphemeral(r)) deps(r).flatMap(expand) else Seq(r)
+    deps.map { case (n, ds) => n -> ds.flatMap(expand).distinct }
+  }
+
   def relationOf(m: Model): String = {
     val schema = m.customSchema.getOrElse(target.schema)
     m.materialization match {
@@ -207,24 +216,66 @@ final class Runner(
         .createOrReplaceTempView(sourceRelation(sd.sourceName, sd.table))
     }
 
+  private def isEphemeral(name: String): Boolean =
+    byName(name).materialization == Materialization.Ephemeral
+
+  private def cteName(name: String): String = s"__cte__$name"
+
+  /** Transitive ephemeral refs of `m`, dependencies-first. */
+  private def ephemeralClosure(m: Model): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(r: String): Unit =
+      if (isEphemeral(r) && !seen.contains(r)) {
+        byName(r).refs.foreach(visit)
+        seen += r
+      }
+    m.refs.foreach(visit)
+    seen.toSeq
+  }
+
+  /** Rendered SQL with every transitive ephemeral ref inlined as a CTE
+    * (dbt's `__dbt__cte__` compilation). Ephemeral refs resolve to CTE
+    * names; everything else to its relation. A model body that itself
+    * starts with WITH has its CTE list merged into ours. */
+  private def renderSql(sm: SqlModel, thisExists: Boolean): String = {
+    val rel = relationOf(sm)
+    def renderOne(s: SqlModel): String = Renderer.render(s.sql,
+      ref = r => if (isEphemeral(r)) cteName(r) else relationOf(byName(r)),
+      source = (a, b) => sourceRelation(a, b),
+      thisRelation = Some(rel),
+      thisExists = thisExists)
+    val ctes = ephemeralClosure(sm).map { n =>
+      byName(n) match {
+        case es: SqlModel => s"${cteName(n)} AS (\n${renderOne(es)}\n)"
+        case _ => throw new IllegalArgumentException(
+          s"ephemeral code model $n cannot inline into SQL model ${sm.name}")
+      }
+    }
+    val body = renderOne(sm)
+    if (ctes.isEmpty) body
+    else {
+      val WithR = """(?is)^\s*WITH\b(.*)""".r
+      body match {
+        case WithR(rest) => s"WITH ${ctes.mkString(",\n")},$rest"
+        case _ => s"WITH ${ctes.mkString(",\n")}\n$body"
+      }
+    }
+  }
+
   /** O2: rendered SQL (SqlModel) without executing. Compile-time render
     * assumes a first (full) run for `incremental_filter`. */
-  def compileSql(m: SqlModel): String =
-    Renderer.render(m.sql,
-      ref = r => relationOf(byName(r)),
-      source = (s, t) => sourceRelation(s, t),
-      thisRelation = Some(relationOf(m)))
+  def compileSql(m: SqlModel): String = renderSql(m, thisExists = false)
 
   private def buildDf(spark: SparkSession, m: Model): DataFrame = m match {
     case sm: SqlModel =>
-      val rel = relationOf(sm)
-      spark.sql(Renderer.render(sm.sql,
-        ref = r => relationOf(byName(r)),
-        source = (s, t) => sourceRelation(s, t),
-        thisRelation = Some(rel),
-        thisExists = materializer.relationExists(spark, rel)))
+      spark.sql(renderSql(sm,
+        thisExists = materializer.relationExists(spark, relationOf(sm))))
     case dm: DfModel =>
-      dm.build(spark, r => spark.table(relationOf(byName(r))))
+      dm.build(spark, r => {
+        val rm = byName(r)
+        if (isEphemeral(r)) buildDf(spark, rm)
+        else spark.table(relationOf(rm))
+      })
   }
 
   private def materializeNode(spark: SparkSession, name: String): NodeResult = {
@@ -240,6 +291,23 @@ final class Runner(
           materializer.materializeTable(spark, relation, df)
         case Materialization.IncrementalByPartition(pcols) =>
           materializer.materializeIncremental(spark, relation, df, pcols)
+        case Materialization.Ephemeral =>
+          throw new IllegalStateException(
+            s"ephemeral model $name must not be materialized")
+        case Materialization.IncrementalByKey(keys) =>
+          // delete+insert by key: target rows sharing an increment key are
+          // replaced, others survive. One shuffle on the key; the staged
+          // swap is materializeReplace's contract (MERGE INTO on lakehouse
+          // formats).
+          if (!materializer.relationExists(spark, relation))
+            materializer.materializeTable(spark, relation, df)
+          else {
+            val existing = spark.table(relation)
+            val merged = existing
+              .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .unionByName(df)
+            materializer.materializeReplace(spark, relation, merged)
+          }
         case s: Materialization.Snapshot =>
           materializer.materializeReplace(spark, relation,
             snapshotFrame(spark, relation, df, s))
@@ -275,8 +343,11 @@ final class Runner(
       state: Option[String] = None,
       manifestPath: Option[String] = None): Seq[NodeResult] = {
     registerSources(spark)
-    val chosen = Dag.resolve(select, exclude, deps, stateAtom(state))
+    val selected = Dag.resolve(select, exclude, deps, stateAtom(state))
     manifestPath.foreach(writeManifest)
+    // Ephemeral nodes are never executed (dbt: they compile into their
+    // consumers); they still participate in the DAG for selection.
+    val chosen = (n: String) => selected(n) && !isEphemeral(n)
     val ordered = Dag.toposort(deps).filter(chosen)
     val results =
       if (threads <= 1) runSerial(spark, ordered, chosen)
@@ -293,7 +364,7 @@ final class Runner(
       chosen: String => Boolean): Seq[NodeResult] = {
     val bad = scala.collection.mutable.Set.empty[String] // failed or skipped
     ordered.map { n =>
-      if (deps(n).filter(chosen).exists(bad)) {
+      if (execDeps(n).filter(chosen).exists(bad)) {
         bad += n
         NodeResult(n, relationOf(byName(n)), "skipped", 0,
           Some("upstream failed"))
@@ -311,10 +382,10 @@ final class Runner(
     val chosen = ordered.toSet
     val remaining = new ConcurrentHashMap[String, java.lang.Integer]()
     ordered.foreach { n =>
-      remaining.put(n, deps(n).count(chosen))
+      remaining.put(n, execDeps(n).count(chosen))
     }
     val dependents: Map[String, Seq[String]] = ordered
-      .flatMap(n => deps(n).filter(chosen).map(_ -> n))
+      .flatMap(n => execDeps(n).filter(chosen).map(_ -> n))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = new ConcurrentHashMap[String, NodeResult]()
     val done = new CountDownLatch(ordered.size)
@@ -332,7 +403,7 @@ final class Runner(
       finish(name, NodeResult(name, relationOf(byName(name)),
         "skipped", 0, Some("upstream failed")))
     def submit(name: String): Unit = pool.execute { () =>
-      val upstreamBad = deps(name).filter(chosen).exists { d =>
+      val upstreamBad = execDeps(name).filter(chosen).exists { d =>
         val r = results.get(d)
         r != null && r.status != "success"
       }

@@ -433,6 +433,77 @@ object EngineQueries extends QueryPack {
              |FROM customer WHERE c_custkey % 3 = 0
              |ORDER BY customer_id, valid_from""".stripMargin)),
 
+    // ---- Incremental merge materialization (dbt incremental +
+    // unique_key, delete+insert strategy): two runs with overlapping key
+    // ranges — run 2's rows must REPLACE run 1's for shared keys
+    // (batch flips 1→2) while non-overlapping keys survive untouched.
+    Q("m08_incremental_merge",
+      (spark, dir) => {
+        def sql(batch: Int) = {
+          val (lo, hi) =
+            if (batch == 1) ("1994-01-01", "1995-01-01")
+            else ("1994-07-01", "1995-07-01")
+          s"""SELECT o_orderkey, o_custkey, o_orderstatus, $batch AS batch
+             |FROM {{ source('tpch', 'orders') }}
+             |WHERE o_orderdate >= CAST('$lo' AS TIMESTAMP)
+             |  AND o_orderdate < CAST('$hi' AS TIMESTAMP)""".stripMargin
+        }
+        val base = java.nio.file.Files.createTempDirectory("graft_merge")
+          .toString
+        def runner(batch: Int) = new Runner(
+          Project(TpchProject.sources(dir),
+            Seq(SqlModel("orders_merge", sql(batch),
+              Materialization.IncrementalByKey(Seq("o_orderkey"))))),
+          Target.dev, new PathMaterializer(base))
+        runner(1).run(spark)
+        val r2 = runner(2)
+        r2.run(spark)
+        r2.table(spark, "orders_merge").orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' THEN 2
+             |       ELSE 1 END AS batch
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+             |  AND o_orderdate < TIMESTAMP '1995-07-01'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Ephemeral materialization: a chain of two ephemeral models
+    // (the second refs the first) inlines as CTEs into the mart's own
+    // WITH clause — nothing is materialized for either, Catalyst sees one
+    // composed plan. The oracle computes the same composition directly.
+    Q("m09_ephemeral_models",
+      (spark, dir) => {
+        val ephJoin = SqlModel("eph_customer_nation",
+          """SELECT c.c_custkey, n.n_name
+            |FROM {{ source('tpch', 'customer') }} c
+            |JOIN {{ source('tpch', 'nation') }} n
+            |  ON c.c_nationkey = n.n_nationkey""".stripMargin,
+          Materialization.Ephemeral)
+        val ephFiltered = SqlModel("eph_even_customers",
+          """SELECT * FROM {{ ref('eph_customer_nation') }}
+            |WHERE c_custkey % 2 = 0""".stripMargin,
+          Materialization.Ephemeral)
+        val mart = SqlModel("customers_by_nation",
+          """WITH agg AS (
+            |  SELECT n_name, COUNT(*) AS n_customers
+            |  FROM {{ ref('eph_even_customers') }}
+            |  GROUP BY n_name)
+            |SELECT n_name, n_customers FROM agg""".stripMargin,
+          Materialization.Table)
+        val r = new Runner(
+          Project(TpchProject.sources(dir), Seq(ephJoin, ephFiltered, mart)),
+          Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_eph").toString))
+        r.run(spark)
+        r.table(spark, "customers_by_nation").orderBy(col("n_name"))
+      },
+      Some("""SELECT n.n_name, COUNT(*) AS n_customers
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE c.c_custkey % 2 = 0
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)),
+
     // ---- S1 surface: the reference's CSV ingestion hop, end to end —
     // stage a typed table as headerless CSV, positionally load it against
     // the explicit schema, materialize as parquet, read back. The oracle

@@ -78,4 +78,22 @@ class ProjectLoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ProjectLoader.loadModels("models/no_such_project"))
   }
+
+  test("config header: incremental strategies and ephemeral") {
+    val byKey = ProjectLoader.parseModel("m",
+      "{{ config(materialized='incremental', unique_key=['id']) }} SELECT 1")
+    assert(byKey.materialization ==
+      Materialization.IncrementalByKey(Seq("id")))
+    val eph = ProjectLoader.parseModel("m",
+      "{{ config(materialized='ephemeral') }} SELECT 1")
+    assert(eph.materialization == Materialization.Ephemeral)
+    // Strategy must be unambiguous.
+    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
+      "{{ config(materialized='incremental', unique_key=['id'], partition_by=['d']) }} SELECT 1"))
+    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
+      "{{ config(materialized='incremental') }} SELECT 1"))
+    // unique_key outside snapshot/incremental is still rejected.
+    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', unique_key=['id']) }} SELECT 1"))
+  }
 }
