@@ -36,13 +36,16 @@ trait Materializer {
   def relationExists(spark: SparkSession, relation: String): Boolean
 
   /** Read-modify-replace (snapshots): `df`'s plan READS the current
-    * contents of `relation`, so a direct overwrite would consume its own
-    * output. The result is staged to a side relation first, then
-    * re-read and written over the target — two writes, but correct on
-    * every filesystem (renames are copies on object stores anyway). On a
-    * lakehouse table format this whole method collapses to MERGE INTO;
-    * snapshot tables are dimension-history-sized, so the double write is
-    * not the scaling term.
+    * contents of `relation`, so a materializer that overwrites the
+    * relation's storage in place would consume its own input. The default
+    * stages to a side relation first, then re-reads and writes over the
+    * target — two writes, but correct on every filesystem (renames are
+    * copies on object stores anyway). [[CatalogMaterializer]] overrides
+    * this with a single write: its full refresh never touches the current
+    * location (write-new-location + catalog swap), so read-from-self is
+    * safe by construction. On a lakehouse table format this whole method
+    * collapses to MERGE INTO; snapshot tables are dimension-history-sized,
+    * so the staged double write is not the scaling term.
     */
   def materializeReplace(spark: SparkSession, relation: String,
       df: DataFrame): Unit = {
@@ -69,6 +72,33 @@ object CatalogMaterializer {
     * saveAsTable), so DAG parallelism elsewhere is unaffected.
     */
   private[model] val dynamicOverwriteLock = new Object
+
+  /** Version-directory suffix for atomic full refresh: wall-millis plus a
+    * process-wide counter, so two refreshes of the same relation in the
+    * same millisecond (threads, tests) still get distinct locations.
+    * Uniqueness only needs to hold per filesystem-path; cross-process
+    * collisions are already separated by the millis component. */
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong
+  private[model] def nextVersion(): String =
+    s"${System.currentTimeMillis()}_${versionCounter.incrementAndGet()}"
+
+  /** Every field (recursively) nullable — what the parquet files a swap
+    * points at actually guarantee (StructType.asNullable is private). */
+  private[model] def relaxNullability(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def relax(d: DataType): DataType = d match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = relax(a.elementType),
+        containsNull = true)
+      case m: MapType => m.copy(valueType = relax(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+    relax(dt).asInstanceOf[StructType]
+  }
 }
 
 final class CatalogMaterializer extends Materializer {
@@ -102,16 +132,115 @@ final class CatalogMaterializer extends Materializer {
       }
     }
 
+  /** Atomic full refresh — the semantics of Snowflake's `CREATE OR
+    * REPLACE TABLE` that the reference's hourly cron re-run
+    * (setup/task.sql:1-6) leans on while dashboards keep reading:
+    *
+    *  1. write the new contents to a FRESH versioned location
+    *     (`<name>__v<n>`) — no catalog entry is touched while the (long)
+    *     data write runs, so a crash here leaves the live table intact
+    *     and only strands an orphan directory (collected on the next
+    *     successful refresh);
+    *  2. swap the catalog entry to the new location+schema in ONE
+    *     catalog `alterTable` call (create, on first build) — readers see
+    *     the old version or the new one, never a missing table;
+    *  3. collect stale versions, RETAINING the immediate predecessor: a
+    *     reader that resolved its scan just before the swap still holds
+    *     the old location, so only versions at least two refreshes old
+    *     are deleted (a one-version vacuum retention).
+    *
+    * The swap is atomic on the session (in-memory) catalog, whose
+    * `alterTable` replaces the whole table definition under its lock. On
+    * a Hive metastore, `alterTable` cannot carry a schema change — there
+    * the swap degrades to alterTableDataSchema + alterTable (two
+    * metadata ops, still no missing-table window); on a lakehouse format
+    * this whole method is the table format's own atomic commit.
+    *
+    * Because the current location is never written in place, a plan that
+    * READS this relation can safely materialize over it —
+    * [[materializeReplace]] needs no staging hop here (single write).
+    */
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
-    val Array(schema, _) = relation.split('.')
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val Array(schema, name) = relation.split('.')
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
-    spark.sql(s"DROP TABLE IF EXISTS $relation")
-    clearStaleLocation(spark, relation)
-    df.write.mode("overwrite").format("parquet").saveAsTable(relation)
+    val dir = schemaDir(spark, schema)
+    val newLoc = new org.apache.hadoop.fs.Path(dir,
+      s"${name}__v${CatalogMaterializer.nextVersion()}")
+    df.write.mode("overwrite").parquet(newLoc.toString)
+
+    val catalog = spark.sessionState.catalog
+    val ident = TableIdentifier(name, Some(schema))
+    // Parquet writes every column nullable; the catalog schema must agree
+    // or a reader could trust a non-nullable column that isn't.
+    val newSchema = CatalogMaterializer.relaxNullability(df.schema)
+    val prevLoc: Option[org.apache.hadoop.fs.Path] =
+      if (catalog.tableExists(ident)) {
+        val old = catalog.getTableMetadata(ident)
+        catalog.alterTable(old.copy(
+          schema = newSchema,
+          tableType = CatalogTableType.EXTERNAL,
+          storage = old.storage.copy(locationUri = Some(newLoc.toUri))))
+        Some(new org.apache.hadoop.fs.Path(old.location))
+      } else {
+        catalog.createTable(CatalogTable(
+          identifier = ident,
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(newLoc.toUri)),
+          schema = newSchema,
+          provider = Some("parquet")), ignoreIfExists = false)
+        None
+      }
+    // Drop this session's cached plan for the relation, or later reads
+    // would resolve the pre-swap location after its retention lapses.
+    spark.catalog.refreshTable(relation)
+    collectStaleVersions(spark, dir, name,
+      keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
   }
 
-  def dropRelation(spark: SparkSession, relation: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS $relation")
+  /** Managed directory of `schema` under the warehouse. */
+  private def schemaDir(spark: SparkSession, schema: String)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$schema.db")
+
+  /** Delete every versioned location of `name` except `keep` (the live
+    * version and its immediate predecessor) — crash orphans from step 1
+    * and versions past retention. */
+  private def collectStaleVersions(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path, name: String,
+      keep: Set[String]): Unit = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        // `name` alone is a legacy managed location (pre-versioning, or a
+        // model switched from incremental): reclaimed once not retained.
+        .filter(p => (p.getName.startsWith(s"${name}__v") ||
+            p.getName == name) &&
+          !keep.contains(p.getName))
+        .foreach(fs.delete(_, true))
+  }
+
+  /** The catalog never points at a location materializeTable writes, so
+    * a frame reading the current relation materializes over it with a
+    * single write — no staging hop (see trait default). */
+  override def materializeReplace(spark: SparkSession, relation: String,
+      df: DataFrame): Unit =
+    materializeTable(spark, relation, df)
+
+  def dropRelation(spark: SparkSession, relation: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val Array(schema, name) = relation.split('.')
+    val catalog = spark.sessionState.catalog
+    val ident = TableIdentifier(name, Some(schema))
+    // External versioned locations outlive DROP TABLE by design (that is
+    // what makes the swap safe); an explicit drop removes them all.
+    if (catalog.tableExists(ident)) spark.sql(s"DROP TABLE $relation")
+    collectStaleVersions(spark, schemaDir(spark, schema), name, Set.empty)
+    clearStaleLocation(spark, relation)
+  }
 
   /** Full-refresh (and first incremental) semantics must survive a dead
     * catalog entry: with a non-Hive (in-memory) catalog a previous process
