@@ -19,23 +19,47 @@ object Bench {
     // are exposed to host-level noise (observed 2× swings on identical
     // binaries); the min is the stable estimate of the plan's cost.
     val passes = 3
-    def pass(): Seq[(String, Double)] =
+    // A failing query must bench as a FAILURE, not as however long it ran
+    // before throwing: its time is -1 and the error rides in "errors", so
+    // a regression can never masquerade as a fast query.
+    def pass(): Seq[(String, (Double, Option[String]))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case t: Throwable =>
+            Some(t.toString.replaceAll("\\s+", " ").take(300)) }
         val t = (System.nanoTime() - t0) / 1e9
         // Release pipeline caches so one query's persisted intermediates
         // never pin executor memory into the next query's run.
         graft.core.Caches.releaseAll()
-        name -> t
+        name -> (if (err.isDefined) -1.0 else t, err)
       }
     val results = (1 to passes).map(_ => pass().toMap)
-      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      .reduce((a, b) => a.map { case (k, (v, e)) =>
+        val (bv, be) = b(k)
+        // min over SUCCESSFUL passes; any pass's failure is reported.
+        val best = (v, bv) match {
+          case (-1.0, x) => x
+          case (x, -1.0) => x
+          case (x, y) => math.min(x, y)
+        }
+        k -> (best, e.orElse(be))
+      })
       .toSeq.sortBy(_._1)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$passes}""")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      jstr(k) + ":" + jstr(e) }
+    val errJson = if (errs.isEmpty) "" else
+      s""","errors":${errs.mkString("{", ",", "}")}"""
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$passes$errJson}""")
     spark.stop()
   }
 }

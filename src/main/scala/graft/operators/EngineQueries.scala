@@ -326,6 +326,34 @@ object EngineQueries extends QueryPack {
              | ('stg_orders','dev_stg_orders','success')
              |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
 
+    // ---- S7 surface: catalog listing (`SHOW TABLES IN SCHEMA`,
+    // tasty_bytes_example_query.sql:2) — run the full DAG through the
+    // CATALOG materializer, then list what the catalog holds. Staging
+    // models are session views (S4), so exactly the table-materialized
+    // marts appear, each in its resolved schema (including the U2
+    // `analytics` override). The oracle pins the listing statically: it
+    // is catalog metadata, not data.
+    Q("o05_catalog_listing",
+      (spark, dir) => {
+        val r = new Runner(TpchProject.project(dir), Target.dev,
+          new CatalogMaterializer)
+        r.run(spark)
+        val rows = Seq("analytics", "dev").flatMap { db =>
+          spark.catalog.listTables(db).collect().toSeq
+            .filter(!_.isTemporary).map(t => (db, t.name))
+        }
+        import spark.implicits._
+        rows.toDF("schema_name", "table_name")
+          .orderBy(col("schema_name"), col("table_name"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('analytics','nation_brief'),
+             | ('dev','customer_order_metrics'),
+             | ('dev','order_lines_enriched'),
+             | ('dev','sales_by_region')
+             |) AS t(schema_name, table_name)
+             |ORDER BY schema_name, table_name""".stripMargin)),
+
     // ---- Incremental-materialization surface (engine extension, S5+):
     // an hourly events mart materialized IncrementalByPartition, run
     // TWICE — the first run creates the partitioned relation, the second

@@ -550,7 +550,9 @@ object RelationalQueries extends QueryPack {
     // ---- As-of join (operators/AsofJoin.scala): each purchase picks up
     // the latest click at-or-before it per user — the point-in-time
     // operator Spark lacks, expressed as one union + window shuffle
-    // instead of a range join. Oracle: DuckDB's native ASOF LEFT JOIN.
+    // instead of a range join. Both join sides carry time as epoch
+    // MICROS (unix_micros), as do q25/q28 — one unit across the whole
+    // interval-join family. Oracle: DuckDB's native ASOF LEFT JOIN.
     Q("q24_asof_join",
       (s, dir) => {
         val e = Tables(s, dir, "events")
@@ -647,6 +649,85 @@ object RelationalQueries extends QueryPack {
              |  ON e.user_id = s.user_id
              |  AND e.us BETWEEN s.start_us AND s.end_us
              |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- Interval-OVERLAP join (q25's containment sibling — the next
+    // thing a real events user asks for): per-user session intervals ×
+    // ±30-minute windows around each purchase, every pair that overlaps
+    // in time. Same bucketization as q25 — both interval sets replicate
+    // once per overlapped hour bucket, and the probe is an EQUI-join on
+    // (user, bucket) + the residual overlap predicate. Unlike
+    // containment, an overlapping PAIR can share several buckets, which
+    // would duplicate it; each pair is emitted only in the FIRST bucket
+    // both sides inhabit (the greater of the two start buckets), so no
+    // post-join distinct and no second shuffle. Replication stays
+    // bounded by interval length / bucket width; time on both sides is
+    // epoch MICROS (the q24/q25 unit).
+    Q("q28_interval_overlap_join",
+      (s, dir) => {
+        val bucketUs = 3600L * 1000000L
+        val gapUs = 30L * 60L * 1000000L
+        val sess = Tables(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .transform { e =>
+            val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+            e.withColumn("prev_us", lag(col("us"), 1).over(w))
+              .withColumn("brk",
+                when(col("prev_us").isNull ||
+                  col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+              .withColumn("sess_id", sum(col("brk")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .groupBy(col("user_id"), col("sess_id"))
+              .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          }
+          .withColumn("bucket", explode(sequence(
+            floor(col("start_us") / bucketUs).cast("long"),
+            floor(col("end_us") / bucketUs).cast("long"))))
+        val pw = Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (unix_micros(col("ts")) - gapUs).as("w_start"),
+            (unix_micros(col("ts")) + gapUs).as("w_end"))
+          .withColumn("bucket", explode(sequence(
+            floor(col("w_start") / bucketUs).cast("long"),
+            floor(col("w_end") / bucketUs).cast("long"))))
+        sess.join(pw, Seq("user_id", "bucket"))
+          .filter(col("start_us") <= col("w_end") &&
+            col("w_start") <= col("end_us"))
+          .filter(col("bucket") === greatest(
+            floor(col("start_us") / bucketUs).cast("long"),
+            floor(col("w_start") / bucketUs).cast("long")))
+          .select(col("user_id"), col("sess_id"), col("start_us"),
+            col("end_us"), col("purchase_id"), col("w_start"), col("w_end"))
+          .orderBy(col("user_id"), col("sess_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |sx AS (
+             |  SELECT *, CAST(SUM(brk) OVER (
+             |    PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sess_id,
+             |    MIN(us) AS start_us, MAX(us) AS end_us
+             |  FROM sx GROUP BY 1, 2),
+             |pw AS (
+             |  SELECT event_id AS purchase_id, user_id,
+             |    us - 1800000000 AS w_start, us + 1800000000 AS w_end
+             |  FROM e WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.sess_id, s.start_us, s.end_us,
+             |  p.purchase_id, p.w_start, p.w_end
+             |FROM sess s JOIN pw p
+             |  ON s.user_id = p.user_id
+             |  AND s.start_us <= p.w_end AND p.w_start <= s.end_us
+             |ORDER BY s.user_id, s.sess_id, p.purchase_id""".stripMargin)),
 
     // ---- Ordered funnel (sequential pattern): users who signed up, then
     // clicked at-or-after the signup, then purchased at-or-after that

@@ -86,12 +86,22 @@ object EventsStream {
         col("n_events"), col("sum_value"))
 
   /** Streaming upsert into an hourly mart: `hourlyAgg` in update mode +
-    * `foreachBatch`, where each micro-batch overwrites exactly the hour
+    * `foreachBatch`, where each micro-batch overwrites exactly the DAY
     * partitions it touched (dynamic partition overwrite — the same
     * mechanism as the engine's incremental materialization). This replaces
     * the reference's "re-run the whole batch hourly via cron task"
     * (setup/task.sql:1-6) with an incremental pipeline whose per-trigger
-    * write cost is proportional to the hours that changed, not the mart.
+    * write cost is proportional to the days that changed, not the mart.
+    *
+    * Partition granularity is `day` (with `hour` as a data column), not
+    * `hour`: an hourly mart makes one directory per hour — years of
+    * history become tens of thousands of tiny partition dirs, and at
+    * scale the sink's cost shifts from data to filesystem metadata (the
+    * classic small-files problem; object-store listings amortize far
+    * better over day dirs). A watermark-bounded stream touches at most
+    * two days per trigger, so the rewrite amplification of the coarser
+    * partition is bounded by one day of aggregate rows — 24 rows per
+    * event type, noise next to the metadata saved.
     */
   def hourlyMart(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -99,11 +109,32 @@ object EventsStream {
     hourlyAgg(events).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Writer-scoped dynamic overwrite — a session-wide conf toggle
-        // would race with concurrent writers (see Runner).
-        batch.write.mode("overwrite")
+        // The batch holds the UPDATED hour rows; rewriting a touched day
+        // needs that day's other hours too, so merge batch rows over the
+        // mart's current rows for exactly the touched days. (At most
+        // watermark-horizon days are live per trigger; closed days are
+        // never read or written.)
+        val spark = batch.sparkSession
+        val updated = batch.withColumn("day", to_date(col("hour")))
+        val days = updated.select("day").distinct()
+        val current = try
+          spark.read.parquet(path)
+            .join(broadcast(days), Seq("day"), "left_semi")
+            .join(updated.select("hour", "event_type"),
+              Seq("hour", "event_type"), "left_anti")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          // first trigger: no mart yet
+          updated.limit(0)
+        }
+        updated.unionByName(current.select(updated.columns.map(col): _*))
+          // The write overwrites the very path `current` reads; truncate
+          // lineage first (day-scale aggregate rows — bounded and tiny).
+          .localCheckpoint()
+          .write.mode("overwrite")
+          // Writer-scoped dynamic overwrite — a session-wide conf toggle
+          // would race with concurrent writers (see Runner).
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("hour").parquet(path)
+          .partitionBy("day").parquet(path)
       }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: per user,

@@ -28,6 +28,18 @@ class SmokeSpec extends SparkSuite {
       assert(cols.nonEmpty && cols.forall(_.nonEmpty))
       assert(cols.distinct.length == cols.length,
         s"duplicate column names: ${cols.mkString(",")}")
+      // Driver-hash boundary rule (see RelationalQueries header): Spark
+      // DECIMAL reaches the driver's pandas compare with full scale
+      // ("184968.00") while DuckDB DECIMAL goes through float64
+      // shortest-repr ("184968.0") — any trailing zero hash-mismatches.
+      // No DECIMAL may leave an oracle-bearing gate; serialize to string
+      // on BOTH sides. (no_oracle gates never hash-compare.)
+      if (SparkEntry.oracleSql.contains(name)) {
+        val decimals = df.schema.fields.filter(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        assert(decimals.isEmpty,
+          s"raw DECIMAL at the gate boundary: ${decimals.map(_.name).mkString(",")}")
+      }
       assert(df.count() >= 0)
     }
   }

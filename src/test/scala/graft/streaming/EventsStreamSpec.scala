@@ -68,6 +68,44 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("day-partitioned mart: one dir per day; untouched hours survive " +
+      "a partial update") {
+    val dir = stageDir(1)
+    val mart = Files.createTempDirectory("graft-mart-day").toString + "/hourly"
+    val ckpt = Files.createTempDirectory("graft-ckpt-day").toString
+    val q = EventsStream.hourlyMart(EventsStream.read(spark, dir), mart)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // Layout: day-granularity directories (hour is a data column) —
+      // 24× fewer dirs than an hour-partitioned mart; the small-files
+      // rationale in EventsStream.hourlyMart.
+      val dayDirs = new java.io.File(mart).listFiles
+        .filter(_.getName.startsWith("day=")).length
+      val nDays = spark.read.parquet(mart)
+        .select(to_date(col("hour"))).distinct().count()
+      val nHours = spark.read.parquet(mart).select("hour").distinct().count()
+      assert(dayDirs.toLong == nDays)
+      assert(nDays < nHours)
+      val before = spark.read.parquet(mart)
+        .select("hour", "event_type").collect().map(_.toSeq).toSet
+
+      // A late-but-admissible tail: the feed shifted +1 hour. Only events
+      // above the watermark survive, so the update touches a strict
+      // subset of the final day's hours — and the day-granular overwrite
+      // must carry that day's UNTOUCHED hours through the rewrite.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(EventsStream.rawSchema).parquet(srcFile)
+        .withColumn("ts", (col("ts") + lit(3600L * 1000000000L)).cast("long"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val after = spark.read.parquet(mart)
+        .select("hour", "event_type").collect().map(_.toSeq).toSet
+      assert(before.subsetOf(after),
+        s"day rewrite dropped ${(before -- after).size} existing hour rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch gaps-and-islands result") {
     val dir = stageDir(1)
     val q = EventsStream.sessionize(EventsStream.read(spark, dir))
