@@ -367,4 +367,36 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** ANN quality telemetry: recall@k of each approximate path against
+    * the exact brute-force ranking over the same query set — the tuning
+    * surface for nlist/nprobe (IVF) and bits/bands (LSH), which the
+    * approximate gates themselves cannot expose (their output is just a
+    * ranking). One row per method: (method, k, n_queries, n_exact, hits,
+    * recall_at_k). The report is a single plan over the top-k frames —
+    * no driver-side sets — so a production run samples its queries,
+    * emits this next to its run artifacts, and tunes from the trend.
+    * Deterministic: every input ranking is (both engines' paths are
+    * seeded/ordered deterministically), so the recall of a fixed corpus
+    * and parameter set is a fixed number.
+    */
+  def recallReport(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val exact = bruteForceTopK(emb, queries, idCol, vecCol, k)
+      .select(col("qid"), col("nid"))
+    def one(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(approx.select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(
+          countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(method).as("method"), lit(k).as("k"),
+          col("n_queries"), col("n_exact"), col("hits"),
+          round(col("hits").cast("double") / col("n_exact"), 4)
+            .as("recall_at_k"))
+    one("ivf", ivfTopK(emb, queries, idCol, vecCol, k))
+      .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
+  }
 }

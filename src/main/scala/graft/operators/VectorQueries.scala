@@ -107,6 +107,21 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // ANN quality telemetry (Similarity.recallReport): recall@k of the
+    // IVF and LSH paths vs the exact brute-force ranking over the same
+    // queries — the nlist/nprobe/bands tuning surface, emitted per run
+    // as a first-class query artifact. Recall of an approximate index is
+    // engine-internal (no SQL oracle); AnnTelemetry tests pin the field
+    // set, run-to-run determinism, and the recall floors.
+    Q("v07_ann_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.recallReport(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("method"))
+      },
+      None),
+
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
     // Iterative float training has no SQL oracle; ScalaTest pins

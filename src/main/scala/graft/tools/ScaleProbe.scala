@@ -46,6 +46,9 @@ object ScaleProbe {
     t(s"simhash x$k")(
       println("  pairs=" + Dedup
         .simhashPairs(docs, "doc_id", "text", 0.6).count()))
+    t(s"dup clusters x$k")(
+      println("  docs=" + Dedup
+        .duplicateClusters(docs, "doc_id", "text", 0.6).count()))
 
     val emb0 = Tables(spark, dir, "embeddings")
     val emb = (0 until k).map { i =>

@@ -90,6 +90,29 @@ class ExtensionSpec extends SparkSuite {
     assert(sim == exact)
   }
 
+  test("ANN recall telemetry: stable fields, deterministic, above floors") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def report() = Similarity
+      .recallReport(emb, queries, "vec_id", "embedding", 5)
+      .orderBy(col("method")).collect()
+    val r1 = report()
+    assert(r1.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
+      .columns.toSeq ==
+      Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
+    // The tuning surface is only usable if re-running it on unchanged
+    // data/params yields the same number.
+    assert(r1.map(_.toSeq).toSeq == report().map(_.toSeq).toSeq)
+    r1.foreach { r =>
+      val recall = r.getDouble(5)
+      assert(r.getLong(2) == 10 && r.getLong(3) == 50,
+        s"unexpected query/exact counts: $r")
+      assert(recall >= 0.5 && recall <= 1.0,
+        s"${r.getString(0)} recall $recall outside [0.5, 1]")
+      assert(r.getLong(4) <= r.getLong(3))
+    }
+  }
+
   test("IVF ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity
