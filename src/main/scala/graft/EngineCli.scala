@@ -22,6 +22,11 @@ import graft.operators.TpchProject
   *   deps      O1: package resolution report (dbt_utils tests are inlined)
   *   freshness A7: max(loaded_at_field) + age per declared source
   *   ls        S7: catalog listing (SHOW TABLES equivalent) post-run
+  *   seed      dbt seed: materialize only the seed tier
+  *
+  * Any verb accepts `--seeds PATH` — a dbt seeds/ directory of CSVs that
+  * joins the project as ref-able DAG roots (reference declares
+  * seed-paths at dbt_project.yml:11).
   *
   * Projects: `tpch` (driver-testdata demo, SQL tier loaded from
   * models/tpch), `tastybytes` (the full reference port over deterministic
@@ -60,12 +65,18 @@ object EngineCli {
       case "path" => new PathMaterializer(s"$warehouse/path-marts")
       case _ => new CatalogMaterializer
     }
-    val project = opts.getOrElse("project", "tpch") match {
+    val project0 = opts.getOrElse("project", "tpch") match {
       case "tastybytes" => graft.tastybytes.TastyBytesProject.project
       case p if p.startsWith("dir:") =>
         ProjectLoader.load(p.stripPrefix("dir:"), TpchProject.sources(dir))
       case _ => TpchProject.project(dir)
     }
+    // --seeds PATH: a dbt seeds/ directory joins the project as ref-able
+    // DAG roots (dbt_project.yml:11 seed-paths).
+    val project = opts.get("seeds").map { d =>
+      project0.copy(models =
+        ProjectLoader.loadSeeds(d) ++ project0.models)
+    }.getOrElse(project0)
     val runner = new Runner(project, target, materializer)
 
     verb match {
@@ -129,9 +140,18 @@ object EngineCli {
           println(f"${r.getString(0)}%-12s ${r.getString(1)}%-36s " +
             f"temp=${r.getBoolean(2)}")
         }
+      case "seed" =>
+        // dbt seed: materialize only the seed tier.
+        val seedNames = project.models.collect { case s: SeedModel => s.name }
+        if (seedNames.isEmpty) println("0 seeds in project")
+        else runner.run(spark, select = Some(seedNames.mkString(" ")))
+          .foreach { r =>
+            println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
+              f"-> ${r.relation}%-32s ${r.millis}%6d ms")
+          }
       case other =>
         System.err.println(s"unknown verb: $other " +
-          "(expected run|test|compile|deps|freshness|ls)")
+          "(expected run|test|compile|deps|freshness|ls|seed)")
         sys.exit(2)
     }
     spark.stop()

@@ -71,6 +71,23 @@ object Materialization {
     require(uniqueKey.nonEmpty && updatedAt.nonEmpty,
       "snapshot requires unique_key and updated_at")
   }
+
+  /** dbt snapshots, `strategy='check'`: for sources with NO reliable
+    * `updated_at` column, a row counts as changed when any of
+    * `checkCols` differs (null-safely) from the open snapshot row —
+    * dbt's `check_cols` config, with an empty list meaning
+    * `check_cols='all'` (every non-key column). `valid_from`/`valid_to`
+    * carry the SNAPSHOT time (there is no source timestamp to carry) as
+    * ISO-8601 strings — lexicographic order is chronological.
+    * `snapshotAt` injects that clock for reproducible runs (backfills,
+    * tests); None uses the wall clock, dbt's behavior.
+    */
+  final case class SnapshotCheck(
+      uniqueKey: String,
+      checkCols: Seq[String] = Nil,
+      snapshotAt: Option[String] = None) extends Materialization {
+    require(uniqueKey.nonEmpty, "snapshot requires unique_key")
+  }
 }
 
 sealed trait Model {
@@ -112,6 +129,23 @@ final case class DfModel(
     sourceNames: Seq[(String, String)] = Nil) extends Model {
   def refs: Seq[String] = refNames
   def sources: Seq[(String, String)] = sourceNames
+}
+
+/** A seed: a version-controlled CSV shipped with the project and
+  * materialized as a table — dbt's `seeds/` tier (the reference declares
+  * `seed-paths: [seeds]`, dbt_project.yml:11). Loaded with header +
+  * schema inference (dbt's agate-typed load); a seed has no refs or
+  * sources — it is a DAG root other models `{{ ref(...) }}`. Content
+  * participates in state fingerprinting (editing the CSV makes the seed
+  * `state:modified`, dbt's seed checksum semantics).
+  */
+final case class SeedModel(
+    name: String,
+    csvPath: String,
+    customSchema: Option[String] = None) extends Model {
+  def materialization: Materialization = Materialization.Table
+  def refs: Seq[String] = Nil
+  def sources: Seq[(String, String)] = Nil
 }
 
 /** Source-freshness thresholds — dbt's `freshness: warn_after /

@@ -48,11 +48,33 @@ object ProjectLoader {
     files.map(parseModelFile)
   }
 
+  /** All `*.csv` files under `seedsDir` (recursive, deterministic path
+    * order) as SeedModels — dbt's `seed-paths` tier
+    * (dbt_project.yml:11): file name = seed name, loaded with header +
+    * inference at materialization time. */
+  def loadSeeds(seedsDir: String): Seq[SeedModel] = {
+    val root = Paths.get(seedsDir)
+    require(Files.isDirectory(root), s"seeds dir not found: $seedsDir")
+    val stream = Files.walk(root)
+    val files =
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".csv") && Files.isRegularFile(p))
+        .toList.sortBy(_.toString)
+      finally stream.close()
+    files.map(p => SeedModel(
+      p.getFileName.toString.stripSuffix(".csv"), p.toString))
+  }
+
   /** A complete project from a models directory plus the programmatic
-    * tier: sources, code models, declared tests. */
+    * tier: sources, code models, declared tests, and an optional dbt
+    * `seeds/` directory (seeds join the DAG as ref-able roots). */
   def load(modelsDir: String, sources: Seq[SourceDef],
-      codeModels: Seq[Model] = Nil, tests: Seq[DataTest] = Nil): Project =
-    Project(sources, loadModels(modelsDir) ++ codeModels, tests)
+      codeModels: Seq[Model] = Nil, tests: Seq[DataTest] = Nil,
+      seedsDir: Option[String] = None): Project =
+    Project(sources,
+      seedsDir.map(loadSeeds).getOrElse(Nil) ++ loadModels(modelsDir) ++
+        codeModels,
+      tests)
 
   def parseModelFile(p: Path): SqlModel = {
     val name = p.getFileName.toString.stripSuffix(".sql")
@@ -73,7 +95,8 @@ object ProjectLoader {
         }.toMap
       }.getOrElse(Map.empty)
     val unknown = cfg.keySet --
-      Set("materialized", "partition_by", "schema", "unique_key", "updated_at")
+      Set("materialized", "partition_by", "schema", "unique_key",
+        "updated_at", "strategy", "check_cols", "snapshot_at")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -105,8 +128,19 @@ object ProjectLoader {
               "partition_by or unique_key")
         }
       case "snapshot" =>
-        Materialization.Snapshot(required("unique_key", "snapshot"),
-          required("updated_at", "snapshot"))
+        // dbt snapshot strategies: timestamp (default) keys change
+        // detection off updated_at; check compares check_cols (empty ⇒
+        // every non-key column).
+        str("strategy").getOrElse("timestamp") match {
+          case "timestamp" =>
+            Materialization.Snapshot(required("unique_key", "snapshot"),
+              required("updated_at", "snapshot"))
+          case "check" =>
+            Materialization.SnapshotCheck(required("unique_key", "snapshot"),
+              list("check_cols").getOrElse(Nil), str("snapshot_at"))
+          case other => throw new IllegalArgumentException(
+            s"$where: unknown snapshot strategy '$other'")
+        }
       case other => throw new IllegalArgumentException(
         s"$where: unknown materialization '$other'")
     }
@@ -115,11 +149,17 @@ object ProjectLoader {
       s"$where: partition_by requires materialized='incremental'")
     require(cfg.get("unique_key").isEmpty
         || materialization.isInstanceOf[Materialization.Snapshot]
+        || materialization.isInstanceOf[Materialization.SnapshotCheck]
         || materialization.isInstanceOf[Materialization.IncrementalByKey],
       s"$where: unique_key requires materialized='snapshot' or 'incremental'")
     require(materialization.isInstanceOf[Materialization.Snapshot]
         || cfg.get("updated_at").isEmpty,
       s"$where: updated_at requires materialized='snapshot'")
+    require((cfg.get("strategy").isEmpty && cfg.get("check_cols").isEmpty &&
+        cfg.get("snapshot_at").isEmpty)
+        || materialization.isInstanceOf[Materialization.Snapshot]
+        || materialization.isInstanceOf[Materialization.SnapshotCheck],
+      s"$where: strategy/check_cols/snapshot_at require materialized='snapshot'")
 
     val sql = ConfigR.replaceAllIn(raw, "").trim
     require(sql.nonEmpty, s"$where: model file has no SQL body")

@@ -405,6 +405,12 @@ final class Runner(
         if (isEphemeral(r)) buildDf(spark, rm)
         else spark.table(relationOf(rm))
       })
+    case sd: SeedModel =>
+      // dbt's agate-typed seed load: header row + per-column inference.
+      // Seeds are hand-sized lookup tables by contract; inference's extra
+      // read pass is irrelevant at that size.
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(sd.csvPath)
   }
 
   private def materializeNode(spark: SparkSession, name: String): NodeResult = {
@@ -440,6 +446,9 @@ final class Runner(
         case s: Materialization.Snapshot =>
           materializer.materializeReplace(spark, relation,
             snapshotFrame(spark, relation, df, s))
+        case s: Materialization.SnapshotCheck =>
+          materializer.materializeReplace(spark, relation,
+            snapshotCheckFrame(spark, relation, df, s))
       }
       NodeResult(name, relation, "success",
         (System.nanoTime() - t0) / 1000000, None)
@@ -592,6 +601,57 @@ final class Runner(
     }
   }
 
+  /** SCD2 merge, check strategy (dbt snapshot `strategy='check'` — see
+    * [[Materialization.SnapshotCheck]]): change detection by comparing
+    * `checkCols` null-safely against the open row, for sources without a
+    * trustworthy `updated_at`. Same shape as [[snapshotFrame]]: one
+    * shuffle joins source and OPEN rows on the key; closed history flows
+    * through untouched. Keys absent from the source keep their open row
+    * (dbt's default; hard-delete invalidation is a config away). The
+    * comparison columns ride the join under `__s_` names to dodge
+    * collisions with the snapshot's own columns.
+    */
+  private def snapshotCheckFrame(spark: SparkSession, relation: String,
+      src: DataFrame, s: Materialization.SnapshotCheck): DataFrame = {
+    val key = s.uniqueKey
+    val srcCols = src.columns.toSeq
+    require(srcCols.contains(key), s"snapshot source must select $key")
+    val check =
+      if (s.checkCols.nonEmpty) s.checkCols
+      else srcCols.filterNot(_ == key) // dbt check_cols='all'
+    require(check.forall(srcCols.contains),
+      s"check_cols not in source: ${check.filterNot(srcCols.contains)}")
+    val now = s.snapshotAt.map(lit(_)).getOrElse(
+      date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")).cast("string")
+    val open = src
+      .withColumn("valid_from", now)
+      .withColumn("valid_to", lit(null).cast("string"))
+    if (!materializer.relationExists(spark, relation)) open
+    else {
+      val existing = spark.table(relation)
+      val history = existing.filter(col("valid_to").isNotNull)
+      val current = existing.filter(col("valid_to").isNull)
+      val srcR = src.select(col(key).as("__k") +:
+        check.map(c => col(c).as(s"__s_$c")): _*)
+      val j = current.join(srcR, current(key) === col("__k"), "left")
+      // <=> is null-safe: NULL→value and value→NULL both count as a
+      // change; a key absent from the source (__k NULL) does not.
+      val isChanged = col("__k").isNotNull &&
+        check.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+      val dropCols = "__k" +: check.map(c => s"__s_$c")
+      val closed = j.filter(isChanged)
+        .withColumn("valid_to", now).drop(dropCols: _*)
+      val kept = j.filter(!isChanged).drop(dropCols: _*)
+      val currentKeys = current.select(col(key).as("__ck"))
+      val opened = open
+        .join(currentKeys, open(key) === col("__ck"), "left_anti")
+        .unionByName(open.join(
+          j.filter(isChanged).select(col("__k").as("__ck")),
+          open(key) === col("__ck"), "left_semi"))
+      history.unionByName(kept).unionByName(closed).unionByName(opened)
+    }
+  }
+
   /** The materialized relation of a model, post-run. */
   def table(spark: SparkSession, modelName: String): DataFrame =
     spark.table(relationOf(byName(modelName)))
@@ -697,6 +757,13 @@ final class Runner(
       case d: DfModel =>
         Seq("df", d.refNames.mkString(","), d.materialization.toString,
           d.customSchema.toString)
+      case s: SeedModel =>
+        // dbt checksums seed CONTENT: editing the CSV must flip
+        // state:modified even though the model definition is unchanged.
+        Seq("seed", java.security.MessageDigest.getInstance("SHA-256")
+            .digest(Files.readAllBytes(Paths.get(s.csvPath)))
+            .map("%02x".format(_)).mkString,
+          s.customSchema.toString)
     }
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(parts.mkString("\u0000").getBytes("UTF-8"))

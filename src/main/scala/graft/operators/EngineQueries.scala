@@ -461,6 +461,48 @@ object EngineQueries extends QueryPack {
              |FROM customer WHERE c_custkey % 3 = 0
              |ORDER BY customer_id, valid_from""".stripMargin)),
 
+    // ---- Snapshot check-strategy surface (dbt `strategy='check'`): the
+    // same two-run SCD2 shape as m07 but WITHOUT any updated_at column —
+    // run 2 re-segments customer_id % 3 = 0 and change detection is the
+    // null-safe column comparison against the open rows. valid_from/
+    // valid_to carry the injected snapshot clocks ('2024-01-01' /
+    // '2024-02-01'), so the final state is closed-form for the oracle:
+    // changed keys hold a closed row + the new open row; untouched keys
+    // exactly their original open row.
+    Q("m11_snapshot_check",
+      (spark, dir) => {
+        def srcSql(changed: Boolean) =
+          if (!changed)
+            """SELECT c_custkey AS customer_id, c_mktsegment AS segment
+              |FROM {{ source('tpch', 'customer') }}""".stripMargin
+          else
+            """SELECT c_custkey AS customer_id,
+              |  CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED'
+              |       ELSE c_mktsegment END AS segment
+              |FROM {{ source('tpch', 'customer') }}""".stripMargin
+        val base = java.nio.file.Files.createTempDirectory("graft_snapchk")
+          .toString
+        def runner(changed: Boolean, at: String) = new Runner(
+          Project(TpchProject.sources(dir),
+            Seq(SqlModel("customer_segments_chk", srcSql(changed),
+              Materialization.SnapshotCheck("customer_id",
+                checkCols = Seq("segment"), snapshotAt = Some(at))))),
+          Target.dev, new PathMaterializer(base))
+        runner(changed = false, "2024-01-01").run(spark)
+        val r2 = runner(changed = true, "2024-02-01")
+        r2.run(spark)
+        r2.table(spark, "customer_segments_chk")
+          .orderBy(col("customer_id"), col("valid_from"))
+      },
+      Some("""SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+             |  '2024-01-01' AS valid_from,
+             |  CASE WHEN c_custkey % 3 = 0 THEN '2024-02-01' END AS valid_to
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'CHANGED', '2024-02-01', NULL
+             |FROM customer WHERE c_custkey % 3 = 0
+             |ORDER BY customer_id, valid_from""".stripMargin)),
+
     // ---- Incremental merge materialization (dbt incremental +
     // unique_key, delete+insert strategy): two runs with overlapping key
     // ranges — run 2's rows must REPLACE run 1's for shared keys
@@ -531,6 +573,40 @@ object EngineQueries extends QueryPack {
              |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
              |WHERE c.c_custkey % 2 = 0
              |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)),
+
+    // ---- Seed tier (dbt `seeds/`, declared by the reference's
+    // dbt_project.yml:11 `seed-paths: [seeds]`): a version-controlled
+    // CSV joins the DAG as a ref-able root and materializes as a table;
+    // a mart refs it like any model. The oracle inlines the seed rows as
+    // VALUES — the seed is static project content, so the check pins
+    // the load + ref + join end to end.
+    Q("m10_seed_join",
+      (spark, dir) => {
+        val mart = SqlModel("orders_by_tier",
+          """SELECT t.tier, COUNT(*) AS n_orders,
+            |  CAST(SUM(t.weight) AS BIGINT) AS total_weight
+            |FROM {{ source('tpch', 'orders') }} o
+            |JOIN {{ ref('priority_tiers') }} t
+            |  ON o.o_orderpriority = t.priority
+            |GROUP BY t.tier""".stripMargin,
+          Materialization.Table)
+        val r = new Runner(
+          Project(TpchProject.sources(dir),
+            ProjectLoader.loadSeeds("seeds/tpch") ++ Seq(mart)),
+          Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_seed").toString))
+        r.run(spark)
+        r.table(spark, "orders_by_tier").orderBy(col("tier"))
+      },
+      Some("""WITH t(priority, tier, weight) AS (VALUES
+             |  ('1-URGENT','hot',3), ('2-HIGH','hot',2),
+             |  ('3-MEDIUM','mid',1), ('4-NOT SPECIFIED','low',0),
+             |  ('5-LOW','low',0))
+             |SELECT t.tier, COUNT(*) AS n_orders,
+             |  CAST(SUM(t.weight) AS BIGINT) AS total_weight
+             |FROM orders o JOIN t ON o.o_orderpriority = t.priority
+             |GROUP BY t.tier ORDER BY tier""".stripMargin)),
 
     // ---- S1 surface: the reference's CSV ingestion hop, end to end —
     // stage a typed table as headerless CSV, positionally load it against

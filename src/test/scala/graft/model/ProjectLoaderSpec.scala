@@ -96,4 +96,26 @@ class ProjectLoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
       "{{ config(materialized='table', unique_key=['id']) }} SELECT 1"))
   }
+
+  test("config header: snapshot strategies") {
+    val ts = ProjectLoader.parseModel("m",
+      "{{ config(materialized='snapshot', unique_key='id', updated_at='u') }} SELECT 1")
+    assert(ts.materialization == Materialization.Snapshot("id", "u"))
+    val chk = ProjectLoader.parseModel("m",
+      "{{ config(materialized='snapshot', strategy='check', unique_key='id', check_cols=['a','b']) }} SELECT 1")
+    assert(chk.materialization ==
+      Materialization.SnapshotCheck("id", Seq("a", "b")))
+    // check_cols omitted = dbt's check_cols='all' (every non-key column).
+    val all = ProjectLoader.parseModel("m",
+      "{{ config(materialized='snapshot', strategy='check', unique_key='id') }} SELECT 1")
+    assert(all.materialization == Materialization.SnapshotCheck("id", Nil))
+    // timestamp strategy still demands updated_at; unknown strategy and
+    // check-keys outside snapshots are rejected.
+    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
+      "{{ config(materialized='snapshot', unique_key='id') }} SELECT 1"))
+    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
+      "{{ config(materialized='snapshot', strategy='bogus', unique_key='id') }} SELECT 1"))
+    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', check_cols=['a']) }} SELECT 1"))
+  }
 }

@@ -53,6 +53,31 @@ class RunnerSpec extends SparkSuite {
     assert(spark.table("dev.customer_order_metrics").count() > 0)
   }
 
+  test("seeds load as ref-able DAG roots and fingerprint by content") {
+    val seeds = ProjectLoader.loadSeeds("seeds/tpch")
+    assert(seeds.map(_.name) == Seq("priority_tiers"))
+    val mart = SqlModel("tier_counts",
+      """SELECT tier, COUNT(*) AS n
+        |FROM {{ ref('priority_tiers') }} GROUP BY tier""".stripMargin,
+      Materialization.Table)
+    val base = Files.createTempDirectory("graft-seed-spec").toString
+    val r = new Runner(Project(Nil, seeds :+ mart), Target.dev,
+      new PathMaterializer(base))
+    assert(r.run(spark).forall(_.status == "success"))
+    assert(r.table(spark, "priority_tiers").count() == 5)
+    assert(r.table(spark, "tier_counts").count() == 3) // hot/mid/low
+    // dbt checksums seed CONTENT: an edited CSV must flip state:modified
+    // even though the model definition is unchanged.
+    val f1 = r.fingerprints("priority_tiers")
+    val edited = Files.createTempDirectory("graft-seed-edit")
+    Files.writeString(edited.resolve("priority_tiers.csv"),
+      "priority,tier,weight\n1-URGENT,hot,9\n")
+    val r2 = new Runner(
+      Project(Nil, ProjectLoader.loadSeeds(edited.toString)),
+      Target.dev, new PathMaterializer(base))
+    assert(r2.fingerprints("priority_tiers") != f1)
+  }
+
   test("compileSql renders refs/sources without executing") {
     val runner = TpchProject.runner(dir)
     val sql = runner.compileSql(TpchProject.customerOrderMetrics)

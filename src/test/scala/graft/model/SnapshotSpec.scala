@@ -65,6 +65,46 @@ class SnapshotSpec extends SparkSuite {
       (3L, "c", "t2", "-")))
   }
 
+  test("check-strategy snapshot: null-safe column compare; absent keys " +
+      "stay open; idempotent re-run") {
+    var src2: DataFrame = null
+    def proj(at: String) = Project(
+      Seq(SourceDef("fx", "items2", _ => src2)),
+      Seq(SqlModel("item_chk",
+        "SELECT * FROM {{ source('fx', 'items2') }}",
+        Materialization.SnapshotCheck("id", Nil, Some(at)))))
+    val base = java.nio.file.Files.createTempDirectory("snapchk").toString
+    def run(at: String): Runner = {
+      val r = new Runner(proj(at), Target.dev, new PathMaterializer(base))
+      r.run(spark)
+      r
+    }
+    def state(r: Runner): Set[(Long, String, String, String)] =
+      r.table(spark, "item_chk").collect()
+        .map(x => (x.getLong(0), Option(x.getString(1)).getOrElse("-"),
+          x.getString(2), Option(x.getString(3)).getOrElse("-")))
+        .toSet
+
+    // Run 1 (clock T1): both rows open; v is nullable.
+    src2 = Seq((1L, Some("a")), (2L, None)).toDF("id", "v")
+    assert(state(run("T1")) ==
+      Set((1L, "a", "T1", "-"), (2L, "-", "T1", "-")))
+
+    // Run 2 (T2): id 1 ABSENT from the source — its open row survives
+    // (dbt's default, no hard-delete invalidation); id 2 flips NULL→"b",
+    // which the null-safe compare must count as a change.
+    src2 = Seq((2L, Some("b"))).toDF("id", "v")
+    assert(state(run("T2")) == Set(
+      (1L, "a", "T1", "-"),
+      (2L, "-", "T1", "T2"), (2L, "b", "T2", "-")))
+
+    // Run 3 (T3): identical source — nothing changes, nothing closes.
+    val after = state(run("T3"))
+    assert(after == Set(
+      (1L, "a", "T1", "-"),
+      (2L, "-", "T1", "T2"), (2L, "b", "T2", "-")))
+  }
+
   test("snapshot source missing key or updated_at column fails the node") {
     val base = java.nio.file.Files.createTempDirectory("snap_bad").toString
     source = Seq((1L, "a")).toDF("id", "v") // no ts column
