@@ -17,6 +17,8 @@ import graft.operators.TpchProject
   *            comma = intersection, `state:modified`/`state:new` against
   *            --state; --exclude subtracts its selection. Every run
   *            writes WAREHOUSE/manifest.json for the next --state.)
+  *   build   dbt build: run the DAG, then every declared test (exit 1 on
+  *           any test failure)
   *   test    [--project ...] [--dir PATH] [--target ...]
   *   compile [--project ...] [--target ...]
   *   deps      O1: package resolution report (dbt_utils tests are inlined)
@@ -140,6 +142,25 @@ object EngineCli {
           println(f"${r.getString(0)}%-12s ${r.getString(1)}%-36s " +
             f"temp=${r.getBoolean(2)}")
         }
+      case "build" =>
+        // dbt build: materialize the DAG, then run every declared test —
+        // one verb for the deploy path; exit 1 if any test fails.
+        val results = runner.run(spark, opts.get("select"),
+          runResultsPath = Some(s"$warehouse/run_results.json"),
+          threads = opts.getOrElse("threads", "1").toInt)
+        results.foreach { r =>
+          println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
+            f"-> ${r.relation}%-32s ${r.millis}%6d ms")
+        }
+        val report = runner.testReport(spark).collect()
+        report.foreach { row =>
+          println(f"${if (row.getLong(1) == 0) "PASS" else "FAIL"}%-5s " +
+            f"${row.getString(0)}%-55s violations=${row.getLong(1)}")
+        }
+        val bad = report.count(_.getLong(1) != 0)
+        println(s"build: ${results.size} models, " +
+          s"${report.length - bad}/${report.length} tests passed")
+        if (bad > 0) sys.exit(1)
       case "seed" =>
         // dbt seed: materialize only the seed tier.
         val seedNames = project.models.collect { case s: SeedModel => s.name }
@@ -151,7 +172,7 @@ object EngineCli {
           }
       case other =>
         System.err.println(s"unknown verb: $other " +
-          "(expected run|test|compile|deps|freshness|ls|seed)")
+          "(expected run|build|test|compile|deps|freshness|ls|seed)")
         sys.exit(2)
     }
     spark.stop()

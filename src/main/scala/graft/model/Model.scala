@@ -29,9 +29,23 @@ object Materialization {
     * (renders to a max-watermark predicate against the existing relation,
     * dbt's `is_incremental()` + `{{ this }}` pattern).
     */
-  final case class IncrementalByPartition(partitionCols: Seq[String])
+  /** dbt `on_schema_change` policies for incremental models: `ignore`
+    * (default — the target schema wins: the increment's new columns are
+    * dropped, its missing ones null-filled), `append_new_columns` (the
+    * target gains the increment's new columns; history rows read NULL
+    * for them), `fail` (any difference aborts the node). dbt's
+    * `sync_all_columns` (also DROP removed columns) is intentionally
+    * absent: destructive on shared history, and expressible as a
+    * full-refresh when really wanted. */
+  val schemaChangePolicies: Set[String] =
+    Set("ignore", "append_new_columns", "fail")
+
+  final case class IncrementalByPartition(partitionCols: Seq[String],
+      onSchemaChange: String = "ignore")
       extends Materialization {
     require(partitionCols.nonEmpty, "partition columns required")
+    require(schemaChangePolicies(onSchemaChange),
+      s"unknown on_schema_change '$onSchemaChange'")
   }
 
   /** Engine extension: dbt's `incremental` with `unique_key` (the
@@ -43,9 +57,12 @@ object Materialization {
     * [[IncrementalByPartition]] when increments align with partitions —
     * it rewrites only touched partitions; key-merge rewrites the table.
     */
-  final case class IncrementalByKey(uniqueKey: Seq[String])
+  final case class IncrementalByKey(uniqueKey: Seq[String],
+      onSchemaChange: String = "ignore")
       extends Materialization {
     require(uniqueKey.nonEmpty, "unique_key required")
+    require(schemaChangePolicies(onSchemaChange),
+      s"unknown on_schema_change '$onSchemaChange'")
   }
 
   /** dbt's ephemeral materialization: never materialized. Downstream SQL
@@ -85,7 +102,11 @@ object Materialization {
   final case class SnapshotCheck(
       uniqueKey: String,
       checkCols: Seq[String] = Nil,
-      snapshotAt: Option[String] = None) extends Materialization {
+      snapshotAt: Option[String] = None,
+      /** dbt `invalidate_hard_deletes`: a key absent from the source
+        * closes its open row at the snapshot clock instead of surviving
+        * — for sources where disappearance IS the change. */
+      invalidateHardDeletes: Boolean = false) extends Materialization {
     require(uniqueKey.nonEmpty, "snapshot requires unique_key")
   }
 }

@@ -96,7 +96,8 @@ object ProjectLoader {
       }.getOrElse(Map.empty)
     val unknown = cfg.keySet --
       Set("materialized", "partition_by", "schema", "unique_key",
-        "updated_at", "strategy", "check_cols", "snapshot_at")
+        "updated_at", "strategy", "check_cols", "snapshot_at",
+        "invalidate_hard_deletes", "on_schema_change")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -120,9 +121,11 @@ object ProjectLoader {
       case "incremental" =>
         // dbt keys the strategy off the config: partition_by → dynamic
         // partition overwrite, unique_key → delete+insert merge.
+        val policy = str("on_schema_change").getOrElse("ignore")
         (list("partition_by"), list("unique_key")) match {
-          case (Some(p), None) => Materialization.IncrementalByPartition(p)
-          case (None, Some(k)) => Materialization.IncrementalByKey(k)
+          case (Some(p), None) =>
+            Materialization.IncrementalByPartition(p, policy)
+          case (None, Some(k)) => Materialization.IncrementalByKey(k, policy)
           case _ => throw new IllegalArgumentException(
             s"$where: incremental model requires exactly one of " +
               "partition_by or unique_key")
@@ -137,7 +140,8 @@ object ProjectLoader {
               required("updated_at", "snapshot"))
           case "check" =>
             Materialization.SnapshotCheck(required("unique_key", "snapshot"),
-              list("check_cols").getOrElse(Nil), str("snapshot_at"))
+              list("check_cols").getOrElse(Nil), str("snapshot_at"),
+              str("invalidate_hard_deletes").contains("true"))
           case other => throw new IllegalArgumentException(
             s"$where: unknown snapshot strategy '$other'")
         }
@@ -147,6 +151,10 @@ object ProjectLoader {
     require(materialization.isInstanceOf[Materialization.IncrementalByPartition]
         || cfg.get("partition_by").isEmpty,
       s"$where: partition_by requires materialized='incremental'")
+    require(cfg.get("on_schema_change").isEmpty
+        || materialization.isInstanceOf[Materialization.IncrementalByPartition]
+        || materialization.isInstanceOf[Materialization.IncrementalByKey],
+      s"$where: on_schema_change requires materialized='incremental'")
     require(cfg.get("unique_key").isEmpty
         || materialization.isInstanceOf[Materialization.Snapshot]
         || materialization.isInstanceOf[Materialization.SnapshotCheck]
@@ -156,10 +164,11 @@ object ProjectLoader {
         || cfg.get("updated_at").isEmpty,
       s"$where: updated_at requires materialized='snapshot'")
     require((cfg.get("strategy").isEmpty && cfg.get("check_cols").isEmpty &&
-        cfg.get("snapshot_at").isEmpty)
+        cfg.get("snapshot_at").isEmpty &&
+        cfg.get("invalidate_hard_deletes").isEmpty)
         || materialization.isInstanceOf[Materialization.Snapshot]
         || materialization.isInstanceOf[Materialization.SnapshotCheck],
-      s"$where: strategy/check_cols/snapshot_at require materialized='snapshot'")
+      s"$where: snapshot config keys require materialized='snapshot'")
 
     val sql = ConfigR.replaceAllIn(raw, "").trim
     require(sql.nonEmpty, s"$where: model file has no SQL body")

@@ -35,6 +35,13 @@ trait Materializer {
     * `incremental_filter` rendering: first run = full build). */
   def relationExists(spark: SparkSession, relation: String): Boolean
 
+  /** Schema evolution for `on_schema_change='append_new_columns'`:
+    * extend the existing relation so history rows read NULL for
+    * `newCols`. Catalog tables ALTER; path-backed relations rely on
+    * parquet schema merge at read time. */
+  def addColumns(spark: SparkSession, relation: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Unit
+
   /** Read-modify-replace (snapshots): `df`'s plan READS the current
     * contents of `relation`, so a materializer that overwrites the
     * relation's storage in place would consume its own input. The default
@@ -106,6 +113,14 @@ final class CatalogMaterializer extends Materializer {
 
   def relationExists(spark: SparkSession, relation: String): Boolean =
     spark.catalog.tableExists(relation)
+
+  def addColumns(spark: SparkSession, relation: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val ddl = newCols.map(f => s"${f.name} ${f.dataType.sql}")
+      .mkString(", ")
+    spark.sql(s"ALTER TABLE $relation ADD COLUMNS ($ddl)")
+    spark.catalog.refreshTable(relation)
+  }
 
   def materializeIncremental(spark: SparkSession, relation: String,
       df: DataFrame, partitionCols: Seq[String]): Unit =
@@ -277,8 +292,18 @@ final class PathMaterializer(base: String) extends Materializer {
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView(relation)
+    // mergeSchema: after append_new_columns evolution only the NEW
+    // partition files carry the added columns — the merged read nulls
+    // them for history partitions (the ALTER TABLE twin, see
+    // Materializer.addColumns).
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .createOrReplaceTempView(relation)
   }
+
+  /** Path-backed relations evolve at read time (parquet mergeSchema in
+    * [[materializeIncremental]]); nothing to alter eagerly. */
+  def addColumns(spark: SparkSession, relation: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = ()
 
   def dropRelation(spark: SparkSession, relation: String): Unit = {
     spark.catalog.dropTempView(relation)
@@ -424,12 +449,14 @@ final class Runner(
           materializer.materializeView(spark, relation, df)
         case Materialization.Table =>
           materializer.materializeTable(spark, relation, df)
-        case Materialization.IncrementalByPartition(pcols) =>
-          materializer.materializeIncremental(spark, relation, df, pcols)
+        case Materialization.IncrementalByPartition(pcols, policy) =>
+          materializer.materializeIncremental(spark, relation,
+            reconcileIncrement(spark, relation, df, policy,
+              evolveTarget = true), pcols)
         case Materialization.Ephemeral =>
           throw new IllegalStateException(
             s"ephemeral model $name must not be materialized")
-        case Materialization.IncrementalByKey(keys) =>
+        case Materialization.IncrementalByKey(keys, policy) =>
           // delete+insert by key: target rows sharing an increment key are
           // replaced, others survive. One shuffle on the key; the staged
           // swap is materializeReplace's contract (MERGE INTO on lakehouse
@@ -437,10 +464,16 @@ final class Runner(
           if (!materializer.relationExists(spark, relation))
             materializer.materializeTable(spark, relation, df)
           else {
+            // The merge rewrites the whole relation, so append's schema
+            // evolution is free: unionByName(allowMissing) widens the
+            // output schema; no eager ALTER needed (evolveTarget=false).
+            val inc = reconcileIncrement(spark, relation, df, policy,
+              evolveTarget = false)
             val existing = spark.table(relation)
             val merged = existing
-              .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-              .unionByName(df)
+              .join(inc.select(keys.map(col): _*).distinct(), keys,
+                "left_anti")
+              .unionByName(inc, allowMissingColumns = true)
             materializer.materializeReplace(spark, relation, merged)
           }
         case s: Materialization.Snapshot =>
@@ -555,6 +588,51 @@ final class Runner(
     ordered.map(results.get)
   }
 
+  /** dbt `on_schema_change` (see [[Materialization.schemaChangePolicies]])
+    * applied to an increment frame against the EXISTING relation (first
+    * runs pass through — the increment defines the schema):
+    *
+    *  - `fail`: any column-set difference aborts the node.
+    *  - `ignore`: project onto the target schema — new increment columns
+    *    drop, columns the increment stopped selecting null-fill. The
+    *    target never changes shape mid-history (dbt's default).
+    *  - `append_new_columns`: the target evolves to hold the increment's
+    *    new columns (`evolveTarget` drives whether that needs an eager
+    *    ALTER — partition-overwrite writes into the existing relation, so
+    *    yes; a key-merge rewrites the whole relation, so no). Dropped
+    *    columns still null-fill: append is additive, never destructive.
+    */
+  private def reconcileIncrement(spark: SparkSession, relation: String,
+      df: DataFrame, policy: String, evolveTarget: Boolean): DataFrame = {
+    if (!materializer.relationExists(spark, relation)) df
+    else {
+      val target = spark.table(relation).schema
+      val dcols = df.columns.toSet
+      val newFields = df.schema.fields.toSeq
+        .filterNot(f => target.fieldNames.contains(f.name))
+      val missing = target.fieldNames.toSeq.filterNot(dcols.contains)
+      def targetProjection = target.fields.toSeq.map { f =>
+        if (dcols(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      policy match {
+        case "fail" =>
+          if (newFields.nonEmpty || missing.nonEmpty)
+            throw new IllegalStateException(
+              s"on_schema_change=fail: increment schema differs from " +
+                s"$relation (new: ${newFields.map(_.name).mkString(",")}; " +
+                s"missing: ${missing.mkString(",")})")
+          df
+        case "ignore" =>
+          df.select(targetProjection: _*)
+        case "append_new_columns" =>
+          if (newFields.nonEmpty && evolveTarget)
+            materializer.addColumns(spark, relation, newFields)
+          df.select(targetProjection ++ newFields.map(f => col(f.name)): _*)
+      }
+    }
+  }
+
   /** SCD2 merge (dbt snapshot, timestamp strategy — see
     * [[Materialization.Snapshot]]). First run: every source row opens
     * (`valid_from` = its `updatedAt`, `valid_to` NULL). Later runs
@@ -638,10 +716,15 @@ final class Runner(
       // change; a key absent from the source (__k NULL) does not.
       val isChanged = col("__k").isNotNull &&
         check.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+      // invalidate_hard_deletes: disappearance from the source closes the
+      // open row too (no fresh row opens — there is nothing to open).
+      val isClosed =
+        if (s.invalidateHardDeletes) isChanged || col("__k").isNull
+        else isChanged
       val dropCols = "__k" +: check.map(c => s"__s_$c")
-      val closed = j.filter(isChanged)
+      val closed = j.filter(isClosed)
         .withColumn("valid_to", now).drop(dropCols: _*)
-      val kept = j.filter(!isChanged).drop(dropCols: _*)
+      val kept = j.filter(!isClosed).drop(dropCols: _*)
       val currentKeys = current.select(col(key).as("__ck"))
       val opened = open
         .join(currentKeys, open(key) === col("__ck"), "left_anti")

@@ -68,6 +68,97 @@ class IncrementalSpec extends SparkSuite {
       "day-1 partition files must be untouched by the incremental run")
   }
 
+  test("on_schema_change=ignore: target schema wins over a drifted increment") {
+    val base = Files.createTempDirectory("graft-osc-ignore").toString
+    var src = Seq(("d1", 1L, "x")).toDF("event_date", "id", "v")
+    def model = SqlModel("osc_ig",
+      "SELECT * FROM {{ source('t', 'ev') }}",
+      Materialization.IncrementalByPartition(Seq("event_date")))
+    def runner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)), Seq(model)),
+      Target.dev, new PathMaterializer(base))
+    runner.run(spark)
+    // Increment drifts: drops v, adds extra. ignore ⇒ extra is dropped,
+    // v null-fills; the relation keeps its original shape.
+    src = Seq(("d2", 2L, true)).toDF("event_date", "id", "extra")
+    runner.run(spark)
+    val out = spark.table("dev_osc_ig")
+    assert(out.columns.sorted.toSeq == Seq("event_date", "id", "v"))
+    assert(out.filter(col("event_date") === "d2")
+      .select("v").collect().map(_.isNullAt(0)).toSeq == Seq(true))
+  }
+
+  test("on_schema_change=append_new_columns evolves path and catalog targets") {
+    // Path-backed: history partitions read NULL for the appended column.
+    val base = Files.createTempDirectory("graft-osc-app").toString
+    var src = Seq(("d1", 1L)).toDF("event_date", "id")
+    def model(rel: String, schema: Option[String] = None) = SqlModel(rel,
+      "SELECT * FROM {{ source('t', 'ev') }}",
+      Materialization.IncrementalByPartition(Seq("event_date"),
+        onSchemaChange = "append_new_columns"),
+      customSchema = schema)
+    def pathRunner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)), Seq(model("osc_ap"))),
+      Target.dev, new PathMaterializer(base))
+    pathRunner.run(spark)
+    src = Seq(("d2", 2L, "new")).toDF("event_date", "id", "tag")
+    pathRunner.run(spark)
+    val out = spark.table("dev_osc_ap")
+    assert(out.columns.contains("tag"))
+    assert(out.filter(col("event_date") === "d1")
+      .select("tag").collect().map(_.isNullAt(0)).toSeq == Seq(true))
+
+    // Catalog-backed: ALTER TABLE ADD COLUMNS, then the insert.
+    src = Seq(("d1", 1L)).toDF("event_date", "id")
+    val catRunner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)),
+        Seq(model("osc_cat", Some("osctest")))),
+      Target.dev, new CatalogMaterializer)
+    spark.sql("DROP TABLE IF EXISTS osctest.osc_cat")
+    catRunner.run(spark)
+    src = Seq(("d2", 2L, "new")).toDF("event_date", "id", "tag")
+    catRunner.run(spark)
+    val cat = spark.table("osctest.osc_cat")
+    assert(cat.columns.contains("tag"))
+    assert(cat.filter(col("event_date") === "d1")
+      .select("tag").collect().map(_.isNullAt(0)).toSeq == Seq(true))
+    assert(cat.filter(col("event_date") === "d2")
+      .select("tag").collect().map(_.getString(0)).toSeq == Seq("new"))
+  }
+
+  test("on_schema_change=fail aborts the node on drift") {
+    val base = Files.createTempDirectory("graft-osc-fail").toString
+    var src = Seq(("d1", 1L)).toDF("event_date", "id")
+    def runner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)),
+        Seq(SqlModel("osc_fl", "SELECT * FROM {{ source('t', 'ev') }}",
+          Materialization.IncrementalByPartition(Seq("event_date"),
+            onSchemaChange = "fail")))),
+      Target.dev, new PathMaterializer(base))
+    runner.run(spark)
+    src = Seq(("d2", 2L, "boom")).toDF("event_date", "id", "extra")
+    val e = intercept[RuntimeException](runner.run(spark))
+    assert(e.getMessage.contains("osc_fl"))
+  }
+
+  test("incremental merge honors on_schema_change=append_new_columns") {
+    val base = Files.createTempDirectory("graft-osc-merge").toString
+    var src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    def model(policy: String) = SqlModel("osc_mrg",
+      "SELECT * FROM {{ source('t', 'ev') }}",
+      Materialization.IncrementalByKey(Seq("id"), policy))
+    def runner(policy: String) = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)), Seq(model(policy))),
+      Target.dev, new PathMaterializer(base))
+    runner("append_new_columns").run(spark)
+    src = Seq((2L, "b2", 9L)).toDF("id", "v", "score")
+    runner("append_new_columns").run(spark)
+    val out = spark.table("dev_osc_mrg").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a", -1L), (2L, "b2", 9L)))
+  }
+
   test("incremental model works through the catalog materializer too") {
     var sourceData = Seq(("2024-02-01", 1L), ("2024-02-02", 2L))
       .toDF("event_date", "id")

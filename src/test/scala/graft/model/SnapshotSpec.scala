@@ -105,6 +105,31 @@ class SnapshotSpec extends SparkSuite {
       (2L, "-", "T1", "T2"), (2L, "b", "T2", "-")))
   }
 
+  test("check-strategy snapshot: invalidate_hard_deletes closes absent keys") {
+    var src3: DataFrame = null
+    def proj(at: String) = Project(
+      Seq(SourceDef("fx", "items3", _ => src3)),
+      Seq(SqlModel("item_hd",
+        "SELECT * FROM {{ source('fx', 'items3') }}",
+        Materialization.SnapshotCheck("id", Nil, Some(at),
+          invalidateHardDeletes = true))))
+    val base = java.nio.file.Files.createTempDirectory("snaphd").toString
+    def run(at: String): Runner = {
+      val r = new Runner(proj(at), Target.dev, new PathMaterializer(base))
+      r.run(spark)
+      r
+    }
+    src3 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    run("T1")
+    // id 2 disappears: its open row must CLOSE at the snapshot clock
+    // (the opposite of the default, pinned by the test above).
+    src3 = Seq((1L, "a")).toDF("id", "v")
+    val st = run("T2").table(spark, "item_hd").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        Option(x.getString(3)).getOrElse("-"))).toSet
+    assert(st == Set((1L, "a", "T1", "-"), (2L, "b", "T1", "T2")))
+  }
+
   test("snapshot source missing key or updated_at column fails the node") {
     val base = java.nio.file.Files.createTempDirectory("snap_bad").toString
     source = Seq((1L, "a")).toDF("id", "v") // no ts column
