@@ -25,6 +25,7 @@ import graft.operators.TpchProject
   *   freshness A7: max(loaded_at_field) + age per declared source
   *   ls        S7: catalog listing (SHOW TABLES equivalent) post-run
   *   seed      dbt seed: materialize only the seed tier
+  *   docs      dbt docs generate: manifest_docs.json + catalog.json
   *
   * Any verb accepts `--seeds PATH` — a dbt seeds/ directory of CSVs that
   * joins the project as ref-able DAG roots (reference declares
@@ -161,6 +162,14 @@ object EngineCli {
         println(s"build: ${results.size} models, " +
           s"${report.length - bad}/${report.length} tests passed")
         if (bad > 0) sys.exit(1)
+      case "docs" =>
+        // dbt docs generate: manifest.json (nodes + parent map) and
+        // catalog.json (live column schemas) after materializing.
+        runner.run(spark, opts.get("select"))
+        runner.writeDocs(spark, s"$warehouse/manifest_docs.json",
+          s"$warehouse/catalog.json")
+        println(s"wrote $warehouse/manifest_docs.json and " +
+          s"$warehouse/catalog.json")
       case "seed" =>
         // dbt seed: materialize only the seed tier.
         val seedNames = project.models.collect { case s: SeedModel => s.name }
@@ -172,7 +181,7 @@ object EngineCli {
           }
       case other =>
         System.err.println(s"unknown verb: $other " +
-          "(expected run|build|test|compile|deps|freshness|ls|seed)")
+          "(expected run|build|test|compile|deps|freshness|ls|seed|docs)")
         sys.exit(2)
     }
     spark.stop()

@@ -883,6 +883,63 @@ final class Runner(
     case _ => None
   }
 
+  /** dbt docs artifacts (`dbt docs generate`): `manifest.json` — every
+    * node with its resolved relation, materialization, schema, refs and
+    * sources, plus the parent map (the DAG consumers browse) — and
+    * `catalog.json` — per-relation column names/types read from the LIVE
+    * catalog, so drift between a model's declared shape and what a run
+    * actually produced is visible. Catalog entries require the models
+    * materialized in this session (mirrors dbt: docs generate follows
+    * run); ephemeral nodes appear in the manifest but have no relation
+    * to catalog.
+    */
+  def writeDocs(spark: SparkSession, manifestPath: String,
+      catalogPath: String): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def arr(xs: Seq[String]): String =
+      xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+    val ordered = Dag.toposort(deps)
+    val nodes = ordered.map(byName).map { m =>
+      val rel = if (isEphemeral(m.name)) "" else relationOf(m)
+      s"""{"name":"${esc(m.name)}","relation":"${esc(rel)}",""" +
+        s""""materialized":"${esc(m.materialization.toString)}",""" +
+        s""""schema":"${esc(m.customSchema.getOrElse(target.schema))}",""" +
+        s""""refs":${arr(m.refs)},""" +
+        s""""sources":${arr(m.sources.map { case (a, b) => s"$a.$b" })}}"""
+    }.mkString("[", ",", "]")
+    val parentMap = ordered
+      .map(n => s""""${esc(n)}":${arr(deps(n))}""").mkString("{", ",", "}")
+    val manifest =
+      s"""{"target":"${esc(target.name)}","nodes":$nodes,"parent_map":$parentMap}"""
+
+    // Catalog covers what THIS session materialized (a selected run
+    // catalogs its subgraph — the rest of the DAG still documents via
+    // the manifest, it just has no live relation to describe).
+    val rels = ordered.filterNot(isEphemeral).map(byName).flatMap { m =>
+      val rel = relationOf(m)
+      scala.util.Try(spark.table(rel).schema).toOption.map { sch =>
+        val cols = sch.fields.zipWithIndex.map { case (f, i) =>
+          s"""{"name":"${esc(f.name)}","type":"${esc(f.dataType.catalogString)}","index":$i}"""
+        }.mkString("[", ",", "]")
+        s"""{"relation":"${esc(rel)}","columns":$cols}"""
+      }
+    }.mkString("[", ",", "]")
+    val catalog = s"""{"relations":$rels}"""
+
+    Seq(manifestPath -> manifest, catalogPath -> catalog).foreach {
+      case (path, json) =>
+        val p = Paths.get(path)
+        Option(p.getParent).foreach(Files.createDirectories(_))
+        Files.writeString(p, json)
+    }
+  }
+
   /** O7: run_results.json — per-node status/timing artifact. */
   private def writeRunResults(path: String, results: Seq[NodeResult]): Unit = {
     def esc(s: String): String =

@@ -326,6 +326,37 @@ object EngineQueries extends QueryPack {
              | ('stg_orders','dev_stg_orders','success')
              |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
 
+    // ---- Docs surface (dbt docs generate): run a subgraph, write
+    // manifest.json + catalog.json, read the CATALOG artifact back and
+    // pin the flagship mart's column schema — name, type, ordinal. This
+    // is the schema-drift alarm: any change to the mart's produced shape
+    // (a widened decimal, a reordered select) flips the gate.
+    Q("o06_docs_catalog",
+      (spark, dir) => {
+        val r = TpchProject.runner(dir)
+        r.run(spark, select = Some("+customer_order_metrics"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_docs")
+          .toString
+        r.writeDocs(spark, s"$tmp/manifest.json", s"$tmp/catalog.json")
+        spark.read.json(s"$tmp/catalog.json")
+          .select(explode(col("relations")).as("r"))
+          .filter(col("r.relation") === "dev_customer_order_metrics")
+          .select(explode(col("r.columns")).as("c"))
+          .select(col("c.name").as("column_name"),
+            col("c.type").as("data_type"),
+            col("c.index").cast("long").as("ordinal"))
+          .orderBy(col("ordinal"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('customer_id','bigint',0),
+             | ('customer_name','string',1),
+             | ('segment','string',2),
+             | ('priorities','array<string>',3),
+             | ('total_sales','decimal(38,2)',4),
+             | ('n_orders','bigint',5)
+             |) AS t(column_name, data_type, ordinal)
+             |ORDER BY ordinal""".stripMargin)),
+
     // ---- S7 surface: catalog listing (`SHOW TABLES IN SCHEMA`,
     // tasty_bytes_example_query.sql:2) — run the full DAG through the
     // CATALOG materializer, then list what the catalog holds. Staging

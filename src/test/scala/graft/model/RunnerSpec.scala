@@ -78,6 +78,29 @@ class RunnerSpec extends SparkSuite {
     assert(r2.fingerprints("priority_tiers") != f1)
   }
 
+  test("docs artifacts: manifest nodes + parent map, catalog columns") {
+    val runner = TpchProject.runner(dir)
+    runner.run(spark)
+    val tmp = Files.createTempDirectory("graft-docs-spec")
+    runner.writeDocs(spark, tmp.resolve("manifest.json").toString,
+      tmp.resolve("catalog.json").toString)
+    val manifest = spark.read.json(tmp.resolve("manifest.json").toString)
+    val nModels = TpchProject.project(dir).models.size
+    import org.apache.spark.sql.functions.{col, explode}
+    assert(manifest.select(explode(col("nodes"))).count() == nModels)
+    val parents = manifest
+      .select(col("parent_map.customer_order_metrics")).head
+      .getSeq[String](0).sorted
+    assert(parents == Seq("stg_customer", "stg_orders"))
+    val catalog = spark.read.json(tmp.resolve("catalog.json").toString)
+    assert(catalog.select(explode(col("relations"))).count() == nModels)
+    val martCols = catalog.select(explode(col("relations")).as("r"))
+      .filter(col("r.relation") === "dev_customer_order_metrics")
+      .select(explode(col("r.columns")).as("c"))
+      .select("c.name").collect().map(_.getString(0)).toSet
+    assert(martCols.contains("total_sales") && martCols.contains("priorities"))
+  }
+
   test("compileSql renders refs/sources without executing") {
     val runner = TpchProject.runner(dir)
     val sql = runner.compileSql(TpchProject.customerOrderMetrics)
