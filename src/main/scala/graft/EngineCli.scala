@@ -12,7 +12,7 @@ import graft.operators.TpchProject
   *   run     [--project tpch|tastybytes|dir:PATH] [--select EXPR]
   *           [--exclude EXPR] [--state MANIFEST] [--target dev|prod]
   *           [--dir PATH] [--threads N] [--materializer catalog|path]
-  *           [--warehouse PATH]
+  *           [--warehouse PATH] [--full-refresh true]
   *           (EXPR: dbt algebra — `+name+` graph ops, space = union,
   *            comma = intersection, `state:modified`/`state:new` against
   *            --state; --exclude subtracts its selection. Every run
@@ -89,7 +89,8 @@ object EngineCli {
           threads = opts.getOrElse("threads", "1").toInt,
           exclude = opts.get("exclude"),
           state = opts.get("state"),
-          manifestPath = Some(s"$warehouse/manifest.json"))
+          manifestPath = Some(s"$warehouse/manifest.json"),
+          fullRefresh = opts.get("full-refresh").contains("true"))
         results.foreach { r =>
           println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
             f"-> ${r.relation}%-32s ${r.millis}%6d ms")

@@ -121,6 +121,15 @@ sealed trait Model {
   def customSchema: Option[String]
   def refs: Seq[String]
   def sources: Seq[(String, String)]
+
+  /** dbt-snowflake `cluster_by`: physically order the materialized
+    * relation by these columns. On parquet this is what makes row-group
+    * min/max statistics selective — a filter on a clustered column skips
+    * whole files/row-groups instead of scanning the mart. Tables get a
+    * global range layout (disjoint per-file ranges); incremental
+    * materializations sort within each written partition (no extra
+    * shuffle on the hot path). */
+  def clusterBy: Seq[String] = Nil
 }
 
 /** A SQL model: one SELECT with `{{ ref('x') }}` / `{{ source('s','t') }}`
@@ -131,7 +140,8 @@ final case class SqlModel(
     name: String,
     sql: String,
     materialization: Materialization = Materialization.View,
-    customSchema: Option[String] = None) extends Model {
+    customSchema: Option[String] = None,
+    override val clusterBy: Seq[String] = Nil) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }
@@ -147,7 +157,8 @@ final case class DfModel(
     build: (SparkSession, String => DataFrame) => DataFrame,
     materialization: Materialization = Materialization.Table,
     customSchema: Option[String] = None,
-    sourceNames: Seq[(String, String)] = Nil) extends Model {
+    sourceNames: Seq[(String, String)] = Nil,
+    override val clusterBy: Seq[String] = Nil) extends Model {
   def refs: Seq[String] = refNames
   def sources: Seq[(String, String)] = sourceNames
 }

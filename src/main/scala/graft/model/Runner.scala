@@ -420,10 +420,14 @@ final class Runner(
     * assumes a first (full) run for `incremental_filter`. */
   def compileSql(m: SqlModel): String = renderSql(m, thisExists = false)
 
-  private def buildDf(spark: SparkSession, m: Model): DataFrame = m match {
+  private def buildDf(spark: SparkSession, m: Model,
+      fullRefresh: Boolean = false): DataFrame = m match {
     case sm: SqlModel =>
-      spark.sql(renderSql(sm,
-        thisExists = materializer.relationExists(spark, relationOf(sm))))
+      // Under --full-refresh the incremental_filter renders as a first
+      // run (no watermark predicate): the rebuild must see ALL source
+      // rows, not just those past the stale relation's max.
+      spark.sql(renderSql(sm, thisExists = !fullRefresh &&
+        materializer.relationExists(spark, relationOf(sm))))
     case dm: DfModel =>
       dm.build(spark, r => {
         val rm = byName(r)
@@ -438,20 +442,38 @@ final class Runner(
         .csv(sd.csvPath)
   }
 
-  private def materializeNode(spark: SparkSession, name: String): NodeResult = {
+  private def materializeNode(spark: SparkSession, name: String,
+      fullRefresh: Boolean = false): NodeResult = {
     val m = byName(name)
     val relation = relationOf(m)
     val t0 = System.nanoTime()
     try {
-      val df = buildDf(spark, m)
+      val built = buildDf(spark, m, fullRefresh)
+      // cluster_by: tables get a global range layout (disjoint per-file
+      // ranges — the strongest min/max pruning); incrementals only sort
+      // within what they write (no extra shuffle on the hot path).
+      def rangeClustered(df: DataFrame) =
+        if (m.clusterBy.isEmpty) df
+        else df.repartitionByRange(m.clusterBy.map(col): _*)
+          .sortWithinPartitions(m.clusterBy.map(col): _*)
+      def sortClustered(df: DataFrame) =
+        if (m.clusterBy.isEmpty) df
+        else df.sortWithinPartitions(m.clusterBy.map(col): _*)
+      val df = rangeClustered(built)
       m.materialization match {
         case Materialization.View =>
-          materializer.materializeView(spark, relation, df)
+          materializer.materializeView(spark, relation, built)
         case Materialization.Table =>
           materializer.materializeTable(spark, relation, df)
         case Materialization.IncrementalByPartition(pcols, policy) =>
-          materializer.materializeIncremental(spark, relation,
-            reconcileIncrement(spark, relation, df, policy,
+          val inc = sortClustered(built)
+          if (fullRefresh) {
+            // dbt --full-refresh: rebuild from scratch, keeping the
+            // partitioned layout (drop, then the first-run path).
+            materializer.dropRelation(spark, relation)
+            materializer.materializeIncremental(spark, relation, inc, pcols)
+          } else materializer.materializeIncremental(spark, relation,
+            reconcileIncrement(spark, relation, inc, policy,
               evolveTarget = true), pcols)
         case Materialization.Ephemeral =>
           throw new IllegalStateException(
@@ -461,27 +483,30 @@ final class Runner(
           // replaced, others survive. One shuffle on the key; the staged
           // swap is materializeReplace's contract (MERGE INTO on lakehouse
           // formats).
-          if (!materializer.relationExists(spark, relation))
+          if (fullRefresh || !materializer.relationExists(spark, relation))
             materializer.materializeTable(spark, relation, df)
           else {
             // The merge rewrites the whole relation, so append's schema
             // evolution is free: unionByName(allowMissing) widens the
             // output schema; no eager ALTER needed (evolveTarget=false).
-            val inc = reconcileIncrement(spark, relation, df, policy,
+            // cluster_by re-ranges the MERGED output — the rewrite pays
+            // the shuffle anyway, so clustering rides it.
+            val inc = reconcileIncrement(spark, relation, built, policy,
               evolveTarget = false)
             val existing = spark.table(relation)
             val merged = existing
               .join(inc.select(keys.map(col): _*).distinct(), keys,
                 "left_anti")
               .unionByName(inc, allowMissingColumns = true)
-            materializer.materializeReplace(spark, relation, merged)
+            materializer.materializeReplace(spark, relation,
+              rangeClustered(merged))
           }
         case s: Materialization.Snapshot =>
           materializer.materializeReplace(spark, relation,
-            snapshotFrame(spark, relation, df, s))
+            snapshotFrame(spark, relation, built, s))
         case s: Materialization.SnapshotCheck =>
           materializer.materializeReplace(spark, relation,
-            snapshotCheckFrame(spark, relation, df, s))
+            snapshotCheckFrame(spark, relation, built, s))
       }
       NodeResult(name, relation, "success",
         (System.nanoTime() - t0) / 1000000, None)
@@ -512,7 +537,8 @@ final class Runner(
       threads: Int = 1,
       exclude: Option[String] = None,
       state: Option[String] = None,
-      manifestPath: Option[String] = None): Seq[NodeResult] = {
+      manifestPath: Option[String] = None,
+      fullRefresh: Boolean = false): Seq[NodeResult] = {
     registerSources(spark)
     val selected = Dag.resolve(select, exclude, deps, stateAtom(state))
     manifestPath.foreach(writeManifest)
@@ -521,8 +547,8 @@ final class Runner(
     val chosen = (n: String) => selected(n) && !isEphemeral(n)
     val ordered = Dag.toposort(deps).filter(chosen)
     val results =
-      if (threads <= 1) runSerial(spark, ordered, chosen)
-      else runParallel(spark, ordered, threads)
+      if (threads <= 1) runSerial(spark, ordered, chosen, fullRefresh)
+      else runParallel(spark, ordered, threads, fullRefresh)
     runResultsPath.foreach(p => writeRunResults(p, results))
     results.find(_.status == "error").foreach { r =>
       throw new RuntimeException(
@@ -532,7 +558,7 @@ final class Runner(
   }
 
   private def runSerial(spark: SparkSession, ordered: Seq[String],
-      chosen: String => Boolean): Seq[NodeResult] = {
+      chosen: String => Boolean, fullRefresh: Boolean): Seq[NodeResult] = {
     val bad = scala.collection.mutable.Set.empty[String] // failed or skipped
     ordered.map { n =>
       if (execDeps(n).filter(chosen).exists(bad)) {
@@ -540,7 +566,7 @@ final class Runner(
         NodeResult(n, relationOf(byName(n)), "skipped", 0,
           Some("upstream failed"))
       } else {
-        val r = materializeNode(spark, n)
+        val r = materializeNode(spark, n, fullRefresh)
         if (r.status != "success") bad += n
         r
       }
@@ -548,7 +574,7 @@ final class Runner(
   }
 
   private def runParallel(spark: SparkSession, ordered: Seq[String],
-      threads: Int): Seq[NodeResult] = {
+      threads: Int, fullRefresh: Boolean): Seq[NodeResult] = {
     import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors}
     val chosen = ordered.toSet
     val remaining = new ConcurrentHashMap[String, java.lang.Integer]()
@@ -579,7 +605,7 @@ final class Runner(
         r != null && r.status != "success"
       }
       if (upstreamBad) skip(name)
-      else finish(name, materializeNode(spark, name))
+      else finish(name, materializeNode(spark, name, fullRefresh))
     }
 
     ordered.filter(n => remaining.get(n) == 0).foreach(submit)
@@ -836,10 +862,11 @@ final class Runner(
   def fingerprints: Map[String, String] = project.models.map { m =>
     val parts = m match {
       case s: SqlModel =>
-        Seq("sql", s.sql, s.materialization.toString, s.customSchema.toString)
+        Seq("sql", s.sql, s.materialization.toString, s.customSchema.toString,
+          s.clusterBy.mkString(","))
       case d: DfModel =>
         Seq("df", d.refNames.mkString(","), d.materialization.toString,
-          d.customSchema.toString)
+          d.customSchema.toString, d.clusterBy.mkString(","))
       case s: SeedModel =>
         // dbt checksums seed CONTENT: editing the CSV must flip
         // state:modified even though the model definition is unchanged.

@@ -68,6 +68,60 @@ class IncrementalSpec extends SparkSuite {
       "day-1 partition files must be untouched by the incremental run")
   }
 
+  test("--full-refresh rebuilds an incremental model, picking up restated history") {
+    val base = Files.createTempDirectory("graft-fullref").toString
+    var src = Seq(("2024-01-01", 1L), ("2024-01-01", 2L))
+      .toDF("event_date", "id")
+    def runner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)),
+        Seq(SqlModel("fr_inc",
+          """SELECT event_date, COUNT(*) AS n FROM {{ source('t', 'ev') }}
+            |WHERE {{ incremental_filter('event_date') }}
+            |GROUP BY event_date""".stripMargin,
+          Materialization.IncrementalByPartition(Seq("event_date"))))),
+      Target.dev, new PathMaterializer(base))
+    runner.run(spark)
+    // Day 1 is RESTATED (3 rows now) and day 2 arrives. The incremental
+    // filter excludes the restatement; only --full-refresh can see it.
+    src = Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-01", 9L),
+      ("2024-01-02", 3L)).toDF("event_date", "id")
+    runner.run(spark)
+    def counts = spark.table("dev_fr_inc")
+      .select("event_date", "n").as[(String, Long)].collect().toMap
+    assert(counts == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+    runner.run(spark, fullRefresh = true)
+    assert(counts == Map("2024-01-01" -> 3L, "2024-01-02" -> 1L))
+  }
+
+  test("cluster_by lays a mart out in disjoint per-file ranges") {
+    val base = Files.createTempDirectory("graft-cluster").toString
+    // Keys arrive pseudo-shuffled; the range layout must still give each
+    // output file a disjoint key interval (what makes parquet min/max
+    // row-group stats selective at scale).
+    val model = DfModel("clustered", Nil,
+      (s, _) => s.range(0, 10000).select(
+        pmod(col("id") * 2654435761L, lit(10000L)).as("k"),
+        col("id").as("v")),
+      clusterBy = Seq("k"))
+    // AQE rightly coalesces a 10k-row shuffle into one partition; pin it
+    // off so the spec sees the multi-file layout a real mart would get.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try new Runner(Project(Nil, Seq(model)), Target.dev,
+      new PathMaterializer(base)).run(spark)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = Files.list(Paths.get(base, "dev_clustered"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(files.size > 1, "range layout should produce multiple files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: $ranges")
+    }
+  }
+
   test("on_schema_change=ignore: target schema wins over a drifted increment") {
     val base = Files.createTempDirectory("graft-osc-ignore").toString
     var src = Seq(("d1", 1L, "x")).toDF("event_date", "id", "v")

@@ -97,6 +97,13 @@ class ProjectLoaderSpec extends AnyFunSuite {
       "{{ config(materialized='table', unique_key=['id']) }} SELECT 1"))
   }
 
+  test("config header: cluster_by") {
+    val m = ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', cluster_by=['k1','k2']) }} SELECT 1")
+    assert(m.clusterBy == Seq("k1", "k2"))
+    assert(ProjectLoader.parseModel("m", "SELECT 1").clusterBy.isEmpty)
+  }
+
   test("config header: snapshot strategies") {
     val ts = ProjectLoader.parseModel("m",
       "{{ config(materialized='snapshot', unique_key='id', updated_at='u') }} SELECT 1")
