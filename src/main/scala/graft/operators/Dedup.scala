@@ -62,9 +62,16 @@ object Dedup {
     * J(A,B) ≥ t requires t·|B| ≤ |A| (and symmetrically), so incompatible
     * sizes are discarded without touching the arrays. */
   private def verified(candidates: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      threshold: Double): DataFrame =
+    verifiedCross(candidates, sh, sh, threshold)
+
+  /** Two-sided [[verified]]: candidate sides resolve their shingles from
+    * separate frames (cross-corpus pairs; same-corpus callers pass the
+    * one frame twice). */
+  private def verifiedCross(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame = {
+    val sa = shA.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = shB.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
     val inter = Hashing.sortedIntersectSize(col("sa"), col("sb"))
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
     candidates
@@ -253,6 +260,64 @@ object Dedup {
     val repPairs = minhashRepPairs(reps, sh, threshold, numHashes, bands)
     expandClusters(repPairs, groups,
       valueCols = Seq("jaccard"), withinValues = Seq(lit(1.0).as("jaccard")))
+  }
+
+  /** Cross-corpus contamination: near-duplicate pairs BETWEEN two
+    * corpora — the train/test-leakage check every training-data pipeline
+    * runs before a model ships (a benchmark document that near-dups a
+    * training document invalidates the eval). Emits (doc_a ∈ A,
+    * doc_b ∈ B, jaccard ≥ threshold); within-corpus pairs are each
+    * side's own [[jaccardPairs]] problem and are not repeated here.
+    * Ids must be unique across BOTH corpora (they address the output).
+    *
+    * Scale shape mirrors [[minhashLshPairs]]: exact-duplicate clusters
+    * collapse per side, representatives band their MinHash signatures,
+    * and candidates come from an equi-join of A's buckets against B's —
+    * never |A|×|B|. Exact-jaccard verification ⇒ precision 1; recall is
+    * the banding guarantee (near-identical contamination at j ≥ 0.9
+    * collides in ≥1 of the 16 bands w.p. ~1). Cross pairs of identical
+    * documents verify at jaccard 1 via their identical shingle sets.
+    */
+  def crossCorpusPairs(corpusA: DataFrame, corpusB: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sa = shingled(corpusA, idCol, textCol)
+    val sb = shingled(corpusB, idCol, textCol)
+    val ga = clusters(sa)
+    val gb = clusters(sb)
+    def banded(reps: DataFrame): DataFrame = {
+      val sig = reps.select(col("doc_id"),
+        Hashing.minhashSig(col("shingles"), numHashes).as("sig"))
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(",", transform(
+            slice(col("sig"), bnd * rows + 1, rows), _.cast("string")))
+            .as("bucket"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
+    val candidates = banded(ga.select(col("doc_id"), col("shingles"))).as("a")
+      .join(banded(gb.select(col("doc_id"), col("shingles"))).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val repPairs = verifiedCross(candidates, sa, sb, threshold)
+    // Expand through BOTH sides' duplicate clusters: every member pair
+    // inherits the representatives' jaccard (a function of the shingle
+    // sets alone).
+    repPairs
+      .join(ga.select(col("doc_id").as("doc_a"), col("members").as("__ma")),
+        "doc_a")
+      .join(gb.select(col("doc_id").as("doc_b"), col("members").as("__mb")),
+        "doc_b")
+      .select(col("jaccard"), explode(col("__ma")).as("doc_a"), col("__mb"))
+      .select(col("jaccard"), col("doc_a"), explode(col("__mb")).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   private def minhashRepPairs(reps: DataFrame, sh: DataFrame,

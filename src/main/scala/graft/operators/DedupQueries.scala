@@ -116,6 +116,44 @@ object DedupQueries extends QueryPack {
           Threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b")),
-      Some(jaccardOracle))
+      Some(jaccardOracle)),
+
+    // Cross-corpus contamination (train/test leakage): the corpus split
+    // by doc_id parity stands in for train vs held-out eval; every
+    // near-dup pair CROSSING the split is a leaked document. The oracle
+    // is the brute-force cross-only jaccard pair set — same recall
+    // argument as d03 (planted dups at j ≥ 0.9; verification makes
+    // precision exact).
+    Q("d06_cross_contamination",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.crossCorpusPairs(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", Threshold)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+              |  FROM documents WHERE length(trim(text)) > 0),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(range(1, len(w)-1),
+              |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+              |  FROM toks WHERE len(w) >= 3),
+              |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+              |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+              |inter AS (
+              |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+              |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+              |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |  ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= $Threshold
+              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -113,6 +113,23 @@ class ExtensionSpec extends SparkSuite {
     }
   }
 
+  test("cross-corpus pairs equal the cross subset of exact jaccard pairs") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // jaccardPairs orients doc_a < doc_b; reorient to A→B.
+    val cross = exact.flatMap { case (x, y, j) =>
+      if (x % 2 == 0 && y % 2 == 1) Some((x, y, j))
+      else if (y % 2 == 0 && x % 2 == 1) Some((y, x, j))
+      else None
+    }.toSet
+    val got = Dedup.crossCorpusPairs(a, b, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cross.nonEmpty, "testdata should contain cross-split near-dups")
+    assert(got == cross)
+  }
+
   test("IVF ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity
