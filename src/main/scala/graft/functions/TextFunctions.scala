@@ -75,6 +75,20 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(lower(trim(regexp_replace(c, "\\s+", " "))))
 
+  /** PII patterns for corpus scrubbing, restricted to syntax Java regex
+    * and RE2 share so a DuckDB oracle can mirror them verbatim. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe: String = "https?://[^ ]+"
+  val PhoneRe: String = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+
+  /** Redact URLs, then emails, then phone numbers (URL first — emails
+    * and digit runs inside a URL belong to the URL). Composed from
+    * Spark's codegen'd regexp_replace: one projection pass over the
+    * corpus, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** BPE-style pre-tokenizer pattern (the GPT-2 family shape:
     * contractions | space-prefixed letter runs | digit runs | punctuation
     * runs), restricted to constructs shared by Java regex and RE2 (no

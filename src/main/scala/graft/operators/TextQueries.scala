@@ -210,6 +210,47 @@ object TextQueries extends QueryPack {
              |    PARTITION BY doc_id ORDER BY score DESC, token) AS rk
              |  FROM scored)
              |SELECT doc_id, rk, token, score FROM ranked WHERE rk <= 3
-             |ORDER BY doc_id, rk""".stripMargin))
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // ---- PII redaction (TextFunctions.redactPii): scrub URLs, emails,
+    // phone numbers from a training corpus — pure codegen'd
+    // regexp_replace, one projection pass. The synthetic corpus carries
+    // no PII, so each document is AUGMENTED (in the query, identically
+    // on both sides) with a deterministic email/phone/URL tail keyed by
+    // doc_id — the redactor then has real work whose output the oracle
+    // must reproduce byte-for-byte (compared via md5; counts via
+    // regexp_count). Patterns are Java-regex ∩ RE2, so the oracle runs
+    // them verbatim.
+    Q("t09_pii_redaction",
+      (s, dir) => {
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now, call 555-123-4567, " +
+            "see https://ex.example/a?b=1 end"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(redactPii(aug)).as("clean_md5"),
+            regexp_count(aug, lit(EmailRe)).as("n_emails"),
+            regexp_count(aug, lit(UrlRe)).as("n_urls"),
+            regexp_count(aug, lit(PhoneRe)).as("n_phones"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || ' contact user' ||
+             |    CAST(doc_id AS VARCHAR) ||
+             |    '@example.com now, call 555-123-4567, see https://ex.example/a?b=1 end'
+             |    AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g')) AS clean_md5,
+             |  len(regexp_extract_all(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_urls,
+             |  len(regexp_extract_all(t,
+             |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS n_phones
+             |FROM aug ORDER BY doc_id""".stripMargin))
   )
 }
