@@ -251,6 +251,53 @@ object TextQueries extends QueryPack {
              |  len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_urls,
              |  len(regexp_extract_all(t,
              |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS n_phones
-             |FROM aug ORDER BY doc_id""".stripMargin))
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // ---- Deterministic (hash-gated) sampling: the downsampling step of
+    // a corpus pipeline, done WITHOUT rand() — a row is kept iff the
+    // first byte of md5(key) falls under the rate threshold. Unlike
+    // seeded rand() (partition-layout-dependent, irreproducible across
+    // engines/cluster sizes), the hash gate is a pure row function: the
+    // same corpus samples identically everywhere, re-runs are stable,
+    // and train/eval splits never drift — which is why it has an EXACT
+    // cross-engine oracle. '28' ≈ 0x28/0x100 = 15.6% target rate; the
+    // gate emits per-language sampled/total counts plus the kept-id
+    // checksum, so both the rate and the exact membership are pinned.
+    Q("t10_deterministic_sample",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = substring(md5(col("doc_id").cast("string")), 1, 2) <= "28"
+        docs
+          .groupBy(langId(col("text")).as("lang_pred"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_sampled"),
+            // Membership checksum: xor-free portable form — md5 of the
+            // sorted kept-id list.
+            md5(concat_ws(",", transform(sort_array(collect_list(
+              when(keep, col("doc_id")))), _.cast("string"))))
+              .as("sample_ids_md5"))
+          .orderBy(col("lang_pred"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ' ' || text || ' ' p FROM documents),
+              |sc AS (SELECT doc_id,
+              |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' AS keep,
+              |  ${occSql("en")} AS en,
+              |  ${occSql("de")} AS de,
+              |  ${occSql("fr")} AS fr,
+              |  ${occSql("es")} AS es
+              | FROM t)
+              |SELECT CASE
+              |  WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+              |  WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+              |  WHEN fr > 0 AND fr >= es THEN 'fr'
+              |  WHEN es > 0 THEN 'es'
+              |  ELSE 'und' END AS lang_pred,
+              | COUNT(*) AS n_total,
+              | CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_sampled,
+              | md5(COALESCE(string_agg(
+              |   CASE WHEN keep THEN CAST(doc_id AS VARCHAR) END,
+              |   ',' ORDER BY doc_id), '')) AS sample_ids_md5
+              |FROM sc GROUP BY 1 ORDER BY lang_pred""".stripMargin))
   )
 }
