@@ -65,6 +65,18 @@ object Materialization {
       s"unknown on_schema_change '$onSchemaChange'")
   }
 
+  /** dbt's DEFAULT incremental strategy (`materialized='incremental'`
+    * with neither unique_key nor partition_by): each run's increment is
+    * APPENDED — no existing byte is rewritten, the cheapest possible
+    * materialization. Correct when the model's own filter guarantees
+    * disjoint increments (the `incremental_filter` watermark); rows it
+    * re-selects would duplicate, which is exactly dbt's contract too. */
+  final case class IncrementalAppend(onSchemaChange: String = "ignore")
+      extends Materialization {
+    require(schemaChangePolicies(onSchemaChange),
+      s"unknown on_schema_change '$onSchemaChange'")
+  }
+
   /** dbt's ephemeral materialization: never materialized. Downstream SQL
     * models inline this model's rendered SELECT as a CTE
     * (`WITH __cte__name AS (...)`), code models receive its DataFrame

@@ -126,8 +126,10 @@ object ProjectLoader {
           case (Some(p), None) =>
             Materialization.IncrementalByPartition(p, policy)
           case (None, Some(k)) => Materialization.IncrementalByKey(k, policy)
+          // dbt's default incremental strategy: plain append.
+          case (None, None) => Materialization.IncrementalAppend(policy)
           case _ => throw new IllegalArgumentException(
-            s"$where: incremental model requires exactly one of " +
+            s"$where: incremental model takes at most one of " +
               "partition_by or unique_key")
         }
       case "snapshot" =>
@@ -153,7 +155,8 @@ object ProjectLoader {
       s"$where: partition_by requires materialized='incremental'")
     require(cfg.get("on_schema_change").isEmpty
         || materialization.isInstanceOf[Materialization.IncrementalByPartition]
-        || materialization.isInstanceOf[Materialization.IncrementalByKey],
+        || materialization.isInstanceOf[Materialization.IncrementalByKey]
+        || materialization.isInstanceOf[Materialization.IncrementalAppend],
       s"$where: on_schema_change requires materialized='incremental'")
     require(cfg.get("unique_key").isEmpty
         || materialization.isInstanceOf[Materialization.Snapshot]

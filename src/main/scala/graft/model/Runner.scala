@@ -31,6 +31,10 @@ trait Materializer {
   def materializeIncremental(spark: SparkSession, relation: String,
       df: DataFrame, partitionCols: Seq[String]): Unit
 
+  /** Incremental append: add `df`'s rows; no existing byte rewritten. */
+  def materializeAppend(spark: SparkSession, relation: String,
+      df: DataFrame): Unit
+
   /** Whether the relation exists from a previous run (drives
     * `incremental_filter` rendering: first run = full build). */
   def relationExists(spark: SparkSession, relation: String): Boolean
@@ -145,6 +149,19 @@ final class CatalogMaterializer extends Materializer {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+
+  def materializeAppend(spark: SparkSession, relation: String,
+      df: DataFrame): Unit =
+    if (!relationExists(spark, relation)) {
+      val Array(schema, _) = relation.split('.')
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
+      clearStaleLocation(spark, relation)
+      df.write.format("parquet").saveAsTable(relation)
+    } else {
+      // insertInto appends by default, resolving positionally.
+      val target = spark.table(relation).columns
+      df.select(target.map(col).toIndexedSeq: _*).write.insertInto(relation)
     }
 
   /** Atomic full refresh — the semantics of Snowflake's `CREATE OR
@@ -304,6 +321,14 @@ final class PathMaterializer(base: String) extends Materializer {
     * [[materializeIncremental]]); nothing to alter eagerly. */
   def addColumns(spark: SparkSession, relation: String,
       newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = ()
+
+  def materializeAppend(spark: SparkSession, relation: String,
+      df: DataFrame): Unit = {
+    val path = s"$base/$relation"
+    df.write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .createOrReplaceTempView(relation)
+  }
 
   def dropRelation(spark: SparkSession, relation: String): Unit = {
     spark.catalog.dropTempView(relation)
@@ -475,6 +500,12 @@ final class Runner(
           } else materializer.materializeIncremental(spark, relation,
             reconcileIncrement(spark, relation, inc, policy,
               evolveTarget = true), pcols)
+        case Materialization.IncrementalAppend(policy) =>
+          // --full-refresh: drop and rebuild (the first-append path).
+          if (fullRefresh) materializer.dropRelation(spark, relation)
+          materializer.materializeAppend(spark, relation,
+            reconcileIncrement(spark, relation, sortClustered(built),
+              policy, evolveTarget = true))
         case Materialization.Ephemeral =>
           throw new IllegalStateException(
             s"ephemeral model $name must not be materialized")

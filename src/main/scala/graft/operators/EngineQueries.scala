@@ -569,6 +569,37 @@ object EngineQueries extends QueryPack {
              |  AND o_orderdate < TIMESTAMP '1995-07-01'
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- Incremental APPEND (dbt's default incremental strategy): two
+    // runs over complementary halves of the feed — the second run's rows
+    // land next to the first run's without rewriting a byte of them.
+    // The final table must equal the full hourly aggregate, every hour
+    // exactly once (disjointness is the model filter's contract).
+    Q("m12_incremental_append",
+      (spark, dir) => {
+        val src = SourceDef("ev", "events", s => Tables(s, dir, "events"))
+        def sql(first: Boolean) = {
+          val cmp = if (first) "<" else ">="
+          s"""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+             |FROM {{ source('ev', 'events') }}
+             |WHERE ts $cmp (SELECT MIN(ts) + INTERVAL 15 DAYS
+             |  FROM {{ source('ev', 'events') }})
+             |GROUP BY 1""".stripMargin
+        }
+        val base = java.nio.file.Files.createTempDirectory("graft_app")
+          .toString
+        def runner(first: Boolean) = new Runner(
+          Project(Seq(src), Seq(SqlModel("events_hourly_app", sql(first),
+            Materialization.IncrementalAppend()))),
+          Target.dev, new PathMaterializer(base))
+        runner(first = true).run(spark)
+        val r2 = runner(first = false)
+        r2.run(spark)
+        r2.table(spark, "events_hourly_app").orderBy(col("hour"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             | COUNT(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
     // ---- Ephemeral materialization: a chain of two ephemeral models
     // (the second refs the first) inlines as CTEs into the mart's own
     // WITH clause — nothing is materialized for either, Catalyst sees one

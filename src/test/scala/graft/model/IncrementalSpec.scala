@@ -68,6 +68,32 @@ class IncrementalSpec extends SparkSuite {
       "day-1 partition files must be untouched by the incremental run")
   }
 
+  test("append strategy adds increments without touching existing files") {
+    val base = Files.createTempDirectory("graft-append").toString
+    var src = Seq(("d1", 1L)).toDF("event_date", "id")
+    def runner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)),
+        Seq(SqlModel("app_inc", "SELECT * FROM {{ source('t', 'ev') }}",
+          Materialization.IncrementalAppend()))),
+      Target.dev, new PathMaterializer(base))
+    runner.run(spark)
+    val firstFiles = Files.list(Paths.get(base, "dev_app_inc"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(f => f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    src = Seq(("d2", 2L)).toDF("event_date", "id")
+    runner.run(spark)
+    assert(spark.table("dev_app_inc").count() == 2)
+    val after = Files.list(Paths.get(base, "dev_app_inc"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(f => f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    // Every first-run file survives untouched; new files arrived next to
+    // them (append never rewrites a byte).
+    firstFiles.foreach { case (f, t) => assert(after.get(f).contains(t)) }
+    assert(after.size > firstFiles.size)
+  }
+
   test("--full-refresh rebuilds an incremental model, picking up restated history") {
     val base = Files.createTempDirectory("graft-fullref").toString
     var src = Seq(("2024-01-01", 1L), ("2024-01-01", 2L))

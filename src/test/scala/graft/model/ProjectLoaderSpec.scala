@@ -35,8 +35,6 @@ class ProjectLoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ProjectLoader.parseModel("m", "{{ config(materialized='tabel') }}\nSELECT 1"))
     intercept[IllegalArgumentException](
-      ProjectLoader.parseModel("m", "{{ config(materialized='incremental') }}\nSELECT 1"))
-    intercept[IllegalArgumentException](
       ProjectLoader.parseModel("m",
         "{{ config(materialized='table', partition_by=['d']) }}\nSELECT 1"))
     intercept[IllegalArgumentException](
@@ -90,8 +88,10 @@ class ProjectLoaderSpec extends AnyFunSuite {
     // Strategy must be unambiguous.
     intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
       "{{ config(materialized='incremental', unique_key=['id'], partition_by=['d']) }} SELECT 1"))
-    intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
-      "{{ config(materialized='incremental') }} SELECT 1"))
+    // Neither key = dbt's default strategy: plain append.
+    assert(ProjectLoader.parseModel("m",
+      "{{ config(materialized='incremental') }} SELECT 1")
+      .materialization == Materialization.IncrementalAppend())
     // unique_key outside snapshot/incremental is still rejected.
     intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
       "{{ config(materialized='table', unique_key=['id']) }} SELECT 1"))
