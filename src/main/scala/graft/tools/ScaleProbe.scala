@@ -49,6 +49,12 @@ object ScaleProbe {
     t(s"dup clusters x$k")(
       println("  docs=" + Dedup
         .duplicateClusters(docs, "doc_id", "text", 0.6).count()))
+    t(s"cross contamination x$k")(
+      println("  pairs=" + Dedup
+        .crossCorpusPairs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", 0.6).count()))
 
     val emb0 = Tables(spark, dir, "embeddings")
     val emb = (0 until k).map { i =>
