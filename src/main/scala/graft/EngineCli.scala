@@ -103,13 +103,22 @@ object EngineCli {
         // survive across JVMs), so run the DAG first.
         runner.run(spark)
         val report = runner.testReport(spark).collect()
+        val severity = runner.testSeverity
         report.foreach { row =>
           val (id, n) = (row.getString(0), row.getLong(1))
-          println(f"${if (n == 0) "PASS" else "FAIL"}%-5s $id%-55s " +
-            f"violations=$n")
+          val verdict =
+            if (n == 0) "PASS"
+            else if (severity.getOrElse(id, "error") == "warn") "WARN"
+            else "FAIL"
+          println(f"$verdict%-5s $id%-55s violations=$n")
         }
-        val bad = report.count(_.getLong(1) != 0)
-        println(s"${report.length - bad}/${report.length} tests passed")
+        val stored = runner.storeFailures(spark)
+        stored.foreach(r => println(s"stored failures -> $r"))
+        val bad = report.count(r => r.getLong(1) != 0 &&
+          severity.getOrElse(r.getString(0), "error") == "error")
+        println(s"${report.count(_.getLong(1) == 0)}/${report.length} " +
+          s"tests passed ($bad error-severity failures)")
+        // dbt exit semantics: warn-severity failures do not fail the run.
         if (bad > 0) sys.exit(1)
       case "compile" =>
         Dag.toposort(runner.deps).foreach { name =>
@@ -159,9 +168,12 @@ object EngineCli {
           println(f"${if (row.getLong(1) == 0) "PASS" else "FAIL"}%-5s " +
             f"${row.getString(0)}%-55s violations=${row.getLong(1)}")
         }
-        val bad = report.count(_.getLong(1) != 0)
+        val severity = runner.testSeverity
+        val bad = report.count(r => r.getLong(1) != 0 &&
+          severity.getOrElse(r.getString(0), "error") == "error")
         println(s"build: ${results.size} models, " +
-          s"${report.length - bad}/${report.length} tests passed")
+          s"${report.count(_.getLong(1) == 0)}/${report.length} tests " +
+          s"passed ($bad error-severity failures)")
         if (bad > 0) sys.exit(1)
       case "docs" =>
         // dbt docs generate: manifest.json (nodes + parent map) and

@@ -23,6 +23,25 @@ sealed trait DataTest {
   def rowCondition: Option[Column] = None
 }
 
+/** dbt test config wrapper — `severity` ("error", the default, fails the
+  * invocation; "warn" reports without failing) and `store_failures`
+  * (materialize the violating rows to an audit relation,
+  * `<schema>_<test_id>__failures`, for debugging without re-running the
+  * test query). Wraps any [[DataTest]]; delegates the test itself.
+  */
+final case class WithConfig(
+    test: DataTest,
+    severity: String = "error",
+    storeFailures: Boolean = false) extends DataTest {
+  require(severity == "error" || severity == "warn",
+    s"unknown severity '$severity'")
+  def id: String = test.id
+  def relation: String = test.relation
+  override def rowCondition: Option[Column] = test.rowCondition
+  def violations(resolve: String => DataFrame): DataFrame =
+    test.violations(resolve)
+}
+
 /** dbt built-in `not_null` (__sources.yml:13-14 et al.). */
 final case class NotNull(relation: String, column: String) extends DataTest {
   val id = s"not_null__${relation}__$column"

@@ -142,6 +142,13 @@ sealed trait Model {
     * materializations sort within each written partition (no extra
     * shuffle on the hot path). */
   def clusterBy: Seq[String] = Nil
+
+  /** dbt `pre_hook` / `post_hook`: SQL statements run immediately
+    * before / after this model materializes (GRANTs, audit inserts,
+    * ANALYZE). Rendered through the same `{{ ref }}`/`{{ source }}`/
+    * `{{ this }}` substitution as model SQL. */
+  def preHooks: Seq[String] = Nil
+  def postHooks: Seq[String] = Nil
 }
 
 /** A SQL model: one SELECT with `{{ ref('x') }}` / `{{ source('s','t') }}`
@@ -153,7 +160,9 @@ final case class SqlModel(
     sql: String,
     materialization: Materialization = Materialization.View,
     customSchema: Option[String] = None,
-    override val clusterBy: Seq[String] = Nil) extends Model {
+    override val clusterBy: Seq[String] = Nil,
+    override val preHooks: Seq[String] = Nil,
+    override val postHooks: Seq[String] = Nil) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }

@@ -97,7 +97,8 @@ object ProjectLoader {
     val unknown = cfg.keySet --
       Set("materialized", "partition_by", "schema", "unique_key",
         "updated_at", "strategy", "check_cols", "snapshot_at",
-        "invalidate_hard_deletes", "on_schema_change", "cluster_by")
+        "invalidate_hard_deletes", "on_schema_change", "cluster_by",
+        "pre_hook", "post_hook")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -176,6 +177,8 @@ object ProjectLoader {
     val sql = ConfigR.replaceAllIn(raw, "").trim
     require(sql.nonEmpty, s"$where: model file has no SQL body")
     SqlModel(name, sql, materialization, customSchema = str("schema"),
-      clusterBy = list("cluster_by").getOrElse(Nil))
+      clusterBy = list("cluster_by").getOrElse(Nil),
+      preHooks = list("pre_hook").getOrElse(Nil),
+      postHooks = list("post_hook").getOrElse(Nil))
   }
 }

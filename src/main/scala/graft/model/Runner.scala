@@ -472,7 +472,18 @@ final class Runner(
     val m = byName(name)
     val relation = relationOf(m)
     val t0 = System.nanoTime()
+    // Hooks render through the same substitution as model SQL ({{ this }}
+    // = this model's relation) and run inside the node's try: a failing
+    // hook fails the node, dbt's semantics.
+    def runHooks(hooks: Seq[String]): Unit = hooks.foreach { h =>
+      spark.sql(Renderer.render(h,
+        ref = r => relationOf(byName(r)),
+        source = (a, b) => sourceRelation(a, b),
+        thisRelation = Some(relation),
+        thisExists = true))
+    }
     try {
+      runHooks(m.preHooks)
       val built = buildDf(spark, m, fullRefresh)
       // cluster_by: tables get a global range layout (disjoint per-file
       // ranges — the strongest min/max pruning); incrementals only sort
@@ -539,6 +550,7 @@ final class Runner(
           materializer.materializeReplace(spark, relation,
             snapshotCheckFrame(spark, relation, built, s))
       }
+      runHooks(m.postHooks)
       NodeResult(name, relation, "success",
         (System.nanoTime() - t0) / 1000000, None)
     } catch {
@@ -792,6 +804,32 @@ final class Runner(
     }
   }
 
+  /** Severity per test id (dbt `severity` config; default "error").
+    * The CLI fails the invocation only on error-severity failures. */
+  def testSeverity: Map[String, String] = project.tests.map {
+    case WithConfig(t, sev, _) => t.id -> sev
+    case t => t.id -> "error"
+  }.toMap
+
+  /** dbt `store_failures`: materialize the violating rows of every
+    * so-configured test to `<schema>_<test_id>__failures` — the audit
+    * relation a user inspects instead of re-running the test query.
+    * Call after [[run]] (model-relation tests need their relations). */
+  def storeFailures(spark: SparkSession): Seq[String] = {
+    registerSources(spark)
+    val resolve = testResolver(spark)
+    project.tests.collect {
+      case WithConfig(t, _, true) =>
+        // Test ids embed relation names ("not_null__tpch.orders__…");
+        // sanitize to a single identifier segment.
+        val safe = t.id.replaceAll("[^A-Za-z0-9_]", "_")
+        val rel = materializer.tableRelation(
+          target.schema, s"${safe}__failures")
+        materializer.materializeTable(spark, rel, t.violations(resolve))
+        rel
+    }
+  }
+
   /** The materialized relation of a model, post-run. */
   def table(spark: SparkSession, modelName: String): DataFrame =
     spark.table(relationOf(byName(modelName)))
@@ -894,7 +932,8 @@ final class Runner(
     val parts = m match {
       case s: SqlModel =>
         Seq("sql", s.sql, s.materialization.toString, s.customSchema.toString,
-          s.clusterBy.mkString(","))
+          s.clusterBy.mkString(","),
+          (s.preHooks ++ s.postHooks).mkString(";"))
       case d: DfModel =>
         Seq("df", d.refNames.mkString(","), d.materialization.toString,
           d.customSchema.toString, d.clusterBy.mkString(","))

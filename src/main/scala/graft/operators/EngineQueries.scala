@@ -600,6 +600,46 @@ object EngineQueries extends QueryPack {
              | COUNT(*) AS n_events
              |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
 
+    // ---- Hooks surface (dbt pre_hook/post_hook): a mart whose hooks
+    // INSERT audit rows around its own materialization — the canonical
+    // hook use (audit logs, GRANTs). The gate reads the audit table plus
+    // the mart's row count: hook ordering (pre rows, then post) and the
+    // {{ this }} substitution are both pinned. Catalog materializer so
+    // INSERT INTO has a real table to land in.
+    Q("m13_hooks_audit",
+      (spark, dir) => {
+        spark.sql("CREATE DATABASE IF NOT EXISTS hooks")
+        spark.sql("DROP TABLE IF EXISTS hooks.audit")
+        // Fresh external location: a managed one outlives the in-memory
+        // catalog across JVMs and LOCATION_ALREADY_EXISTS's the re-run.
+        val auditLoc = java.nio.file.Files
+          .createTempDirectory("graft_hooks_audit").toString
+        spark.sql("CREATE TABLE hooks.audit (model STRING, phase STRING) " +
+          s"USING parquet LOCATION '$auditLoc'")
+        val mart = SqlModel("nation_hooked",
+          """SELECT n_nationkey, n_name
+            |FROM {{ source('tpch', 'nation') }}""".stripMargin,
+          Materialization.Table,
+          preHooks = Seq(
+            "INSERT INTO hooks.audit VALUES ('{{ this }}', 'pre')"),
+          postHooks = Seq(
+            "INSERT INTO hooks.audit VALUES ('{{ this }}', 'post')"))
+        // Own target schema: o05 lists the dev/analytics catalogs, so
+        // this gate must not add tables there.
+        val r = new Runner(
+          Project(TpchProject.sources(dir), Seq(mart)),
+          Target("dev", "hooksdev"), new CatalogMaterializer)
+        r.run(spark, select = Some("nation_hooked"))
+        val n = r.table(spark, "nation_hooked").count()
+        spark.table("hooks.audit")
+          .withColumn("mart_rows", lit(n))
+          .orderBy(col("phase"))
+      },
+      Some("""SELECT 'hooksdev.nation_hooked' AS model, phase,
+             | (SELECT COUNT(*) FROM nation) AS mart_rows
+             |FROM (VALUES ('post'), ('pre')) AS t(phase)
+             |ORDER BY phase""".stripMargin)),
+
     // ---- Ephemeral materialization: a chain of two ephemeral models
     // (the second refs the first) inlines as CTEs into the mart's own
     // WITH clause — nothing is materialized for either, Catalyst sees one

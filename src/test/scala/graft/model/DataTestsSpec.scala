@@ -1,5 +1,6 @@
 package graft.model
 
+
 import graft.SparkSuite
 
 class DataTestsSpec extends SparkSuite {
@@ -45,6 +46,35 @@ class DataTestsSpec extends SparkSuite {
     val v = ExpressionIsTrue("t", "x >= 0", "nonneg")
       .violations(resolver(Map("t" -> df)))
     assert(v.count() == 1)
+  }
+
+  test("WithConfig: severity routes failures; store_failures materializes " +
+      "the violating rows") {
+    val dupes = Seq(1L, 1L, 2L).toDF("k")
+    val warn = WithConfig(Unique("t", "k"), severity = "warn",
+      storeFailures = true)
+    // Delegation: same id, same violations as the wrapped test.
+    assert(warn.id == "unique__t__k")
+    assert(warn.violations(resolver(Map("t" -> dupes))).count() == 1)
+    intercept[IllegalArgumentException](
+      WithConfig(Unique("t", "k"), severity = "fatal"))
+
+    // Runner surfaces: severity map + failure materialization.
+    val base = java.nio.file.Files.createTempDirectory("graft-tfail").toString
+    val r = new Runner(
+      Project(Seq(SourceDef("fx", "t", _ => dupes)),
+        Seq(SqlModel("m", "SELECT * FROM {{ source('fx', 't') }}")),
+        tests = Seq(WithConfig(Unique("fx.t", "k"), severity = "warn",
+          storeFailures = true),
+          NotNull("fx.t", "k"))),
+      Target.dev, new PathMaterializer(base))
+    assert(r.testSeverity == Map(
+      "unique__fx.t__k" -> "warn", "not_null__fx.t__k" -> "error"))
+    val stored = r.storeFailures(spark)
+    assert(stored == Seq("dev_unique__fx_t__k__failures"))
+    // The audit relation holds the duplicated key with its count.
+    val rows = spark.table(stored.head).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
   }
 
   test("IsPositiveAmount coerces dirty string columns like the reference") {

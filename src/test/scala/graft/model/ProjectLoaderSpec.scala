@@ -97,6 +97,15 @@ class ProjectLoaderSpec extends AnyFunSuite {
       "{{ config(materialized='table', unique_key=['id']) }} SELECT 1"))
   }
 
+  test("config header: hooks") {
+    val m = ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', " +
+        "post_hook='ANALYZE TABLE {{ this }} COMPUTE STATISTICS') }} SELECT 1")
+    assert(m.postHooks ==
+      Seq("ANALYZE TABLE {{ this }} COMPUTE STATISTICS"))
+    assert(m.preHooks.isEmpty)
+  }
+
   test("config header: cluster_by") {
     val m = ProjectLoader.parseModel("m",
       "{{ config(materialized='table', cluster_by=['k1','k2']) }} SELECT 1")
