@@ -29,7 +29,9 @@ import graft.operators.TpchProject
   *
   * Any verb accepts `--seeds PATH` — a dbt seeds/ directory of CSVs that
   * joins the project as ref-able DAG roots (reference declares
-  * seed-paths at dbt_project.yml:11).
+  * seed-paths at dbt_project.yml:11) — and `--vars k=v[,k=v...]` — dbt's
+  * invocation-level `{{ var(...) }}` overrides (project `vars:` defaults
+  * lose to these, dbt's precedence).
   *
   * Projects: `tpch` (driver-testdata demo, SQL tier loaded from
   * models/tpch), `tastybytes` (the full reference port over deterministic
@@ -80,7 +82,18 @@ object EngineCli {
       project0.copy(models =
         ProjectLoader.loadSeeds(d) ++ project0.models)
     }.getOrElse(project0)
-    val runner = new Runner(project, target, materializer)
+    // --vars k=v,k2=v2 — dbt's invocation-level variable overrides
+    // ({{ var('k') }} in model SQL; project vars: block supplies defaults).
+    val cliVars: Map[String, String] = opts.get("vars").map {
+      _.split(',').filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"--vars expects k=v[,k=v...], got: $kv")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    val runner = new Runner(project, target, materializer, cliVars)
 
     verb match {
       case "run" =>

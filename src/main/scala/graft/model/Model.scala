@@ -239,7 +239,11 @@ object Target {
 final case class Project(
     sources: Seq[SourceDef],
     models: Seq[Model],
-    tests: Seq[DataTest] = Nil) {
+    tests: Seq[DataTest] = Nil,
+    /** dbt `vars:` project block — defaults for `{{ var(...) }}`;
+      * invocation-level vars (CLI `--vars`, the Runner parameter)
+      * override these, dbt's precedence. */
+    vars: Map[String, String] = Map.empty) {
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
   def model(name: String): Model =

@@ -11,6 +11,14 @@ import scala.util.matching.Regex
   *  - `{{ this }}` → the model's own target relation
   *  - `{{ incremental_filter('c') }}` → `c > (SELECT MAX(c) FROM <this>)`
   *    when the relation already exists, else `1=1` (first run = full build)
+  *
+  * `{{ var('name') }}` / `{{ var('name', default) }}` is dbt's project
+  * variable hook: the value (project `vars:` block, overridable per
+  * invocation via `--vars`) substitutes verbatim — dbt's Jinja renders the
+  * Python value bare, so string-typed vars are quoted by the model author
+  * (`'{{ var("region") }}'`), numeric thresholds ride unquoted. A var
+  * that is neither supplied nor defaulted fails the render, dbt's
+  * compile-time "Required var not found" error.
   */
 object Renderer {
   private val RefR: Regex = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
@@ -19,6 +27,9 @@ object Renderer {
   private val ThisR: Regex = """\{\{\s*this\s*\}\}""".r
   private val IncR: Regex =
     """\{\{\s*incremental_filter\(\s*'([^']+)'\s*\)\s*\}\}""".r
+  // group 1 = name; default is group 2 (quoted) or group 3 (bare literal).
+  private val VarR: Regex =
+    """\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*(?:'([^']*)'|([^)\s']+)))?\s*\)\s*\}\}""".r
 
   def refsIn(sql: String): Seq[String] =
     RefR.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
@@ -31,8 +42,16 @@ object Renderer {
       ref: String => String,
       source: (String, String) => String,
       thisRelation: Option[String] = None,
-      thisExists: Boolean = false): String = {
-    val withRefs = RefR.replaceAllIn(sql,
+      thisExists: Boolean = false,
+      vars: Map[String, String] = Map.empty): String = {
+    val withVars = VarR.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      val default = Option(m.group(2)).orElse(Option(m.group(3)))
+      Regex.quoteReplacement(vars.get(name).orElse(default).getOrElse(
+        throw new IllegalArgumentException(
+          s"required var '$name' is not supplied and has no default")))
+    })
+    val withRefs = RefR.replaceAllIn(withVars,
       m => Regex.quoteReplacement(ref(m.group(1))))
     val withSrcs = SrcR.replaceAllIn(withRefs,
       m => Regex.quoteReplacement(source(m.group(1), m.group(2))))

@@ -356,7 +356,13 @@ final case class NodeResult(
 final class Runner(
     val project: Project,
     val target: Target = Target.dev,
-    val materializer: Materializer = new CatalogMaterializer) {
+    val materializer: Materializer = new CatalogMaterializer,
+    /** Invocation-level `{{ var(...) }}` values (dbt `--vars`); override
+      * the project's `vars:` defaults key-by-key. */
+    vars: Map[String, String] = Map.empty) {
+
+  /** Effective var bindings for every render in this invocation. */
+  private val effectiveVars: Map[String, String] = project.vars ++ vars
 
   private val byName: Map[String, Model] =
     project.models.map(m => m.name -> m).toMap
@@ -422,7 +428,8 @@ final class Runner(
       ref = r => if (isEphemeral(r)) cteName(r) else relationOf(byName(r)),
       source = (a, b) => sourceRelation(a, b),
       thisRelation = Some(rel),
-      thisExists = thisExists)
+      thisExists = thisExists,
+      vars = effectiveVars)
     val ctes = ephemeralClosure(sm).map { n =>
       byName(n) match {
         case es: SqlModel => s"${cteName(n)} AS (\n${renderOne(es)}\n)"
@@ -480,7 +487,8 @@ final class Runner(
         ref = r => relationOf(byName(r)),
         source = (a, b) => sourceRelation(a, b),
         thisRelation = Some(relation),
-        thisExists = true))
+        thisExists = true,
+        vars = effectiveVars))
     }
     try {
       runHooks(m.preHooks)

@@ -640,6 +640,43 @@ object EngineQueries extends QueryPack {
              |FROM (VALUES ('post'), ('pre')) AS t(phase)
              |ORDER BY phase""".stripMargin)),
 
+    // ---- Vars surface (dbt `{{ var(...) }}`): one mart reading three
+    // var bindings whose values arrive through dbt's full precedence
+    // chain — `min_total` from the project `vars:` block, `premium_cutoff`
+    // declared with an in-SQL default AND a project value AND an
+    // invocation override (the override must win), and `segment_label`
+    // resolved purely from its in-SQL default. The oracle inlines the
+    // winning values, so a precedence regression flips the gate.
+    Q("m14_vars",
+      (spark, dir) => {
+        val mart = SqlModel("orders_above_threshold",
+          """SELECT o_orderpriority AS priority,
+            |  '{{ var('segment_label', 'all') }}' AS segment,
+            |  COUNT(*) AS n_orders,
+            |  SUM(CASE WHEN o_totalprice > {{ var('premium_cutoff', '400000') }}
+            |      THEN 1 ELSE 0 END) AS n_premium
+            |FROM {{ source('tpch', 'orders') }}
+            |WHERE o_totalprice > {{ var('min_total') }}
+            |GROUP BY 1""".stripMargin,
+          Materialization.Table)
+        val r = new Runner(
+          Project(TpchProject.sources(dir), Seq(mart),
+            vars = Map("min_total" -> "100000",
+              "premium_cutoff" -> "999999999")),
+          Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_vars").toString),
+          vars = Map("premium_cutoff" -> "300000"))
+        r.run(spark)
+        r.table(spark, "orders_above_threshold").orderBy(col("priority"))
+      },
+      Some("""SELECT o_orderpriority AS priority, 'all' AS segment,
+             | COUNT(*) AS n_orders,
+             | CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS n_premium
+             |FROM orders WHERE o_totalprice > 100000
+             |GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // ---- Ephemeral materialization: a chain of two ephemeral models
     // (the second refs the first) inlines as CTEs into the mart's own
     // WITH clause — nothing is materialized for either, Catalyst sees one

@@ -31,6 +31,27 @@ class RendererSpec extends AnyFunSuite {
     assert(Renderer.sourcesIn("{{source('a','b')}}") == Seq(("a", "b")))
   }
 
+  test("var substitutes supplied values, falls back to defaults") {
+    val sql = "SELECT * FROM t WHERE a > {{ var('cutoff', 10) }} " +
+      "AND b = '{{ var('label', 'none') }}' AND c > {{ var('req') }}"
+    val out = Renderer.render(sql, identity, (_, t) => t,
+      vars = Map("cutoff" -> "42", "req" -> "7"))
+    assert(out.contains("a > 42"))
+    assert(out.contains("b = 'none'")) // quoted default, no binding
+    assert(out.contains("c > 7"))
+    // Bare (unquoted) default used when unbound.
+    val bare = Renderer.render("x > {{ var('cutoff', 10) }}",
+      identity, (_, t) => t)
+    assert(bare == "x > 10")
+  }
+
+  test("var without binding or default fails the render") {
+    val e = intercept[IllegalArgumentException] {
+      Renderer.render("SELECT {{ var('missing') }}", identity, (_, t) => t)
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("this and incremental_filter render per target-relation state") {
     val sql = "SELECT * FROM {{ ref('up') }} " +
       "WHERE {{ incremental_filter('ts') }} -- target {{ this }}"
