@@ -14,9 +14,10 @@ import graft.operators.TpchProject
   *           [--dir PATH] [--threads N] [--materializer catalog|path]
   *           [--warehouse PATH] [--full-refresh true]
   *           (EXPR: dbt algebra — `+name+` graph ops, space = union,
-  *            comma = intersection, `state:modified`/`state:new` against
-  *            --state; --exclude subtracts its selection. Every run
-  *            writes WAREHOUSE/manifest.json for the next --state.)
+  *            comma = intersection, `tag:NAME` config tags,
+  *            `state:modified`/`state:new` against --state; --exclude
+  *            subtracts its selection. Every run writes
+  *            WAREHOUSE/manifest.json for the next --state.)
   *   build   dbt build: run the DAG, then every declared test (exit 1 on
   *           any test failure)
   *   test    [--project ...] [--dir PATH] [--target ...]

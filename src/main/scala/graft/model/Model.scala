@@ -149,6 +149,11 @@ sealed trait Model {
     * `{{ this }}` substitution as model SQL. */
   def preHooks: Seq[String] = Nil
   def postHooks: Seq[String] = Nil
+
+  /** dbt `tags`: free-form labels selectable via the `tag:NAME` atom in
+    * the selection algebra (`run --select tag:nightly`), composing with
+    * graph operators and exclusion like any other selector. */
+  def tags: Seq[String] = Nil
 }
 
 /** A SQL model: one SELECT with `{{ ref('x') }}` / `{{ source('s','t') }}`
@@ -162,7 +167,8 @@ final case class SqlModel(
     customSchema: Option[String] = None,
     override val clusterBy: Seq[String] = Nil,
     override val preHooks: Seq[String] = Nil,
-    override val postHooks: Seq[String] = Nil) extends Model {
+    override val postHooks: Seq[String] = Nil,
+    override val tags: Seq[String] = Nil) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }
@@ -179,7 +185,8 @@ final case class DfModel(
     materialization: Materialization = Materialization.Table,
     customSchema: Option[String] = None,
     sourceNames: Seq[(String, String)] = Nil,
-    override val clusterBy: Seq[String] = Nil) extends Model {
+    override val clusterBy: Seq[String] = Nil,
+    override val tags: Seq[String] = Nil) extends Model {
   def refs: Seq[String] = refNames
   def sources: Seq[(String, String)] = sourceNames
 }

@@ -98,7 +98,7 @@ object ProjectLoader {
       Set("materialized", "partition_by", "schema", "unique_key",
         "updated_at", "strategy", "check_cols", "snapshot_at",
         "invalidate_hard_deletes", "on_schema_change", "cluster_by",
-        "pre_hook", "post_hook")
+        "pre_hook", "post_hook", "tags")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -179,6 +179,7 @@ object ProjectLoader {
     SqlModel(name, sql, materialization, customSchema = str("schema"),
       clusterBy = list("cluster_by").getOrElse(Nil),
       preHooks = list("pre_hook").getOrElse(Nil),
-      postHooks = list("post_hook").getOrElse(Nil))
+      postHooks = list("post_hook").getOrElse(Nil),
+      tags = list("tags").getOrElse(Nil))
   }
 }

@@ -591,7 +591,7 @@ final class Runner(
       manifestPath: Option[String] = None,
       fullRefresh: Boolean = false): Seq[NodeResult] = {
     registerSources(spark)
-    val selected = Dag.resolve(select, exclude, deps, stateAtom(state))
+    val selected = Dag.resolve(select, exclude, deps, selectionAtom(state))
     manifestPath.foreach(writeManifest)
     // Ephemeral nodes are never executed (dbt: they compile into their
     // consumers); they still participate in the DAG for selection.
@@ -941,10 +941,12 @@ final class Runner(
       case s: SqlModel =>
         Seq("sql", s.sql, s.materialization.toString, s.customSchema.toString,
           s.clusterBy.mkString(","),
-          (s.preHooks ++ s.postHooks).mkString(";"))
+          (s.preHooks ++ s.postHooks).mkString(";"),
+          s.tags.mkString(","))
       case d: DfModel =>
         Seq("df", d.refNames.mkString(","), d.materialization.toString,
-          d.customSchema.toString, d.clusterBy.mkString(","))
+          d.customSchema.toString, d.clusterBy.mkString(","),
+          d.tags.mkString(","))
       case s: SeedModel =>
         // dbt checksums seed CONTENT: editing the CSV must flip
         // state:modified even though the model definition is unchanged.
@@ -973,6 +975,20 @@ final class Runner(
     """"([^"]+)"\s*:\s*"([0-9a-f]{64})"""".r
       .findAllMatchIn(Files.readString(Paths.get(path)))
       .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Non-name selection atoms: `tag:NAME` (dbt tags — every model
+    * carrying the tag; an unknown tag selects nothing, dbt's behavior)
+    * plus the state-comparison atoms. Graph operators compose over the
+    * resolved set (`tag:nightly+`), like any selector. */
+  private def selectionAtom(state: Option[String])
+      : String => Option[Set[String]] = {
+    val st = stateAtom(state)
+    atom =>
+      if (atom.startsWith("tag:")) {
+        val tag = atom.stripPrefix("tag:")
+        Some(project.models.filter(_.tags.contains(tag)).map(_.name).toSet)
+      } else st(atom)
+  }
 
   private def stateAtom(state: Option[String])
       : String => Option[Set[String]] = {

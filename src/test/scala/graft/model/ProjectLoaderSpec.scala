@@ -106,6 +106,13 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(m.preHooks.isEmpty)
   }
 
+  test("config header: tags") {
+    val m = ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', tags=['nightly','finance']) }} SELECT 1")
+    assert(m.tags == Seq("nightly", "finance"))
+    assert(ProjectLoader.parseModel("m", "SELECT 1").tags.isEmpty)
+  }
+
   test("config header: cluster_by") {
     val m = ProjectLoader.parseModel("m",
       "{{ config(materialized='table', cluster_by=['k1','k2']) }} SELECT 1")

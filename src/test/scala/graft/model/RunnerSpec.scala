@@ -34,6 +34,26 @@ class RunnerSpec extends SparkSuite {
       Set("stg_customer", "stg_orders", "customer_order_metrics"))
   }
 
+  test("tag: atom selects tagged models and composes with graph ops") {
+    val a = SqlModel("t_a", "SELECT 1 AS x", Materialization.View,
+      tags = Seq("nightly"))
+    val b = SqlModel("t_b", "SELECT * FROM {{ ref('t_a') }}",
+      Materialization.View, tags = Seq("hourly"))
+    val c = SqlModel("t_c", "SELECT * FROM {{ ref('t_b') }}",
+      Materialization.View)
+    def runner = new Runner(Project(Nil, Seq(a, b, c)), Target.dev,
+      new PathMaterializer(
+        Files.createTempDirectory("graft-tags").toString))
+    assert(runner.run(spark, select = Some("+tag:hourly"))
+      .map(_.name).toSet == Set("t_a", "t_b"))
+    assert(runner.run(spark, select = Some("tag:nightly+"))
+      .map(_.name).toSet == Set("t_a", "t_b", "t_c"))
+    assert(runner.run(spark, exclude = Some("tag:hourly+"))
+      .map(_.name).toSet == Set("t_a"))
+    // Unknown tag selects nothing (dbt behavior), not an error.
+    assert(runner.run(spark, select = Some("tag:nope")).isEmpty)
+  }
+
   test("target switches output namespace (dev/prod isolation)") {
     val dev = new Runner(TpchProject.project(dir), Target.dev,
       new PathMaterializer("/tmp/graft-test/marts"))
