@@ -154,6 +154,21 @@ sealed trait Model {
     * the selection algebra (`run --select tag:nightly`), composing with
     * graph operators and exclusion like any other selector. */
   def tags: Seq[String] = Nil
+
+  /** dbt model contracts (`contract: enforced` + a `columns:` block with
+    * `data_type`s): when non-empty, the built frame must produce EXACTLY
+    * these columns with exactly these Spark SQL types — extra, missing,
+    * or type-drifted columns fail the node BEFORE materialization, so a
+    * breaking schema change can never reach the relation downstream
+    * consumers contract on. Empty = unenforced (dbt's default). */
+  def contract: Seq[ColumnContract] = Nil
+}
+
+/** One column of a model contract: `dataType` is Spark SQL DDL
+  * (`bigint`, `string`, `decimal(38,2)`, `array<string>`, …). */
+final case class ColumnContract(name: String, dataType: String) {
+  require(name.nonEmpty && dataType.nonEmpty,
+    "contract column needs name and data_type")
 }
 
 /** A SQL model: one SELECT with `{{ ref('x') }}` / `{{ source('s','t') }}`
@@ -168,7 +183,8 @@ final case class SqlModel(
     override val clusterBy: Seq[String] = Nil,
     override val preHooks: Seq[String] = Nil,
     override val postHooks: Seq[String] = Nil,
-    override val tags: Seq[String] = Nil) extends Model {
+    override val tags: Seq[String] = Nil,
+    override val contract: Seq[ColumnContract] = Nil) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }
@@ -186,7 +202,8 @@ final case class DfModel(
     customSchema: Option[String] = None,
     sourceNames: Seq[(String, String)] = Nil,
     override val clusterBy: Seq[String] = Nil,
-    override val tags: Seq[String] = Nil) extends Model {
+    override val tags: Seq[String] = Nil,
+    override val contract: Seq[ColumnContract] = Nil) extends Model {
   def refs: Seq[String] = refNames
   def sources: Seq[(String, String)] = sourceNames
 }

@@ -98,7 +98,7 @@ object ProjectLoader {
       Set("materialized", "partition_by", "schema", "unique_key",
         "updated_at", "strategy", "check_cols", "snapshot_at",
         "invalidate_hard_deletes", "on_schema_change", "cluster_by",
-        "pre_hook", "post_hook", "tags")
+        "pre_hook", "post_hook", "tags", "contract")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -180,6 +180,16 @@ object ProjectLoader {
       clusterBy = list("cluster_by").getOrElse(Nil),
       preHooks = list("pre_hook").getOrElse(Nil),
       postHooks = list("post_hook").getOrElse(Nil),
-      tags = list("tags").getOrElse(Nil))
+      tags = list("tags").getOrElse(Nil),
+      // The file-level stand-in for dbt's schema.yml contract block:
+      // contract=['col:type', ...] — first ':' splits name from the Spark
+      // SQL DDL type (types themselves may contain ':', e.g. struct<a:int>).
+      contract = list("contract").getOrElse(Nil).map { item =>
+        item.split(":", 2) match {
+          case Array(n, t) => ColumnContract(n.trim, t.trim)
+          case _ => throw new IllegalArgumentException(
+            s"$where: contract entries are 'column:data_type', got: $item")
+        }
+      })
   }
 }

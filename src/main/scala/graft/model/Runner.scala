@@ -493,6 +493,7 @@ final class Runner(
     try {
       runHooks(m.preHooks)
       val built = buildDf(spark, m, fullRefresh)
+      enforceContract(m, built)
       // cluster_by: tables get a global range layout (disjoint per-file
       // ranges — the strongest min/max pruning); incrementals only sort
       // within what they write (no extra shuffle on the hot path).
@@ -566,6 +567,39 @@ final class Runner(
         NodeResult(name, relation, "error",
           (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
     }
+  }
+
+  /** dbt model contracts: a non-empty [[Model.contract]] pins the built
+    * frame's EXACT column set and Spark SQL types (nullability excluded —
+    * parquet relaxes it on write anyway, see
+    * [[CatalogMaterializer.relaxNullability]]). Checked on the PLAN's
+    * schema before a single row is written, so a breaking change fails
+    * fast and the previous relation survives untouched for downstream
+    * consumers — dbt's "contract enforced" build error. */
+  private def enforceContract(m: Model, built: DataFrame): Unit = {
+    if (m.contract.isEmpty) return
+    import org.apache.spark.sql.types.DataType
+    val actual = built.schema.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val declaredNames = m.contract.map(_.name).toSet
+    val missing = m.contract.map(_.name).filterNot(actual.contains)
+    val extra = built.columns.toSeq.filterNot(declaredNames.contains)
+    val drifted = m.contract.flatMap { c =>
+      actual.get(c.name).flatMap { got =>
+        val want = DataType.fromDDL(c.dataType).catalogString
+        if (got == want) None else Some(s"${c.name}: expected $want, got $got")
+      }
+    }
+    if (missing.nonEmpty || extra.nonEmpty || drifted.nonEmpty)
+      throw new IllegalStateException(
+        s"contract violation on model ${m.name}: " +
+          Seq(
+            if (missing.nonEmpty) Some(s"missing [${missing.mkString(", ")}]")
+            else None,
+            if (extra.nonEmpty) Some(s"undeclared [${extra.mkString(", ")}]")
+            else None,
+            if (drifted.nonEmpty) Some(s"type drift [${drifted.mkString("; ")}]")
+            else None).flatten.mkString("; "))
   }
 
   /** O3/O4: toposorted materialization of the selected subgraph.
@@ -942,11 +976,13 @@ final class Runner(
         Seq("sql", s.sql, s.materialization.toString, s.customSchema.toString,
           s.clusterBy.mkString(","),
           (s.preHooks ++ s.postHooks).mkString(";"),
-          s.tags.mkString(","))
+          s.tags.mkString(","),
+          s.contract.map(c => s"${c.name}:${c.dataType}").mkString(","))
       case d: DfModel =>
         Seq("df", d.refNames.mkString(","), d.materialization.toString,
           d.customSchema.toString, d.clusterBy.mkString(","),
-          d.tags.mkString(","))
+          d.tags.mkString(","),
+          d.contract.map(c => s"${c.name}:${c.dataType}").mkString(","))
       case s: SeedModel =>
         // dbt checksums seed CONTENT: editing the CSV must flip
         // state:modified even though the model definition is unchanged.

@@ -677,6 +677,40 @@ object EngineQueries extends QueryPack {
              |FROM orders WHERE o_totalprice > 100000
              |GROUP BY 1 ORDER BY priority""".stripMargin)),
 
+    // ---- Contract surface (dbt `contract: enforced`): two contracted
+    // marts over the same SELECT — one whose declared columns/types match
+    // the built frame exactly (must materialize), one declaring a drifted
+    // type (bigint where the source yields int; must FAIL before a row is
+    // written). The gate reads run_results back: the status pair is the
+    // whole contract semantics, pinned statically by the oracle.
+    Q("m15_contract",
+      (spark, dir) => {
+        val sql = """SELECT n_nationkey AS nation_id, n_name AS nation
+                    |FROM {{ source('tpch', 'nation') }}""".stripMargin
+        val good = SqlModel("contract_good", sql, Materialization.Table,
+          contract = Seq(ColumnContract("nation_id", "int"),
+            ColumnContract("nation", "string")))
+        val bad = SqlModel("contract_bad", sql, Materialization.Table,
+          contract = Seq(ColumnContract("nation_id", "bigint"),
+            ColumnContract("nation", "string")))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_contract").toString
+        val r = new Runner(
+          Project(TpchProject.sources(dir), Seq(good, bad)),
+          Target.dev, new PathMaterializer(base))
+        val path = s"$base/run_results.json"
+        try r.run(spark, runResultsPath = Some(path))
+        catch { case _: RuntimeException => () } // bad's failure rethrows
+        spark.read.json(path)
+          .select(explode(col("results")).as("n"))
+          .select(col("n.name").as("model"), col("n.status").as("status"))
+          .orderBy(col("model"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('contract_bad','error'),
+             | ('contract_good','success')
+             |) AS t(model, status) ORDER BY model""".stripMargin)),
+
     // ---- Ephemeral materialization: a chain of two ephemeral models
     // (the second refs the first) inlines as CTEs into the mart's own
     // WITH clause — nothing is materialized for either, Catalyst sees one

@@ -113,6 +113,18 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(ProjectLoader.parseModel("m", "SELECT 1").tags.isEmpty)
   }
 
+  test("config header: contract") {
+    val m = ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', " +
+        "contract=['id:bigint','price:decimal(38,2)']) }} SELECT 1")
+    assert(m.contract == Seq(ColumnContract("id", "bigint"),
+      ColumnContract("price", "decimal(38,2)")))
+    intercept[IllegalArgumentException] {
+      ProjectLoader.parseModel("m",
+        "{{ config(contract=['no_type_here']) }} SELECT 1")
+    }
+  }
+
   test("config header: cluster_by") {
     val m = ProjectLoader.parseModel("m",
       "{{ config(materialized='table', cluster_by=['k1','k2']) }} SELECT 1")

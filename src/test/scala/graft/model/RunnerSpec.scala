@@ -54,6 +54,31 @@ class RunnerSpec extends SparkSuite {
     assert(runner.run(spark, select = Some("tag:nope")).isEmpty)
   }
 
+  test("contract enforces exact columns and types before materialization") {
+    def model(contract: Seq[ColumnContract]) = SqlModel("c_m",
+      "SELECT CAST(1 AS BIGINT) AS id, 'x' AS label",
+      Materialization.Table, contract = contract)
+    def runner(contract: Seq[ColumnContract]) =
+      new Runner(Project(Nil, Seq(model(contract))), Target.dev,
+        new PathMaterializer(
+          Files.createTempDirectory("graft-contract").toString))
+    val ok = Seq(ColumnContract("id", "bigint"),
+      ColumnContract("label", "string"))
+    assert(runner(ok).run(spark).head.status == "success")
+
+    def failure(c: Seq[ColumnContract]): String = {
+      val e = intercept[RuntimeException] { runner(c).run(spark) }
+      e.getMessage
+    }
+    // Type drift, missing declared column, undeclared extra column.
+    assert(failure(Seq(ColumnContract("id", "int"),
+      ColumnContract("label", "string"))).contains("type drift"))
+    assert(failure(ok :+ ColumnContract("ghost", "string"))
+      .contains("missing [ghost]"))
+    assert(failure(Seq(ColumnContract("id", "bigint")))
+      .contains("undeclared [label]"))
+  }
+
   test("target switches output namespace (dev/prod isolation)") {
     val dev = new Runner(TpchProject.project(dir), Target.dev,
       new PathMaterializer("/tmp/graft-test/marts"))
