@@ -298,6 +298,38 @@ object TextQueries extends QueryPack {
               | md5(COALESCE(string_agg(
               |   CASE WHEN keep THEN CAST(doc_id AS VARCHAR) END,
               |   ',' ORDER BY doc_id), '')) AS sample_ids_md5
-              |FROM sc GROUP BY 1 ORDER BY lang_pred""".stripMargin))
+              |FROM sc GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
+
+    // ---- Sequence packing (concat-and-chunk): documents laid end to
+    // end in doc_id order, the token stream cut into 2048-token training
+    // sequences; the gate emits the per-pack shard manifest. The Spark
+    // side runs [[Packing.packAssignments]]'s two-phase distributed
+    // prefix sum (NO single-task global window — see Packing.scala);
+    // the oracle is the naive global window, which DuckDB can afford at
+    // gate scale. Equality IS the check that the distributed offsets
+    // compose to the exact global running count.
+    Q("t11_sequence_packing",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("toks"))
+        Packing.packAssignments(docs, "doc_id", "toks", 2048)
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast("long").as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("pack_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END toks
+             | FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+             | FROM t)
+             |SELECT (cum - toks) // 2048 AS pack_id,
+             | COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+             | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin))
   )
 }
