@@ -300,6 +300,96 @@ object TextQueries extends QueryPack {
               |   ',' ORDER BY doc_id), '')) AS sample_ids_md5
               |FROM sc GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
 
+    // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1, public):
+    // the repetition and format heuristics a pretraining corpus is
+    // filtered on — word count bounds, mean word length, alphabetic-word
+    // fraction, duplicate-line fraction, bullet-line fraction — plus the
+    // conjunctive keep flag. The synthetic corpus has no line structure,
+    // so each document is AUGMENTED (identically on both sides, the t09
+    // pattern) with deterministic repeated lines (doc_id%5) and bullet
+    // lines (doc_id%7), giving the line-level rules real work the oracle
+    // must reproduce. Fractions round to 6dp BEFORE the keep conjunction
+    // so both engines threshold identical values. One projection pass,
+    // all codegen'd built-ins — at 100 TB this runs at scan speed.
+    Q("t12_gopher_quality",
+      (s, dir) => {
+        val aug = concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\nrepeat line\nrepeat line\nrepeat line"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\n- bullet one\n- bullet two")).otherwise(lit("")))
+        Tables(s, dir, "documents")
+          .withColumn("aug", aug)
+          .withColumn("words",
+            when(length(trim(col("aug"))) === 0,
+              array().cast("array<string>"))
+              .otherwise(split(trim(col("aug")), "\\s+")))
+          .withColumn("n_words", size(col("words")).cast("long"))
+          .withColumn("lines_",
+            filter(transform(split(col("aug"), "\n"), l => trim(l)),
+              l => length(l) > 0))
+          .withColumn("n_lines", size(col("lines_")))
+          .select(
+            col("doc_id"), col("n_words"),
+            round(when(col("n_words") === 0, 0.0)
+              .otherwise(length(regexp_replace(col("aug"), "\\s", ""))
+                .cast("double") / col("n_words")), 6).as("mean_word_len"),
+            round(when(col("n_words") === 0, 0.0)
+              .otherwise(size(filter(col("words"), w => w.rlike("[A-Za-z]")))
+                .cast("double") / col("n_words")), 6).as("alpha_word_frac"),
+            round(when(col("n_lines") === 0, 0.0)
+              .otherwise(lit(1.0) - size(array_distinct(col("lines_")))
+                .cast("double") / col("n_lines")), 6).as("dup_line_frac"),
+            round(when(col("n_lines") === 0, 0.0)
+              .otherwise(size(filter(col("lines_"),
+                l => l.startsWith("- ") || l.startsWith("* ")))
+                .cast("double") / col("n_lines")), 6).as("bullet_line_frac"))
+          .withColumn("keep",
+            col("n_words").between(50, 100000) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("alpha_word_frac") > 0.8 &&
+              col("dup_line_frac") < 0.3 &&
+              col("bullet_line_frac") < 0.9)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (SELECT doc_id, text ||
+             |  CASE WHEN doc_id % 5 = 0 THEN chr(10)||'repeat line'||
+             |    chr(10)||'repeat line'||chr(10)||'repeat line'
+             |    ELSE '' END ||
+             |  CASE WHEN doc_id % 7 = 0 THEN chr(10)||'- bullet one'||
+             |    chr(10)||'- bullet two' ELSE '' END AS a
+             | FROM documents),
+             |m AS (SELECT doc_id, a,
+             |  CASE WHEN length(trim(a)) = 0 THEN []
+             |       ELSE regexp_split_to_array(trim(a), '\s+') END AS w,
+             |  list_filter(list_transform(string_split(a, chr(10)),
+             |    x -> trim(x)), x -> length(x) > 0) AS ls
+             | FROM aug),
+             |x AS (SELECT doc_id, len(w) AS n_words,
+             |  ROUND(CASE WHEN len(w) = 0 THEN 0 ELSE
+             |    length(regexp_replace(a, '\s', '', 'g')) / len(w) END, 6)
+             |    AS mean_word_len,
+             |  ROUND(CASE WHEN len(w) = 0 THEN 0 ELSE
+             |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+             |      / len(w) END, 6) AS alpha_word_frac,
+             |  ROUND(CASE WHEN len(ls) = 0 THEN 0 ELSE
+             |    1.0 - len(list_distinct(ls)) / len(ls) END, 6)
+             |    AS dup_line_frac,
+             |  ROUND(CASE WHEN len(ls) = 0 THEN 0 ELSE
+             |    len(list_filter(ls, t -> starts_with(t, '- ')
+             |      OR starts_with(t, '* '))) / len(ls) END, 6)
+             |    AS bullet_line_frac
+             | FROM m)
+             |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+             | dup_line_frac, bullet_line_frac,
+             | (n_words BETWEEN 50 AND 100000
+             |  AND mean_word_len BETWEEN 3.0 AND 10.0
+             |  AND alpha_word_frac > 0.8
+             |  AND dup_line_frac < 0.3
+             |  AND bullet_line_frac < 0.9) AS keep
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
     // ---- Sequence packing (concat-and-chunk): documents laid end to
     // end in doc_id order, the token stream cut into 2048-token training
     // sequences; the gate emits the per-pack shard manifest. The Spark
