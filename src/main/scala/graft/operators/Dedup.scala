@@ -243,6 +243,34 @@ object Dedup {
           .as("is_representative"))
   }
 
+  /** The keep/drop decision a dedup pipeline actually ships: per
+    * near-dup cluster ([[duplicateClusters]]) keep ONE canonical
+    * document — the highest-`qualityCol` member, doc_id breaking ties —
+    * and mark every other member dropped, each row carrying its
+    * cluster's canonical id (the redirect target for provenance).
+    * Min-id representatives (d05) answer "which cluster"; canonical
+    * keep answers "which copy survives", and quality-ranked selection is
+    * the standard corpus policy (keep the longest / highest-scoring
+    * duplicate, not the accidentally-smallest id).
+    *
+    * Cost over the cluster assignment: one extra shuffle keyed by
+    * cluster (the window); clusters are near-dup groups — bounded and
+    * tiny relative to the corpus — so the window state never skews.
+    */
+  def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, threshold: Double): DataFrame = {
+    val cl = duplicateClusters(docs, idCol, textCol, threshold)
+    val q = docs.select(col(idCol).as("doc_id"), col(qualityCol).as("__q"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col("doc_id"))
+    cl.join(q, "doc_id")
+      // Default frame (unbounded preceding → current) makes first() the
+      // rank-1 member for every row of the cluster.
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("cluster"), col("canonical_id"), col("keep"))
+  }
+
   /** MinHash + LSH banding; candidates verified with exact jaccard, so the
     * output equals [[jaccardPairs]] up to banding recall. Duplicate
     * clusters are collapsed first ([[jaccardPairs]] rationale): identical

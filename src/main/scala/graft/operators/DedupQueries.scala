@@ -118,6 +118,55 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardOracle)),
 
+    // Canonical-keep dedup: the keep/drop decision over d05's clusters —
+    // per cluster the highest-n_chars member survives (doc_id tiebreak),
+    // everything else redirects to it. The oracle reuses d05's
+    // recursive-CTE closure and ranks members by the same policy.
+    Q("d07_canonical_keep",
+      (s, dir) => Dedup
+        .canonicalKeep(Tables(s, dir, "documents"), "doc_id", "text",
+          "n_chars", Threshold)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE toks AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+              |  FROM documents WHERE length(trim(text)) > 0),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(range(1, len(w)-1),
+              |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+              |  FROM toks WHERE len(w) >= 3),
+              |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+              |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+              |inter AS (
+              |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+              |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= $Threshold),
+              |edges AS (
+              |  SELECT doc_a a, doc_b b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+              |clus AS (SELECT id AS doc_id, MIN(r) AS cluster
+              |  FROM reach GROUP BY id),
+              |ranked AS (
+              |  SELECT c.doc_id, c.cluster, ROW_NUMBER() OVER (
+              |    PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id)
+              |    AS rk
+              |  FROM clus c JOIN documents d USING (doc_id)),
+              |canon AS (SELECT cluster, doc_id AS canonical_id
+              |  FROM ranked WHERE rk = 1)
+              |SELECT r.doc_id, r.cluster, canon.canonical_id,
+              |  r.doc_id = canon.canonical_id AS keep
+              |FROM ranked r JOIN canon USING (cluster)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Cross-corpus contamination (train/test leakage): the corpus split
     // by doc_id parity stands in for train vs held-out eval; every
     // near-dup pair CROSSING the split is a leaked document. The oracle
