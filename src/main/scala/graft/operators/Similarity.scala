@@ -368,6 +368,48 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Int8 scalar quantization — the standard ANN memory layout (4× under
+    * float32, 8× under double; at 100 TB of embeddings the index either
+    * quantizes or doesn't fit): symmetric per-vector max-abs scaling,
+    * `q_i = round(x_i · 127 / max|x|)`, stored with the vector's scale.
+    * Row-local, one projection — quantizing a corpus is a scan, not a
+    * shuffle. */
+  def quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val m = array_max(transform(v, x => abs(x)))
+    val s = when(m > 0, lit(127.0) / m).otherwise(lit(1.0))
+    // q rides as array<double> of integral values: the dot kernel takes
+    // doubles, and int8 magnitudes are exactly representable anyway.
+    emb.select(col(idCol).as("vid"),
+        transform(v, x => round(x * s)).as("q"))
+      .withColumn("qn",
+        sqrt(Hashing.dotProduct(col("q"), col("q"))))
+  }
+
+  /** Top-k under QUANTIZED cosine. No dequantization: the per-vector
+    * scales cancel in the cosine ratio, so the ranking works directly on
+    * the int8 codes — and because 64-dim int8 dots are small integers
+    * (≤ 64·127² ≈ 10⁶), every dot is EXACT in double regardless of fold
+    * order. That order-independence is what gives this approximate
+    * operator an exact cross-engine oracle (v08), where float cosine
+    * only matches under carefully mirrored fold order. Shape mirrors
+    * [[bruteForceTopK]]: queries broadcast, corpus scans linearly,
+    * shuffle only at the per-query top-k. */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val corpus = quantize(emb, idCol, vecCol)
+    val q = quantize(queries, idCol, vecCol)
+      .select(col("vid").as("qid"), col("q").as("qq"), col("qn").as("qqn"))
+    val scored = corpus.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(Hashing.dotProduct(col("qq"), col("q")) /
+          (col("qqn") * col("qn")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** ANN quality telemetry: recall@k of each approximate path against
     * the exact brute-force ranking over the same query set — the tuning
     * surface for nlist/nprobe (IVF) and bits/bands (LSH), which the
@@ -396,7 +438,8 @@ object Similarity {
           col("n_queries"), col("n_exact"), col("hits"),
           round(col("hits").cast("double") / col("n_exact"), 4)
             .as("recall_at_k"))
-    one("ivf", ivfTopK(emb, queries, idCol, vecCol, k))
+    one("int8", quantizedTopK(emb, queries, idCol, vecCol, k))
+      .unionByName(one("ivf", ivfTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
   }
 }

@@ -84,6 +84,39 @@ object VectorQueries extends QueryPack {
              |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Int8-quantized cosine top-k (Similarity.quantizedTopK): symmetric
+    // max-abs per-vector quantization, ranking directly on the codes
+    // (scales cancel in the cosine). Unlike the float paths this has an
+    // EXACT oracle: int8 dots are small integers, exact in double in any
+    // fold order, so both engines compute identical similarities.
+    Q("v08_quantized_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.quantizedTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) mx FROM e),
+             |q AS (SELECT vec_id, list_transform(v,
+             |    x -> round(x * (CASE WHEN mx > 0 THEN 127.0 / mx
+             |                        ELSE 1.0 END))) qv
+             |  FROM m),
+             |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) qn
+             |  FROM q),
+             |pairs AS (
+             |  SELECT a.vec_id qid, c.vec_id nid,
+             |    ROUND(list_dot_product(a.qv, c.qv) / (a.qn * c.qn), 6) sim
+             |  FROM n a JOIN n c ON a.vec_id < 5 AND c.vec_id <> a.vec_id),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+             |  FROM pairs)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // Approximate path (IVF buckets + nprobe): recall is data-dependent by
     // design, so no SQL oracle; ScalaTest asserts recall ≥ 0.6 vs v01.
     Q("v04_ann_ivf",

@@ -96,7 +96,7 @@ class ExtensionSpec extends SparkSuite {
       .recallReport(emb, queries, "vec_id", "embedding", 5)
       .orderBy(col("method")).collect()
     val r1 = report()
-    assert(r1.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    assert(r1.map(_.getString(0)).toSeq == Seq("int8", "ivf", "lsh"))
     assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
       .columns.toSeq ==
       Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
@@ -111,6 +111,21 @@ class ExtensionSpec extends SparkSuite {
         s"${r.getString(0)} recall $recall outside [0.5, 1]")
       assert(r.getLong(4) <= r.getLong(3))
     }
+  }
+
+  test("int8-quantized ranking stays close to exact cosine") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity
+      .quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    // 7 effective bits per dimension loses little ranking fidelity.
+    assert(recall >= 0.8, s"int8 recall $recall below floor")
   }
 
   test("cross-corpus pairs equal the cross subset of exact jaccard pairs") {
