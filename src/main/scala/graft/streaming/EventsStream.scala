@@ -137,6 +137,38 @@ object EventsStream {
           .partitionBy("day").parquet(path)
       }
 
+  /** Stream-stream interval join — attribution (each click joined to the
+    * same user's views in the preceding hour), the canonical two-stream
+    * stateful topology. Both sides carry a 2-hour watermark and the join
+    * condition bounds click time against view time, so Spark derives a
+    * state-eviction horizon for BOTH sides: state never grows past
+    * (watermark + horizon), the property that keeps a two-log join alive
+    * indefinitely at scale. The join itself is a key-partitioned
+    * symmetric hash join — one shuffle per side on user_id, exactly the
+    * batch join's shape but incremental. Inner-join matches emit as soon
+    * as both sides have arrived (no watermark-final wait, unlike outer
+    * stream joins).
+    */
+  def viewClickJoin(events: DataFrame, horizonMinutes: Int = 60)
+      : DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <=
+            col("view_ts") + expr(s"interval $horizonMinutes minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState`: per user,
     * coalesce events into sessions closed by a 30-minute inactivity gap.
     *

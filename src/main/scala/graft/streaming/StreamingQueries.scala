@@ -115,6 +115,30 @@ object StreamingQueries extends QueryPack {
              |   AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // Stream-stream interval join (view→click attribution within an
+    // hour): both sides watermarked, state bounded by the interval
+    // condition; inner matches emit incrementally. The oracle is the
+    // equivalent batch interval self-join.
+    Q("st05_stream_stream_join",
+      (s, dir) => {
+        val feedDir = Files.createTempDirectory("graft_st05_feed")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          feedDir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val joined = EventsStream.viewClickJoin(
+          EventsStream.read(s, feedDir.toString))
+        runToCompletion(joined, "st05_stream_join_sink", "append")
+          .orderBy(col("user_id"), col("view_id"), col("click_id"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id,
+             | c.event_id AS click_id,
+             | epoch_us(CAST(c.ts AS TIMESTAMP))
+             |   - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+             |FROM events v JOIN events c ON v.user_id = c.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+             |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
+
     // Custom-state sessionization (flatMapGroupsWithState, event-time
     // timeout) against the batch gaps-and-islands oracle. A sentinel event
     // far in the future (user_id = -1, filtered out below) advances the

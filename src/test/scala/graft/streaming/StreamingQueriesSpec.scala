@@ -50,4 +50,25 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.length == original.length)
     assert(streamed.map(_.toSeq).toSeq == original.map(_.toSeq).toSeq)
   }
+
+  test("st05 stream-stream join equals the batch interval self-join") {
+    val streamed = run("st05_stream_stream_join").collect()
+    val e = Tables(spark, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val batch = v.join(c, col("user_id") === col("cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("interval 60 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+      .collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
 }
