@@ -77,6 +77,33 @@ object Materialization {
       s"unknown on_schema_change '$onSchemaChange'")
   }
 
+  /** dbt 1.9's `microbatch` incremental strategy: the model processes its
+    * data one event-time batch at a time, each batch REPLACING its own
+    * time partition in the target (insert_overwrite per period) —
+    * batches are independent, retryable units, dbt's answer to backfills
+    * and late data for large time-series models.
+    *
+    *  - `eventTime` is the model's OUTPUT time column; its `batchSize`
+    *    truncation becomes the target's physical partition.
+    *  - Every INPUT that declares its own event time ([[Model.eventTime]]
+    *    on refs, [[SourceDef.eventTimeField]] on sources) is wrapped in a
+    *    time-filtered subquery per batch — dbt's auto-injected filter;
+    *    inputs without one are read in full (dbt's contract).
+    *  - A re-run reprocesses from (last processed batch − `lookback`)
+    *    forward — the late-data window — leaving older partitions
+    *    untouched; `begin` pins the first batch of the initial build.
+    */
+  final case class Microbatch(
+      eventTime: String,
+      batchSize: String = "day",
+      lookback: Int = 1,
+      begin: Option[String] = None) extends Materialization {
+    require(Set("hour", "day", "month", "year")(batchSize),
+      s"unknown batch_size '$batchSize'")
+    require(lookback >= 0, "lookback must be non-negative")
+    require(eventTime.nonEmpty, "microbatch requires event_time")
+  }
+
   /** dbt's ephemeral materialization: never materialized. Downstream SQL
     * models inline this model's rendered SELECT as a CTE
     * (`WITH __cte__name AS (...)`), code models receive its DataFrame
@@ -155,6 +182,11 @@ sealed trait Model {
     * graph operators and exclusion like any other selector. */
   def tags: Seq[String] = Nil
 
+  /** dbt `event_time`: declares which column carries this model's event
+    * time. On a microbatch model's INPUT, the engine auto-filters the
+    * input to the batch window on this column; None = read in full. */
+  def eventTime: Option[String] = None
+
   /** dbt model contracts (`contract: enforced` + a `columns:` block with
     * `data_type`s): when non-empty, the built frame must produce EXACTLY
     * these columns with exactly these Spark SQL types — extra, missing,
@@ -184,7 +216,8 @@ final case class SqlModel(
     override val preHooks: Seq[String] = Nil,
     override val postHooks: Seq[String] = Nil,
     override val tags: Seq[String] = Nil,
-    override val contract: Seq[ColumnContract] = Nil) extends Model {
+    override val contract: Seq[ColumnContract] = Nil,
+    override val eventTime: Option[String] = None) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }
@@ -250,7 +283,10 @@ final case class SourceDef(
     table: String,
     load: SparkSession => DataFrame,
     loadedAtField: Option[String] = None,
-    freshness: Option[FreshnessPolicy] = None)
+    freshness: Option[FreshnessPolicy] = None,
+    /** dbt `event_time` on a source: lets microbatch consumers filter
+      * this source to the batch window (see [[Model.eventTime]]). */
+    eventTimeField: Option[String] = None)
 
 /** Target environment (profiles.yml:2-19 — dev/prod outputs differing only
   * in schema). */

@@ -98,7 +98,9 @@ object ProjectLoader {
       Set("materialized", "partition_by", "schema", "unique_key",
         "updated_at", "strategy", "check_cols", "snapshot_at",
         "invalidate_hard_deletes", "on_schema_change", "cluster_by",
-        "pre_hook", "post_hook", "tags", "contract")
+        "pre_hook", "post_hook", "tags", "contract",
+        "incremental_strategy", "event_time", "batch_size", "lookback",
+        "begin")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -119,6 +121,17 @@ object ProjectLoader {
       case "view" => Materialization.View
       case "table" => Materialization.Table
       case "ephemeral" => Materialization.Ephemeral
+      case "incremental" if str("incremental_strategy")
+          .contains("microbatch") =>
+        // dbt 1.9 microbatch: event-time batches, each replacing its own
+        // period partition; partition_by/unique_key do not apply.
+        require(list("partition_by").isEmpty && list("unique_key").isEmpty,
+          s"$where: microbatch derives its partition from event_time")
+        Materialization.Microbatch(
+          required("event_time", "microbatch"),
+          str("batch_size").getOrElse("day"),
+          str("lookback").map(_.toInt).getOrElse(1),
+          str("begin"))
       case "incremental" =>
         // dbt keys the strategy off the config: partition_by → dynamic
         // partition overwrite, unique_key → delete+insert merge.
@@ -167,6 +180,14 @@ object ProjectLoader {
     require(materialization.isInstanceOf[Materialization.Snapshot]
         || cfg.get("updated_at").isEmpty,
       s"$where: updated_at requires materialized='snapshot'")
+    require(cfg.get("incremental_strategy").isEmpty
+        || materialization.isInstanceOf[Materialization.Microbatch],
+      s"$where: incremental_strategy supports only 'microbatch'")
+    require((cfg.get("batch_size").isEmpty && cfg.get("lookback").isEmpty &&
+        cfg.get("begin").isEmpty)
+        || materialization.isInstanceOf[Materialization.Microbatch],
+      s"$where: batch_size/lookback/begin require " +
+        "incremental_strategy='microbatch'")
     require((cfg.get("strategy").isEmpty && cfg.get("check_cols").isEmpty &&
         cfg.get("snapshot_at").isEmpty &&
         cfg.get("invalidate_hard_deletes").isEmpty)
@@ -190,6 +211,9 @@ object ProjectLoader {
           case _ => throw new IllegalArgumentException(
             s"$where: contract entries are 'column:data_type', got: $item")
         }
-      })
+      },
+      // event_time doubles as the microbatch config and the input-side
+      // declaration (dbt semantics: any model may declare one).
+      eventTime = str("event_time"))
   }
 }

@@ -422,11 +422,26 @@ final class Runner(
     * (dbt's `__dbt__cte__` compilation). Ephemeral refs resolve to CTE
     * names; everything else to its relation. A model body that itself
     * starts with WITH has its CTE list merged into ours. */
-  private def renderSql(sm: SqlModel, thisExists: Boolean): String = {
+  private def renderSql(sm: SqlModel, thisExists: Boolean,
+      batchWindow: Option[(String, String)] = None): String = {
     val rel = relationOf(sm)
+    // Microbatch input filtering: inputs that declare an event time are
+    // wrapped in a batch-windowed subquery (dbt's auto-injected filter);
+    // inputs without one read in full.
+    def windowed(relName: String, et: Option[String]): String =
+      (et, batchWindow) match {
+        case (Some(c), Some((lo, hi))) =>
+          s"(SELECT * FROM $relName WHERE $c >= TIMESTAMP '$lo' " +
+            s"AND $c < TIMESTAMP '$hi')"
+        case _ => relName
+      }
+    def sourceEventTime(a: String, b: String): Option[String] =
+      project.sources.find(sd => sd.sourceName == a && sd.table == b)
+        .flatMap(_.eventTimeField)
     def renderOne(s: SqlModel): String = Renderer.render(s.sql,
-      ref = r => if (isEphemeral(r)) cteName(r) else relationOf(byName(r)),
-      source = (a, b) => sourceRelation(a, b),
+      ref = r => if (isEphemeral(r)) cteName(r)
+        else windowed(relationOf(byName(r)), byName(r).eventTime),
+      source = (a, b) => windowed(sourceRelation(a, b), sourceEventTime(a, b)),
       thisRelation = Some(rel),
       thisExists = thisExists,
       vars = effectiveVars)
@@ -492,6 +507,14 @@ final class Runner(
     }
     try {
       runHooks(m.preHooks)
+      m.materialization match {
+        case mb: Materialization.Microbatch =>
+          materializeMicrobatch(spark, m, mb, relation, fullRefresh)
+          runHooks(m.postHooks)
+          return NodeResult(name, relation, "success",
+            (System.nanoTime() - t0) / 1000000, None)
+        case _ => ()
+      }
       val built = buildDf(spark, m, fullRefresh)
       enforceContract(m, built)
       // cluster_by: tables get a global range layout (disjoint per-file
@@ -600,6 +623,116 @@ final class Runner(
             else None,
             if (drifted.nonEmpty) Some(s"type drift [${drifted.mkString("; ")}]")
             else None).flatten.mkString("; "))
+  }
+
+  /** dbt 1.9 microbatch execution (see [[Materialization.Microbatch]]):
+    * resolve the batch calendar, then run the model once per batch with
+    * every event-time-declaring input windowed to that batch, each
+    * result REPLACING its own `batch_start` partition via dynamic
+    * partition overwrite. Batches are independent jobs — the retry/
+    * backfill unit — and a re-run touches only (last batch − lookback)
+    * forward, so an hourly/daily schedule rewrites a bounded window of
+    * partitions regardless of table history. The 100 TB shape is
+    * exactly [[Materialization.IncrementalByPartition]]'s: per-run write
+    * cost proportional to the batch window, never the mart.
+    */
+  private def materializeMicrobatch(spark: SparkSession, m: Model,
+      mb: Materialization.Microbatch, relation: String,
+      fullRefresh: Boolean): Unit = {
+    val sm = m match {
+      case s: SqlModel => s
+      case _ => throw new IllegalArgumentException(
+        s"microbatch model ${m.name} must be a SQL model")
+    }
+    if (fullRefresh) materializer.dropRelation(spark, relation)
+    val periods = microbatchPeriods(spark, sm, mb, relation,
+      fresh = fullRefresh || !materializer.relationExists(spark, relation))
+    periods.foreach { case (lo, hi) =>
+      val df = spark.sql(renderSql(sm, thisExists = false,
+        batchWindow = Some((lo, hi))))
+      require(df.columns.contains(mb.eventTime),
+        s"microbatch model ${m.name} must select its event_time column " +
+          s"'${mb.eventTime}'")
+      enforceContract(m, df)
+      val withBatch = df.withColumn("batch_start",
+        date_format(date_trunc(mb.batchSize, col(mb.eventTime)),
+          "yyyy-MM-dd HH:mm:ss"))
+      val sorted =
+        if (m.clusterBy.isEmpty) withBatch
+        else withBatch.sortWithinPartitions(m.clusterBy.map(col): _*)
+      materializer.materializeIncremental(spark, relation, sorted,
+        Seq("batch_start"))
+    }
+  }
+
+  /** The batch calendar for one microbatch run: [lo, hi) bounds as
+    * session-UTC timestamp strings, one per `batchSize` period. First
+    * build covers `begin` (or the earliest input event) through the
+    * latest input event; a re-run starts `lookback` batches behind the
+    * last processed batch. Bounds come from per-input min/max aggregates
+    * — column-pruned scans a columnar source answers from statistics. */
+  private def microbatchPeriods(spark: SparkSession, sm: SqlModel,
+      mb: Materialization.Microbatch, relation: String,
+      fresh: Boolean): Seq[(String, String)] = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(ZoneOffset.UTC)
+    def minMax(df: DataFrame, c: String): Option[(Instant, Instant)] = {
+      val r = df.agg(min(col(c).cast("timestamp")),
+        max(col(c).cast("timestamp"))).head()
+      if (r.isNullAt(0)) None
+      else Some((r.getTimestamp(0).toInstant, r.getTimestamp(1).toInstant))
+    }
+    val inputBounds =
+      sm.sources.flatMap { case (a, b) =>
+        project.sources.find(sd => sd.sourceName == a && sd.table == b)
+          .flatMap(sd => sd.eventTimeField.flatMap(c =>
+            minMax(sd.load(spark), c)))
+      } ++ sm.refs.flatMap { r =>
+        val rm = byName(r)
+        rm.eventTime.flatMap(c => minMax(spark.table(relationOf(rm)), c))
+      }
+    require(inputBounds.nonEmpty,
+      s"microbatch model ${sm.name} has no input declaring event_time")
+    val inputMin = inputBounds.map(_._1).min
+    val inputMax = inputBounds.map(_._2).max
+    def trunc(i: Instant): LocalDateTime = {
+      val t = LocalDateTime.ofInstant(i, ZoneOffset.UTC)
+      mb.batchSize match {
+        case "hour" => t.withMinute(0).withSecond(0).withNano(0)
+        case "day" => t.toLocalDate.atStartOfDay
+        case "month" => t.toLocalDate.withDayOfMonth(1).atStartOfDay
+        case "year" => t.toLocalDate.withDayOfYear(1).atStartOfDay
+      }
+    }
+    def step(t: LocalDateTime, n: Long): LocalDateTime = mb.batchSize match {
+      case "hour" => t.plusHours(n)
+      case "day" => t.plusDays(n)
+      case "month" => t.plusMonths(n)
+      case "year" => t.plusYears(n)
+    }
+    val start: LocalDateTime =
+      if (fresh)
+        mb.begin.map(s => LocalDateTime.parse(s.replace(' ', 'T')))
+          .getOrElse(trunc(inputMin))
+      else {
+        // Last processed batch from the target's own event-time column,
+        // stepped back by the lookback window.
+        val last = minMax(spark.table(relation), mb.eventTime)
+          .map(b => trunc(b._2))
+          .getOrElse(trunc(inputMin))
+        step(last, -mb.lookback.toLong)
+      }
+    val end = trunc(inputMax) // inclusive last batch
+    val out = Iterator.iterate(start)(step(_, 1))
+      .takeWhile(!_.isAfter(end))
+      .map(lo => (fmt.format(lo.toInstant(ZoneOffset.UTC)),
+        fmt.format(step(lo, 1).toInstant(ZoneOffset.UTC))))
+      .toSeq
+    require(out.size <= 100000,
+      s"microbatch calendar for ${sm.name} resolves to ${out.size} batches")
+    out
   }
 
   /** O3/O4: toposorted materialization of the selected subgraph.
@@ -977,7 +1110,8 @@ final class Runner(
           s.clusterBy.mkString(","),
           (s.preHooks ++ s.postHooks).mkString(";"),
           s.tags.mkString(","),
-          s.contract.map(c => s"${c.name}:${c.dataType}").mkString(","))
+          s.contract.map(c => s"${c.name}:${c.dataType}").mkString(","),
+          s.eventTime.toString)
       case d: DfModel =>
         Seq("df", d.refNames.mkString(","), d.materialization.toString,
           d.customSchema.toString, d.clusterBy.mkString(","),

@@ -600,6 +600,41 @@ object EngineQueries extends QueryPack {
              | COUNT(*) AS n_events
              |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
 
+    // ---- Microbatch incremental strategy (dbt 1.9): an hourly events
+    // mart processed one DAY batch at a time — the source (which
+    // declares event_time) is auto-windowed per batch, each batch
+    // replaces its own batch_start partition. Run TWICE: the first run
+    // builds the full calendar; the second exercises the lookback path
+    // (last batch − 1 forward), which must leave the final state
+    // identical — exactly what the full-aggregate oracle pins.
+    Q("m16_microbatch",
+      (spark, dir) => {
+        val src = SourceDef("ev", "events", s => Tables(s, dir, "events"),
+          eventTimeField = Some("ts"))
+        val model = SqlModel("events_hourly_mb",
+          """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+            |    AS sum_value
+            |FROM {{ source('ev', 'events') }}
+            |GROUP BY 1""".stripMargin,
+          Materialization.Microbatch("hour", "day"),
+          eventTime = Some("hour"))
+        val r = new Runner(Project(Seq(src), Seq(model)), Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_mb").toString))
+        r.run(spark)
+        r.run(spark) // lookback re-run over the trailing batches
+        r.table(spark, "events_hourly_mb")
+          .select(col("hour"), col("n_events"),
+            col("sum_value").cast("string").as("sum_value"))
+          .orderBy(col("hour"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             | COUNT(*) AS n_events,
+             | CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
+             |   AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
     // ---- Hooks surface (dbt pre_hook/post_hook): a mart whose hooks
     // INSERT audit rows around its own materialization — the canonical
     // hook use (audit logs, GRANTs). The gate reads the audit table plus

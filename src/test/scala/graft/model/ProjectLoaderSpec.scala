@@ -106,6 +106,25 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(m.preHooks.isEmpty)
   }
 
+  test("config header: microbatch") {
+    val m = ProjectLoader.parseModel("m",
+      "{{ config(materialized='incremental', " +
+        "incremental_strategy='microbatch', event_time='ts', " +
+        "batch_size='hour', lookback='2') }} SELECT 1")
+    assert(m.materialization ==
+      Materialization.Microbatch("ts", "hour", 2))
+    assert(m.eventTime.contains("ts"))
+    // batch_size without microbatch fails fast.
+    intercept[IllegalArgumentException] {
+      ProjectLoader.parseModel("m",
+        "{{ config(materialized='table', batch_size='day') }} SELECT 1")
+    }
+    // event_time alone is the input-side declaration — valid on any model.
+    assert(ProjectLoader.parseModel("m",
+      "{{ config(materialized='view', event_time='ts') }} SELECT 1")
+      .eventTime.contains("ts"))
+  }
+
   test("config header: tags") {
     val m = ProjectLoader.parseModel("m",
       "{{ config(materialized='table', tags=['nightly','finance']) }} SELECT 1")
