@@ -128,10 +128,19 @@ object EngineCli {
         }
         val stored = runner.storeFailures(spark)
         stored.foreach(r => println(s"stored failures -> $r"))
+        // dbt 1.8: `test` also runs the project's unit tests.
+        val units = runner.runUnitTests(spark).collect()
+        units.foreach { u =>
+          println(f"${u.getString(2).toUpperCase}%-5s unit:${u.getString(0)}%-49s " +
+            f"model=${u.getString(1)}")
+        }
         val bad = report.count(r => r.getLong(1) != 0 &&
-          severity.getOrElse(r.getString(0), "error") == "error")
+          severity.getOrElse(r.getString(0), "error") == "error") +
+          units.count(_.getString(2) == "fail")
         println(s"${report.count(_.getLong(1) == 0)}/${report.length} " +
-          s"tests passed ($bad error-severity failures)")
+          s"tests passed, ${units.count(_.getString(2) == "pass")}/" +
+          s"${units.length} unit tests passed " +
+          s"($bad error-severity failures)")
         // dbt exit semantics: warn-severity failures do not fail the run.
         if (bad > 0) sys.exit(1)
       case "compile" =>

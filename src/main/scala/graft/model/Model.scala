@@ -303,7 +303,9 @@ final case class Project(
     /** dbt `vars:` project block — defaults for `{{ var(...) }}`;
       * invocation-level vars (CLI `--vars`, the Runner parameter)
       * override these, dbt's precedence. */
-    vars: Map[String, String] = Map.empty) {
+    vars: Map[String, String] = Map.empty,
+    /** dbt 1.8 unit tests — model-logic fixtures (see [[UnitTest]]). */
+    unitTests: Seq[UnitTest] = Nil) {
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
   def model(name: String): Model =

@@ -1057,6 +1057,65 @@ final class Runner(
     (fused ++ planned).reduce(_.union(_))
   }
 
+  /** dbt 1.8 unit tests (see [[UnitTest]]): each test renders its
+    * model's SQL with EVERY input (refs — ephemeral included — and
+    * sources) swapped for a fixture view built from the test's CSV, runs
+    * the composed plan, and compares the result to the expected fixture
+    * — stringified, column-name-aligned, order-independent (dbt's agate
+    * comparison). One row per test: (unit_test, model, status,
+    * n_expected, n_actual). Un-mocked inputs fail fast: a unit test that
+    * silently read a real relation would be a data test with extra
+    * steps. Fixtures are hand-sized by contract; the run costs one tiny
+    * local plan per test.
+    */
+  def runUnitTests(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def fixture(csv: String): DataFrame = {
+      val ds = spark.createDataset(
+        csv.trim.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))(
+        org.apache.spark.sql.Encoders.STRING)
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(ds)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+        .map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    }
+    val rows = project.unitTests.map { ut =>
+      val sm = byName.getOrElse(ut.model, throw new NoSuchElementException(
+        s"unit test ${ut.name}: unknown model ${ut.model}")) match {
+        case s: SqlModel => s
+        case _ => throw new IllegalArgumentException(
+          s"unit test ${ut.name}: only SQL models are unit-testable")
+      }
+      val inputs = sm.refs ++ sm.sources.map { case (a, b) => s"$a.$b" }
+      val missing = inputs.filterNot(ut.givenCsv.contains)
+      require(missing.isEmpty, s"unit test ${ut.name}: un-mocked inputs: " +
+        missing.mkString(", "))
+      def mockView(input: String): String =
+        s"__ut_${ut.name}__$input".replaceAll("[^A-Za-z0-9_]", "_")
+      ut.givenCsv.foreach { case (input, csv) =>
+        fixture(csv).createOrReplaceTempView(mockView(input))
+      }
+      val actual = spark.sql(Renderer.render(sm.sql,
+        ref = mockView,
+        source = (a, b) => mockView(s"$a.$b"),
+        thisRelation = Some(relationOf(sm)),
+        thisExists = false,
+        vars = effectiveVars))
+      val expected = fixture(ut.expectCsv)
+      val colsMatch =
+        actual.columns.sorted.toSeq == expected.columns.sorted.toSeq
+      val (a, e) = (canon(actual), canon(expected))
+      (ut.name, ut.model,
+        if (colsMatch && a == e) "pass" else "fail",
+        e.size.toLong, a.size.toLong)
+    }
+    rows.toDF("unit_test", "model", "status", "n_expected", "n_actual")
+  }
+
   /** A7: source freshness — `max(loaded_at_field)` per source that
     * declares one (dbt's `loaded_at_field`, __sources.yml:168), with the
     * age relative to `current_timestamp()` and the pass/warn/error

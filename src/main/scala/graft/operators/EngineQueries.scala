@@ -675,6 +675,39 @@ object EngineQueries extends QueryPack {
              |FROM (VALUES ('post'), ('pre')) AS t(phase)
              |ORDER BY phase""".stripMargin)),
 
+    // ---- Unit-test surface (dbt 1.8): model LOGIC tested against
+    // inline fixtures — one test whose expectation matches the CASE
+    // logic (must pass) and one with a wrong expectation (must fail),
+    // both mocking the model's only input. The status pair pins the
+    // whole fixture→render→compare path; the oracle is static metadata.
+    Q("m17_unit_tests",
+      (spark, dir) => {
+        val stg = SqlModel("ut_stg",
+          "SELECT 1 AS customer_id, 1 AS total", Materialization.View)
+        val mart = SqlModel("customer_tiers",
+          """SELECT customer_id,
+            |  CASE WHEN total >= 100 THEN 'big' ELSE 'small' END AS tier
+            |FROM {{ ref('ut_stg') }}""".stripMargin,
+          Materialization.Table)
+        val fixtures = Map(
+          "ut_stg" -> "customer_id,total\n1,150\n2,50")
+        val r = new Runner(
+          Project(Nil, Seq(stg, mart), unitTests = Seq(
+            UnitTest("ut_tiers_pass", "customer_tiers", fixtures,
+              "customer_id,tier\n1,big\n2,small"),
+            UnitTest("ut_tiers_fail", "customer_tiers", fixtures,
+              "customer_id,tier\n1,big\n2,big"))),
+          Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_ut").toString))
+        r.runUnitTests(spark).orderBy(col("unit_test"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('ut_tiers_fail','customer_tiers','fail',2,2),
+             | ('ut_tiers_pass','customer_tiers','pass',2,2)
+             |) AS t(unit_test, model, status, n_expected, n_actual)
+             |ORDER BY unit_test""".stripMargin)),
+
     // ---- Vars surface (dbt `{{ var(...) }}`): one mart reading three
     // var bindings whose values arrive through dbt's full precedence
     // chain — `min_total` from the project `vars:` block, `premium_cutoff`

@@ -79,6 +79,25 @@ class RunnerSpec extends SparkSuite {
       .contains("undeclared [label]"))
   }
 
+  test("unit tests mock ephemeral refs and reject un-mocked inputs") {
+    val eph = SqlModel("u_eph", "SELECT 1 AS a", Materialization.Ephemeral)
+    val m = SqlModel("u_m",
+      "SELECT a * 2 AS b FROM {{ ref('u_eph') }}", Materialization.Table)
+    def runner(uts: Seq[UnitTest]) = new Runner(
+      Project(Nil, Seq(eph, m), unitTests = uts), Target.dev,
+      new PathMaterializer(
+        Files.createTempDirectory("graft-ut").toString))
+    // Ephemeral inputs are mocked directly (no CTE inlining in tests).
+    val ok = runner(Seq(UnitTest("u_pass", "u_m",
+      Map("u_eph" -> "a\n3\n4"), "b\n6\n8"))).runUnitTests(spark)
+    assert(ok.collect().map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("u_pass", "pass")))
+    intercept[IllegalArgumentException] {
+      runner(Seq(UnitTest("u_bad", "u_m", Map.empty, "b\n6")))
+        .runUnitTests(spark).collect()
+    }
+  }
+
   test("target switches output namespace (dev/prod isolation)") {
     val dev = new Runner(TpchProject.project(dir), Target.dev,
       new PathMaterializer("/tmp/graft-test/marts"))
