@@ -296,6 +296,23 @@ object Target {
   val prod: Target = Target("prod", "prod")
 }
 
+/** dbt exposures: named downstream consumers of the DAG — dashboards,
+  * ML pipelines, applications — declared in the project so lineage
+  * extends past the warehouse edge. An exposure is not runnable; it
+  * anchors selection (`+exposure:name` = everything the consumer needs)
+  * and documentation (docs manifest carries owner/url for impact
+  * analysis: "who breaks if this mart changes?"). */
+final case class Exposure(
+    name: String,
+    exposureType: String,
+    dependsOn: Seq[String],
+    owner: String = "",
+    url: Option[String] = None) {
+  require(Set("dashboard", "notebook", "analysis", "ml", "application")(
+    exposureType), s"unknown exposure type '$exposureType'")
+  require(dependsOn.nonEmpty, s"exposure $name depends on nothing")
+}
+
 final case class Project(
     sources: Seq[SourceDef],
     models: Seq[Model],
@@ -305,7 +322,9 @@ final case class Project(
       * override these, dbt's precedence. */
     vars: Map[String, String] = Map.empty,
     /** dbt 1.8 unit tests — model-logic fixtures (see [[UnitTest]]). */
-    unitTests: Seq[UnitTest] = Nil) {
+    unitTests: Seq[UnitTest] = Nil,
+    /** dbt exposures — downstream consumers (see [[Exposure]]). */
+    exposures: Seq[Exposure] = Nil) {
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
   def model(name: String): Model =

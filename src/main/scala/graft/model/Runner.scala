@@ -375,6 +375,11 @@ final class Runner(
     m.name -> m.refs
   }.toMap
 
+  project.exposures.foreach(e => e.dependsOn.foreach { d =>
+    require(byName.contains(d),
+      s"exposure ${e.name} depends on unknown model: $d")
+  })
+
   /** Execution-time deps: ephemeral hops collapsed to their own
     * (transitive) executable upstreams — an ephemeral node never runs, so
     * scheduling and failure-skip must see through it to the real edge. */
@@ -1206,9 +1211,11 @@ final class Runner(
       .map(m => m.group(1) -> m.group(2)).toMap
 
   /** Non-name selection atoms: `tag:NAME` (dbt tags — every model
-    * carrying the tag; an unknown tag selects nothing, dbt's behavior)
-    * plus the state-comparison atoms. Graph operators compose over the
-    * resolved set (`tag:nightly+`), like any selector. */
+    * carrying the tag; an unknown tag selects nothing, dbt's behavior),
+    * `exposure:NAME` (the exposure's direct parent models — so
+    * `+exposure:dash` selects everything the consumer needs), plus the
+    * state-comparison atoms. Graph operators compose over the resolved
+    * set (`tag:nightly+`), like any selector. */
   private def selectionAtom(state: Option[String])
       : String => Option[Set[String]] = {
     val st = stateAtom(state)
@@ -1216,6 +1223,11 @@ final class Runner(
       if (atom.startsWith("tag:")) {
         val tag = atom.stripPrefix("tag:")
         Some(project.models.filter(_.tags.contains(tag)).map(_.name).toSet)
+      } else if (atom.startsWith("exposure:")) {
+        val n = atom.stripPrefix("exposure:")
+        val e = project.exposures.find(_.name == n).getOrElse(
+          throw new NoSuchElementException(s"unknown exposure: $n"))
+        Some(e.dependsOn.toSet)
       } else st(atom)
   }
 
@@ -1265,8 +1277,16 @@ final class Runner(
     }.mkString("[", ",", "]")
     val parentMap = ordered
       .map(n => s""""${esc(n)}":${arr(deps(n))}""").mkString("{", ",", "}")
+    // Exposures document the off-warehouse edge of the lineage graph:
+    // impact analysis reads these to answer "who consumes this mart?".
+    val exposures = project.exposures.map { e =>
+      s"""{"name":"${esc(e.name)}","type":"${esc(e.exposureType)}",""" +
+        s""""owner":"${esc(e.owner)}","url":"${esc(e.url.getOrElse(""))}",""" +
+        s""""depends_on":${arr(e.dependsOn)}}"""
+    }.mkString("[", ",", "]")
     val manifest =
-      s"""{"target":"${esc(target.name)}","nodes":$nodes,"parent_map":$parentMap}"""
+      s"""{"target":"${esc(target.name)}","nodes":$nodes,""" +
+        s""""parent_map":$parentMap,"exposures":$exposures}"""
 
     // Catalog covers what THIS session materialized (a selected run
     // catalogs its subgraph — the rest of the DAG still documents via

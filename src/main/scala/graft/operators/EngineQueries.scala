@@ -385,6 +385,42 @@ object EngineQueries extends QueryPack {
              |) AS t(schema_name, table_name)
              |ORDER BY schema_name, table_name""".stripMargin)),
 
+    // ---- Exposure surface (dbt exposures): a dashboard consumer
+    // anchored on the flagship mart — `+exposure:` selection must run
+    // exactly the consumer's upstream subgraph, and the docs manifest
+    // must carry the exposure's metadata. The gate crosses the
+    // run_results rows with the manifest's exposure entry; both are
+    // static project metadata for the oracle.
+    Q("o07_exposure_selection",
+      (spark, dir) => {
+        val expo = Exposure("revenue_dashboard", "dashboard",
+          Seq("customer_order_metrics"), owner = "analytics",
+          url = Some("https://bi.example/rev"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_expo").toString
+        val r = new Runner(
+          TpchProject.project(dir).copy(exposures = Seq(expo)),
+          Target.dev, new PathMaterializer(base))
+        r.run(spark, select = Some("+exposure:revenue_dashboard"),
+          runResultsPath = Some(s"$base/rr.json"))
+        r.writeDocs(spark, s"$base/manifest.json", s"$base/catalog.json")
+        val ex = spark.read.json(s"$base/manifest.json")
+          .select(explode(col("exposures")).as("e"))
+          .select(col("e.name").as("exposure"),
+            col("e.type").as("exposure_type"),
+            explode(col("e.depends_on")).as("anchor"))
+        val rr = spark.read.json(s"$base/rr.json")
+          .select(explode(col("results")).as("n"))
+          .select(col("n.name").as("model"), col("n.status").as("status"))
+        rr.crossJoin(broadcast(ex)).orderBy(col("model"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('customer_order_metrics','success','revenue_dashboard','dashboard','customer_order_metrics'),
+             | ('stg_customer','success','revenue_dashboard','dashboard','customer_order_metrics'),
+             | ('stg_orders','success','revenue_dashboard','dashboard','customer_order_metrics')
+             |) AS t(model, status, exposure, exposure_type, anchor)
+             |ORDER BY model""".stripMargin)),
+
     // ---- Incremental-materialization surface (engine extension, S5+):
     // an hourly events mart materialized IncrementalByPartition, run
     // TWICE — the first run creates the partitioned relation, the second

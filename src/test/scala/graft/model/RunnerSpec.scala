@@ -79,6 +79,24 @@ class RunnerSpec extends SparkSuite {
       .contains("undeclared [label]"))
   }
 
+  test("exposures validate their anchors and reject unknown names") {
+    intercept[IllegalArgumentException] {
+      new Runner(Project(Nil,
+        Seq(SqlModel("e_m", "SELECT 1 AS x", Materialization.View)),
+        exposures = Seq(Exposure("dash", "dashboard", Seq("ghost")))),
+        Target.dev, new PathMaterializer("/tmp/graft-expo-spec"))
+    }
+    val r = new Runner(Project(Nil,
+      Seq(SqlModel("e_m", "SELECT 1 AS x", Materialization.View)),
+      exposures = Seq(Exposure("dash", "dashboard", Seq("e_m")))),
+      Target.dev, new PathMaterializer("/tmp/graft-expo-spec"))
+    intercept[NoSuchElementException] {
+      r.run(spark, select = Some("exposure:nope"))
+    }
+    assert(r.run(spark, select = Some("+exposure:dash"))
+      .map(_.name) == Seq("e_m"))
+  }
+
   test("unit tests mock ephemeral refs and reject un-mocked inputs") {
     val eph = SqlModel("u_eph", "SELECT 1 AS a", Materialization.Ephemeral)
     val m = SqlModel("u_m",
