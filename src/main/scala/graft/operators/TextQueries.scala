@@ -390,6 +390,54 @@ object TextQueries extends QueryPack {
              |  AND bullet_line_frac < 0.9) AS keep
              |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // ---- Document chunking: fixed token windows with overlap — the
+    // preprocessing step both RAG indexing and long-document training
+    // use (production shape: 512-token windows, 64 overlap; the gate
+    // runs 32/8 so the 10-99-token corpus actually exercises multi-chunk
+    // spans). Emits one row per chunk with its token span; the last
+    // chunk is short by construction, never dropped. Pure projection +
+    // explode(sequence(...)) — the Generate sits inside the scan stage,
+    // so at 100 TB this is a map-only pass with no shuffle at all (the
+    // oracle mirrors it with unnest(range(...))).
+    Q("t13_chunking",
+      (s, dir) => {
+        val size = 32
+        val stride = 24 // size - overlap(8)
+        val nChunks = when(col("toks") === 0, 0L).otherwise(
+          lit(1L) + floor(greatest(col("toks") - size, lit(0))
+            .cast("double") / stride).cast("long"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).cast("long")
+            .as("toks"))
+          .withColumn("n_chunks", nChunks)
+          // Guard before the explode: sequence(0, -1) would descend.
+          .filter(col("n_chunks") > 0)
+          .select(col("doc_id"), col("toks"), col("n_chunks"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("n_chunks"), col("chunk_id"),
+            (col("chunk_id") * stride).as("tok_start"),
+            least(col("chunk_id") * stride + size, col("toks"))
+              .as("tok_end"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |       END AS BIGINT) toks
+             | FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |  CASE WHEN toks = 0 THEN 0
+             |       ELSE 1 + CAST(FLOOR(GREATEST(toks - 32, 0) / 24.0)
+             |         AS BIGINT) END AS n_chunks
+             | FROM t),
+             |c AS (SELECT doc_id, toks, n_chunks,
+             |  unnest(range(0, n_chunks)) AS chunk_id
+             | FROM n WHERE n_chunks > 0)
+             |SELECT doc_id, n_chunks, chunk_id,
+             | chunk_id * 24 AS tok_start,
+             | LEAST(chunk_id * 24 + 32, toks) AS tok_end
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ---- Sequence packing (concat-and-chunk): documents laid end to
     // end in doc_id order, the token stream cut into 2048-token training
     // sequences; the gate emits the per-pack shard manifest. The Spark

@@ -30,7 +30,7 @@ object ScaleProbe {
     val n0 = docs0.count()
     val docs = (0 until k).map { i =>
       docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
-        col("text"))
+        col("text"), col("n_chars"))
     }.reduce(_ union _).repartition(32).persist()
     println(s"corpus: ${docs.count()} docs (${k}x $n0)")
 
@@ -49,6 +49,10 @@ object ScaleProbe {
     t(s"dup clusters x$k")(
       println("  docs=" + Dedup
         .duplicateClusters(docs, "doc_id", "text", 0.6).count()))
+    t(s"canonical keep x$k")(
+      println("  kept=" + Dedup
+        .canonicalKeep(docs, "doc_id", "text", "n_chars", 0.6)
+        .filter(col("keep")).count()))
     t(s"cross contamination x$k")(
       println("  pairs=" + Dedup
         .crossCorpusPairs(
@@ -69,6 +73,9 @@ object ScaleProbe {
     t(s"lsh topk x$k")(
       println("  rows=" + Similarity
         .lshTopK(emb, queries, "vec_id", "embedding", 5).count()))
+    t(s"int8 topk x$k")(
+      println("  rows=" + Similarity
+        .quantizedTopK(emb, queries, "vec_id", "embedding", 5).count()))
     t(s"near-dup pairs x$k")(
       println("  pairs=" + Similarity
         .nearDupPairs(emb, "vec_id", "embedding", 0.45).count()))
