@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.core.Caches
 
 /** Sequence packing for LLM training corpora: the concat-and-chunk
@@ -19,17 +19,23 @@ import graft.core.Caches
   *
   *  1. range-partition by the order column, sort within partitions —
   *     each partition holds a contiguous slice of the global order;
-  *  2. one tiny job aggregates a per-partition token subtotal; the
-  *     driver prefix-sums THOSE (one row per partition — thousands of
-  *     entries at 100 TB, not rows) into per-partition start offsets;
-  *  3. a per-partition window (parallel across partitions) adds the
-  *     within-partition running sum to the broadcast offset.
+  *  2. one tiny job aggregates a per-partition token subtotal (a one-
+  *     row-per-partition exchange); the driver prefix-sums THOSE into
+  *     per-partition start offsets — thousands of entries at 100 TB,
+  *     not rows;
+  *  3. a `mapPartitions` pass adds the within-partition running sum to
+  *     the broadcast offset — genuinely per-partition-sequential
+  *     arithmetic, which is exactly the case the RDD-flavored escape
+  *     hatch exists for: the declarative twin (a window partitioned by
+  *     `spark_partition_id()`) forces a full hash Exchange of the
+  *     corpus that this pass does not need (verified in the plan; the
+  *     map runs on the partitions it already has).
   *
-  * Offsets are exact longs; every step is deterministic for a fixed
-  * corpus, so re-runs produce identical pack assignments — the property
-  * that makes packed shards reproducible across cluster sizes (the
-  * partition COUNT affects only the split points of the computation,
-  * never the arithmetic).
+  * Offsets and pack indices are exact JVM longs; every step is
+  * deterministic for a fixed corpus, so re-runs produce identical pack
+  * assignments — the property that makes packed shards reproducible
+  * across cluster sizes (the partition COUNT affects only the split
+  * points of the computation, never the arithmetic).
   */
 object Packing {
 
@@ -46,36 +52,44 @@ object Packing {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     // Phase 1: contiguous global-order slices. Persisted so the subtotal
-    // job and the final assembly see the same partitioning (and the
-    // range-partitioning's sampling pass runs once).
+    // job and the final pass see the same partitioning (and the
+    // range-partitioning's sampling pass runs once). __pid rides as a
+    // column so phase 3 can look up its partition's offset without the
+    // RDD API.
     val parted = Caches.persist(
       docs.repartitionByRange(col(orderCol))
         .sortWithinPartitions(orderCol)
         .withColumn("__pid", spark_partition_id()))
-    // Phase 2: per-partition subtotals — one row per partition, the only
-    // thing the driver ever holds.
+    // Phase 2: per-partition subtotals — one row per partition is all
+    // that ever reaches the driver.
     val subtotals = parted.groupBy(col("__pid"))
-      .agg(sum(col(tokCol)).cast("long").as("__t"))
+      .agg(sum(col(tokCol).cast("long")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = subtotals.map { case (pid, t) =>
       val start = acc; acc += t; (pid, start)
-    }.toSeq
-    import spark.implicits._
-    val offsetsDf = offsets.toDF("__pid", "__off")
-    // Phase 3: within-partition running sum + broadcast offset.
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-    parted.join(broadcast(offsetsDf), "__pid")
-      .withColumn("cum_tokens",
-        sum(col(tokCol).cast("long")).over(w) + col("__off"))
-      .withColumn("pack_id", packOf(col("cum_tokens") - col(tokCol), seqLen))
-      .drop("__pid", "__off")
+    }.toMap
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    // Phase 3: zero-shuffle running sum over the partitions phase 1
+    // already laid out (rows arrive sorted by orderCol within each).
+    val inSchema = parted.schema
+    val pidIdx = inSchema.fieldIndex("__pid")
+    val tokIdx = inSchema.fieldIndex(tokCol)
+    val keptIdx = inSchema.fields.indices.filterNot(_ == pidIdx)
+    val outSchema = StructType(
+      keptIdx.map(inSchema.fields) ++ Seq(
+        StructField("cum_tokens", LongType, nullable = false),
+        StructField("pack_id", LongType, nullable = false)))
+    val seqLenL = seqLen.toLong
+    parted.mapPartitions { rows =>
+      var cum = Long.MinValue // initialized from the first row's pid
+      rows.map { r =>
+        if (cum == Long.MinValue) cum = offsetsBc.value(r.getInt(pidIdx))
+        val toks = r.get(tokIdx).asInstanceOf[Number].longValue()
+        val before = cum
+        cum += toks
+        Row.fromSeq(keptIdx.map(r.get) ++ Seq(cum, before / seqLenL))
+      }
+    }(Encoders.row(outSchema))
   }
-
-  /** Pack index of a token offset: integral division carried in DECIMAL
-    * (long `/` in Spark is double division, and token offsets at 100 TB
-    * exceed double's 2^53 exact-integer range); the final cast truncates,
-    * which equals floor for the non-negative offsets here. */
-  private def packOf(tokensBefore: Column, seqLen: Int): Column =
-    (tokensBefore.cast("decimal(38,0)") / lit(seqLen.toLong)).cast("long")
 }
