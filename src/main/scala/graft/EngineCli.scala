@@ -12,7 +12,7 @@ import graft.operators.TpchProject
   *   run     [--project tpch|tastybytes|dir:PATH] [--select EXPR]
   *           [--exclude EXPR] [--state MANIFEST] [--target dev|prod]
   *           [--dir PATH] [--threads N] [--materializer catalog|path]
-  *           [--warehouse PATH] [--full-refresh true]
+  *           [--warehouse PATH] [--full-refresh true] [--fail-fast true]
   *           (EXPR: dbt algebra — `+name+` graph ops, space = union,
   *            comma = intersection, `tag:NAME` config tags,
   *            `state:modified`/`state:new` against --state; --exclude
@@ -26,6 +26,11 @@ import graft.operators.TpchProject
   *   freshness A7: max(loaded_at_field) + age per declared source
   *   ls        S7: catalog listing (SHOW TABLES equivalent) post-run
   *   seed      dbt seed: materialize only the seed tier
+  *   snapshot  dbt snapshot: run only the snapshot models (+ upstreams)
+  *   retry     dbt retry: re-run the error/skipped nodes of the previous
+  *             invocation's run_results.json
+  *   show      dbt show: preview a model's rows (--select MODEL
+  *             [--limit N])
   *   docs      dbt docs generate: manifest_docs.json + catalog.json
   *
   * Any verb accepts `--seeds PATH` — a dbt seeds/ directory of CSVs that
@@ -96,6 +101,12 @@ object EngineCli {
     }.getOrElse(Map.empty)
     val runner = new Runner(project, target, materializer, cliVars)
 
+    def printResults(results: Seq[NodeResult]): Unit =
+      results.foreach { r =>
+        println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
+          f"-> ${r.relation}%-32s ${r.millis}%6d ms")
+      }
+
     verb match {
       case "run" =>
         val results = runner.run(spark, opts.get("select"),
@@ -104,13 +115,40 @@ object EngineCli {
           exclude = opts.get("exclude"),
           state = opts.get("state"),
           manifestPath = Some(s"$warehouse/manifest.json"),
-          fullRefresh = opts.get("full-refresh").contains("true"))
-        results.foreach { r =>
-          println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
-            f"-> ${r.relation}%-32s ${r.millis}%6d ms")
-        }
+          fullRefresh = opts.get("full-refresh").contains("true"),
+          failFast = opts.get("fail-fast").contains("true"))
+        printResults(results)
         println(s"Completed ${results.size} models " +
           s"(target=${target.name}, run_results=$warehouse/run_results.json)")
+      case "retry" =>
+        // dbt retry: re-run exactly what the previous invocation left in
+        // error/skipped state, from its run_results artifact.
+        runner.retrySelection(s"$warehouse/run_results.json") match {
+          case None => println("nothing to retry: previous run was clean")
+          case Some(sel) =>
+            println(s"retrying: $sel")
+            printResults(runner.run(spark, Some(sel),
+              runResultsPath = Some(s"$warehouse/run_results.json"),
+              threads = opts.getOrElse("threads", "1").toInt))
+        }
+      case "show" =>
+        // dbt show: preview a model's rows without materializing it as
+        // the deliverable (upstreams build into the session first).
+        val name = opts.getOrElse("select", throw new IllegalArgumentException(
+          "show requires --select MODEL"))
+        runner.run(spark, Some(s"+$name"))
+        runner.table(spark, name)
+          .show(opts.getOrElse("limit", "5").toInt, truncate = false)
+      case "snapshot" =>
+        // dbt snapshot: run only the snapshot-materialized models.
+        val snaps = project.models.collect {
+          case m if m.materialization.isInstanceOf[Materialization.Snapshot]
+            || m.materialization.isInstanceOf[Materialization.SnapshotCheck]
+            => m.name
+        }
+        if (snaps.isEmpty) println("0 snapshots in project")
+        else printResults(runner.run(spark,
+          select = Some(snaps.map("+" + _).mkString(" "))))
       case "test" =>
         // dbt-build semantics: tests on model relations need the models
         // materialized in THIS session (the in-memory catalog does not
@@ -216,8 +254,8 @@ object EngineCli {
               f"-> ${r.relation}%-32s ${r.millis}%6d ms")
           }
       case other =>
-        System.err.println(s"unknown verb: $other " +
-          "(expected run|build|test|compile|deps|freshness|ls|seed|docs)")
+        System.err.println(s"unknown verb: $other (expected run|build|" +
+          "test|compile|deps|freshness|ls|seed|snapshot|retry|show|docs)")
         sys.exit(2)
     }
     spark.stop()

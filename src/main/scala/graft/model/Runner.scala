@@ -761,7 +761,12 @@ final class Runner(
       exclude: Option[String] = None,
       state: Option[String] = None,
       manifestPath: Option[String] = None,
-      fullRefresh: Boolean = false): Seq[NodeResult] = {
+      fullRefresh: Boolean = false,
+      /** dbt `--fail-fast`: the first node error stops scheduling — every
+        * not-yet-started selected node reports "skipped" (dbt's aborted
+        * state), already-running nodes drain. Without it, independent
+        * branches keep building (the default). */
+      failFast: Boolean = false): Seq[NodeResult] = {
     registerSources(spark)
     val selected = Dag.resolve(select, exclude, deps, selectionAtom(state))
     manifestPath.foreach(writeManifest)
@@ -770,8 +775,9 @@ final class Runner(
     val chosen = (n: String) => selected(n) && !isEphemeral(n)
     val ordered = Dag.toposort(deps).filter(chosen)
     val results =
-      if (threads <= 1) runSerial(spark, ordered, chosen, fullRefresh)
-      else runParallel(spark, ordered, threads, fullRefresh)
+      if (threads <= 1) runSerial(spark, ordered, chosen, fullRefresh,
+        failFast)
+      else runParallel(spark, ordered, threads, fullRefresh, failFast)
     runResultsPath.foreach(p => writeRunResults(p, results))
     results.find(_.status == "error").foreach { r =>
       throw new RuntimeException(
@@ -781,24 +787,31 @@ final class Runner(
   }
 
   private def runSerial(spark: SparkSession, ordered: Seq[String],
-      chosen: String => Boolean, fullRefresh: Boolean): Seq[NodeResult] = {
+      chosen: String => Boolean, fullRefresh: Boolean,
+      failFast: Boolean): Seq[NodeResult] = {
     val bad = scala.collection.mutable.Set.empty[String] // failed or skipped
+    var aborted = false
     ordered.map { n =>
-      if (execDeps(n).filter(chosen).exists(bad)) {
+      if (aborted || execDeps(n).filter(chosen).exists(bad)) {
         bad += n
         NodeResult(n, relationOf(byName(n)), "skipped", 0,
-          Some("upstream failed"))
+          Some(if (aborted) "fail-fast" else "upstream failed"))
       } else {
         val r = materializeNode(spark, n, fullRefresh)
-        if (r.status != "success") bad += n
+        if (r.status != "success") {
+          bad += n
+          if (failFast) aborted = true
+        }
         r
       }
     }
   }
 
   private def runParallel(spark: SparkSession, ordered: Seq[String],
-      threads: Int, fullRefresh: Boolean): Seq[NodeResult] = {
+      threads: Int, fullRefresh: Boolean,
+      failFast: Boolean = false): Seq[NodeResult] = {
     import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors}
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val chosen = ordered.toSet
     val remaining = new ConcurrentHashMap[String, java.lang.Integer]()
     ordered.foreach { n =>
@@ -819,16 +832,21 @@ final class Runner(
         if (left == 0) submit(d)
       }
     }
-    def skip(name: String): Unit =
+    def skip(name: String, why: String): Unit =
       finish(name, NodeResult(name, relationOf(byName(name)),
-        "skipped", 0, Some("upstream failed")))
+        "skipped", 0, Some(why)))
     def submit(name: String): Unit = pool.execute { () =>
       val upstreamBad = execDeps(name).filter(chosen).exists { d =>
         val r = results.get(d)
         r != null && r.status != "success"
       }
-      if (upstreamBad) skip(name)
-      else finish(name, materializeNode(spark, name, fullRefresh))
+      if (aborted.get()) skip(name, "fail-fast")
+      else if (upstreamBad) skip(name, "upstream failed")
+      else {
+        val r = materializeNode(spark, name, fullRefresh)
+        if (r.status != "success" && failFast) aborted.set(true)
+        finish(name, r)
+      }
     }
 
     ordered.filter(n => remaining.get(n) == 0).foreach(submit)
@@ -1154,6 +1172,19 @@ final class Runner(
             .as("age_seconds"))
         .withColumn("verdict", verdict)
     }.reduce(_.union(_))
+  }
+
+  /** dbt retry: the selection a previous run left unfinished — every
+    * node whose run_results status is `error` or `skipped` (the failed
+    * node plus its aborted subtree). None when the previous run was
+    * clean. Pair with [[run]]: `run(spark, select = retrySelection(p))`
+    * re-executes exactly the unfinished work against the same DAG. */
+  def retrySelection(runResultsPath: String): Option[String] = {
+    val json = Files.readString(Paths.get(runResultsPath))
+    val names =
+      """\{"name":"([^"]+)","relation":"[^"]*","status":"(error|skipped)"""".r
+        .findAllMatchIn(json).map(_.group(1)).toSeq
+    if (names.isEmpty) None else Some(names.mkString(" "))
   }
 
   /** dbt state-comparison surface (`--select state:modified --state

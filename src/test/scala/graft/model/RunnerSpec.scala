@@ -79,6 +79,30 @@ class RunnerSpec extends SparkSuite {
       .contains("undeclared [label]"))
   }
 
+  test("fail-fast aborts pending nodes; retry selects the unfinished set") {
+    val a = SqlModel("ff_a", "SELECT 1 AS x", Materialization.View)
+    val bad = SqlModel("ff_bad", "SELECT * FROM nonexistent_relation",
+      Materialization.View)
+    val dep = SqlModel("ff_dep", "SELECT * FROM {{ ref('ff_bad') }}",
+      Materialization.View)
+    val z = SqlModel("ff_z", "SELECT 2 AS y", Materialization.View)
+    def runWith(ff: Boolean): Option[String] = {
+      val rr = Files.createTempDirectory("graft-ff").toString +
+        "/run_results.json"
+      val r = new Runner(Project(Nil, Seq(a, bad, dep, z)), Target.dev,
+        new PathMaterializer(
+          Files.createTempDirectory("graft-ff-m").toString))
+      intercept[RuntimeException] {
+        r.run(spark, runResultsPath = Some(rr), failFast = ff)
+      }
+      r.retrySelection(rr)
+    }
+    // Topo order: ff_a, ff_bad, ff_dep, ff_z. Default: independent ff_z
+    // still builds; fail-fast: it aborts as skipped and joins the retry.
+    assert(runWith(ff = false).contains("ff_bad ff_dep"))
+    assert(runWith(ff = true).contains("ff_bad ff_dep ff_z"))
+  }
+
   test("exposures validate their anchors and reject unknown names") {
     intercept[IllegalArgumentException] {
       new Runner(Project(Nil,
