@@ -243,6 +243,77 @@ object Dedup {
           .as("is_representative"))
   }
 
+  /** Near-SUBSET detection: ordered pairs where at least `threshold` of
+    * doc_a's shingles appear in doc_b (containment |A∩B|/|A|) — the
+    * contamination case jaccard MISSES: a benchmark question embedded
+    * verbatim inside a much longer training document has containment ~1
+    * but jaccard ~|A|/|B| → 0. Every decontamination pipeline needs both
+    * measures.
+    *
+    * Scale shape: the jaccard prefix filter argument survives
+    * asymmetrically — containment ≥ t means fewer than t·|A| ≤ |A∩B| of
+    * A's shingles can be missing from B, so A must share one of its
+    * `|A| - ⌈t·|A|⌉ + 1` globally-rarest shingles with B. The candidate
+    * join is therefore A-side PREFIX against B-side FULL inverted index
+    * (no prefix filter exists for the container side), still never
+    * all-pairs; the |B| ≥ t·|A| size prefilter and exact merge-intersect
+    * verification follow as in [[jaccardPairs]]. Duplicate clusters
+    * collapse first; within-cluster ordered pairs are containment 1 by
+    * construction.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+    val groups = clusters(sh)
+    val reps = groups.select(col("doc_id"), col("shingles"))
+    val ex = reps.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val docFreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = Caches.persist(ex.join(docFreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id").as("doc_a"), col("shingle")))
+    val candidates = prefix
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    val inter = Hashing.sortedIntersectSize(col("sa"), col("sb"))
+    val repPairs = candidates
+      .join(sa, "doc_a").join(sb, "doc_b")
+      // Size prefilter: containment ≥ t requires |B| ≥ t·|A|.
+      .filter(size(col("sb")) >= lit(threshold) * size(col("sa")))
+      .withColumn("containment_raw", inter / size(col("sa")))
+      .filter(col("containment_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment_raw"), 6).as("containment"))
+    // Ordered-pair cluster expansion: every (member of A) × (member of
+    // B) pair inherits the representatives' containment (a function of
+    // the shingle sets); within-cluster ordered pairs are containment 1.
+    val memA = groups.select(col("doc_id").as("doc_a"),
+      col("members").as("ma"))
+    val memB = groups.select(col("doc_id").as("doc_b"),
+      col("members").as("mb"))
+    val cross = repPairs
+      .join(memA, "doc_a").join(memB, "doc_b")
+      .select(explode(col("ma")).as("a"), col("mb"), col("containment"))
+      .select(col("a").as("doc_a"), explode(col("mb")).as("doc_b"),
+        col("containment"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(1.0).as("containment"))
+    cross.union(within)
+  }
+
   /** The keep/drop decision a dedup pipeline actually ships: per
     * near-dup cluster ([[duplicateClusters]]) keep ONE canonical
     * document — the highest-`qualityCol` member, doc_id breaking ties —

@@ -167,6 +167,36 @@ object DedupQueries extends QueryPack {
               |FROM ranked r JOIN canon USING (cluster)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Near-subset containment (|A∩B|/|A| ≥ 0.8, ordered pairs): the
+    // contamination measure jaccard misses — a short doc embedded in a
+    // long one. A-side prefix filter against the full inverted index;
+    // brute-force containment oracle.
+    Q("d08_containment_pairs",
+      (s, dir) => Dedup
+        .containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(w)-1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+             |  FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+             |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+             |inter AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+             |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+             |    AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  ROUND(n_common / sa.n_sh, 6) AS containment
+             |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+             |WHERE n_common / sa.n_sh >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Cross-corpus contamination (train/test leakage): the corpus split
     // by doc_id parity stands in for train vs held-out eval; every
     // near-dup pair CROSSING the split is a leaked document. The oracle

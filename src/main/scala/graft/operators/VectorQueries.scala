@@ -117,6 +117,34 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // Matryoshka-style truncated search: rank on the first 16 of 64
+    // dims (MRL embeddings put the most information in the prefix; for
+    // a 100 TB index that is a 4× scan/memory cut before any
+    // quantization). Same exact-arithmetic shape as v01 on the sliced
+    // vectors, so the oracle is exact.
+    Q("v09_matryoshka_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), slice(col("embedding"), 1, 16)
+            .as("embedding"))
+        Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |  CAST(embedding[1:16] AS DOUBLE[]) v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |pairs AS (
+             |  SELECT q.vec_id qid, c.vec_id nid,
+             |    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) sim
+             |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+             |  FROM pairs)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // Approximate path (IVF buckets + nprobe): recall is data-dependent by
     // design, so no SQL oracle; ScalaTest asserts recall ≥ 0.6 vs v01.
     Q("v04_ann_ivf",
