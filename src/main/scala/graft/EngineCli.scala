@@ -13,6 +13,7 @@ import graft.operators.TpchProject
   *           [--exclude EXPR] [--state MANIFEST] [--target dev|prod]
   *           [--dir PATH] [--threads N] [--materializer catalog|path]
   *           [--warehouse PATH] [--full-refresh true] [--fail-fast true]
+  *           [--defer dev|prod]
   *           (EXPR: dbt algebra — `+name+` graph ops, space = union,
   *            comma = intersection, `tag:NAME` config tags,
   *            `state:modified`/`state:new` against --state; --exclude
@@ -99,7 +100,14 @@ object EngineCli {
         }
       }.toMap
     }.getOrElse(Map.empty)
-    val runner = new Runner(project, target, materializer, cliVars)
+    // --defer dev|prod: unbuilt refs resolve to that target's relations
+    // (pair with --select state:modified --state for dbt's slim CI).
+    val deferTarget = opts.get("defer").map {
+      case "prod" => Target.prod
+      case _ => Target.dev
+    }
+    val runner = new Runner(project, target, materializer, cliVars,
+      deferTarget)
 
     def printResults(results: Seq[NodeResult]): Unit =
       results.foreach { r =>

@@ -359,7 +359,14 @@ final class Runner(
     val materializer: Materializer = new CatalogMaterializer,
     /** Invocation-level `{{ var(...) }}` values (dbt `--vars`); override
       * the project's `vars:` defaults key-by-key. */
-    vars: Map[String, String] = Map.empty) {
+    vars: Map[String, String] = Map.empty,
+    /** dbt `--defer`: when a referenced model is NOT built in this
+      * run's target, resolve the ref to this other target's relation
+      * instead — the slim-CI pattern (`--select state:modified --defer
+      * --target dev` builds only changed models in dev, reading
+      * unchanged upstreams straight from prod). A ref defers only when
+      * its own-target relation is unreadable, dbt's default. */
+    defer: Option[Target] = None) {
 
   /** Effective var bindings for every render in this invocation. */
   private val effectiveVars: Map[String, String] = project.vars ++ vars
@@ -400,6 +407,26 @@ final class Runner(
   private def sourceRelation(sourceName: String, table: String): String =
     s"src_${sourceName}_$table"
 
+  /** Where a `{{ ref(m) }}` READS from: the own-target relation when it
+    * is readable (built this session, or persisted by a prior run), else
+    * — under `--defer` — the defer target's relation (custom schemas
+    * replace either target's schema, so they never defer anywhere new). */
+  private def refRelation(spark: SparkSession, m: Model): String = {
+    val own = relationOf(m)
+    def readable(rel: String): Boolean =
+      spark.catalog.tableExists(rel) ||
+        materializer.relationExists(spark, rel)
+    defer match {
+      case Some(dt) if !readable(own) =>
+        val schema = m.customSchema.getOrElse(dt.schema)
+        m.materialization match {
+          case Materialization.View => materializer.viewRelation(schema, m.name)
+          case _ => materializer.tableRelation(schema, m.name)
+        }
+      case _ => own
+    }
+  }
+
   def registerSources(spark: SparkSession): Unit =
     project.sources.foreach { sd =>
       sd.load(spark)
@@ -428,8 +455,15 @@ final class Runner(
     * names; everything else to its relation. A model body that itself
     * starts with WITH has its CTE list merged into ours. */
   private def renderSql(sm: SqlModel, thisExists: Boolean,
-      batchWindow: Option[(String, String)] = None): String = {
+      batchWindow: Option[(String, String)] = None,
+      sparkForDefer: Option[SparkSession] = None): String = {
     val rel = relationOf(sm)
+    // Defer-aware ref target (compile-time rendering has no session and
+    // always shows own-target relations).
+    val resolveRef: Model => String = sparkForDefer match {
+      case Some(s) => m => refRelation(s, m)
+      case None => relationOf
+    }
     // Microbatch input filtering: inputs that declare an event time are
     // wrapped in a batch-windowed subquery (dbt's auto-injected filter);
     // inputs without one read in full.
@@ -445,7 +479,7 @@ final class Runner(
         .flatMap(_.eventTimeField)
     def renderOne(s: SqlModel): String = Renderer.render(s.sql,
       ref = r => if (isEphemeral(r)) cteName(r)
-        else windowed(relationOf(byName(r)), byName(r).eventTime),
+        else windowed(resolveRef(byName(r)), byName(r).eventTime),
       source = (a, b) => windowed(sourceRelation(a, b), sourceEventTime(a, b)),
       thisRelation = Some(rel),
       thisExists = thisExists,
@@ -479,12 +513,13 @@ final class Runner(
       // run (no watermark predicate): the rebuild must see ALL source
       // rows, not just those past the stale relation's max.
       spark.sql(renderSql(sm, thisExists = !fullRefresh &&
-        materializer.relationExists(spark, relationOf(sm))))
+        materializer.relationExists(spark, relationOf(sm)),
+        sparkForDefer = Some(spark)))
     case dm: DfModel =>
       dm.build(spark, r => {
         val rm = byName(r)
         if (isEphemeral(r)) buildDf(spark, rm)
-        else spark.table(relationOf(rm))
+        else spark.table(refRelation(spark, rm))
       })
     case sd: SeedModel =>
       // dbt's agate-typed seed load: header row + per-column inference.
@@ -654,7 +689,7 @@ final class Runner(
       fresh = fullRefresh || !materializer.relationExists(spark, relation))
     periods.foreach { case (lo, hi) =>
       val df = spark.sql(renderSql(sm, thisExists = false,
-        batchWindow = Some((lo, hi))))
+        batchWindow = Some((lo, hi)), sparkForDefer = Some(spark)))
       require(df.columns.contains(mb.eventTime),
         s"microbatch model ${m.name} must select its event_time column " +
           s"'${mb.eventTime}'")
@@ -1035,7 +1070,7 @@ final class Runner(
   private def testResolver(spark: SparkSession): String => DataFrame = {
     rel =>
       byName.get(rel) match {
-        case Some(m) => spark.table(relationOf(m))
+        case Some(m) => spark.table(refRelation(spark, m))
         case None =>
           rel.split('.') match {
             case Array(s, t) => spark.table(sourceRelation(s, t))

@@ -79,6 +79,28 @@ class RunnerSpec extends SparkSuite {
       .contains("undeclared [label]"))
   }
 
+  test("--defer resolves unbuilt upstream refs to the deferred target") {
+    val base = Files.createTempDirectory("graft-defer").toString
+    val up = SqlModel("df_up", "SELECT 7 AS x", Materialization.Table)
+    val down = SqlModel("df_down",
+      "SELECT x * 2 AS y FROM {{ ref('df_up') }}", Materialization.Table)
+    def models = Project(Nil, Seq(up, down))
+    // Prod holds the upstream; dev builds ONLY the downstream.
+    new Runner(models, Target.prod, new PathMaterializer(base))
+      .run(spark, select = Some("df_up"))
+    spark.catalog.dropTempView("dev_df_up") // stale from other specs, if any
+    val dev = new Runner(models, Target.dev, new PathMaterializer(base),
+      defer = Some(Target.prod))
+    dev.run(spark, select = Some("df_down"))
+    assert(dev.table(spark, "df_down").head().getInt(0) == 14)
+    // Without defer the unbuilt dev upstream is a hard error.
+    intercept[RuntimeException] {
+      new Runner(models, Target.dev,
+        new PathMaterializer(Files.createTempDirectory("graft-d2").toString))
+        .run(spark, select = Some("df_down"))
+    }
+  }
+
   test("fail-fast aborts pending nodes; retry selects the unfinished set") {
     val a = SqlModel("ff_a", "SELECT 1 AS x", Materialization.View)
     val bad = SqlModel("ff_bad", "SELECT * FROM nonexistent_relation",
