@@ -58,6 +58,22 @@ object TextFunctions {
   }
 
   /** Ratio of ASCII-alphabetic characters (quality signal). */
+  /** Shannon entropy (bits/char) of the text's character distribution —
+    * the cheap perplexity proxy corpus pipelines use to flag gibberish
+    * (low entropy: repeated chars/padding; high: random noise) without a
+    * model in the loop. Pure codegen'd higher-order functions, row-local:
+    * O(distinct·len) per document with ASCII-sized alphabets. */
+  def charEntropy(c: Column): Column = {
+    val chars = filter(split(c, ""), ch => ch =!= "")
+    val n = size(chars).cast("double")
+    val terms = transform(array_distinct(chars), ch => {
+      val p = size(filter(chars, x => x === ch)).cast("double") / n
+      -p * log2(p)
+    })
+    when(size(chars) === 0, 0.0)
+      .otherwise(aggregate(terms, lit(0.0), (acc, t) => acc + t))
+  }
+
   def alphaRatio(c: Column): Column =
     length(regexp_replace(c, "[^a-zA-Z]", "")) / length(c)
 

@@ -1278,6 +1278,8 @@ final class Runner(
 
   /** Non-name selection atoms: `tag:NAME` (dbt tags — every model
     * carrying the tag; an unknown tag selects nothing, dbt's behavior),
+    * `source:NAME[.TABLE]` (models reading that source directly — so
+    * `source:tpch+` rebuilds everything a refreshed feed touches),
     * `exposure:NAME` (the exposure's direct parent models — so
     * `+exposure:dash` selects everything the consumer needs), plus the
     * state-comparison atoms. Graph operators compose over the resolved
@@ -1289,6 +1291,13 @@ final class Runner(
       if (atom.startsWith("tag:")) {
         val tag = atom.stripPrefix("tag:")
         Some(project.models.filter(_.tags.contains(tag)).map(_.name).toSet)
+      } else if (atom.startsWith("source:")) {
+        val key = atom.stripPrefix("source:")
+        val hit: ((String, String)) => Boolean = key.split("\\.", 2) match {
+          case Array(s, t) => { case (a, b) => a == s && b == t }
+          case _ => { case (a, _) => a == key }
+        }
+        Some(project.models.filter(_.sources.exists(hit)).map(_.name).toSet)
       } else if (atom.startsWith("exposure:")) {
         val n = atom.stripPrefix("exposure:")
         val e = project.exposures.find(_.name == n).getOrElse(

@@ -390,6 +390,42 @@ object TextQueries extends QueryPack {
              |  AND bullet_line_frac < 0.9) AS keep
              |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // ---- Character-entropy scoring (TextFunctions.charEntropy): the
+    // model-free perplexity proxy — low entropy flags padding/repetition,
+    // high flags noise. Both engines sum -p·log2(p) over the same
+    // first-occurrence-ordered distinct characters (Spark array_distinct
+    // and DuckDB list_distinct both preserve first occurrence on these
+    // ASCII docs) and round to 6dp before the band flags, so the
+    // classification thresholds compare identical values.
+    Q("t14_char_entropy",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            round(charEntropy(col("text")), 6).as("entropy_bits"))
+          .withColumn("band",
+            when(col("entropy_bits") < 4.0, "low")
+              .when(col("entropy_bits") > 4.15, "high")
+              .otherwise("mid"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(text, ''), x -> x <> '')
+             |    AS chs
+             | FROM documents),
+             |e AS (SELECT doc_id,
+             |  CASE WHEN len(chs) = 0 THEN 0.0
+             |  ELSE ROUND(list_sum(list_transform(list_distinct(chs),
+             |    ch -> -(len(list_filter(chs, x -> x = ch)) /
+             |        CAST(len(chs) AS DOUBLE)) *
+             |      log2(len(list_filter(chs, x -> x = ch)) /
+             |        CAST(len(chs) AS DOUBLE)))), 6) END AS entropy_bits
+             | FROM c)
+             |SELECT doc_id, entropy_bits,
+             | CASE WHEN entropy_bits < 4.0 THEN 'low'
+             |      WHEN entropy_bits > 4.15 THEN 'high'
+             |      ELSE 'mid' END AS band
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     // ---- Document chunking: fixed token windows with overlap — the
     // preprocessing step both RAG indexing and long-document training
     // use (production shape: 512-token windows, 64 overlap; the gate

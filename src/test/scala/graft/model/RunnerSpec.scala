@@ -79,6 +79,18 @@ class RunnerSpec extends SparkSuite {
       .contains("undeclared [label]"))
   }
 
+  test("source: atom selects the models reading a source") {
+    val runner = TpchProject.runner(dir)
+    // stg_nation is the only model reading tpch.nation directly.
+    assert(runner.run(spark, select = Some("source:tpch.nation"))
+      .map(_.name) == Seq("stg_nation"))
+    // Whole-source form + downstream closure: every model the refreshed
+    // tpch feed can touch (= the full project here).
+    assert(runner.run(spark, select = Some("source:tpch+"))
+      .map(_.name).toSet ==
+      TpchProject.project(dir).models.map(_.name).toSet)
+  }
+
   test("--defer resolves unbuilt upstream refs to the deferred target") {
     val base = Files.createTempDirectory("graft-defer").toString
     val up = SqlModel("df_up", "SELECT 7 AS x", Materialization.Table)
