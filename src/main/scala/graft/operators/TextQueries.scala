@@ -390,6 +390,40 @@ object TextQueries extends QueryPack {
              |  AND bullet_line_frac < 0.9) AS keep
              |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // ---- Stratified sampling: exactly k documents per language stratum
+    // (vs t10's global rate gate), chosen deterministically by hash
+    // order — per-stratum quotas are how corpus mixes are actually
+    // specified ("30k docs per language"), and the hash order makes the
+    // draw reproducible across engines and runs. One window shuffle
+    // keyed by the stratum; skewed strata are AQE's case. The gate
+    // emits per-stratum counts plus the exact membership checksum.
+    Q("t15_stratified_sample",
+      (s, dir) => {
+        val k = 30
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .withColumn("keep", col("rk") <= k)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+            md5(concat_ws(",", transform(sort_array(collect_list(
+              when(col("keep"), col("doc_id")))), _.cast("string"))))
+              .as("sample_ids_md5"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |  ROW_NUMBER() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rk
+             | FROM documents)
+             |SELECT lang, COUNT(*) AS n_total,
+             | CAST(COUNT(*) FILTER (WHERE rk <= 30) AS BIGINT) AS n_sampled,
+             | md5(COALESCE(string_agg(
+             |   CASE WHEN rk <= 30 THEN CAST(doc_id AS VARCHAR) END,
+             |   ',' ORDER BY doc_id), '')) AS sample_ids_md5
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- Character-entropy scoring (TextFunctions.charEntropy): the
     // model-free perplexity proxy — low entropy flags padding/repetition,
     // high flags noise. Both engines sum -p·log2(p) over the same

@@ -139,6 +139,32 @@ object StreamingQueries extends QueryPack {
              | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
              |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
 
+    // Stream-static join (dimension enrichment): each streamed event
+    // joins a STATIC per-user profile frame (broadcast — stateless, no
+    // watermark needed; the static side is re-planned per micro-batch,
+    // which is how Spark picks up slowly-changing dims). The canonical
+    // "enrich the log with the dimension table" topology.
+    Q("st06_stream_static_join",
+      (s, dir) => {
+        val feedDir = Files.createTempDirectory("graft_st06_feed")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          feedDir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val profile = graft.core.Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_user_events"))
+        val enriched = EventsStream.read(s, feedDir.toString)
+          .join(broadcast(profile), "user_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("n_user_events"))
+        runToCompletion(enriched, "st06_stream_static_sink", "append")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, e.user_id, event_type,
+             | (SELECT COUNT(*) FROM events u
+             |   WHERE u.user_id = e.user_id) AS n_user_events
+             |FROM events e ORDER BY event_id""".stripMargin)),
+
     // Custom-state sessionization (flatMapGroupsWithState, event-time
     // timeout) against the batch gaps-and-islands oracle. A sentinel event
     // far in the future (user_id = -1, filtered out below) advances the
