@@ -642,10 +642,21 @@ object EngineQueries extends QueryPack {
     // replaces its own batch_start partition. Run TWICE: the first run
     // builds the full calendar; the second exercises the lookback path
     // (last batch − 1 forward), which must leave the final state
-    // identical — exactly what the full-aggregate oracle pins.
+    // identical — exactly what the full-aggregate oracle pins. The feed
+    // is bounded to its first 10 days: each batch is one Spark job by
+    // design (the retry/backfill unit), so gate cost is jobs × latency —
+    // 10 batches pin the calendar/lookback semantics as well as 30 at a
+    // third of the bench bill.
     Q("m16_microbatch",
       (spark, dir) => {
-        val src = SourceDef("ev", "events", s => Tables(s, dir, "events"),
+        val src = SourceDef("ev", "events",
+          s => {
+            val ev = Tables(s, dir, "events")
+            val cutoff = java.sql.Timestamp.from(
+              ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
+                .plus(java.time.Duration.ofDays(10)))
+            ev.filter(col("ts") < lit(cutoff))
+          },
           eventTimeField = Some("ts"))
         val model = SqlModel("events_hourly_mb",
           """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
@@ -669,7 +680,9 @@ object EngineQueries extends QueryPack {
              | COUNT(*) AS n_events,
              | CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
              |   AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
-             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+             |FROM events
+             |WHERE ts < (SELECT MIN(ts) + INTERVAL 10 DAYS FROM events)
+             |GROUP BY 1 ORDER BY hour""".stripMargin)),
 
     // ---- Hooks surface (dbt pre_hook/post_hook): a mart whose hooks
     // INSERT audit rows around its own materialization — the canonical
