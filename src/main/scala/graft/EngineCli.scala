@@ -198,6 +198,16 @@ object EngineCli {
             case dm: DfModel =>
               println(s"-- model: $name -> ${runner.relationOf(dm)} " +
                 s"(code model; refs: ${dm.refs.mkString(", ")})")
+            case s: SeedModel =>
+              println(s"-- seed: $name -> ${runner.relationOf(s)} " +
+                s"(${s.csvPath})")
+          }
+        }
+        // dbt analysis-paths: compiled, never run (--analyses PATH).
+        opts.get("analyses").foreach { d =>
+          ProjectLoader.loadAnalyses(d).foreach { case (name, raw) =>
+            println(s"-- analysis: $name (compiled only)")
+            println(runner.compileAnalysis(raw))
           }
         }
       case "deps" =>

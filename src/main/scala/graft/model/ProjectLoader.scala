@@ -65,6 +65,23 @@ object ProjectLoader {
       p.getFileName.toString.stripSuffix(".csv"), p.toString))
   }
 
+  /** dbt `analysis-paths`: analyses are version-controlled SELECTs that
+    * COMPILE with the project (ref/source/var rendering) but never run
+    * or materialize — scratch queries that stay lint-checked against
+    * the DAG. One file per analysis; no config header. */
+  def loadAnalyses(analysesDir: String): Seq[(String, String)] = {
+    val root = Paths.get(analysesDir)
+    require(Files.isDirectory(root), s"analyses dir not found: $analysesDir")
+    val stream = Files.walk(root)
+    val files =
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+        .toList.sortBy(_.toString)
+      finally stream.close()
+    files.map(p => p.getFileName.toString.stripSuffix(".sql") ->
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+  }
+
   /** A complete project from a models directory plus the programmatic
     * tier: sources, code models, declared tests, and an optional dbt
     * `seeds/` directory (seeds join the DAG as ref-able roots). */

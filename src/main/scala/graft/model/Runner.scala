@@ -506,6 +506,15 @@ final class Runner(
     * assumes a first (full) run for `incremental_filter`. */
   def compileSql(m: SqlModel): String = renderSql(m, thisExists = false)
 
+  /** dbt analyses: render a standalone SELECT against this project's
+    * refs/sources/vars without executing or materializing it (the
+    * `analysis-paths` tier — compiled scratch queries). */
+  def compileAnalysis(raw: String): String = Renderer.render(raw,
+    ref = r => relationOf(byName.getOrElse(r,
+      throw new NoSuchElementException(s"analysis refs unknown model: $r"))),
+    source = (a, b) => sourceRelation(a, b),
+    vars = effectiveVars)
+
   private def buildDf(spark: SparkSession, m: Model,
       fullRefresh: Boolean = false): DataFrame = m match {
     case sm: SqlModel =>

@@ -49,6 +49,9 @@ object ScaleProbe {
     t(s"dup clusters x$k")(
       println("  docs=" + Dedup
         .duplicateClusters(docs, "doc_id", "text", 0.6).count()))
+    t(s"containment x$k")(
+      println("  pairs=" + Dedup
+        .containmentPairs(docs, "doc_id", "text", 0.8).count()))
     t(s"canonical keep x$k")(
       println("  kept=" + Dedup
         .canonicalKeep(docs, "doc_id", "text", "n_chars", 0.6)

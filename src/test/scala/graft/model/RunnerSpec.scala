@@ -79,6 +79,26 @@ class RunnerSpec extends SparkSuite {
       .contains("undeclared [label]"))
   }
 
+  test("analyses compile against the project but never run") {
+    val runner = TpchProject.runner(dir)
+    val rendered = runner.compileAnalysis(
+      "SELECT COUNT(*) FROM {{ ref('stg_orders') }} " +
+        "WHERE o_totalprice > {{ var('cut', 100) }}")
+    assert(rendered == "SELECT COUNT(*) FROM dev_stg_orders " +
+      "WHERE o_totalprice > 100")
+    intercept[NoSuchElementException] {
+      runner.compileAnalysis("SELECT * FROM {{ ref('ghost') }}")
+    }
+    // Round-trip through a real analyses dir.
+    val d = Files.createTempDirectory("graft-analyses")
+    Files.writeString(d.resolve("daily_check.sql"),
+      "SELECT 1 FROM {{ ref('stg_nation') }}")
+    val loaded = ProjectLoader.loadAnalyses(d.toString)
+    assert(loaded.map(_._1) == Seq("daily_check"))
+    assert(runner.compileAnalysis(loaded.head._2) ==
+      "SELECT 1 FROM dev_stg_nation")
+  }
+
   test("source: atom selects the models reading a source") {
     val runner = TpchProject.runner(dir)
     // stg_nation is the only model reading tpch.nation directly.
