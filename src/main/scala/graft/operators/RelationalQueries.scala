@@ -777,6 +777,69 @@ object RelationalQueries extends QueryPack {
              |SELECT '3_purchase', COUNT(*) FROM s3
              |ORDER BY step""".stripMargin)),
 
+    // ---- UNPIVOT/melt: the wide→long reshape (metrics-per-column into
+    // (metric, value) rows — what a BI or feature-store export needs
+    // after an aggregation). Spark's native unpivot keeps the reshape
+    // inside the stage (a local Expand, no shuffle); the oracle is
+    // DuckDB's UNPIVOT on the same aggregate. Values serialize to
+    // VARCHAR under the decimal gate rule.
+    Q("q29_unpivot",
+      (s, dir) => {
+        val agg = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("string").as("sum_qty"),
+            count(lit(1)).cast("string").as("n_lines"),
+            countDistinct(col("l_orderkey")).cast("string")
+              .as("n_orders"))
+        agg.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("n_lines"), col("n_orders")),
+            "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT l_returnflag,
+             |    CAST(SUM(CAST(CAST(l_quantity AS VARCHAR)
+             |      AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+             |    CAST(COUNT(*) AS VARCHAR) AS n_lines,
+             |    CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) AS n_orders
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, metric, value FROM agg
+             |UNPIVOT (value FOR metric IN (sum_qty, n_lines, n_orders))
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ---- GROUPING SETS with grouping_id: the generalized rollup — the
+    // exact subtotal combinations a dashboard wants ((flag, status),
+    // (flag), (status), ()) in ONE pass over the fact table (Spark
+    // Expand + single hash agg — four scans collapsed into one).
+    // grouping_id disambiguates NULL-as-subtotal from NULL data.
+    Q("q30_grouping_sets",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.createOrReplaceTempView("q30_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                |    AS gid,
+                |  COUNT(*) AS n,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING)
+                |    AS sum_qty
+                |FROM q30_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                |  (l_returnflag), (l_linestatus), ())
+                |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             | COUNT(*) AS n,
+             | CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)))
+             |   AS VARCHAR) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no
