@@ -187,6 +187,11 @@ sealed trait Model {
     * input to the batch window on this column; None = read in full. */
   def eventTime: Option[String] = None
 
+  /** dbt `description`: documentation carried into the docs manifest
+    * (the persist_docs surface — consumers browse it, it never affects
+    * execution). */
+  def description: String = ""
+
   /** dbt model contracts (`contract: enforced` + a `columns:` block with
     * `data_type`s): when non-empty, the built frame must produce EXACTLY
     * these columns with exactly these Spark SQL types — extra, missing,
@@ -217,7 +222,8 @@ final case class SqlModel(
     override val postHooks: Seq[String] = Nil,
     override val tags: Seq[String] = Nil,
     override val contract: Seq[ColumnContract] = Nil,
-    override val eventTime: Option[String] = None) extends Model {
+    override val eventTime: Option[String] = None,
+    override val description: String = "") extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }

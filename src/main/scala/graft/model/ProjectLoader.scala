@@ -117,7 +117,7 @@ object ProjectLoader {
         "invalidate_hard_deletes", "on_schema_change", "cluster_by",
         "pre_hook", "post_hook", "tags", "contract",
         "incremental_strategy", "event_time", "batch_size", "lookback",
-        "begin")
+        "begin", "description")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -231,6 +231,7 @@ object ProjectLoader {
       },
       // event_time doubles as the microbatch config and the input-side
       // declaration (dbt semantics: any model may declare one).
-      eventTime = str("event_time"))
+      eventTime = str("event_time"),
+      description = str("description").getOrElse(""))
   }
 }

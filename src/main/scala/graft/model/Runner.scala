@@ -1356,6 +1356,7 @@ final class Runner(
       s"""{"name":"${esc(m.name)}","relation":"${esc(rel)}",""" +
         s""""materialized":"${esc(m.materialization.toString)}",""" +
         s""""schema":"${esc(m.customSchema.getOrElse(target.schema))}",""" +
+        s""""description":"${esc(m.description)}",""" +
         s""""refs":${arr(m.refs)},""" +
         s""""sources":${arr(m.sources.map { case (a, b) => s"$a.$b" })}}"""
     }.mkString("[", ",", "]")

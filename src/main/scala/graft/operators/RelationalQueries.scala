@@ -840,6 +840,30 @@ object RelationalQueries extends QueryPack {
              |  (l_returnflag), (l_linestatus), ())
              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- Ranking-window tier ops: NTILE quartiles + percent_rank over
+    // customer balances per segment — the BI cohorting pattern (spend
+    // quartiles, percentile bands). One window shuffle keyed by the
+    // segment; percent_rank rounds to 6dp before the hash compare.
+    Q("q31_ntile_quartiles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("string").as("acctbal"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+          .orderBy(col("c_mktsegment"), col("quartile"), col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             | CAST(c_acctbal AS VARCHAR) AS acctbal,
+             | NTILE(4) OVER w AS quartile,
+             | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment
+             |  ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin)),
+
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no

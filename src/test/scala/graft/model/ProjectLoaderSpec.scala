@@ -125,6 +125,14 @@ class ProjectLoaderSpec extends AnyFunSuite {
       .eventTime.contains("ts"))
   }
 
+  test("config header: description rides into the docs manifest") {
+    val m = ProjectLoader.parseModel("m",
+      "{{ config(materialized='table', " +
+        "description='Orders enriched with customer attributes') }} SELECT 1")
+    assert(m.description == "Orders enriched with customer attributes")
+    assert(ProjectLoader.parseModel("m", "SELECT 1").description.isEmpty)
+  }
+
   test("config header: tags") {
     val m = ProjectLoader.parseModel("m",
       "{{ config(materialized='table', tags=['nightly','finance']) }} SELECT 1")
