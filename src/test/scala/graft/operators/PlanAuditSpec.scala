@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan regression tests: the scale-shaping properties the
+  * scaladocs claim (broadcast choices, pushdown, shuffle counts) asserted
+  * on the ACTUAL plans, so an innocent-looking refactor that silently
+  * turns a broadcast into a sort-merge join — or adds a corpus-wide
+  * Exchange to a map-only pass — fails CI instead of surfacing as a
+  * bench regression three rounds later. String-level checks run against
+  * the initial AQE plan; assertions are kept coarse (operator presence /
+  * Exchange counts) to stay robust across Spark versions.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    try SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    finally graft.core.Caches.releaseAll()
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("star join broadcasts its dimensions, never a cartesian product") {
+    val p = plan("q03_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("chunking is map-only: the only shuffle is the gate's final sort") {
+    assert(exchanges(plan("t13_chunking")) == 1)
+  }
+
+  test("gopher rules are a single projection pass plus the gate sort") {
+    assert(exchanges(plan("t12_gopher_quality")) == 1)
+  }
+
+  test("quantized top-k pushes the query-set filter into the scan") {
+    val p = plan("v08_quantized_topk")
+    assert(p.contains("LessThan(vec_id,5)"), "query filter not pushed down")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+  }
+
+  test("sequence packing adds no shuffle after the range partition") {
+    // One range-partition Exchange feeds the mapPartitions pass; the
+    // remaining Exchanges belong to the gate's groupBy + sort, never a
+    // corpus-wide window repartition (the defect this pins against).
+    val p = plan("t11_sequence_packing")
+    assert(!p.contains("Window"), "packing must not use a window")
+  }
+}
