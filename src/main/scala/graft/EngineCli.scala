@@ -104,7 +104,9 @@ object EngineCli {
     // (pair with --select state:modified --state for dbt's slim CI).
     val deferTarget = opts.get("defer").map {
       case "prod" => Target.prod
-      case _ => Target.dev
+      case "dev" => Target.dev
+      case other => throw new IllegalArgumentException(
+        s"--defer expects dev|prod, got: $other")
     }
     val runner = new Runner(project, target, materializer, cliVars,
       deferTarget)
@@ -141,11 +143,14 @@ object EngineCli {
         }
       case "show" =>
         // dbt show: preview a model's rows without materializing it as
-        // the deliverable (upstreams build into the session first).
+        // the deliverable (upstreams build into the session first; the
+        // target itself is excluded and its compiled SELECT evaluated
+        // in-session with the limit pushed into the plan).
         val name = opts.getOrElse("select", throw new IllegalArgumentException(
           "show requires --select MODEL"))
-        runner.run(spark, Some(s"+$name"))
-        runner.table(spark, name)
+        runner.run(spark, Some(s"+$name"), exclude = Some(name))
+        runner.preview(spark, name)
+          .limit(opts.getOrElse("limit", "5").toInt)
           .show(opts.getOrElse("limit", "5").toInt, truncate = false)
       case "snapshot" =>
         // dbt snapshot: run only the snapshot-materialized models.

@@ -740,21 +740,20 @@ final class Runner(
             minMax(sd.load(spark), c)))
       } ++ sm.refs.flatMap { r =>
         val rm = byName(r)
-        rm.eventTime.flatMap(c => minMax(spark.table(relationOf(rm)), c))
+        rm.eventTime.flatMap(c => minMax(spark.table(refRelation(spark, rm)), c))
       }
     require(inputBounds.nonEmpty,
       s"microbatch model ${sm.name} has no input declaring event_time")
     val inputMin = inputBounds.map(_._1).min
     val inputMax = inputBounds.map(_._2).max
-    def trunc(i: Instant): LocalDateTime = {
-      val t = LocalDateTime.ofInstant(i, ZoneOffset.UTC)
-      mb.batchSize match {
-        case "hour" => t.withMinute(0).withSecond(0).withNano(0)
-        case "day" => t.toLocalDate.atStartOfDay
-        case "month" => t.toLocalDate.withDayOfMonth(1).atStartOfDay
-        case "year" => t.toLocalDate.withDayOfYear(1).atStartOfDay
-      }
+    def truncT(t: LocalDateTime): LocalDateTime = mb.batchSize match {
+      case "hour" => t.withMinute(0).withSecond(0).withNano(0)
+      case "day" => t.toLocalDate.atStartOfDay
+      case "month" => t.toLocalDate.withDayOfMonth(1).atStartOfDay
+      case "year" => t.toLocalDate.withDayOfYear(1).atStartOfDay
     }
+    def trunc(i: Instant): LocalDateTime =
+      truncT(LocalDateTime.ofInstant(i, ZoneOffset.UTC))
     def step(t: LocalDateTime, n: Long): LocalDateTime = mb.batchSize match {
       case "hour" => t.plusHours(n)
       case "day" => t.plusDays(n)
@@ -763,8 +762,20 @@ final class Runner(
     }
     val start: LocalDateTime =
       if (fresh)
-        mb.begin.map(s => LocalDateTime.parse(s.replace(' ', 'T')))
-          .getOrElse(trunc(inputMin))
+        // dbt truncates `begin` to the batch granularity — an un-truncated
+        // mid-day begin with day batches would write consecutive windows
+        // into the SAME date partition, and dynamic partition overwrite
+        // would silently drop the earlier batch. Date-only strings (the
+        // common dbt form) parse via the LocalDate fallback.
+        mb.begin.map { s =>
+          val parsed =
+            try LocalDateTime.parse(s.trim.replace(' ', 'T'))
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                LocalDate.parse(s.trim).atStartOfDay
+            }
+          truncT(parsed)
+        }.getOrElse(trunc(inputMin))
       else {
         // Last processed batch from the target's own event-time column,
         // stepped back by the lookback window.
@@ -1076,6 +1087,12 @@ final class Runner(
   def table(spark: SparkSession, modelName: String): DataFrame =
     spark.table(relationOf(byName(modelName)))
 
+  /** dbt `show`: the model's compiled SELECT evaluated in-session WITHOUT
+    * materializing the model itself (upstreams must already be readable —
+    * built this session, persisted, or resolvable via `--defer`). */
+  def preview(spark: SparkSession, modelName: String): DataFrame =
+    buildDf(spark, byName(modelName))
+
   private def testResolver(spark: SparkSession): String => DataFrame = {
     rel =>
       byName.get(rel) match {
@@ -1147,7 +1164,11 @@ final class Runner(
     def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
       val cols = df.columns.sorted.toSeq
       df.select(cols.map(col): _*).collect()
-        .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+        // NULL canonicalizes to a sentinel no CSV cell can contain —
+        // `String.valueOf(null)` would make a NULL output look identical
+        // to the literal string 'null' in an expected fixture.
+        .map(r => cols.indices.map(i =>
+          Option(r.get(i)).map(String.valueOf).getOrElse(" NULL")))
         .map(_.toSeq).toSeq.sortBy(_.mkString(" "))
     }
     val rows = project.unitTests.map { ut =>

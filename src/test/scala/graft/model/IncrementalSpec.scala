@@ -326,4 +326,62 @@ class IncrementalSpec extends SparkSuite {
     assert(rows == Map(
       "2024-02-01" -> 1L, "2024-02-02" -> 1L, "2024-02-03" -> 2L))
   }
+
+  test("microbatch mid-day begin truncates to the batch boundary") {
+    def feed(rows: Seq[(String, Double)]) = rows.toDF("tss", "v")
+      .select(to_timestamp(col("tss")).as("ts"), col("v"))
+    // Two rows per day straddling 06:00. An un-truncated 06:00 begin
+    // makes 06:00→06:00 windows: consecutive windows both contain rows
+    // of the SAME calendar day, so dynamic partition overwrite silently
+    // drops the earlier window's rows from that date partition.
+    val sourceData = feed((4 to 8).flatMap(d => Seq(
+      (s"2024-01-0$d 05:00:00", d + 0.25),
+      (s"2024-01-0$d 07:00:00", d + 0.5))))
+    def project(begin: String) = Project(
+      Seq(SourceDef("t", "ev", _ => sourceData, eventTimeField = Some("ts"))),
+      Seq(SqlModel("mb_begin", "SELECT ts, v FROM {{ source('t', 'ev') }}",
+        Materialization.Microbatch("ts", "day", lookback = 1,
+          begin = Some(begin)),
+        eventTime = Some("ts"))))
+    new Runner(project("2024-01-05 06:00:00"), Target.dev,
+      new PathMaterializer(Files.createTempDirectory("graft-mbb").toString))
+      .run(spark)
+    val byDay = spark.table("dev_mb_begin")
+      .groupBy(col("batch_start").cast("string").substr(1, 10).as("d"))
+      .count().as[(String, Long)].collect().toMap
+    assert(byDay == Map(
+      "2024-01-05" -> 2L, "2024-01-06" -> 2L,
+      "2024-01-07" -> 2L, "2024-01-08" -> 2L),
+      "begin truncates to the day boundary: no partition overwrite " +
+        "loss, no pre-begin day-4 batch")
+
+    // Date-only begin (the common dbt form) parses via the LocalDate
+    // fallback instead of throwing.
+    new Runner(project("2024-01-06"), Target.dev,
+      new PathMaterializer(Files.createTempDirectory("graft-mbb2").toString))
+      .run(spark)
+    assert(spark.table("dev_mb_begin").count() == 6)
+  }
+
+  test("microbatch input bounds resolve refs through --defer") {
+    def feed(rows: Seq[(String, Double)]) = rows.toDF("tss", "v")
+      .select(to_timestamp(col("tss")).as("ts"), col("v"))
+    val sourceData = feed(Seq(
+      ("2024-01-01 05:00:00", 1.0), ("2024-01-02 05:00:00", 2.0)))
+    val up = SqlModel("mbd_up", "SELECT ts, v FROM {{ source('t', 'ev') }}",
+      Materialization.Table, eventTime = Some("ts"))
+    val mb = SqlModel("mbd_mart", "SELECT ts, v FROM {{ ref('mbd_up') }}",
+      Materialization.Microbatch("ts", "day"), eventTime = Some("ts"))
+    val project = Project(Seq(SourceDef("t", "ev", _ => sourceData)),
+      Seq(up, mb))
+    val mat = new PathMaterializer(
+      Files.createTempDirectory("graft-mbd").toString)
+    // prod has the upstream; dev does not. A dev run of ONLY the
+    // microbatch model must read its input min/max bounds through the
+    // deferred prod relation, exactly as renderSql defers the same ref.
+    new Runner(project, Target.prod, mat).run(spark, Some("mbd_up"))
+    new Runner(project, Target.dev, mat, Map.empty, Some(Target.prod))
+      .run(spark, Some("mbd_mart"))
+    assert(spark.table("dev_mbd_mart").count() == 2)
+  }
 }

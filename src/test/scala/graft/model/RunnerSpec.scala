@@ -422,6 +422,48 @@ class RunnerSpec extends SparkSuite {
       "fx.dead" -> "error", "fx.nopolicy" -> "pass"))
   }
 
+  test("unit tests distinguish NULL from the literal string 'null'") {
+    val in = SqlModel("un_in", "SELECT 1 AS a", Materialization.Table)
+    val m = SqlModel("un_m",
+      "SELECT a, CAST(NULL AS STRING) AS b FROM {{ ref('un_in') }}",
+      Materialization.Table)
+    def run(uts: Seq[UnitTest]) = new Runner(
+      Project(Nil, Seq(in, m), unitTests = uts), Target.dev,
+      new PathMaterializer(Files.createTempDirectory("graft-utn").toString))
+      .runUnitTests(spark).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // a NULL output must NOT match an expected literal 'null' string...
+    assert(run(Seq(UnitTest("u_lit", "un_m",
+      Map("un_in" -> "a\n1"), "a,b\n1,null")))("u_lit") == "fail")
+    // ...but matches an expected empty (NULL) cell.
+    assert(run(Seq(UnitTest("u_null", "un_m",
+      Map("un_in" -> "a\n1"), "a,b\n1,")))("u_null") == "pass")
+  }
+
+  test("show path: preview evaluates without materializing the target") {
+    val up = SqlModel("pv_up", "SELECT 1 AS a", Materialization.Table)
+    val m = SqlModel("pv_m", "SELECT a * 2 AS b FROM {{ ref('pv_up') }}",
+      Materialization.Table)
+    val base = Files.createTempDirectory("graft-pv").toString
+    val runner = new Runner(Project(Nil, Seq(up, m)), Target.dev,
+      new PathMaterializer(base))
+    // the CLI's show verb: build the upstream closure only, preview the
+    // target's compiled SELECT in-session.
+    val built = runner.run(spark, Some("+pv_m"), exclude = Some("pv_m"))
+    assert(built.map(_.name) == Seq("pv_up"))
+    assert(runner.preview(spark, "pv_m")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(!Files.exists(Paths.get(base, "dev_pv_m")),
+      "show must not materialize its target")
+  }
+
+  test("--defer rejects unknown targets instead of defaulting to dev") {
+    val e = intercept[IllegalArgumentException] {
+      graft.EngineCli.main(Array("deps", "--defer", "pord"))
+    }
+    assert(e.getMessage.contains("pord"))
+  }
+
   test("failing model aborts the run with context") {
     val bad = Project(
       TpchProject.sources(dir),
