@@ -273,8 +273,12 @@ object Similarity {
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
-        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
+        // exact decimal sum, then ONE double division — the decimal
+        // rounds at 18dp identically everywhere, so the whole training
+        // loop is reproducible bit-for-bit by any engine (the v06 oracle
+        // replays it in DuckDB).
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .collect()
       val next = codebook.map { case (cv, cn) => (cv.clone(), cn) }
       means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>

@@ -145,8 +145,11 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
-    // Approximate path (IVF buckets + nprobe): recall is data-dependent by
-    // design, so no SQL oracle; ScalaTest asserts recall ≥ 0.6 vs v01.
+    // Approximate path (IVF buckets + nprobe) — but every step is
+    // deterministic (codebook = first nlist vectors by id, rounded sims,
+    // cid/nid tiebreaks), so the WHOLE index build + probe is
+    // SQL-expressible: the oracle recomputes assignment → probes → top-k
+    // exactly. ScalaTest additionally asserts recall ≥ 0.6 vs v01.
     Q("v04_ann_ivf",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -154,7 +157,37 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+             |  ORDER BY vec_id LIMIT 16),
+             |casg AS (
+             |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb),
+             |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+             |qasg AS (
+             |  SELECT n.vec_id qid, n.v qv, n.nrm qn, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb WHERE n.vec_id < 5),
+             |probes AS (SELECT qid, qv, qn, cid FROM qasg WHERE rnk <= 4),
+             |scored AS (
+             |  SELECT p.qid, b.vid nid,
+             |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+             |  FROM bucketed b JOIN probes p USING (cid)
+             |  WHERE b.vid <> p.qid),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nid) rn
+             |  FROM scored)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
 
     // LSH-bucketed ANN (random hyperplanes): the train-free scale path —
     // approximate by construction, so no SQL oracle; ScalaTest asserts
@@ -185,12 +218,57 @@ object VectorQueries extends QueryPack {
 
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
-    // Iterative float training has no SQL oracle; ScalaTest pins
+    // Every step is engine-reproducible (first-k seeding, raw-double
+    // argmax with index tiebreak, exact-decimal sums before one double
+    // division), so the oracle UNROLLS the full training loop in SQL and
+    // recomputes the census exactly. ScalaTest additionally pins
     // run-to-run determinism and the non-increasing objective.
     Q("v06_kmeans_clusters",
       (s, dir) => Similarity.kmeansClusterSizes(
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 5),
-      None)
+      Some(kmeansOracle(k = 8, iters = 5)))
   )
+
+  /** The v06 oracle: Lloyd's loop unrolled as `iters` chained CTE
+    * blocks — assignment (argmax of raw-double cosine, ties to the lower
+    * centroid index, exactly Similarity.assignClusters) then the mean
+    * update (exact DECIMAL(38,18) per-dim sums cast to double before one
+    * double division, empty clusters keeping their previous centroid) —
+    * followed by a final assignment pass and the cluster census. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def asg(i: Int, cb: String) =
+      s"""asg$i AS (
+         |  SELECT vid, v, nrm, cid FROM (
+         |    SELECT n.vec_id vid, n.v, n.nrm, $cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_dot_product(n.v, $cb.cv) / (n.nrm * $cb.cn) DESC,
+         |        $cb.cid) rnk
+         |    FROM n, $cb) WHERE rnk = 1)""".stripMargin
+    def update(i: Int) =
+      s"""m$i AS (
+         |  SELECT cid, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) m
+         |  FROM (SELECT cid, generate_subscripts(v, 1) dim, unnest(v) x
+         |        FROM asg$i)
+         |  GROUP BY cid, dim),
+         |u$i AS (SELECT cid, list(m ORDER BY dim) mv FROM m$i GROUP BY cid),
+         |cb$i AS (
+         |  SELECT p.cid,
+         |    COALESCE(u$i.mv, p.cv) cv,
+         |    COALESCE(sqrt(list_dot_product(u$i.mv, u$i.mv)), p.cn) cn
+         |  FROM cb${i - 1} p LEFT JOIN u$i USING (cid))""".stripMargin
+    val steps = (1 to iters).map(i =>
+      asg(i, s"cb${i - 1}") + ",\n" + update(i))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+       |cb0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 cid, v cv, nrm cn
+       |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT $k)),
+       |${steps.mkString(",\n")},
+       |${asg(iters + 1, s"cb$iters")}
+       |SELECT cid, COUNT(*) n_vectors FROM asg${iters + 1}
+       |GROUP BY cid ORDER BY cid""".stripMargin
+  }
 }
