@@ -115,8 +115,38 @@ object CatalogMaterializer {
 final class CatalogMaterializer extends Materializer {
   def tableRelation(schema: String, name: String): String = s"$schema.$name"
 
-  def relationExists(spark: SparkSession, relation: String): Boolean =
+  def relationExists(spark: SparkSession, relation: String): Boolean = {
+    repairFromPointer(spark, relation)
     spark.catalog.tableExists(relation)
+  }
+
+  /** Self-healing resolution: the `__CURRENT` pointer file is the
+    * durable commit record of the atomic full refresh; the catalog entry
+    * is only a cache of it. If the entry is missing (the process died
+    * between data commit and catalog sync — or this is a fresh process
+    * over a persisted warehouse) or points at a version other than the
+    * pointer's (a torn multi-call catalog mutation), re-register it from
+    * the pointer. No-op when catalog and pointer agree, or when no
+    * pointer exists (incremental/append relations own their managed
+    * location and never write one). */
+  private def repairFromPointer(spark: SparkSession, relation: String): Unit = {
+    // Views resolve as dot-less temp names — nothing durable to repair.
+    if (!relation.contains('.')) return
+    val Array(schema, name) = relation.split('.')
+    readPointer(spark, schemaDir(spark, schema), name).foreach {
+      case (versionDir, tableSchema) =>
+        import org.apache.spark.sql.catalyst.TableIdentifier
+        val catalog = spark.sessionState.catalog
+        val ident = TableIdentifier(name, Some(schema))
+        val stale = !catalog.tableExists(ident) ||
+          new org.apache.hadoop.fs.Path(
+            catalog.getTableMetadata(ident).location).getName != versionDir
+        if (stale)
+          syncCatalog(spark, relation,
+            new org.apache.hadoop.fs.Path(schemaDir(spark, schema), versionDir),
+            tableSchema)
+    }
+  }
 
   def addColumns(spark: SparkSession, relation: String,
       newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
@@ -169,44 +199,62 @@ final class CatalogMaterializer extends Materializer {
     * (setup/task.sql:1-6) leans on while dashboards keep reading:
     *
     *  1. write the new contents to a FRESH versioned location
-    *     (`<name>__v<n>`) — no catalog entry is touched while the (long)
+    *     (`<name>__v<n>`) — no commit record is touched while the (long)
     *     data write runs, so a crash here leaves the live table intact
     *     and only strands an orphan directory (collected on the next
     *     successful refresh);
-    *  2. swap the catalog entry to the new location+schema in ONE
-    *     catalog `alterTable` call (create, on first build) — readers see
-    *     the old version or the new one, never a missing table;
-    *  3. collect stale versions, RETAINING the immediate predecessor: a
-    *     reader that resolved its scan just before the swap still holds
-    *     the old location, so only versions at least two refreshes old
-    *     are deleted (a one-version vacuum retention).
+    *  2. COMMIT: atomically rename a `<name>__CURRENT` pointer file
+    *     (live version directory + schema JSON) over the previous one —
+    *     one filesystem rename, atomic on HDFS and POSIX, independent of
+    *     any catalog implementation. Readers resolve the old version or
+    *     the new one, never a missing table and never a torn
+    *     schema/location pair;
+    *  3. sync the session catalog to the pointer (create on first build,
+    *     else one `alterTable` carrying location+schema). The entry is
+    *     purely a CACHE of the pointer: a crash between 2 and 3, or a
+    *     metastore whose mutation tears across calls, is healed by
+    *     [[relationExists]]'s repairFromPointer on the next resolution;
+    *  4. collect stale versions, RETAINING the immediate predecessor: a
+    *     reader that resolved its scan just before the commit still
+    *     holds the old location, so only versions at least two refreshes
+    *     old are deleted (a one-version vacuum retention).
     *
-    * The swap is atomic on the session (in-memory) catalog, whose
-    * `alterTable` replaces the whole table definition under its lock. On
-    * a Hive metastore, `alterTable` cannot carry a schema change — there
-    * the swap degrades to alterTableDataSchema + alterTable (two
-    * metadata ops, still no missing-table window); on a lakehouse format
-    * this whole method is the table format's own atomic commit.
+    * On an object store without atomic rename, step 2 is where a
+    * lakehouse table format's own commit protocol takes over — this
+    * method is exactly that protocol reduced to one table pointer.
     *
     * Because the current location is never written in place, a plan that
     * READS this relation can safely materialize over it —
     * [[materializeReplace]] needs no staging hop here (single write).
     */
   def materializeTable(spark: SparkSession, relation: String, df: DataFrame): Unit = {
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     val Array(schema, name) = relation.split('.')
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
     val dir = schemaDir(spark, schema)
     val newLoc = new org.apache.hadoop.fs.Path(dir,
       s"${name}__v${CatalogMaterializer.nextVersion()}")
     df.write.mode("overwrite").parquet(newLoc.toString)
+    // Parquet writes every column nullable; the committed schema must
+    // agree or a reader could trust a non-nullable column that isn't.
+    val newSchema = CatalogMaterializer.relaxNullability(df.schema)
+    commitPointer(spark, dir, name, newLoc.getName, newSchema)
+    val prevLoc = syncCatalog(spark, relation, newLoc, newSchema)
+    collectStaleVersions(spark, dir, name,
+      keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
+  }
 
+  /** Step 3: point the session catalog at a committed version — ONE
+    * whole-definition `alterTable` (create, on first build), no
+    * multi-call mutation. Returns the previous location for retention. */
+  private def syncCatalog(spark: SparkSession, relation: String,
+      newLoc: org.apache.hadoop.fs.Path,
+      newSchema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val Array(schema, name) = relation.split('.')
     val catalog = spark.sessionState.catalog
     val ident = TableIdentifier(name, Some(schema))
-    // Parquet writes every column nullable; the catalog schema must agree
-    // or a reader could trust a non-nullable column that isn't.
-    val newSchema = CatalogMaterializer.relaxNullability(df.schema)
     val prevLoc: Option[org.apache.hadoop.fs.Path] =
       if (catalog.tableExists(ident)) {
         val old = catalog.getTableMetadata(ident)
@@ -228,8 +276,46 @@ final class CatalogMaterializer extends Materializer {
     // Drop this session's cached plan for the relation, or later reads
     // would resolve the pre-swap location after its retention lapses.
     spark.catalog.refreshTable(relation)
-    collectStaleVersions(spark, dir, name,
-      keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
+    prevLoc
+  }
+
+  /** The `<name>__CURRENT` commit record: line 1 = live version
+    * directory name, rest = schema JSON. Written to a temp name then
+    * renamed over the previous pointer in one atomic filesystem op. */
+  private def pointerPath(dir: org.apache.hadoop.fs.Path, name: String) =
+    new org.apache.hadoop.fs.Path(dir, s"${name}__CURRENT")
+
+  private def commitPointer(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path, name: String, versionDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"${name}__CURRENT.tmp.${CatalogMaterializer.nextVersion()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$versionDir\n${schema.json}".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, pointerPath(dir, name),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readPointer(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path, name: String)
+      : Option[(String, org.apache.spark.sql.types.StructType)] = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = pointerPath(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val nl = txt.indexOf('\n')
+      Some((txt.take(nl), org.apache.spark.sql.types.DataType
+        .fromJson(txt.drop(nl + 1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    }
   }
 
   /** Managed directory of `schema` under the warehouse. */
@@ -249,8 +335,11 @@ final class CatalogMaterializer extends Materializer {
       fs.listStatus(dir).map(_.getPath)
         // `name` alone is a legacy managed location (pre-versioning, or a
         // model switched from incremental): reclaimed once not retained.
+        // `__CURRENT.tmp.*` files are pointer writes orphaned by a crash
+        // before their commit rename.
         .filter(p => (p.getName.startsWith(s"${name}__v") ||
-            p.getName == name) &&
+            p.getName == name ||
+            p.getName.startsWith(s"${name}__CURRENT.tmp.")) &&
           !keep.contains(p.getName))
         .foreach(fs.delete(_, true))
   }
@@ -268,9 +357,14 @@ final class CatalogMaterializer extends Materializer {
     val catalog = spark.sessionState.catalog
     val ident = TableIdentifier(name, Some(schema))
     // External versioned locations outlive DROP TABLE by design (that is
-    // what makes the swap safe); an explicit drop removes them all.
+    // what makes the swap safe); an explicit drop removes them all. The
+    // pointer goes first, or a later resolution would resurrect the entry.
+    val dir = schemaDir(spark, schema)
+    pointerPath(dir, name).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(pointerPath(dir, name), false)
     if (catalog.tableExists(ident)) spark.sql(s"DROP TABLE $relation")
-    collectStaleVersions(spark, schemaDir(spark, schema), name, Set.empty)
+    collectStaleVersions(spark, dir, name, Set.empty)
     clearStaleLocation(spark, relation)
   }
 

@@ -96,6 +96,46 @@ class AtomicRefreshSpec extends SparkSuite {
       Seq(100L, 101L, 102L, 103L))
   }
 
+  test("the _CURRENT pointer heals a catalog that lost the entry") {
+    val rel = "atomicspec.t7"
+    mat.materializeTable(spark, rel, spark.range(6).toDF("id"))
+    mat.materializeTable(spark, rel, spark.range(9).toDF("id"))
+    // Simulate a death between pointer commit and catalog sync (or a
+    // fresh process over a persisted warehouse): the in-memory catalog
+    // forgets the table; the pointer file is the surviving commit record.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    spark.sessionState.catalog.dropTable(
+      TableIdentifier("t7", Some("atomicspec")),
+      ignoreIfNotExists = false, purge = false)
+    assert(!spark.catalog.tableExists(rel))
+    assert(mat.relationExists(spark, rel),
+      "resolution must re-register the entry from the pointer")
+    assert(spark.table(rel).count() == 9)
+  }
+
+  test("a torn catalog mutation is repaired to the pointer's version") {
+    val rel = "atomicspec.t8"
+    mat.materializeTable(spark, rel, spark.range(5).toDF("id"))
+    mat.materializeTable(spark, rel, spark.range(11).toDF("id"))
+    // Simulate a metastore whose swap tears across calls: the location
+    // reverts to the retained predecessor while the pointer still names
+    // the committed version.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    val ident = TableIdentifier("t8", Some("atomicspec"))
+    val meta = catalog.getTableMetadata(ident)
+    val current = new org.apache.hadoop.fs.Path(meta.location).getName
+    val stale = versionDirs("t8").map(_.getName)
+      .filterNot(_ == current).head
+    catalog.alterTable(meta.copy(storage = meta.storage.copy(
+      locationUri = Some(new File(schemaDir, stale).toURI))))
+    spark.catalog.refreshTable(rel)
+    assert(spark.table(rel).count() == 5)
+    assert(mat.relationExists(spark, rel))
+    assert(spark.table(rel).count() == 11,
+      "resolution must repair the catalog to the pointer's version")
+  }
+
   test("dropRelation reclaims every versioned location") {
     val rel = "atomicspec.t6"
     (1 to 3).foreach(n =>
