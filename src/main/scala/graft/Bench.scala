@@ -59,7 +59,18 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else
       s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$passes$errJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$passes$errJson}"""
+    println(line)
+    // The driver's round artifact tail-truncates this line past ~60
+    // queries, losing the d/m/mm/o families from the record — persist
+    // the complete JSON in-repo as well (BENCH_full.json, committed per
+    // round) so every per-query time survives in history.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH_full.json write failed: $t") }
     spark.stop()
   }
 }

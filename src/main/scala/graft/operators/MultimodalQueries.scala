@@ -137,6 +137,39 @@ object MultimodalQueries extends QueryPack {
              |  array_to_string(list_transform(
              |    range(0, CAST(floor((orig_len + stride - 1) / stride) AS INT)),
              |    i -> ord(substring(text, CAST(i AS INT) * stride + 1, 1))), '|') AS resized
-             |FROM d ORDER BY doc_id""".stripMargin))
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // The REAL codec path (javax.imageio), end to end in the plan: gray
+    // PNGs are ENCODED per doc_id inside a mapPartitions stage (pixel
+    // values a fixed integer formula of id/x/y — Multimodal.syntheticPng),
+    // flow through a binary column, and are DECODED back by
+    // Multimodal.decodeImages' batched ImageIO hook. PNG is lossless, so
+    // the oracle recomputes dimensions and luma sum as pure integer
+    // arithmetic — the gate proves a real image codec round-trips through
+    // the distributed pipeline, not just the histogram stand-in.
+    Q("mm05_decode_image",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 64)
+          .as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id,
+            w = (8 + id % 5).toInt, h = (8 + id % 3).toInt))))
+          .toDF("doc_id", "payload")
+        Multimodal.decodeImages(payloads, "doc_id", "payload")
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) w,
+             |    CAST(8 + doc_id % 3 AS INT) h
+             |  FROM documents WHERE doc_id < 64),
+             |xs AS (SELECT unnest(range(0, 16)) xi),
+             |ys AS (SELECT unnest(range(0, 16)) yi),
+             |px AS (
+             |  SELECT doc_id, w, h, (31 * doc_id + 7 * xi + 13 * yi) % 256 v
+             |  FROM d, xs, ys WHERE xi < w AND yi < h)
+             |SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+             |  COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS luma_sum
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.SparkSuite
+
+/** The real-codec path ([[Multimodal.decodeImages]], javax.imageio):
+  * fixture-pinned decoded dimensions and luma, PNG losslessness, and the
+  * synthetic-payload round-trip the mm05 oracle relies on. */
+class MultimodalSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.getRaster.setSample(x, y, 0, pixel(x, y))))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages reads a PNG fixture's exact dimensions and luma") {
+    // 3×2 gray fixture with hand-picked pixels: luma sum is their sum.
+    val pixels = Map((0, 0) -> 10, (1, 0) -> 20, (2, 0) -> 30,
+      (0, 1) -> 255, (1, 1) -> 0, (2, 1) -> 128)
+    val docs = Seq((7L, png(3, 2)(pixels(_, _)))).toDF("doc_id", "payload")
+    val d = Multimodal.decodeImages(docs, "doc_id", "payload").head()
+    assert((d.doc_id, d.width, d.height, d.n_pixels, d.luma_sum) ==
+      ((7L, 3, 2, 6L, pixels.values.sum.toLong)))
+  }
+
+  test("decodeImages handles a JPEG payload (dimensions are exact)") {
+    val img = new BufferedImage(17, 9, BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    val docs = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val d = Multimodal.decodeImages(docs, "doc_id", "payload").head()
+    // JPEG is lossy: dimensions and pixel count are exact, luma is not.
+    assert((d.width, d.height, d.n_pixels) == ((17, 9, 153L)))
+  }
+
+  test("a non-image payload fails loudly, not with garbage features") {
+    val docs = Seq((2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeImages(docs, "doc_id", "payload").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("syntheticPng round-trips exactly (the mm05 oracle contract)") {
+    val (id, w, h) = (42L, 12, 9)
+    val docs = Seq((id, Multimodal.syntheticPng(id, w, h)))
+      .toDF("doc_id", "payload")
+    val d = Multimodal.decodeImages(docs, "doc_id", "payload").head()
+    val expected = (for (y <- 0 until h; x <- 0 until w)
+      yield (31L * id + 7L * x + 13L * y) % 256).sum
+    assert((d.width, d.height, d.n_pixels, d.luma_sum) ==
+      ((w, h, w.toLong * h, expected)))
+  }
+}
