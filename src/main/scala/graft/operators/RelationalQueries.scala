@@ -878,6 +878,43 @@ object RelationalQueries extends QueryPack {
               .as("approx_orders"))
           .orderBy(col("l_returnflag"))
       },
-      None)
+      None),
+
+    // ---- Correlated subqueries (TPC-H q4 shape): EXISTS + NOT EXISTS
+    // with correlated predicates, written as SQL so the gate exercises
+    // Catalyst's RewritePredicateSubquery path — the planner must rewrite
+    // both to hash joins (semi + anti) on the correlation key, never a
+    // nested-loop re-scan of lineitem per order (PlanAuditSpec pins
+    // this). At 100 TB this is THE pattern analysts write that can
+    // silently go quadratic on a lesser planner.
+    Q("q32_exists_correlated",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("q32_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("q32_lineitem")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+                |FROM q32_orders o
+                |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                |  AND EXISTS (SELECT 1 FROM q32_lineitem l
+                |              WHERE l.l_orderkey = o.o_orderkey
+                |                AND l.l_returnflag = 'R')
+                |  AND NOT EXISTS (SELECT 1 FROM q32_lineitem l2
+                |                  WHERE l2.l_orderkey = o.o_orderkey
+                |                    AND l2.l_discount > 0.05)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders o
+             |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_returnflag = 'R')
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+             |                  WHERE l2.l_orderkey = o.o_orderkey
+             |                    AND l2.l_discount > 0.05)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -44,6 +44,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), "query side must broadcast")
   }
 
+  test("correlated EXISTS/NOT EXISTS rewrite to semi/anti hash joins") {
+    val p = plan("q32_exists_correlated")
+    assert(p.contains("LeftSemi"), "EXISTS must rewrite to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must rewrite to an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "a correlated predicate must never plan as a nested-loop re-scan")
+  }
+
   test("sequence packing adds no shuffle after the range partition") {
     // One range-partition Exchange feeds the mapPartitions pass; the
     // remaining Exchanges belong to the gate's groupBy + sort, never a
