@@ -331,6 +331,35 @@ object EngineQueries extends QueryPack {
     // pin the flagship mart's column schema — name, type, ordinal. This
     // is the schema-drift alarm: any change to the mart's produced shape
     // (a widened decimal, a reordered select) flips the gate.
+    // O3 width: the SAME full-DAG run under `--threads 4` must produce
+    // the run_results content of a serial run — same models, same
+    // relations, all success — regardless of completion interleaving
+    // (results re-sort topologically; the artifact sorts by model here).
+    Q("o08_parallel_run_results",
+      (spark, dir) => {
+        val r = TpchProject.runner(dir)
+        val path = java.nio.file.Files.createTempDirectory("graft_rr8")
+          .toString + "/run_results.json"
+        r.run(spark, runResultsPath = Some(path), threads = 4)
+        spark.read.json(path)
+          .select(explode(col("results")).as("n"))
+          .select(col("n.name").as("model"),
+            col("n.relation").as("relation"),
+            col("n.status").as("status"))
+          .orderBy(col("model"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('customer_order_metrics','dev_customer_order_metrics','success'),
+             | ('nation_brief','analytics_nation_brief','success'),
+             | ('order_lines_enriched','dev_order_lines_enriched','success'),
+             | ('sales_by_region','dev_sales_by_region','success'),
+             | ('stg_customer','dev_stg_customer','success'),
+             | ('stg_lineitem','dev_stg_lineitem','success'),
+             | ('stg_nation','dev_stg_nation','success'),
+             | ('stg_orders','dev_stg_orders','success'),
+             | ('stg_region','dev_stg_region','success')
+             |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)
