@@ -30,6 +30,8 @@ import graft.operators.TpchProject
   *   snapshot  dbt snapshot: run only the snapshot models (+ upstreams)
   *   retry     dbt retry: re-run the error/skipped nodes of the previous
   *             invocation's run_results.json
+  *   clone     dbt clone: zero-copy clone another target's relations
+  *             into this target ([--from prod] [--select EXPR])
   *   show      dbt show: preview a model's rows (--select MODEL
   *             [--limit N])
   *   docs      dbt docs generate: manifest_docs.json + catalog.json
@@ -152,6 +154,18 @@ object EngineCli {
         runner.preview(spark, name)
           .limit(opts.getOrElse("limit", "5").toInt)
           .show(opts.getOrElse("limit", "5").toInt, truncate = false)
+      case "clone" =>
+        // dbt clone: re-point this target's relations at another
+        // target's committed versions — zero-copy on pointer-backed
+        // tables (Snowflake CREATE TABLE ... CLONE semantics), deep copy
+        // otherwise. `--from prod` (default) selects the source target.
+        val from = opts.getOrElse("from", "prod") match {
+          case "prod" => Target.prod
+          case "dev" => Target.dev
+          case other => throw new IllegalArgumentException(
+            s"--from expects dev|prod, got: $other")
+        }
+        printResults(runner.cloneModels(spark, opts.get("select"), from))
       case "snapshot" =>
         // dbt snapshot: run only the snapshot-materialized models.
         val snaps = project.models.collect {

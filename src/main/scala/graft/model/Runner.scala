@@ -68,6 +68,14 @@ trait Materializer {
 
   /** Remove a staged relation (view + backing storage). */
   def dropRelation(spark: SparkSession, relation: String): Unit
+
+  /** dbt `clone`: make `toRel` present the current contents of
+    * `fromRel`. Default: deep copy (re-materialize from a scan) —
+    * correct on any materializer. [[CatalogMaterializer]] overrides with
+    * Snowflake's zero-copy semantics (a pointer commit, no data read). */
+  def cloneRelation(spark: SparkSession, fromRel: String,
+      toRel: String): Unit =
+    materializeTable(spark, toRel, spark.table(fromRel))
 }
 
 object CatalogMaterializer {
@@ -138,13 +146,14 @@ final class CatalogMaterializer extends Materializer {
         import org.apache.spark.sql.catalyst.TableIdentifier
         val catalog = spark.sessionState.catalog
         val ident = TableIdentifier(name, Some(schema))
+        val loc = versionLocation(schemaDir(spark, schema), versionDir)
+        // Version directory names are globally unique (millis+counter),
+        // so last-segment comparison is exact even for clones pointing
+        // into another schema's directory.
         val stale = !catalog.tableExists(ident) ||
           new org.apache.hadoop.fs.Path(
-            catalog.getTableMetadata(ident).location).getName != versionDir
-        if (stale)
-          syncCatalog(spark, relation,
-            new org.apache.hadoop.fs.Path(schemaDir(spark, schema), versionDir),
-            tableSchema)
+            catalog.getTableMetadata(ident).location).getName != loc.getName
+        if (stale) syncCatalog(spark, relation, loc, tableSchema)
     }
   }
 
@@ -253,6 +262,9 @@ final class CatalogMaterializer extends Materializer {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     val Array(schema, name) = relation.split('.')
+    // A fresh process healing from a persisted pointer registers into a
+    // catalog that has never seen this database.
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
     val catalog = spark.sessionState.catalog
     val ident = TableIdentifier(name, Some(schema))
     val prevLoc: Option[org.apache.hadoop.fs.Path] =
@@ -278,6 +290,41 @@ final class CatalogMaterializer extends Materializer {
     spark.catalog.refreshTable(relation)
     prevLoc
   }
+
+  /** dbt `clone` with Snowflake zero-copy semantics: commit the TARGET's
+    * pointer at the SOURCE's current version directory — no data is read
+    * or copied, the clone is a metadata operation whatever the table
+    * size. Copy-on-write isolation falls out of the refresh protocol:
+    * the target's next rebuild writes its own fresh version and
+    * re-points, never touching the shared directory, and the source's
+    * stale-version collection only scans its own schema directory. (A
+    * clone outlives the source's one-version retention window only until
+    * the source refreshes twice — the documented trade against a
+    * refcounting GC; re-clone per CI run, which is dbt's usage.)
+    * Relations without a pointer (views, incremental managed locations)
+    * fall back to the trait's deep copy. */
+  override def cloneRelation(spark: SparkSession, fromRel: String,
+      toRel: String): Unit = {
+    val Array(fromSchema, fromName) = fromRel.split('.')
+    val Array(toSchema, toName) = toRel.split('.')
+    readPointer(spark, schemaDir(spark, fromSchema), fromName) match {
+      case Some((versionDir, sch)) =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $toSchema")
+        val src = versionLocation(schemaDir(spark, fromSchema), versionDir)
+        commitPointer(spark, schemaDir(spark, toSchema), toName,
+          src.toString, sch)
+        syncCatalog(spark, toRel, src, sch)
+      case None => super.cloneRelation(spark, fromRel, toRel)
+    }
+  }
+
+  /** A pointer's version line is a bare directory name (resolved in this
+    * relation's own schema directory) or — for a zero-copy clone — the
+    * full path of another schema's version directory. */
+  private def versionLocation(dir: org.apache.hadoop.fs.Path,
+      versionDir: String): org.apache.hadoop.fs.Path =
+    if (versionDir.contains('/')) new org.apache.hadoop.fs.Path(versionDir)
+    else new org.apache.hadoop.fs.Path(dir, versionDir)
 
   /** The `<name>__CURRENT` commit record: line 1 = live version
     * directory name, rest = schema JSON. Written to a temp name then
@@ -933,6 +980,40 @@ final class Runner(
         s"model ${r.name} failed: ${r.error.getOrElse("")}")
     }
     results
+  }
+
+  /** dbt `clone`: re-point this target's relations at `from`'s committed
+    * versions — zero-copy on pointer-backed tables (Snowflake clone
+    * semantics, [[CatalogMaterializer.cloneRelation]]), deep copy
+    * otherwise. Views and ephemerals are skipped (session views have
+    * nothing durable to clone — their equivalent is a re-run), as are
+    * custom-schema models, whose relation is shared by both targets.
+    * Typical use is slim CI: clone prod, then
+    * `run --select state:modified --state ... --defer prod`. */
+  def cloneModels(spark: SparkSession, select: Option[String],
+      from: Target): Seq[NodeResult] = {
+    require(from != target,
+      s"clone source and target are both '${target.name}'")
+    val selected = Dag.resolve(select, None, deps, selectionAtom(None))
+    def fromRelation(m: Model): String = materializer.tableRelation(
+      m.customSchema.getOrElse(from.schema), m.name)
+    def cloneable(n: String) = selected(n) && !isEphemeral(n) &&
+      byName(n).materialization != Materialization.View &&
+      fromRelation(byName(n)) != relationOf(byName(n))
+    Dag.toposort(deps).filter(cloneable).map { n =>
+      val m = byName(n)
+      val toRel = relationOf(m)
+      val t0 = System.nanoTime()
+      try {
+        materializer.cloneRelation(spark, fromRelation(m), toRel)
+        NodeResult(n, toRel, "success",
+          (System.nanoTime() - t0) / 1000000, None)
+      } catch {
+        case e: Exception =>
+          NodeResult(n, toRel, "error",
+            (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+      }
+    }
   }
 
   private def runSerial(spark: SparkSession, ordered: Seq[String],

@@ -360,6 +360,32 @@ object EngineQueries extends QueryPack {
              | ('stg_region','dev_stg_region','success')
              |) AS t(model, relation, status) ORDER BY model""".stripMargin)),
 
+    // Snowflake zero-copy clone (`dbt clone`): prod builds the mart, dev
+    // clones it WITHOUT reading a byte (a pointer commit — see
+    // CatalogMaterializer.cloneRelation); the gate reads the mart back
+    // THROUGH the dev clone, so its content must equal the m01 oracle
+    // exactly. CloneSpec pins the zero-copy and copy-on-write properties.
+    Q("o09_zero_copy_clone",
+      (spark, dir) => {
+        val prod = new Runner(TpchProject.project(dir), Target.prod,
+          new CatalogMaterializer)
+        prod.run(spark, Some("+customer_order_metrics"))
+        val dev = new Runner(TpchProject.project(dir), Target.dev,
+          new CatalogMaterializer)
+        dev.cloneModels(spark, Some("customer_order_metrics"), Target.prod)
+        spark.table("dev.customer_order_metrics")
+          .withColumn("priorities", array_join(col("priorities"), "|"))
+          .withColumn("total_sales", col("total_sales").cast("string"))
+          .orderBy(col("customer_id"))
+      },
+      Some("""SELECT c_custkey AS customer_id, c_name AS customer_name,
+             | c_mktsegment AS segment,
+             | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS total_sales,
+             | COUNT(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)
