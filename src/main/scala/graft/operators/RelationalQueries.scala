@@ -880,6 +880,38 @@ object RelationalQueries extends QueryPack {
       },
       None),
 
+    // ---- Rolling time-range window (RANGE BETWEEN ... PRECEDING): per-
+    // user trailing-1-hour event count and exact decimal value sum — the
+    // at-scale telemetry pattern (fraud windows, rate limiting, rolling
+    // engagement). The frame is expressed on epoch MICROS, so boundaries
+    // and peer rows at equal timestamps are integer-exact in both
+    // engines; the window shuffles once on user_id, sorts within the
+    // partition, and streams the frame — never a self-join blowup.
+    Q("q33_rolling_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), dec(col("value")).as("dv"))
+          .select(col("event_id"), col("user_id"), col("us"),
+            count(lit(1)).over(w).as("roll_n"),
+            sum(col("dv")).over(w).cast("decimal(38,2)")
+              .cast("string").as("roll_sum"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) us,
+             |    CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2)) dv
+             |  FROM events)
+             |SELECT event_id, user_id, us,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+             |  CAST(CAST(SUM(dv) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS roll_sum
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin)),
+
     // ---- Correlated subqueries (TPC-H q4 shape): EXISTS + NOT EXISTS
     // with correlated predicates, written as SQL so the gate exercises
     // Catalyst's RewritePredicateSubquery path — the planner must rewrite
