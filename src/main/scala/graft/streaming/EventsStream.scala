@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,11 +48,16 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** File-source stream over a directory of event parquet files. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
+    val reader = spark.readStream.schema(rawSchema)
+    // Bounding files-per-trigger slices a backlog into multiple micro-
+    // batches (AvailableNow honors source limits) — gates use it to
+    // exercise merge-over-existing-state paths, production uses it to
+    // bound per-trigger memory during backfill.
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -136,6 +142,55 @@ object EventsStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("day").parquet(path)
       }
+
+  /** Streaming keyed upsert (`foreachBatch` MERGE) — the CDC-into-
+    * warehouse topology: maintain exactly ONE row per user_id holding
+    * that user's LATEST event. Each micro-batch first reduces to its own
+    * per-key latest (one row per key per trigger, however many events
+    * arrived), then merges over the table's current rows with an
+    * anti-join on the key + union — rows for unseen keys flow through
+    * untouched. On a lakehouse table format the merge step is literally
+    * `MERGE INTO ... WHEN MATCHED UPDATE`; on plain parquet it is the
+    * same read-merge-replace the engine's key-merge incremental uses.
+    * State table size is |keys|, never |events| — the property that
+    * keeps the sink bounded on an infinite log.
+    */
+  def latestStateUpsert(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertLatest(batch, path)
+      }
+
+  /** One merge step of [[latestStateUpsert]]: batch reduces to its
+    * per-key latest, unions the table's current rows, and the SAME
+    * ranking picks each key's winner — so a replayed or out-of-order
+    * batch can never regress a key to an older event (the stored row
+    * wins the rank when it is newer). Factored out so specs drive the
+    * merge with hand-ordered batches. */
+  private[streaming] def upsertLatest(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val latest = batch
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val current = try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        latest.limit(0) // first trigger: no state table yet
+      }
+    // The write overwrites the very path `current` reads; truncate
+    // lineage first (|keys| + |batch keys| rows — bounded by design).
+    latest.unionByName(current.select(latest.columns.map(col): _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Stream-stream interval join — attribution (each click joined to the
     * same user's views in the preceding hour), the canonical two-stream

@@ -144,6 +144,46 @@ object StreamingQueries extends QueryPack {
     // watermark needed; the static side is re-planned per micro-batch,
     // which is how Spark picks up slowly-changing dims). The canonical
     // "enrich the log with the dimension table" topology.
+    // foreachBatch keyed upsert (CDC-into-warehouse): one row per
+    // user_id holding that user's LATEST event. The feed is split into
+    // two files with maxFilesPerTrigger=1, so the second micro-batch
+    // MERGES over state the first one wrote — the per-key replace path,
+    // not just initialization. The oracle is the batch latest-per-key.
+    Q("st07_keyed_upsert",
+      (s, dir) => {
+        val feedDir = Files.createTempDirectory("graft_st07_feed").toString
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        raw.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+        raw.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+        val statePath = Files.createTempDirectory("graft_st07_state")
+          .resolve("state").toString
+        val q = EventsStream.latestStateUpsert(
+            EventsStream.read(s, feedDir, maxFilesPerTrigger = Some(1)),
+            statePath)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st07_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(statePath)
+          .select(col("user_id"), col("us"), col("event_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) us,
+             |    event_id, event_type, value
+             |  FROM events),
+             |r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY us DESC, event_id DESC) rn
+             |  FROM e)
+             |SELECT user_id, us, event_id, event_type, value
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     Q("st06_stream_static_join",
       (s, dir) => {
         val feedDir = Files.createTempDirectory("graft_st06_feed")

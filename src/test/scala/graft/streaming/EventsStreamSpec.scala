@@ -142,6 +142,28 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("keyed upsert never regresses a key on out-of-order batches") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-upsert").resolve("state").toString
+    def batch(rows: Seq[(Long, String, Long, String, Double)]) =
+      rows.toDF("user_id", "tss", "event_id", "event_type", "value")
+        .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+    // Batch 1 carries user 1's NEWEST event; batch 2 replays an older
+    // one (late file, replay, compaction) — the stored newer row must
+    // win the merge, and user 2's state must still advance.
+    EventsStream.upsertLatest(batch(Seq(
+      (1L, "2024-01-01 10:00:00", 100L, "click", 1.0),
+      (2L, "2024-01-01 09:00:00", 90L, "view", 2.0))), path)
+    EventsStream.upsertLatest(batch(Seq(
+      (1L, "2024-01-01 08:00:00", 80L, "view", 3.0),
+      (2L, "2024-01-01 11:00:00", 110L, "click", 4.0))), path)
+    val state = spark.read.parquet(path)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(state == Map(1L -> 100L, 2L -> 110L))
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates replayed files") {
     val dir = stageDir(2) // the same events delivered twice
     val q = EventsStream.deduped(EventsStream.read(spark, dir))
