@@ -912,6 +912,32 @@ object RelationalQueries extends QueryPack {
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, us, event_id""".stripMargin)),
 
+    // ---- Semi-structured extraction (the Snowflake VARIANT workload):
+    // schema'd from_json — parsed once per row inside codegen, never a
+    // per-field re-parse the way chained get_json_object would — then a
+    // typed aggregate over the extracted field. At 100 TB the JSON parse
+    // is the scan's dominant CPU; one schema'd parse per row is the
+    // floor, and unparseable rows degrade to NULL, not failure.
+    Q("q34_json_extract",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_k"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             | COUNT(CAST(props->>'k' AS INT)) AS n_k,
+             | CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+             | MAX(CAST(props->>'k' AS INT)) AS max_k
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- Correlated subqueries (TPC-H q4 shape): EXISTS + NOT EXISTS
     // with correlated predicates, written as SQL so the gate exercises
     // Catalyst's RewritePredicateSubquery path — the planner must rewrite
