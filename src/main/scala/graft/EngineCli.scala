@@ -32,6 +32,8 @@ import graft.operators.TpchProject
   *             invocation's run_results.json
   *   clone     dbt clone: zero-copy clone another target's relations
   *             into this target ([--from prod] [--select EXPR])
+  *   optimize  small-file compaction of table relations to ~target-MB
+  *             files via the atomic replace ([--target-mb 128])
   *   show      dbt show: preview a model's rows (--select MODEL
   *             [--limit N])
   *   docs      dbt docs generate: manifest_docs.json + catalog.json
@@ -166,6 +168,12 @@ object EngineCli {
             s"--from expects dev|prod, got: $other")
         }
         printResults(runner.cloneModels(spark, opts.get("select"), from))
+      case "optimize" =>
+        // Small-file compaction: rewrite selected table relations into
+        // ~target-MB files (atomic pointer-swap replace; readers never
+        // see a partial layout). [--select EXPR] [--target-mb N]
+        printResults(runner.optimizeModels(spark, opts.get("select"),
+          targetBytes = opts.getOrElse("target-mb", "128").toLong << 20))
       case "snapshot" =>
         // dbt snapshot: run only the snapshot-materialized models.
         val snaps = project.models.collect {

@@ -1016,6 +1016,46 @@ final class Runner(
     }
   }
 
+  /** OPTIMIZE / small-file compaction: rewrite each selected table
+    * relation into ceil(bytes / targetBytes) files — the object-store
+    * metadata problem's standard fix (a mart written by many tasks or
+    * accreted by increments ends up as thousands of tiny files, and scan
+    * cost shifts from data to listings + per-file open overhead). Sizing
+    * reads Catalyst's relation statistics (sum of file sizes for a
+    * parquet scan — no extra pass), and the rewrite goes through the
+    * read-from-self-safe replace, so on the catalog materializer a
+    * compaction is one write plus an atomic pointer commit: readers see
+    * the old layout or the new one, never a partial directory. Only
+    * full-table materializations compact — partitioned incrementals
+    * would lose their partition layout in a blind repartition. */
+  def optimizeModels(spark: SparkSession, select: Option[String],
+      targetBytes: Long = 128L << 20): Seq[NodeResult] = {
+    val selected = Dag.resolve(select, None, deps, selectionAtom(None))
+    def compactable(n: String) = selected(n) &&
+      (byName(n).materialization match {
+        case Materialization.Table => true
+        case _: Materialization.SnapshotCheck => true
+        case Materialization.Snapshot(_, _) => true
+        case _ => false
+      })
+    Dag.toposort(deps).filter(compactable).map { n =>
+      val rel = relationOf(byName(n))
+      val t0 = System.nanoTime()
+      try {
+        val df = spark.table(rel)
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val files = (BigDecimal(bytes) / BigDecimal(targetBytes))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toInt.max(1)
+        materializer.materializeReplace(spark, rel, df.repartition(files))
+        NodeResult(n, rel, "success",
+          (System.nanoTime() - t0) / 1000000, None)
+      } catch {
+        case e: Exception => NodeResult(n, rel, "error",
+          (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+      }
+    }
+  }
+
   private def runSerial(spark: SparkSession, ordered: Seq[String],
       chosen: String => Boolean, fullRefresh: Boolean,
       failFast: Boolean): Seq[NodeResult] = {

@@ -386,6 +386,29 @@ object EngineQueries extends QueryPack {
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
 
+    // OPTIMIZE compaction: build the mart, compact it, and read it back
+    // THROUGH the compacted relation — content must be byte-equal to the
+    // m01 oracle (compaction changes layout, never data). OptimizeSpec
+    // pins the file-count and retention mechanics.
+    Q("o10_optimize_compaction",
+      (spark, dir) => {
+        val r = new Runner(TpchProject.project(dir), Target.dev,
+          new CatalogMaterializer)
+        r.run(spark, Some("+customer_order_metrics"))
+        r.optimizeModels(spark, Some("customer_order_metrics"))
+        spark.table("dev.customer_order_metrics")
+          .withColumn("priorities", array_join(col("priorities"), "|"))
+          .withColumn("total_sales", col("total_sales").cast("string"))
+          .orderBy(col("customer_id"))
+      },
+      Some("""SELECT c_custkey AS customer_id, c_name AS customer_name,
+             | c_mktsegment AS segment,
+             | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS total_sales,
+             | COUNT(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)
