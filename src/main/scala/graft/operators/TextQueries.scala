@@ -538,6 +538,41 @@ object TextQueries extends QueryPack {
              |SELECT (cum - toks) // 2048 AS pack_id,
              | COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
              | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-             |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin)),
+
+    // Rare-word ratio — the corpus-level quality/memorization proxy
+    // (boilerplate scores ~0 rare words; unique content scores high):
+    // per-document fraction of DISTINCT words whose document frequency
+    // is 1 across the corpus. One explode + word-df aggregate + join
+    // back — two key shuffles total; the df frame is |vocabulary|, not
+    // |corpus|, and the 0/1 indicator average divides exact integer
+    // sums, so the ratio is engine-identical before the 6dp round.
+    Q("t16_rare_word_ratio",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+          .filter(length(col("w")) > 0)
+        val wordDf = words.groupBy(col("w"))
+          .agg(count(lit(1)).as("df")) // words pre-deduped per doc
+        words.join(wordDf, "w")
+          .groupBy(col("doc_id"))
+          .agg(
+            round(avg((col("df") === 1).cast("double")), 6)
+              .as("rare_ratio"),
+            count(lit(1)).as("n_distinct"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) w
+             |  FROM documents),
+             |w2 AS (SELECT * FROM w WHERE length(w) > 0),
+             |f AS (SELECT w, COUNT(*) df FROM w2 GROUP BY w)
+             |SELECT doc_id,
+             | ROUND(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6)
+             |   AS rare_ratio,
+             | COUNT(*) AS n_distinct
+             |FROM w2 JOIN f USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -53,6 +53,31 @@ class PlanAuditSpec extends SparkSuite {
       "a correlated predicate must never plan as a nested-loop re-scan")
   }
 
+  test("incremental partition layout yields partition-pruned scans") {
+    // The IncrementalByPartition layout exists FOR this property: a
+    // day-filtered read of the mart must touch one partition directory,
+    // not scan-and-filter the table (at 100 TB that is the difference
+    // between reading a day and reading years).
+    import graft.model._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-prune").toString
+    val src = spark.range(9).selectExpr(
+      "CAST(id % 3 AS STRING) AS event_date", "id")
+    val runner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => src)),
+        Seq(SqlModel("pr_m",
+          """SELECT event_date, id FROM {{ source('t', 'ev') }}
+            |WHERE {{ incremental_filter('event_date') }}""".stripMargin,
+          Materialization.IncrementalByPartition(Seq("event_date"))))),
+      Target.dev, new PathMaterializer(base))
+    runner.run(spark)
+    val plan = spark.table("dev_pr_m").filter(col("event_date") === "1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"day filter must prune partitions, plan was:\n$plan")
+  }
+
   test("sequence packing adds no shuffle after the range partition") {
     // One range-partition Exchange feeds the mapPartitions pass; the
     // remaining Exchanges belong to the gate's groupBy + sort, never a
