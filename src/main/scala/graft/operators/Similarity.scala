@@ -414,6 +414,60 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Product-quantization (PQ) top-k — THE memory-bound ANN layout: the
+    * corpus stores `subspaces` small code indices per vector (here 4×4
+    * bits) instead of the vector, a 32× cut under float32 that decides
+    * whether a 100 TB index fits in RAM at all. Codebooks are the first
+    * `nCodes` vectors' subvectors (deterministic seeding, exactly like
+    * [[ivfTopK]]'s); encoding picks each subspace's max rounded-dot code
+    * (ties to the lower index) row-locally against inlined literals —
+    * a scan, no shuffle. Queries score corpus codes by asymmetric
+    * distance computation (ADC): the sum of per-subspace dots between
+    * the RAW query slice and the chosen codebook center, accumulated
+    * left-to-right so the double fold matches any engine that chains
+    * `+` left-associatively. Every step rounds before ranking, so this
+    * approximate index has an EXACT cross-engine oracle (v10), like
+    * v08's quantized cosine. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, subspaces: Int = 4, nCodes: Int = 16)
+      : DataFrame = {
+    val corpus = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seeds: Array[Array[Double]] = corpus.orderBy(col("vid"))
+      .limit(nCodes).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = seeds.head.length
+    require(dims % subspaces == 0, "subspaces must divide dims")
+    val subDim = dims / subspaces
+    val centers: Array[Array[Seq[Double]]] = Array.tabulate(subspaces,
+      nCodes)((sp, j) => seeds(j).slice(sp * subDim, (sp + 1) * subDim).toSeq)
+    def sub(c: Column, sp: Int) = slice(c, sp * subDim + 1, subDim)
+    def code(c: Column, sp: Int): Column = {
+      val entries = (0 until nCodes).map { j =>
+        struct(
+          (-round(Hashing.dotProduct(sub(c, sp),
+            lit(centers(sp)(j).toArray)), 6)).as("neg"),
+          lit(j).as("j"))
+      }
+      element_at(array_sort(array(entries: _*)), 1).getField("j")
+    }
+    val encoded = corpus.select(col("vid") +:
+      (0 until subspaces).map(sp => code(col("v"), sp).as(s"c$sp")): _*)
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val adc = (0 until subspaces).map { sp =>
+      Hashing.dotProduct(sub(col("qv"), sp),
+        element_at(typedLit(centers(sp).toSeq), col(s"c$sp") + 1))
+    }.reduce(_ + _) // left-assoc chain — mirrored by the oracle
+    val scored = encoded.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(adc, 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** ANN quality telemetry: recall@k of each approximate path against
     * the exact brute-force ranking over the same query set — the tuning
     * surface for nlist/nprobe (IVF) and bits/bands (LSH), which the

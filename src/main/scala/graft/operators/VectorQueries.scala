@@ -216,6 +216,63 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // Product quantization (PQ/ADC): 4 subspaces × 16 codes, codebooks
+    // seeded from the first 16 vectors — deterministic encode (rounded-
+    // dot argmax, index ties) and left-associative ADC sum, so the whole
+    // index + ranking is EXACTLY reproducible in SQL. The third point of
+    // the ANN memory/recall space next to IVF (v04) and int8 (v08).
+    Q("v10_pq_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.pqTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |seed AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |cb AS (
+             |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
+             |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
+             |enc0 AS (
+             |  SELECT e.vec_id, cb.sp, cb.j,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sp ORDER BY
+             |      ROUND(list_dot_product(
+             |        list_slice(e.v, cb.sp * 16 + 1, cb.sp * 16 + 16),
+             |        cb.c), 6) DESC, cb.j) rnk
+             |  FROM e, cb),
+             |encp AS (
+             |  SELECT vec_id,
+             |    MAX(CASE WHEN sp = 0 THEN j END) c0,
+             |    MAX(CASE WHEN sp = 1 THEN j END) c1,
+             |    MAX(CASE WHEN sp = 2 THEN j END) c2,
+             |    MAX(CASE WHEN sp = 3 THEN j END) c3
+             |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
+             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.qid, p.vec_id nid,
+             |    ROUND(
+             |      list_dot_product(list_slice(q.qv,  1, 16), cb0.c)
+             |    + list_dot_product(list_slice(q.qv, 17, 32), cb1.c)
+             |    + list_dot_product(list_slice(q.qv, 33, 48), cb2.c)
+             |    + list_dot_product(list_slice(q.qv, 49, 64), cb3.c), 6)
+             |      AS score
+             |  FROM q, encp p
+             |  JOIN cb cb0 ON cb0.sp = 0 AND cb0.j = p.c0
+             |  JOIN cb cb1 ON cb1.sp = 1 AND cb1.j = p.c1
+             |  JOIN cb cb2 ON cb2.sp = 2 AND cb2.j = p.c2
+             |  JOIN cb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
+             |  WHERE p.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT qid, nid, score,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, nid) rn
+             |  FROM scored)
+             |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
     // Every step is engine-reproducible (first-k seeding, raw-double
