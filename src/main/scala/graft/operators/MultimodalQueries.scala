@@ -139,6 +139,47 @@ object MultimodalQueries extends QueryPack {
              |    i -> ord(substring(text, CAST(i AS INT) * stride + 1, 1))), '|') AS resized
              |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // Audio-shaped decode: the payload interpreted as little-endian
+    // int16 PCM, per-frame RMS energy over 16-sample frames — the
+    // standard first feature of any audio pipeline (VAD, silence trim,
+    // loudness normalization). Pure row-local higher-order functions,
+    // codegen'd, no shuffle. Samples are INTEGERS, so the squared sums
+    // are exact in double in any fold order and /16 is a power of two —
+    // the same order-independence that makes v08 exactly oracle-able.
+    Q("mm06_pcm_frame_energy",
+      (s, dir) => {
+        val t = col("text") // ASCII corpus: 1 char == 1 byte (verified)
+        def sample(pos: org.apache.spark.sql.Column) =
+          ascii(t.substr(pos + 1, lit(1))) +
+            ascii(t.substr(pos + 2, lit(1))) * 256
+        val nFrames = least(lit(8), floor(floor(length(t) / 2) / 16))
+          .cast("int")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), t.as("text"), nFrames.as("n_frames"))
+          .select(col("doc_id"), col("n_frames"),
+            when(col("n_frames") > 0,
+              array_join(transform(sequence(lit(0), col("n_frames") - 1),
+                f => round(sqrt(
+                  aggregate(sequence(lit(0), lit(15)), lit(0.0d),
+                    (acc, i) => acc +
+                      pow(sample(f * 32 + i * 2).cast("double"), 2))
+                    / 16.0), 6).cast("string")), "|"))
+              .otherwise(lit(""))
+              .as("energies"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | CAST(LEAST(8, (length(text) // 2) // 16) AS INT) AS n_frames,
+             | array_to_string(list_transform(
+             |   range(0, LEAST(8, (length(text) // 2) // 16)), f ->
+             |     CAST(ROUND(sqrt(list_sum(list_transform(range(0, 16),
+             |       i -> POW(ord(substring(text,
+             |                CAST(f * 32 + i * 2 + 1 AS INT), 1))
+             |         + 256 * ord(substring(text,
+             |                CAST(f * 32 + i * 2 + 2 AS INT), 1)), 2)))
+             |       / 16.0), 6) AS VARCHAR)), '|') AS energies
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // The REAL codec path (javax.imageio), end to end in the plan: gray
     // PNGs are ENCODED per doc_id inside a mapPartitions stage (pixel
     // values a fixed integer formula of id/x/y — Multimodal.syntheticPng),

@@ -499,5 +499,6 @@ object Similarity {
     one("int8", quantizedTopK(emb, queries, idCol, vecCol, k))
       .unionByName(one("ivf", ivfTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
+      .unionByName(one("pq", pqTopK(emb, queries, idCol, vecCol, k)))
   }
 }

@@ -96,7 +96,8 @@ class ExtensionSpec extends SparkSuite {
       .recallReport(emb, queries, "vec_id", "embedding", 5)
       .orderBy(col("method")).collect()
     val r1 = report()
-    assert(r1.map(_.getString(0)).toSeq == Seq("int8", "ivf", "lsh"))
+    assert(r1.map(_.getString(0)).toSeq ==
+      Seq("int8", "ivf", "lsh", "pq"))
     assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
       .columns.toSeq ==
       Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
@@ -107,8 +108,12 @@ class ExtensionSpec extends SparkSuite {
       val recall = r.getDouble(5)
       assert(r.getLong(2) == 10 && r.getLong(3) == 50,
         s"unexpected query/exact counts: $r")
-      assert(recall >= 0.5 && recall <= 1.0,
-        s"${r.getString(0)} recall $recall outside [0.5, 1]")
+      // PQ at 4×16 codes is the coarsest tier (a 32× memory cut scored
+      // by reconstruction) — it is a candidate generator for re-ranking,
+      // so its floor sits below the direct-ranking methods'.
+      val floor = if (r.getString(0) == "pq") 0.2 else 0.5
+      assert(recall >= floor && recall <= 1.0,
+        s"${r.getString(0)} recall $recall outside [$floor, 1]")
       assert(r.getLong(4) <= r.getLong(3))
     }
   }
