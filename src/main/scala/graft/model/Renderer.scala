@@ -30,6 +30,12 @@ object Renderer {
   // group 1 = name; default is group 2 (quoted) or group 3 (bare literal).
   private val VarR: Regex =
     """\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*(?:'([^']*)'|([^)\s']+)))?\s*\)\s*\}\}""".r
+  // dbt_utils.date_spine(datepart, start, end): the one dbt_utils MACRO
+  // (vs. test) the calendar-mart pattern needs — renders to a Spark SQL
+  // inline relation producing one `date_<datepart>` row per period.
+  private val SpineR: Regex =
+    ("""\{\{\s*(?:dbt_utils\.)?date_spine\(\s*'(day|week|month|year)'""" +
+      """\s*,\s*"([^"]+)"\s*,\s*"([^"]+)"\s*\)\s*\}\}""").r
 
   def refsIn(sql: String): Seq[String] =
     RefR.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
@@ -51,7 +57,17 @@ object Renderer {
         throw new IllegalArgumentException(
           s"required var '$name' is not supplied and has no default")))
     })
-    val withRefs = RefR.replaceAllIn(withVars,
+    val withSpine = SpineR.replaceAllIn(withVars, m => {
+      val part = m.group(1)
+      // dbt_utils contract: start inclusive, END EXCLUSIVE (generate
+      // inclusive, trim the end row — sidesteps date−interval typing).
+      Regex.quoteReplacement(
+        s"(SELECT date_$part FROM (SELECT explode(sequence(" +
+          s"CAST(${m.group(2)} AS DATE), CAST(${m.group(3)} AS DATE), " +
+          s"INTERVAL 1 $part)) AS date_$part) " +
+          s"WHERE date_$part < CAST(${m.group(3)} AS DATE))")
+    })
+    val withRefs = RefR.replaceAllIn(withSpine,
       m => Regex.quoteReplacement(ref(m.group(1))))
     val withSrcs = SrcR.replaceAllIn(withRefs,
       m => Regex.quoteReplacement(source(m.group(1), m.group(2))))

@@ -912,6 +912,51 @@ object RelationalQueries extends QueryPack {
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, us, event_id""".stripMargin)),
 
+    // ---- Calendar spine + gap fill (dbt_utils.date_spine): generated
+    // day spine left-joined to daily revenue, zero-filled — the calendar
+    // mart every BI layer needs, and the pattern that proves LEFT JOIN
+    // against a GENERATED relation (no stored calendar table). The spine
+    // is a local explode(sequence(...)) — rows are manufactured on the
+    // executors, no scan, no shuffle until the join.
+    Q("q35_date_spine_gapfill",
+      (s, dir) => {
+        val spine = s.sql(graft.model.Renderer.render(
+          """SELECT date_day FROM {{ dbt_utils.date_spine('day',
+            |  "DATE '1995-01-01'", "DATE '1995-04-01'") }}""".stripMargin,
+          ref = identity, source = (_, _) => ""))
+        val rev = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+          .groupBy(to_date(col("o_orderdate")).as("date_day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("rev"))
+        spine.join(rev, Seq("date_day"), "left")
+          .select(col("date_day").cast("string").as("date_day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("rev"), lit(0).cast("decimal(38,2)"))
+              .cast("string").as("revenue"))
+          .orderBy(col("date_day"))
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+             |    DATE '1995-03-31', INTERVAL '1 day')) AS DATE) date_day),
+             |rev AS (
+             |  SELECT CAST(o_orderdate AS DATE) date_day,
+             |    COUNT(*) n_orders,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR)
+             |      AS DECIMAL(18,2))) AS DECIMAL(38,2)) rev
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+             |  GROUP BY 1)
+             |SELECT CAST(s.date_day AS VARCHAR) AS date_day,
+             |  COALESCE(n_orders, 0) AS n_orders,
+             |  CAST(COALESCE(rev, CAST(0 AS DECIMAL(38,2))) AS VARCHAR)
+             |    AS revenue
+             |FROM spine s LEFT JOIN rev USING (date_day)
+             |ORDER BY date_day""".stripMargin)),
+
     // ---- Semi-structured extraction (the Snowflake VARIANT workload):
     // schema'd from_json — parsed once per row inside codegen, never a
     // per-field re-parse the way chained get_json_object would — then a

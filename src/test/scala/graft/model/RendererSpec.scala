@@ -52,6 +52,19 @@ class RendererSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("date_spine renders an end-exclusive generated relation") {
+    val out = Renderer.render(
+      """SELECT date_day FROM {{ dbt_utils.date_spine('day',
+        |  "DATE '2024-01-01'", "DATE '2024-01-04'") }}""".stripMargin,
+      identity, (_, t) => t)
+    assert(out.contains("explode(sequence("))
+    assert(out.contains("date_day < CAST(DATE '2024-01-04' AS DATE)"))
+    // The bare (non-namespaced) spelling works too, dbt-style.
+    assert(Renderer.render(
+      """{{ date_spine('month', "DATE '2024-01-01'", "DATE '2024-04-01'") }}""",
+      identity, (_, t) => t).contains("INTERVAL 1 month"))
+  }
+
   test("this and incremental_filter render per target-relation state") {
     val sql = "SELECT * FROM {{ ref('up') }} " +
       "WHERE {{ incremental_filter('ts') }} -- target {{ this }}"
