@@ -152,10 +152,9 @@ object EngineCli {
         // in-session with the limit pushed into the plan).
         val name = opts.getOrElse("select", throw new IllegalArgumentException(
           "show requires --select MODEL"))
+        val limit = opts.getOrElse("limit", "5").toInt
         runner.run(spark, Some(s"+$name"), exclude = Some(name))
-        runner.preview(spark, name)
-          .limit(opts.getOrElse("limit", "5").toInt)
-          .show(opts.getOrElse("limit", "5").toInt, truncate = false)
+        runner.preview(spark, name).limit(limit).show(limit, truncate = false)
       case "clone" =>
         // dbt clone: re-point this target's relations at another
         // target's committed versions — zero-copy on pointer-backed

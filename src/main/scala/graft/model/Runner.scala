@@ -142,7 +142,7 @@ final class CatalogMaterializer extends Materializer {
     if (!relation.contains('.')) return
     val Array(schema, name) = relation.split('.')
     readPointer(spark, schemaDir(spark, schema), name).foreach {
-      case (versionDir, tableSchema) =>
+      case (versionDir, schemaJson) =>
         import org.apache.spark.sql.catalyst.TableIdentifier
         val catalog = spark.sessionState.catalog
         val ident = TableIdentifier(name, Some(schema))
@@ -153,7 +153,8 @@ final class CatalogMaterializer extends Materializer {
         val stale = !catalog.tableExists(ident) ||
           new org.apache.hadoop.fs.Path(
             catalog.getTableMetadata(ident).location).getName != loc.getName
-        if (stale) syncCatalog(spark, relation, loc, tableSchema)
+        if (stale)
+          syncCatalog(spark, relation, loc, pointerSchema(schemaJson))
     }
   }
 
@@ -174,6 +175,7 @@ final class CatalogMaterializer extends Materializer {
       df.write.partitionBy(partitionCols: _*)
         .format("parquet").saveAsTable(relation)
     } else CatalogMaterializer.dynamicOverwriteLock.synchronized {
+      requireNotPointerBacked(spark, relation)
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
@@ -198,10 +200,26 @@ final class CatalogMaterializer extends Materializer {
       clearStaleLocation(spark, relation)
       df.write.format("parquet").saveAsTable(relation)
     } else {
+      requireNotPointerBacked(spark, relation)
       // insertInto appends by default, resolving positionally.
       val target = spark.table(relation).columns
       df.select(target.map(col).toIndexedSeq: _*).write.insertInto(relation)
     }
+
+  /** Incremental writes go IN PLACE (insertInto), so they must never hit
+    * a pointer-backed relation: the pointer would go stale (a later
+    * resolution repairs the catalog BACK to pre-increment contents), and
+    * an unpartitioned table-era relation would be truncated outright by
+    * a dynamic overwrite. This is a materialization switch — dbt's
+    * contract requires `--full-refresh` (whose dropRelation removes the
+    * pointer and versioned locations, clearing the first-build path). */
+  private def requireNotPointerBacked(spark: SparkSession,
+      relation: String): Unit = {
+    val Array(schema, name) = relation.split('.')
+    require(readPointer(spark, schemaDir(spark, schema), name).isEmpty,
+      s"$relation was last materialized as a table (pointer-backed); " +
+        "changing its materialization to incremental requires --full-refresh")
+  }
 
   /** Atomic full refresh — the semantics of Snowflake's `CREATE OR
     * REPLACE TABLE` that the reference's hourly cron re-run
@@ -308,9 +326,10 @@ final class CatalogMaterializer extends Materializer {
     val Array(fromSchema, fromName) = fromRel.split('.')
     val Array(toSchema, toName) = toRel.split('.')
     readPointer(spark, schemaDir(spark, fromSchema), fromName) match {
-      case Some((versionDir, sch)) =>
+      case Some((versionDir, schemaJson)) =>
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $toSchema")
         val src = versionLocation(schemaDir(spark, fromSchema), versionDir)
+        val sch = pointerSchema(schemaJson)
         commitPointer(spark, schemaDir(spark, toSchema), toName,
           src.toString, sch)
         syncCatalog(spark, toRel, src, sch)
@@ -347,9 +366,13 @@ final class CatalogMaterializer extends Materializer {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** (version line, schema JSON) — schema stays UNPARSED here: the
+    * common resolution path only compares the version line (parsing the
+    * schema on every existence probe would tax each render); callers
+    * that actually register an entry parse via [[pointerSchema]]. */
   private def readPointer(spark: SparkSession,
       dir: org.apache.hadoop.fs.Path, name: String)
-      : Option[(String, org.apache.spark.sql.types.StructType)] = {
+      : Option[(String, String)] = {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = pointerPath(dir, name)
     if (!fs.exists(p)) None
@@ -359,11 +382,14 @@ final class CatalogMaterializer extends Materializer {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val nl = txt.indexOf('\n')
-      Some((txt.take(nl), org.apache.spark.sql.types.DataType
-        .fromJson(txt.drop(nl + 1))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      Some((txt.take(nl), txt.drop(nl + 1)))
     }
   }
+
+  private def pointerSchema(json: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Managed directory of `schema` under the warehouse. */
   private def schemaDir(spark: SparkSession, schema: String)
@@ -427,6 +453,10 @@ final class CatalogMaterializer extends Materializer {
       spark.conf.get("spark.sql.warehouse.dir") + s"/$schema.db/$name")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    // A pointer here is from a previous table-era materialization of the
+    // same name — stale by definition on the incremental first-build
+    // path, and repairFromPointer would otherwise resurrect it.
+    fs.delete(pointerPath(schemaDir(spark, schema), name), false)
   }
 }
 
@@ -1005,7 +1035,31 @@ final class Runner(
       val toRel = relationOf(m)
       val t0 = System.nanoTime()
       try {
-        materializer.cloneRelation(spark, fromRelation(m), toRel)
+        m.materialization match {
+          // Partition/append lifecycles write IN PLACE (insertInto), so
+          // their clone must reproduce the storage LAYOUT: a pointer or
+          // unpartitioned deep copy would be truncated outright by the
+          // next incremental run (dynamic overwrite on an unpartitioned
+          // table replaces everything) or reverted by pointer repair.
+          // Rebuilding through the materialization's own first-build
+          // path preserves both layout and future write semantics.
+          case Materialization.IncrementalByPartition(pcols, _) =>
+            materializer.dropRelation(spark, toRel)
+            materializer.materializeIncremental(spark, toRel,
+              spark.table(fromRelation(m)), pcols)
+          case _: Materialization.Microbatch =>
+            materializer.dropRelation(spark, toRel)
+            materializer.materializeIncremental(spark, toRel,
+              spark.table(fromRelation(m)), Seq("batch_start"))
+          case _: Materialization.IncrementalAppend =>
+            materializer.dropRelation(spark, toRel)
+            materializer.materializeAppend(spark, toRel,
+              spark.table(fromRelation(m)))
+          // Table / snapshot / key-merge relations are pointer-committed
+          // through their whole lifecycle — zero-copy is safe for them.
+          case _ =>
+            materializer.cloneRelation(spark, fromRelation(m), toRel)
+        }
         NodeResult(n, toRel, "success",
           (System.nanoTime() - t0) / 1000000, None)
       } catch {
@@ -1044,8 +1098,15 @@ final class Runner(
       try {
         val df = spark.table(rel)
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val files = (BigDecimal(bytes) / BigDecimal(targetBytes))
-          .setScale(0, BigDecimal.RoundingMode.CEILING).toInt.max(1)
+        // Unknown stats surface as defaultSizeInBytes (Long.MaxValue-
+        // scale) — compacting blind would plan a absurd partition count;
+        // refuse instead. The cap below also keeps a genuine petabyte
+        // relation from overflowing Int in the ceiling division.
+        require(bytes < BigInt(Long.MaxValue) / 2,
+          s"$rel has no size statistics; refusing to compact blind")
+        val files = ((BigDecimal(bytes) / BigDecimal(targetBytes))
+          .setScale(0, BigDecimal.RoundingMode.CEILING)
+          .min(BigDecimal(1000000))).toInt.max(1)
         materializer.materializeReplace(spark, rel, df.repartition(files))
         NodeResult(n, rel, "success",
           (System.nanoTime() - t0) / 1000000, None)

@@ -66,6 +66,31 @@ class CloneSpec extends SparkSuite {
     mat.dropRelation(spark, "prod.cl_m")
   }
 
+  test("clone of a partitioned incremental preserves layout and writes") {
+    var src = Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
+      .toDF("event_date", "id")
+    val model = SqlModel("cl_inc",
+      """SELECT event_date, id FROM {{ source('t', 'ev') }}
+        |WHERE {{ incremental_filter('event_date') }}""".stripMargin,
+      Materialization.IncrementalByPartition(Seq("event_date")))
+    val p = Project(Seq(SourceDef("t", "ev", _ => src)), Seq(model))
+    new Runner(p, Target.prod, mat).run(spark)
+    val dev = new Runner(p, Target.dev, mat)
+    dev.cloneModels(spark, None, Target.prod)
+    assert(spark.table("dev.cl_inc").count() == 2)
+    // An increment on the CLONE must ADD day 3 and keep days 1-2 — an
+    // unpartitioned deep copy would be truncated to just the increment
+    // by dynamic partition overwrite.
+    src = Seq(("2024-01-03", 3L)).toDF("event_date", "id")
+    dev.run(spark)
+    assert(spark.table("dev.cl_inc").select("event_date")
+      .distinct().count() == 3)
+    assert(spark.table("prod.cl_inc").count() == 2,
+      "the source must not observe the clone's increment")
+    mat.dropRelation(spark, "dev.cl_inc")
+    mat.dropRelation(spark, "prod.cl_inc")
+  }
+
   test("clone refuses a source target equal to the destination") {
     data = Seq((1L, "a")).toDF("id", "v")
     intercept[IllegalArgumentException] {

@@ -327,6 +327,30 @@ class IncrementalSpec extends SparkSuite {
       "2024-02-01" -> 1L, "2024-02-02" -> 1L, "2024-02-03" -> 2L))
   }
 
+  test("switching a table model to incremental demands --full-refresh") {
+    var src = Seq(("2024-01-01", 1L)).toDF("event_date", "id")
+    def proj(m: Materialization) = Project(
+      Seq(SourceDef("t", "ev", _ => src)),
+      Seq(SqlModel("sw_m",
+        "SELECT event_date, id FROM {{ source('t', 'ev') }}", m)))
+    val mat = new CatalogMaterializer
+    new Runner(proj(Materialization.Table), Target.dev, mat).run(spark)
+    val inc = new Runner(
+      proj(Materialization.IncrementalByPartition(Seq("event_date"))),
+      Target.dev, mat)
+    // In-place increments against a pointer-backed (table-era) relation
+    // would go stale-on-repair or truncate outright — refuse loudly.
+    val e = intercept[RuntimeException](inc.run(spark))
+    assert(e.getMessage.contains("full-refresh"))
+    inc.run(spark, fullRefresh = true)
+    assert(spark.table("dev.sw_m").count() == 1)
+    // The pointer is gone with the full refresh: plain increments work.
+    src = Seq(("2024-01-02", 2L)).toDF("event_date", "id")
+    inc.run(spark)
+    assert(spark.table("dev.sw_m").count() == 2)
+    mat.dropRelation(spark, "dev.sw_m")
+  }
+
   test("microbatch mid-day begin truncates to the batch boundary") {
     def feed(rows: Seq[(String, Double)]) = rows.toDF("tss", "v")
       .select(to_timestamp(col("tss")).as("ts"), col("v"))
