@@ -53,6 +53,23 @@ class PlanAuditSpec extends SparkSuite {
       "a correlated predicate must never plan as a nested-loop re-scan")
   }
 
+  test("PQ top-k: corpus encodes shuffle-free, queries broadcast") {
+    val p = plan("v10_pq_topk")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // Encoding is row-local projection work against inlined codebook
+    // literals — the only non-broadcast Exchange is the per-query
+    // top-k window's shuffle (plus the gate's final sort).
+    assert(exchanges(p) <= 2,
+      s"PQ encode must not shuffle the corpus:\n$p")
+  }
+
+  test("rolling window shuffles once on its key") {
+    val p = plan("q33_rolling_window")
+    assert(exchanges(p) <= 2, // user_id window + the gate's final sort
+      s"RANGE window must not add shuffles:\n$p")
+  }
+
   test("incremental partition layout yields partition-pruned scans") {
     // The IncrementalByPartition layout exists FOR this property: a
     // day-filtered read of the mart must touch one partition directory,
