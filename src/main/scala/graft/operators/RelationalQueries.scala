@@ -912,6 +912,37 @@ object RelationalQueries extends QueryPack {
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, us, event_id""".stripMargin)),
 
+    // ---- Null-safe join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other — the semantics dimension lookups with unknown
+    // keys need, and a classic silent-wrong-answer corner (a plain
+    // equi-join drops every NULL-keyed row on the floor). Planned as a
+    // hash join on the null-safe key, not a nested loop.
+    Q("q36_null_safe_join",
+      (s, dir) => {
+        val a = Tables(s, dir, "orders")
+          .select(nullif(col("o_orderstatus"), lit("O")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+        val b = Tables(s, dir, "lineitem")
+          .select(nullif(col("l_linestatus"), lit("O")).as("k2"))
+          .groupBy(col("k2")).agg(count(lit(1)).as("n_lines"))
+        a.join(b, col("k") <=> col("k2"), "full_outer")
+          .select(coalesce(col("k"), col("k2")).as("k"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH a AS (
+             |  SELECT NULLIF(o_orderstatus, 'O') k, COUNT(*) n_orders
+             |  FROM orders GROUP BY 1),
+             |b AS (
+             |  SELECT NULLIF(l_linestatus, 'O') k2, COUNT(*) n_lines
+             |  FROM lineitem GROUP BY 1)
+             |SELECT COALESCE(k, k2) AS k,
+             |  COALESCE(n_orders, 0) AS n_orders,
+             |  COALESCE(n_lines, 0) AS n_lines
+             |FROM a FULL OUTER JOIN b ON k IS NOT DISTINCT FROM k2
+             |ORDER BY k""".stripMargin)),
+
     // ---- Calendar spine + gap fill (dbt_utils.date_spine): generated
     // day spine left-joined to daily revenue, zero-filled — the calendar
     // mart every BI layer needs, and the pattern that proves LEFT JOIN
