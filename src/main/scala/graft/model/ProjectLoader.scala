@@ -31,7 +31,11 @@ import scala.util.matching.Regex
 object ProjectLoader {
 
   private val ConfigR: Regex = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
-  private val PairR: Regex = """(\w+)\s*=\s*(?:'([^']*)'|(\[[^\]]*\]))""".r
+  // Values: 'quoted string' | [list] | bare word/number literal (dbt
+  // renders Python literals bare — materialized=table, lookback=2,
+  // invalidate_hard_deletes=true are all legal dbt spellings).
+  private val PairR: Regex =
+    """(\w+)\s*=\s*(?:'([^']*)'|(\[[^\]]*\])|([A-Za-z0-9_.\-]+))""".r
   private val ItemR: Regex = """'([^']*)'""".r
 
   /** All `*.sql` files under `modelsDir` (recursive, deterministic path
@@ -103,11 +107,25 @@ object ProjectLoader {
     * model. Exposed for spec-level parsing tests. */
   def parseModel(name: String, raw: String, where: String = "<inline>")
       : SqlModel = {
+    val blocks = ConfigR.findAllMatchIn(raw).toList
+    // Every block is STRIPPED from the SQL below, so a second one would
+    // otherwise vanish without its keys ever being seen — fail instead.
+    require(blocks.size <= 1,
+      s"$where: ${blocks.size} {{ config(...) }} blocks; merge into one")
     val cfg: Map[String, Either[String, Seq[String]]] =
-      ConfigR.findFirstMatchIn(raw).map { m =>
+      blocks.headOption.map { m =>
+        // Full-consumption check: any fragment the pair grammar did not
+        // match would silently drop its key (the exact failure mode the
+        // unknown-key require exists to prevent).
+        val leftover = PairR.replaceAllIn(m.group(1), "")
+          .replaceAll("[\\s,]+", "")
+        require(leftover.isEmpty,
+          s"$where: unparseable config fragment '$leftover' — values " +
+            "must be 'quoted', [lists], or bare word/number literals")
         PairR.findAllMatchIn(m.group(1)).map { kv =>
-          val value = Option(kv.group(2)).map(Left(_)).getOrElse(
-            Right(ItemR.findAllMatchIn(kv.group(3)).map(_.group(1)).toSeq))
+          val value = Option(kv.group(2)).orElse(Option(kv.group(4)))
+            .map(Left(_)).getOrElse(
+              Right(ItemR.findAllMatchIn(kv.group(3)).map(_.group(1)).toSeq))
           kv.group(1) -> value
         }.toMap
       }.getOrElse(Map.empty)

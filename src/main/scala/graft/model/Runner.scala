@@ -35,6 +35,14 @@ trait Materializer {
   def materializeAppend(spark: SparkSession, relation: String,
       df: DataFrame): Unit
 
+  /** Remove ONE partition of a partitioned incremental relation —
+    * microbatch's empty-period contract: a period recomputed as EMPTY
+    * must CLEAR its partition (dynamic overwrite with an empty frame
+    * touches nothing, silently keeping the stale rows). No-op when the
+    * relation or partition is absent. */
+  def dropPartition(spark: SparkSession, relation: String,
+      partCol: String, value: String): Unit
+
   /** Whether the relation exists from a previous run (drives
     * `incremental_filter` rendering: first run = full build). */
   def relationExists(spark: SparkSession, relation: String): Boolean
@@ -206,6 +214,12 @@ final class CatalogMaterializer extends Materializer {
       df.select(target.map(col).toIndexedSeq: _*).write.insertInto(relation)
     }
 
+  def dropPartition(spark: SparkSession, relation: String,
+      partCol: String, value: String): Unit =
+    if (relationExists(spark, relation))
+      spark.sql(s"ALTER TABLE $relation DROP IF EXISTS " +
+        s"PARTITION ($partCol='$value')")
+
   /** Incremental writes go IN PLACE (insertInto), so they must never hit
     * a pointer-backed relation: the pointer would go stale (a later
     * resolution repairs the catalog BACK to pre-increment contents), and
@@ -288,7 +302,21 @@ final class CatalogMaterializer extends Materializer {
     val prevLoc: Option[org.apache.hadoop.fs.Path] =
       if (catalog.tableExists(ident)) {
         val old = catalog.getTableMetadata(ident)
-        catalog.alterTable(old.copy(
+        if (old.partitionColumnNames.nonEmpty) {
+          // The entry is from an incremental-era partitioned table — an
+          // alterTable copy would RETAIN its partition metadata, and
+          // reads would resolve through stale partition entries instead
+          // of the new unpartitioned version. Drop + recreate; the
+          // pointer (committed before this call) heals any tear.
+          catalog.dropTable(ident, ignoreIfNotExists = false, purge = false)
+          catalog.createTable(CatalogTable(
+            identifier = ident,
+            tableType = CatalogTableType.EXTERNAL,
+            storage = CatalogStorageFormat.empty.copy(
+              locationUri = Some(newLoc.toUri)),
+            schema = newSchema,
+            provider = Some("parquet")), ignoreIfExists = false)
+        } else catalog.alterTable(old.copy(
           schema = newSchema,
           tableType = CatalogTableType.EXTERNAL,
           storage = old.storage.copy(locationUri = Some(newLoc.toUri))))
@@ -476,6 +504,19 @@ final class PathMaterializer(base: String) extends Materializer {
   def materializeIncremental(spark: SparkSession, relation: String,
       df: DataFrame, partitionCols: Seq[String]): Unit = {
     val path = s"$base/$relation"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A previous UNPARTITIONED materialization left root-level part
+    // files; writing partition subdirectories next to them makes the
+    // next read fail partition discovery (or silently drop the old
+    // rows). Materialization switches require --full-refresh — the
+    // catalog twin enforces the same via requireNotPointerBacked.
+    if (fs.exists(root))
+      require(!fs.listStatus(root).exists(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet")),
+        s"$relation holds unpartitioned files from a previous " +
+          "materialization; changing it to incremental requires " +
+          "--full-refresh")
     // Writer-scoped dynamic overwrite (thread-safe; see CatalogMaterializer).
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -499,6 +540,20 @@ final class PathMaterializer(base: String) extends Materializer {
     df.write.mode("append").parquet(path)
     spark.read.option("mergeSchema", "true").parquet(path)
       .createOrReplaceTempView(relation)
+  }
+
+  def dropPartition(spark: SparkSession, relation: String,
+      partCol: String, value: String): Unit = {
+    // Same escaping Spark used when the partition directory was written.
+    val dirName = partCol + "=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(value)
+    val p = new org.apache.hadoop.fs.Path(s"$base/$relation/$dirName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.delete(p, true)
+      spark.read.option("mergeSchema", "true").parquet(s"$base/$relation")
+        .createOrReplaceTempView(relation)
+    }
   }
 
   def dropRelation(spark: SparkSession, relation: String): Unit = {
@@ -880,7 +935,13 @@ final class Runner(
       val sorted =
         if (m.clusterBy.isEmpty) withBatch
         else withBatch.sortWithinPartitions(m.clusterBy.map(col): _*)
-      materializer.materializeIncremental(spark, relation, sorted,
+      if (withBatch.limit(1).isEmpty)
+        // dbt's insert_overwrite-per-period contract: a period that
+        // recomputes as EMPTY (bad-data deletion upstream) must CLEAR
+        // its partition — dynamic overwrite with an empty frame touches
+        // nothing and would leave the prior run's rows as stale data.
+        materializer.dropPartition(spark, relation, "batch_start", lo)
+      else materializer.materializeIncremental(spark, relation, sorted,
         Seq("batch_start"))
     }
   }
@@ -911,7 +972,12 @@ final class Runner(
             minMax(sd.load(spark), c)))
       } ++ sm.refs.flatMap { r =>
         val rm = byName(r)
-        rm.eventTime.flatMap(c => minMax(spark.table(refRelation(spark, rm)), c))
+        // Ephemeral refs are never materialized — their bounds come
+        // from building the frame inline (Catalyst prunes it to the
+        // event-time min/max aggregate).
+        rm.eventTime.flatMap(c => minMax(
+          if (isEphemeral(r)) buildDf(spark, rm)
+          else spark.table(refRelation(spark, rm)), c))
       }
     require(inputBounds.nonEmpty,
       s"microbatch model ${sm.name} has no input declaring event_time")
@@ -1174,7 +1240,17 @@ final class Runner(
       if (aborted.get()) skip(name, "fail-fast")
       else if (upstreamBad) skip(name, "upstream failed")
       else {
-        val r = materializeNode(spark, name, fullRefresh)
+        // materializeNode catches Exception, but a FATAL Throwable
+        // (OOM, StackOverflowError from a deep plan) escaping here
+        // would kill the worker BEFORE finish() — the latch never
+        // drains and the invocation hangs instead of failing.
+        val r =
+          try materializeNode(spark, name, fullRefresh)
+          catch {
+            case t: Throwable =>
+              NodeResult(name, relationOf(byName(name)), "error", 0,
+                Some(t.toString))
+          }
         if (r.status != "success" && failFast) aborted.set(true)
         finish(name, r)
       }
@@ -1295,6 +1371,9 @@ final class Runner(
     val check =
       if (s.checkCols.nonEmpty) s.checkCols
       else srcCols.filterNot(_ == key) // dbt check_cols='all'
+    require(check.nonEmpty,
+      s"snapshot check strategy has no columns to compare: the source " +
+        s"selects only the key '$key'")
     require(check.forall(srcCols.contains),
       s"check_cols not in source: ${check.filterNot(srcCols.contains)}")
     val now = s.snapshotAt.map(lit(_)).getOrElse(
@@ -1414,7 +1493,12 @@ final class Runner(
         .agg(count(lit(1)).as("violations"))
         .select(lit(t.id).as("test_id"), col("violations"))
     }
-    (fused ++ planned).reduce(_.union(_))
+    val parts = fused ++ planned
+    if (parts.isEmpty)
+      spark.emptyDataFrame
+        .select(lit("").as("test_id"), lit(0L).as("violations"))
+        .limit(0)
+    else parts.reduce(_.union(_))
   }
 
   /** dbt 1.8 unit tests (see [[UnitTest]]): each test renders its
@@ -1549,7 +1633,11 @@ final class Runner(
           s.contract.map(c => s"${c.name}:${c.dataType}").mkString(","),
           s.eventTime.toString)
       case d: DfModel =>
-        Seq("df", d.refNames.mkString(","), d.materialization.toString,
+        // sourceNames included: changing a code model's declared sources
+        // must flip state:modified exactly like an edited ref would.
+        Seq("df", d.refNames.mkString(","),
+          d.sourceNames.map { case (a, b) => s"$a.$b" }.mkString(","),
+          d.materialization.toString,
           d.customSchema.toString, d.clusterBy.mkString(","),
           d.tags.mkString(","),
           d.contract.map(c => s"${c.name}:${c.dataType}").mkString(","))

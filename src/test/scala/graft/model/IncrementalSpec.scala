@@ -387,6 +387,79 @@ class IncrementalSpec extends SparkSuite {
     assert(spark.table("dev_mb_begin").count() == 6)
   }
 
+  test("an empty recomputed microbatch period clears its partition") {
+    def feed(rows: Seq[(String, Double)]) = rows.toDF("tss", "v")
+      .select(to_timestamp(col("tss")).as("ts"), col("v"))
+    var sourceData = feed(Seq(
+      ("2024-01-01 05:00:00", 1.0),
+      ("2024-01-02 05:00:00", 2.0), ("2024-01-02 06:00:00", 2.5),
+      ("2024-01-03 05:00:00", 3.0)))
+    val runner = new Runner(
+      Project(Seq(SourceDef("t", "ev", _ => sourceData,
+          eventTimeField = Some("ts"))),
+        Seq(SqlModel("mb_empty",
+          "SELECT ts, v FROM {{ source('t', 'ev') }}",
+          Materialization.Microbatch("ts", "day", lookback = 1),
+          eventTime = Some("ts")))),
+      Target.dev,
+      new PathMaterializer(Files.createTempDirectory("graft-mbe").toString))
+    runner.run(spark)
+    assert(spark.table("dev_mb_empty").count() == 4)
+    // Day 2's rows are DELETED upstream (bad-data correction) while day
+    // 3 gains one: the lookback re-run recomputes day 2 as empty and
+    // must CLEAR its partition — dynamic overwrite alone would leave
+    // the two stale rows in place with a successful run.
+    sourceData = feed(Seq(
+      ("2024-01-01 05:00:00", 1.0),
+      ("2024-01-03 05:00:00", 3.0), ("2024-01-03 06:00:00", 3.5)))
+    runner.run(spark)
+    val days = spark.table("dev_mb_empty")
+      .groupBy(col("batch_start").cast("string").substr(1, 10).as("d"))
+      .count().as[(String, Long)].collect().toMap
+    assert(days == Map("2024-01-01" -> 1L, "2024-01-03" -> 2L),
+      s"day-2 partition must be cleared, saw $days")
+  }
+
+  test("incremental-era partition metadata never shadows a table swap") {
+    var src = Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
+      .toDF("event_date", "id")
+    def proj(m: Materialization) = Project(
+      Seq(SourceDef("t", "ev", _ => src)),
+      Seq(SqlModel("sw_t",
+        "SELECT event_date, id FROM {{ source('t', 'ev') }}", m)))
+    val mat = new CatalogMaterializer
+    new Runner(proj(
+        Materialization.IncrementalByPartition(Seq("event_date"))),
+      Target.dev, mat).run(spark)
+    assert(spark.table("dev.sw_t").count() == 2)
+    // Switch to materialized='table' (dbt: CREATE OR REPLACE just
+    // works). The catalog entry must not retain the incremental era's
+    // partition metadata, or reads resolve stale partition entries.
+    src = Seq(("2024-01-03", 3L)).toDF("event_date", "id")
+    new Runner(proj(Materialization.Table), Target.dev, mat).run(spark)
+    assert(spark.table("dev.sw_t").collect().map(_.getLong(1)).toSeq ==
+      Seq(3L), "reads must see the table-era contents only")
+    mat.dropRelation(spark, "dev.sw_t")
+  }
+
+  test("path twin refuses partitioned writes over unpartitioned files") {
+    var src = Seq(("2024-01-01", 1L)).toDF("event_date", "id")
+    def proj(m: Materialization) = Project(
+      Seq(SourceDef("t", "ev", _ => src)),
+      Seq(SqlModel("sw_p",
+        "SELECT event_date, id FROM {{ source('t', 'ev') }}", m)))
+    val base = Files.createTempDirectory("graft-swp").toString
+    new Runner(proj(Materialization.Table), Target.dev,
+      new PathMaterializer(base)).run(spark)
+    val inc = new Runner(proj(
+        Materialization.IncrementalByPartition(Seq("event_date"))),
+      Target.dev, new PathMaterializer(base))
+    val e = intercept[RuntimeException](inc.run(spark))
+    assert(e.getMessage.contains("full-refresh"))
+    inc.run(spark, fullRefresh = true)
+    assert(spark.table("dev_sw_p").count() == 1)
+  }
+
   test("microbatch input bounds resolve refs through --defer") {
     def feed(rows: Seq[(String, Double)]) = rows.toDF("tss", "v")
       .select(to_timestamp(col("tss")).as("ts"), col("v"))

@@ -29,6 +29,37 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(sch.customSchema.contains("analytics"))
   }
 
+  test("config header: bare literals parse (dbt's Python spellings)") {
+    // materialized=table / lookback=2 / invalidate_hard_deletes=true are
+    // legal dbt; dropping them silently turned marts into views.
+    val t = ProjectLoader.parseModel("t",
+      "{{ config(materialized=table) }}\nSELECT 1")
+    assert(t.materialization == Materialization.Table)
+    val mb = ProjectLoader.parseModel("m",
+      "{{ config(materialized=incremental, " +
+        "incremental_strategy='microbatch', event_time='ts', " +
+        "lookback=2) }}\nSELECT 1")
+    assert(mb.materialization ==
+      Materialization.Microbatch("ts", "day", lookback = 2))
+  }
+
+  test("an unparseable config fragment fails instead of vanishing") {
+    val e = intercept[IllegalArgumentException] {
+      ProjectLoader.parseModel("b",
+        "{{ config(materialized='table', cluster_by=func(x)) }}\nSELECT 1")
+    }
+    assert(e.getMessage.contains("unparseable"))
+  }
+
+  test("a second config block fails instead of being silently stripped") {
+    val e = intercept[IllegalArgumentException] {
+      ProjectLoader.parseModel("d",
+        "{{ config(materialized='table') }}\nSELECT 1\n" +
+          "{{ config(schema='analytics') }}")
+    }
+    assert(e.getMessage.contains("merge into one"))
+  }
+
   test("malformed config fails fast") {
     intercept[IllegalArgumentException](
       ProjectLoader.parseModel("m", "{{ config(materialised='table') }}\nSELECT 1"))
