@@ -25,6 +25,7 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (es => SimHash64(es.head)),
+    "simhash_of_hashes" -> (es => SimHashOfHashes(es.head)),
     "word_shingles" ->
       (es => WordShingles(es.head, intArg(es(1), "n"))),
     "hashed_shingles" -> (es => HashedShingles(es.head)),

@@ -75,16 +75,22 @@ object TextFunctions {
   }
 
   def alphaRatio(c: Column): Column =
-    length(regexp_replace(c, "[^a-zA-Z]", "")) / length(c)
+    // 0/0 would be NULL, not a ratio — empty text scores 0.
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^a-zA-Z]", "")) / length(c))
 
   /** Composite quality score in [0,1]: alpha ratio + length saturation +
     * stopword density, fixed weights. Formula is left-associative so the
-    * oracle's double arithmetic matches bit-for-bit. */
+    * oracle's double arithmetic matches bit-for-bit. Empty/whitespace
+    * text scores 0 on every term — an unguarded x/0 would make the whole
+    * score NULL, silently dropping empty docs from BOTH sides of any
+    * quality-threshold filter. */
   def qualityScore(c: Column): Column = {
     val toks = tokenCount(c)
     lit(0.5) * alphaRatio(c) +
       lit(0.3) * least(lit(1.0), toks / lit(100.0)) +
-      lit(0.2) * least(lit(1.0), stopwordScore(c, "en") * lit(10.0) / toks)
+      lit(0.2) * when(toks === 0, 0.0).otherwise(
+        least(lit(1.0), stopwordScore(c, "en") * lit(10.0) / toks))
   }
 
   /** Whitespace-normalized content fingerprint (exact-dedup key). */

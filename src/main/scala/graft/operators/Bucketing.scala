@@ -24,8 +24,13 @@ object Bucketing {
     // LOCATION_ALREADY_EXISTS (same failure mode handled by
     // CatalogMaterializer.clearStaleLocation).
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // Resolve the REAL managed location through the catalog — a naive
+    // `<warehouse>/<table>` is wrong outside the default database (the
+    // managed path is `<warehouse>/<db>.db/<name>`) and for qualified
+    // names would delete an unrelated path.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")

@@ -727,14 +727,14 @@ object EngineQueries extends QueryPack {
     // third of the bench bill.
     Q("m16_microbatch",
       (spark, dir) => {
+        // Cutoff computed ONCE, outside the source builder: the builder
+        // is re-invoked per batch per run, and an inline head() would
+        // re-scan events ~20× just to rederive this constant.
+        val cutoff = java.sql.Timestamp.from(
+          Tables(spark, dir, "events").agg(min(col("ts"))).head()
+            .getTimestamp(0).toInstant.plus(java.time.Duration.ofDays(10)))
         val src = SourceDef("ev", "events",
-          s => {
-            val ev = Tables(s, dir, "events")
-            val cutoff = java.sql.Timestamp.from(
-              ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
-                .plus(java.time.Duration.ofDays(10)))
-            ev.filter(col("ts") < lit(cutoff))
-          },
+          s => Tables(s, dir, "events").filter(col("ts") < lit(cutoff)),
           eventTimeField = Some("ts"))
         val model = SqlModel("events_hourly_mb",
           """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,

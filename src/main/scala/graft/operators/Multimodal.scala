@@ -38,6 +38,10 @@ object Multimodal {
   /** docs(idCol, payloadCol: binary) → (doc_id, n_bytes, features). */
   def decodeFeatures(docs: DataFrame, idCol: String, payloadCol: String,
       buckets: Int = 8, batchSize: Int = 64): Dataset[DecodedDoc] = {
+    // Same contract as the ByteHistogram expression: a non-divisor would
+    // index past the array (byte 255 / width) inside executor tasks.
+    require(buckets > 0 && 256 % buckets == 0,
+      s"buckets must divide 256, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(payloadCol))

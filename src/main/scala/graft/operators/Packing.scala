@@ -85,7 +85,10 @@ object Packing {
       var cum = Long.MinValue // initialized from the first row's pid
       rows.map { r =>
         if (cum == Long.MinValue) cum = offsetsBc.value(r.getInt(pidIdx))
-        val toks = r.get(tokIdx).asInstanceOf[Number].longValue()
+        // NULL token counts contribute 0 — consistent with phase 2's
+        // sum(), which skips them (an unguarded cast NPE'd the task).
+        val toks = Option(r.get(tokIdx))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
         val before = cum
         cum += toks
         Row.fromSeq(keptIdx.map(r.get) ++ Seq(cum, before / seqLenL))

@@ -59,6 +59,33 @@ object RelationalQueries extends QueryPack {
   private def dsumStr(c: Column, scale: Int = 2): Column =
     dsum(c, scale).cast("string")
 
+  /** Gaps-and-islands session labeling shared by q19/q25/q28 (and
+    * mirrored by EventsStream.sessionizeBatch and the q19 oracle): adds
+    * `sess_id` to a (user_id, us, ...) frame — sessions close on a
+    * 30-minute inactivity gap. ONE place owns the gap rule, so the
+    * batch, stream, range-join and overlap-join pins cannot silently
+    * diverge on the boundary (`>` vs `>=`) or the constant. */
+  private val SessionGapUs = 30L * 60L * 1000000L
+
+  private def withSessionIds(e: DataFrame,
+      gapUs: Long = SessionGapUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    e.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "brk")
+  }
+
+  /** Session (start_us, end_us) spans per (user_id, sess_id). */
+  private def sessionSpans(events: DataFrame): DataFrame =
+    withSessionIds(events
+        .select(col("user_id"), unix_micros(col("ts")).as("us")))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+
   def queries: Seq[Q] = Seq(
     // ---- A1/A5/P5: scan → pushed filter → partial+final hash aggregate.
     Q("q01_pricing_summary",
@@ -417,17 +444,9 @@ object RelationalQueries extends QueryPack {
     // windows and the aggregate reuse that partitioning.
     Q("q19_sessionize",
       (s, dir) => {
-        val gapUs = 30L * 60L * 1000000L
-        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-        Tables(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
-            col("value"))
-          .withColumn("prev_us", lag(col("us"), 1).over(w))
-          .withColumn("brk",
-            when(col("prev_us").isNull ||
-              col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
-          .withColumn("sess_id", sum(col("brk")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        withSessionIds(Tables(s, dir, "events")
+            .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("value")))
           .groupBy(col("user_id"), col("sess_id"))
           .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
             count(lit(1)).as("n_events"),
@@ -598,20 +617,7 @@ object RelationalQueries extends QueryPack {
     Q("q25_range_join",
       (s, dir) => {
         val bucketUs = 3600L * 1000000L
-        val sess = Tables(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("us"))
-          .transform { e =>
-            val gapUs = 30L * 60L * 1000000L
-            val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-            e.withColumn("prev_us", lag(col("us"), 1).over(w))
-              .withColumn("brk",
-                when(col("prev_us").isNull ||
-                  col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
-              .withColumn("sess_id", sum(col("brk")).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-              .groupBy(col("user_id"), col("sess_id"))
-              .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
-          }
+        val sess = sessionSpans(Tables(s, dir, "events"))
           .withColumn("bucket", explode(sequence(
             floor(col("start_us") / bucketUs).cast("long"),
             floor(col("end_us") / bucketUs).cast("long"))))
@@ -665,20 +671,8 @@ object RelationalQueries extends QueryPack {
     Q("q28_interval_overlap_join",
       (s, dir) => {
         val bucketUs = 3600L * 1000000L
-        val gapUs = 30L * 60L * 1000000L
-        val sess = Tables(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("us"))
-          .transform { e =>
-            val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-            e.withColumn("prev_us", lag(col("us"), 1).over(w))
-              .withColumn("brk",
-                when(col("prev_us").isNull ||
-                  col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
-              .withColumn("sess_id", sum(col("brk")).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-              .groupBy(col("user_id"), col("sess_id"))
-              .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
-          }
+        val gapUs = SessionGapUs
+        val sess = sessionSpans(Tables(s, dir, "events"))
           .withColumn("bucket", explode(sequence(
             floor(col("start_us") / bucketUs).cast("long"),
             floor(col("end_us") / bucketUs).cast("long"))))

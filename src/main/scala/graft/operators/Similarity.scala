@@ -206,7 +206,9 @@ object Similarity {
       vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
-    val mask = (1L << r) - 1
+    // r == 64 would wrap `1L << 64` to 1 (JVM shift mod 64) and collapse
+    // every bucket to 0 — the full cross product in disguise.
+    val mask = if (r == 64) -1L else (1L << r) - 1
     def banded(df: DataFrame): DataFrame = {
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -482,8 +484,12 @@ object Similarity {
     */
   def recallReport(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val exact = bruteForceTopK(emb, queries, idCol, vecCol, k)
-      .select(col("qid"), col("nid"))
+    // Persisted: four method branches consume it, and re-running the
+    // O(corpus×queries) exact scoring per branch quadruples the
+    // report's dominant cost.
+    val exact = Caches.persist(
+      bruteForceTopK(emb, queries, idCol, vecCol, k)
+        .select(col("qid"), col("nid")))
     def one(method: String, approx: DataFrame): DataFrame =
       exact
         .join(approx.select(col("qid"), col("nid"), lit(1L).as("hit")),

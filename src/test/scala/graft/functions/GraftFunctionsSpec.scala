@@ -26,6 +26,27 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(row.getInt(5) == 8)
   }
 
+  test("quality score is a value in [0,1] even for empty text") {
+    import spark.implicits._
+    val rows = Seq("", "   ", "the quick brown fox is here now")
+      .toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q"))
+      .collect().map(_.getDouble(0))
+    // An unguarded x/0 would make these NULL, silently dropping empty
+    // docs from BOTH sides of a quality-threshold filter.
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0), rows.toSeq.toString)
+    assert(rows(0) == 0.0)
+  }
+
+  test("simhash_of_hashes is SQL-registered (the d04 pipeline shape)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash_of_hashes(hashed_word_shingles('a b c d', 2)) s1,
+        |       simhash_of_hashes(hashed_word_shingles('a b c d', 2)) s2
+        |""".stripMargin).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("SQL and Column APIs produce identical results on real data") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet(sf("documents.parquet"))
