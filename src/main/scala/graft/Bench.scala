@@ -13,8 +13,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one small end-to-end query JITs the scan/agg/join
     // codegen paths and datasource init so the first timed query isn't
-    // charged for session warmup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // charged for session warmup. Runs against the SAME data dir the
+    // bench targets (the entry query's fixed sf0.001 path may not exist
+    // in every environment, which a swallow-all catch would hide).
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case scala.util.control.NonFatal(t) =>
+      System.err.println(s"warmup failed (continuing): $t") }
     // Three timed passes per query, report the min — local bench timings
     // are exposed to host-level noise (observed 2× swings on identical
     // binaries); the min is the stable estimate of the plan's cost.
@@ -25,8 +29,14 @@ object Bench {
     def pass(): Seq[(String, (Double, Option[String]))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-          catch { case t: Throwable =>
+        // foreach(noop) consumes every fully-projected row — count()
+        // would let Catalyst prune final projections and unreferenced
+        // aggregate expressions, under-measuring expression-heavy
+        // queries. NonFatal only: an OOM must abort the run, not land
+        // as a "-1" in the record while later queries time a corrupted
+        // heap.
+        val err = try { fn(spark, sfDir).foreach(_ => ()); None }
+          catch { case scala.util.control.NonFatal(t) =>
             Some(t.toString.replaceAll("\\s+", " ").take(300)) }
         val t = (System.nanoTime() - t0) / 1e9
         // Release pipeline caches so one query's persisted intermediates

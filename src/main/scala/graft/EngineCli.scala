@@ -56,8 +56,16 @@ object EngineCli {
 
   def main(args: Array[String]): Unit = {
     val verb = args.headOption.getOrElse("run")
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    // Strict --flag value pairing: an odd arg list or a bare flag would
+    // otherwise pair flags with each other and silently drop the user's
+    // intent (`run --full-refresh --select m` ran the full DAG
+    // incrementally with --select lost).
+    val rest = args.drop(1)
+    require(rest.length % 2 == 0 &&
+      rest.grouped(2).forall(_.head.startsWith("--")),
+      s"options must be '--flag value' pairs, got: ${rest.mkString(" ")}")
+    val opts = rest.sliding(2, 2).collect {
+      case Array(k, v) => k.stripPrefix("--") -> v
     }.toMap
     val dir = opts.getOrElse("dir", "/root/testdata/sf0.001")
     val target = opts.getOrElse("target", "dev") match {
@@ -186,9 +194,20 @@ object EngineCli {
       case "test" =>
         // dbt-build semantics: tests on model relations need the models
         // materialized in THIS session (the in-memory catalog does not
-        // survive across JVMs), so run the DAG first.
-        runner.run(spark)
-        val report = runner.testReport(spark).collect()
+        // survive across JVMs), so run the (selected) DAG first.
+        // --select scopes both the build and the tests — a test anchored
+        // to an unselected model may have no relation to validate;
+        // source-anchored tests (dotted relations) always run.
+        val sel = opts.get("select")
+        val built = runner.run(spark, sel,
+          threads = opts.getOrElse("threads", "1").toInt)
+        val inScope: String => Boolean = sel match {
+          case None => _ => true
+          case Some(_) =>
+            val names = built.map(_.name).toSet
+            rel => names(rel) || rel.contains('.')
+        }
+        val report = runner.testReport(spark, inScope).collect()
         val severity = runner.testSeverity
         report.foreach { row =>
           val (id, n) = (row.getString(0), row.getLong(1))
@@ -198,7 +217,7 @@ object EngineCli {
             else "FAIL"
           println(f"$verdict%-5s $id%-55s violations=$n")
         }
-        val stored = runner.storeFailures(spark)
+        val stored = runner.storeFailures(spark, inScope)
         stored.foreach(r => println(s"stored failures -> $r"))
         // dbt 1.8: `test` also runs the project's unit tests.
         val units = runner.runUnitTests(spark).collect()
@@ -246,8 +265,11 @@ object EngineCli {
         runner.registerSources(spark)
         val rows = runner.freshnessReport(spark).collect()
         rows.foreach { row =>
+          // age is NULL when the source is empty/un-castable (itself an
+          // error verdict) — getLong would NPE before the exit-1 path.
+          val age = if (row.isNullAt(2)) "n/a" else row.getLong(2).toString
           println(f"${row.getString(3).toUpperCase}%-6s ${row.getString(0)}%-24s " +
-            f"max_loaded_at=${row.get(1)} age_s=${row.getLong(2)}")
+            f"max_loaded_at=${row.get(1)} age_s=$age")
         }
         // dbt exit semantics: stale sources fail the invocation.
         if (rows.exists(_.getString(3) == "error")) sys.exit(1)
@@ -259,26 +281,37 @@ object EngineCli {
             f"temp=${r.getBoolean(2)}")
         }
       case "build" =>
-        // dbt build: materialize the DAG, then run every declared test —
-        // one verb for the deploy path; exit 1 if any test fails.
+        // dbt build: materialize the DAG, then run every declared test
+        // (data AND unit — the deploy path must gate on everything the
+        // test verb gates on); exit 1 on error-severity failures only,
+        // with warn-severity printed as WARN exactly like `test`.
         val results = runner.run(spark, opts.get("select"),
           runResultsPath = Some(s"$warehouse/run_results.json"),
           threads = opts.getOrElse("threads", "1").toInt)
-        results.foreach { r =>
-          println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
-            f"-> ${r.relation}%-32s ${r.millis}%6d ms")
-        }
+        printResults(results)
         val report = runner.testReport(spark).collect()
-        report.foreach { row =>
-          println(f"${if (row.getLong(1) == 0) "PASS" else "FAIL"}%-5s " +
-            f"${row.getString(0)}%-55s violations=${row.getLong(1)}")
-        }
         val severity = runner.testSeverity
+        report.foreach { row =>
+          val verdict =
+            if (row.getLong(1) == 0) "PASS"
+            else if (severity.getOrElse(row.getString(0), "error") == "warn")
+              "WARN"
+            else "FAIL"
+          println(f"$verdict%-5s ${row.getString(0)}%-55s " +
+            f"violations=${row.getLong(1)}")
+        }
+        val units = runner.runUnitTests(spark).collect()
+        units.foreach { u =>
+          println(f"${u.getString(2).toUpperCase}%-5s unit:${u.getString(0)}%-49s " +
+            f"model=${u.getString(1)}")
+        }
         val bad = report.count(r => r.getLong(1) != 0 &&
-          severity.getOrElse(r.getString(0), "error") == "error")
+          severity.getOrElse(r.getString(0), "error") == "error") +
+          units.count(_.getString(2) == "fail")
         println(s"build: ${results.size} models, " +
-          s"${report.count(_.getLong(1) == 0)}/${report.length} tests " +
-          s"passed ($bad error-severity failures)")
+          s"${report.count(_.getLong(1) == 0)}/${report.length} tests, " +
+          s"${units.count(_.getString(2) == "pass")}/${units.length} " +
+          s"unit tests ($bad error-severity failures)")
         if (bad > 0) sys.exit(1)
       case "docs" =>
         // dbt docs generate: manifest.json (nodes + parent map) and
@@ -292,11 +325,8 @@ object EngineCli {
         // dbt seed: materialize only the seed tier.
         val seedNames = project.models.collect { case s: SeedModel => s.name }
         if (seedNames.isEmpty) println("0 seeds in project")
-        else runner.run(spark, select = Some(seedNames.mkString(" ")))
-          .foreach { r =>
-            println(f"${r.status.toUpperCase}%-8s ${r.name}%-28s " +
-              f"-> ${r.relation}%-32s ${r.millis}%6d ms")
-          }
+        else printResults(
+          runner.run(spark, select = Some(seedNames.mkString(" "))))
       case other =>
         System.err.println(s"unknown verb: $other (expected run|build|" +
           "test|compile|deps|freshness|ls|seed|snapshot|retry|show|docs)")

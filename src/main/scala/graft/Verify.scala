@@ -27,9 +27,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach {
       case (name, fn) =>
+        // NonFatal only: an OOM must abort the dump — every later gate
+        // would otherwise "fail" against a corrupted heap and zero the
+        // round's correctness for the wrong reason.
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         finally graft.core.Caches.releaseAll()

@@ -1423,10 +1423,11 @@ final class Runner(
     * so-configured test to `<schema>_<test_id>__failures` — the audit
     * relation a user inspects instead of re-running the test query.
     * Call after [[run]] (model-relation tests need their relations). */
-  def storeFailures(spark: SparkSession): Seq[String] = {
+  def storeFailures(spark: SparkSession,
+      only: String => Boolean = _ => true): Seq[String] = {
     registerSources(spark)
     val resolve = testResolver(spark)
-    project.tests.collect {
+    project.tests.filter(t => only(t.relation)).collect {
       case WithConfig(t, _, true) =>
         // Test ids embed relation names ("not_null__tpch.orders__…");
         // sanitize to a single identifier segment.
@@ -1471,11 +1472,17 @@ final class Runner(
     * conditional count per test; only join-shaped tests (unique,
     * relationships) get their own plan. At warehouse scale this is the
     * difference between N table passes and one. */
-  def testReport(spark: SparkSession): DataFrame = {
+  /** `only` scopes the report to tests whose anchor relation passes —
+    * the CLI's `test --select` uses it so tests anchored to UNSELECTED
+    * (and therefore possibly unbuilt) models are skipped rather than
+    * failing resolution. */
+  def testReport(spark: SparkSession,
+      only: String => Boolean = _ => true): DataFrame = {
     registerSources(spark)
     val resolve = testResolver(spark)
     val (rowTests, planTests) =
-      project.tests.partition(_.rowCondition.isDefined)
+      project.tests.filter(t => only(t.relation))
+        .partition(_.rowCondition.isDefined)
     val fused = rowTests.groupBy(_.relation).toSeq.map { case (rel, ts) =>
       val aggs = ts.zipWithIndex.map { case (t, i) =>
         sum(when(t.rowCondition.get, 1L).otherwise(0L)).as(s"_t$i")

@@ -162,9 +162,11 @@ object TastyBytesProject {
       IsPositiveAmount(src("order_detail"), "price"))
   }
 
-  lazy val project: Project = ProjectLoader.load(
-    modelsDir, sources, codeModels = Seq(salesMetricsByLocation),
-    tests = tests)
+  // Built from the ALREADY-PARSED fileModels (ProjectLoader.load would
+  // re-read and re-parse every model file a second time).
+  lazy val project: Project = Project(sources,
+    fileModels.values.toSeq.sortBy(_.name) ++ Seq(salesMetricsByLocation),
+    tests)
 
   def runner(target: Target = Target.dev): Runner =
     new Runner(project, target,
