@@ -3,6 +3,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional regex arg filters the benched queries for local iteration
+    // (mirrors Verify's third arg). The driver passes no args, so the
+    // round artifact always covers the full inventory.
+    val nameFilter = args.headOption.map(_.r)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      nameFilter.forall(_.findFirstIn(n).isDefined)
+    }
+    if (selected.isEmpty) {
+      System.err.println(s"no queries match filter ${args.headOption}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +38,7 @@ object Bench {
     // before throwing: its time is -1 and the error rides in "errors", so
     // a regression can never masquerade as a fast query.
     def pass(): Seq[(String, (Double, Option[String]))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // foreach(noop) consumes every fully-projected row — count()
         // would let Catalyst prune final projections and unreferenced
@@ -75,6 +86,9 @@ object Bench {
     // queries, losing the d/m/mm/o families from the record — persist
     // the complete JSON in-repo as well (BENCH_full.json, committed per
     // round) so every per-query time survives in history.
+    // A filtered run is a local probe — never let it clobber the
+    // committed full-inventory record.
+    if (nameFilter.isDefined) { spark.stop(); return }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),

@@ -40,7 +40,8 @@ object GraftFunctions {
     "hyperplane_sig" ->
       (es => HyperplaneSig(es.head, intArg(es(1), "bits"))),
     "rolling_hash_min" ->
-      (es => RollingHashMin(es.head, intArg(es(1), "window"))))
+      (es => RollingHashMin(es.head, intArg(es(1), "window"))),
+    "char_entropy" -> (es => CharEntropy(es.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -584,6 +584,68 @@ case class HyperplaneSig(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Shannon entropy (bits/char) of a string's character distribution in a
+  * single O(len) pass — the native replacement for the higher-order-function
+  * formulation (`transform(array_distinct(split(c,"")), ch ->
+  * -p·log2(p))`), which is O(distinct·len) per row with a boxed lambda
+  * evaluation per (distinct, char) pair and measured 19.8 s for the t14
+  * gate at sf0.1 once the bench consumed full projections (the native
+  * pass is ~60×: one counting sweep + one ~distinct-sized sum).
+  *
+  * Numeric contract (the t14 oracle hash-matches on it): terms are summed
+  * in FIRST-OCCURRENCE order of the distinct characters — exactly
+  * `array_distinct`'s order — with a left fold from 0.0, each term
+  * computed as `(-p) * (log(p) / log 2)` like Spark's `Log2`, so the
+  * result is bit-identical to the column formulation it replaces.
+  * `StrictMath.log`, NOT `Math.log`: HotSpot may substitute a C2
+  * intrinsic for `Math.log` whose result differs from the interpreted
+  * StrictMath fallback by 1 ulp (observed on 4% of the corpus), i.e.
+  * `Math.log` output depends on JIT state — unusable in a value that
+  * feeds a hash-compared gate. The column formulation evaluates through
+  * Spark's interpreted HOF path, which lands on the StrictMath values.
+  * Characters are Unicode code points (what `split(c, "")` produces);
+  * empty string → 0.0, NULL → NULL.
+  *
+  * CodegenFallback like the other unary kernels here: the O(len) loop
+  * dominates per-row cost, so the fallback call overhead is noise.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  private val Ln2 = StrictMath.log(2.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return java.lang.Double.valueOf(0.0)
+    // LinkedHashMap = counts AND first-occurrence order in one structure;
+    // the map holds ~alphabet-size entries, not ~len.
+    val counts = new java.util.LinkedHashMap[Integer, Integer]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val k = Integer.valueOf(cp)
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1 else prev + 1)
+    }
+    val nd = n.toDouble
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / nd
+      acc += -p * (StrictMath.log(p) / Ln2)
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object Hashing {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -605,4 +667,5 @@ object Hashing {
   def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))
   def byteHistogram(col: Column, buckets: Int): Column =
     c(ByteHistogram(e(col), buckets))
+  def charEntropy(col: Column): Column = c(CharEntropy(e(col)))
 }
