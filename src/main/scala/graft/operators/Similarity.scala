@@ -339,27 +339,41 @@ object Similarity {
     * blew the corpus up ×nlist and then shuffled the blown-up rows just
     * to take a per-row argmax — a non-starter at 100 TB.
     */
+  /** IVF coarse codebook: the first `nlist` corpus vectors by id —
+    * deterministic seeding (k-means refinement would slot in here),
+    * collected once as a bounded driver-side structure. */
+  private def ivfCodebook(corpus: DataFrame, nlist: Int)
+      : Array[(Long, Array[Double], Double)] =
+    corpus.orderBy(col("vid")).limit(nlist)
+      .select(col("vid"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** The `n` nearest coarse buckets of each (vid, v, nrm) point, ROW-LOCAL:
+    * the codebook is inlined as literals into one array of (−sim, cid)
+    * structs per row, `array_sort`ed lexicographically so ties break
+    * exactly like a (csim DESC, cid ASC) ranking, then sliced to `n`.
+    * Zero shuffle and (for n = 1) zero row expansion. */
+  private def nearestBuckets(points: DataFrame,
+      codebook: Array[(Long, Array[Double], Double)], n: Int): DataFrame = {
+    val entries = codebook.map { case (cid, cv, cn) =>
+      struct(
+        (-sim(col("v"), col("nrm"), lit(cv), lit(cn))).as("neg"),
+        lit(cid).as("cid"))
+    }
+    points
+      .withColumn("cid_top", slice(array_sort(array(entries.toIndexedSeq: _*)), 1, n))
+      .select(col("vid"), col("v"), col("nrm"),
+        explode(col("cid_top")).as("cc"))
+      .select(col("vid"), col("v"), col("nrm"), col("cc.cid").as("cid"))
+  }
+
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
-    val codebook: Array[(Long, Array[Double], Double)] =
-      corpus.orderBy(col("vid")).limit(nlist)
-        .select(col("vid"), col("v"), col("nrm")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    def nearestBuckets(points: DataFrame, n: Int): DataFrame = {
-      val entries = codebook.map { case (cid, cv, cn) =>
-        struct(
-          (-sim(col("v"), col("nrm"), lit(cv), lit(cn))).as("neg"),
-          lit(cid).as("cid"))
-      }
-      points
-        .withColumn("cid_top", slice(array_sort(array(entries.toIndexedSeq: _*)), 1, n))
-        .select(col("vid"), col("v"), col("nrm"),
-          explode(col("cid_top")).as("cc"))
-        .select(col("vid"), col("v"), col("nrm"), col("cc.cid").as("cid"))
-    }
-    val bucketed = nearestBuckets(corpus, 1) // corpus: single assignment
-    val probes = nearestBuckets(normalized(queries, idCol, vecCol), nprobe)
+    val codebook = ivfCodebook(corpus, nlist)
+    val bucketed = nearestBuckets(corpus, codebook, 1) // single assignment
+    val probes = nearestBuckets(normalized(queries, idCol, vecCol),
+        codebook, nprobe)
       .select(col("vid").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid"))
     // Queries are the small side by construction — broadcast them so the
@@ -430,40 +444,103 @@ object Similarity {
     * `+` left-associatively. Every step rounds before ranking, so this
     * approximate index has an EXACT cross-engine oracle (v10), like
     * v08's quantized cosine. */
-  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, subspaces: Int = 4, nCodes: Int = 16)
-      : DataFrame = {
-    val corpus = emb.select(col(idCol).cast("long").as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
+  /** PQ sub-codebooks seeded from the first `nCodes` RAW corpus vectors by
+    * id (deterministic, exactly like [[ivfCodebook]]): `centers(sp)(j)` is
+    * seed j's slice for subspace sp. Returns (centers, subDim). */
+  private def pqCenters(corpus: DataFrame, subspaces: Int, nCodes: Int)
+      : (Array[Array[Seq[Double]]], Int) = {
     val seeds: Array[Array[Double]] = corpus.orderBy(col("vid"))
       .limit(nCodes).select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     val dims = seeds.head.length
     require(dims % subspaces == 0, "subspaces must divide dims")
     val subDim = dims / subspaces
-    val centers: Array[Array[Seq[Double]]] = Array.tabulate(subspaces,
-      nCodes)((sp, j) => seeds(j).slice(sp * subDim, (sp + 1) * subDim).toSeq)
-    def sub(c: Column, sp: Int) = slice(c, sp * subDim + 1, subDim)
-    def code(c: Column, sp: Int): Column = {
-      val entries = (0 until nCodes).map { j =>
-        struct(
-          (-round(Hashing.dotProduct(sub(c, sp),
-            lit(centers(sp)(j).toArray)), 6)).as("neg"),
-          lit(j).as("j"))
-      }
-      element_at(array_sort(array(entries: _*)), 1).getField("j")
+    (Array.tabulate(subspaces, nCodes)((sp, j) =>
+      seeds(j).slice(sp * subDim, (sp + 1) * subDim).toSeq), subDim)
+  }
+
+  private def pqSub(c: Column, sp: Int, subDim: Int): Column =
+    slice(c, sp * subDim + 1, subDim)
+
+  /** Row-local PQ encode: per subspace, the max rounded-dot code against
+    * the inlined codebook (ties to the lower index). */
+  private def pqCode(c: Column, sp: Int,
+      centers: Array[Array[Seq[Double]]], subDim: Int): Column = {
+    val entries = centers(sp).indices.map { j =>
+      struct(
+        (-round(Hashing.dotProduct(pqSub(c, sp, subDim),
+          lit(centers(sp)(j).toArray)), 6)).as("neg"),
+        lit(j).as("j"))
     }
+    element_at(array_sort(array(entries: _*)), 1).getField("j")
+  }
+
+  /** Asymmetric distance computation: the sum of per-subspace dots between
+    * the RAW query slice and the chosen codebook center, accumulated
+    * left-to-right so the double fold matches any engine that chains `+`
+    * left-associatively. */
+  private def pqAdcScore(qv: Column, centers: Array[Array[Seq[Double]]],
+      subDim: Int): Column =
+    centers.indices.map { sp =>
+      Hashing.dotProduct(pqSub(qv, sp, subDim),
+        element_at(typedLit(centers(sp).toSeq), col(s"c$sp") + 1))
+    }.reduce(_ + _)
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, subspaces: Int = 4, nCodes: Int = 16)
+      : DataFrame = {
+    val corpus = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val (centers, subDim) = pqCenters(corpus, subspaces, nCodes)
     val encoded = corpus.select(col("vid") +:
-      (0 until subspaces).map(sp => code(col("v"), sp).as(s"c$sp")): _*)
+      (0 until subspaces).map(sp =>
+        pqCode(col("v"), sp, centers, subDim).as(s"c$sp")): _*)
     val q = queries.select(col(idCol).cast("long").as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
-    val adc = (0 until subspaces).map { sp =>
-      Hashing.dotProduct(sub(col("qv"), sp),
-        element_at(typedLit(centers(sp).toSeq), col(s"c$sp") + 1))
-    }.reduce(_ + _) // left-assoc chain — mirrored by the oracle
     val scored = encoded.join(broadcast(q), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("nid"),
-        round(adc, 6).as("score"))
+        round(pqAdcScore(col("qv"), centers, subDim), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** IVF + PQ — THE production ANN layout at 100 TB: the IVF coarse index
+    * prunes the scan to `nprobe`/`nlist` of the corpus, and PQ code
+    * storage (here 4 codes/vector) decides whether the pruned index fits
+    * in memory at all. Composition of [[ivfTopK]]'s deterministic coarse
+    * bucketing (codebook = first `nlist` vectors, rounded cosine, cid
+    * tiebreak) with [[pqTopK]]'s deterministic encode + ADC scoring — so
+    * unlike real-world IVF-PQ this whole index build, probe and ranking
+    * has an EXACT cross-engine oracle (v11). Classic IVF-PQ encodes
+    * residuals (v − centroid); plain-vector encoding keeps the codebooks
+    * query-independent and the oracle expressible while preserving the
+    * layout's cost shape.
+    *
+    * Scale shape: corpus passes are row-local scans (bucket assignment
+    * AND encode inline literal codebooks — zero shuffle, zero expansion);
+    * queries broadcast with their probe fan-out; the only shuffle is the
+    * per-query top-k window over bucket-pruned candidates. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      subspaces: Int = 4, nCodes: Int = 16): DataFrame = {
+    val corpus = normalized(emb, idCol, vecCol)
+    val coarse = ivfCodebook(corpus, nlist)
+    val (centers, subDim) = pqCenters(corpus, subspaces, nCodes)
+    // One corpus scan emits bucket AND codes; v/nrm are dropped — the
+    // scored candidates carry only (cid, vid, c0..c{sp}), the PQ point.
+    val encoded = nearestBuckets(corpus, coarse, 1)
+      .select(col("cid") +: col("vid") +:
+        (0 until subspaces).map(sp =>
+          pqCode(col("v"), sp, centers, subDim).as(s"c$sp")): _*)
+    val probes = nearestBuckets(normalized(queries, idCol, vecCol),
+        coarse, nprobe)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("cid"))
+    val scored = encoded.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(pqAdcScore(col("qv"), centers, subDim), 6).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
@@ -504,6 +581,7 @@ object Similarity {
             .as("recall_at_k"))
     one("int8", quantizedTopK(emb, queries, idCol, vecCol, k))
       .unionByName(one("ivf", ivfTopK(emb, queries, idCol, vecCol, k)))
+      .unionByName(one("ivfpq", ivfPqTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("pq", pqTopK(emb, queries, idCol, vecCol, k)))
   }

@@ -273,6 +273,81 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // IVF + PQ composed (Similarity.ivfPqTopK) — the production ANN
+    // layout: coarse buckets prune the scan, PQ codes shrink the index.
+    // Both stages are the deterministic v04/v10 constructions, so the
+    // FUSED index (assignment → probes → encode → ADC → top-k) still has
+    // an exact SQL oracle: v04's bucketing CTEs feeding v10's ADC join.
+    Q("v11_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+             |  ORDER BY vec_id LIMIT 16),
+             |casg AS (
+             |  SELECT n.vec_id vid, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb),
+             |bucketed AS (SELECT vid, cid FROM casg WHERE rnk = 1),
+             |qasg AS (
+             |  SELECT n.vec_id qid, n.v qv, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb WHERE n.vec_id < 5),
+             |probes AS (SELECT qid, qv, cid FROM qasg WHERE rnk <= 4),
+             |seed AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |pcb AS (
+             |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
+             |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
+             |enc0 AS (
+             |  SELECT e.vec_id, pcb.sp, pcb.j,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.sp ORDER BY
+             |      ROUND(list_dot_product(
+             |        list_slice(e.v, pcb.sp * 16 + 1, pcb.sp * 16 + 16),
+             |        pcb.c), 6) DESC, pcb.j) rnk
+             |  FROM e, pcb),
+             |encp AS (
+             |  SELECT vec_id,
+             |    MAX(CASE WHEN sp = 0 THEN j END) c0,
+             |    MAX(CASE WHEN sp = 1 THEN j END) c1,
+             |    MAX(CASE WHEN sp = 2 THEN j END) c2,
+             |    MAX(CASE WHEN sp = 3 THEN j END) c3
+             |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
+             |scored AS (
+             |  SELECT p.qid, b.vid nid,
+             |    ROUND(
+             |      list_dot_product(list_slice(p.qv,  1, 16), cb0.c)
+             |    + list_dot_product(list_slice(p.qv, 17, 32), cb1.c)
+             |    + list_dot_product(list_slice(p.qv, 33, 48), cb2.c)
+             |    + list_dot_product(list_slice(p.qv, 49, 64), cb3.c), 6)
+             |      AS score
+             |  FROM bucketed b
+             |  JOIN probes p USING (cid)
+             |  JOIN encp pc ON pc.vec_id = b.vid
+             |  JOIN pcb cb0 ON cb0.sp = 0 AND cb0.j = pc.c0
+             |  JOIN pcb cb1 ON cb1.sp = 1 AND cb1.j = pc.c1
+             |  JOIN pcb cb2 ON cb2.sp = 2 AND cb2.j = pc.c2
+             |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = pc.c3
+             |  WHERE b.vid <> p.qid),
+             |ranked AS (
+             |  SELECT qid, nid, score,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, nid) rn
+             |  FROM scored)
+             |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
     // Every step is engine-reproducible (first-k seeding, raw-double

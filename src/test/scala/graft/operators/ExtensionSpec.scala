@@ -97,7 +97,7 @@ class ExtensionSpec extends SparkSuite {
       .orderBy(col("method")).collect()
     val r1 = report()
     assert(r1.map(_.getString(0)).toSeq ==
-      Seq("int8", "ivf", "lsh", "pq"))
+      Seq("int8", "ivf", "ivfpq", "lsh", "pq"))
     assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
       .columns.toSeq ==
       Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
@@ -110,8 +110,14 @@ class ExtensionSpec extends SparkSuite {
         s"unexpected query/exact counts: $r")
       // PQ at 4×16 codes is the coarsest tier (a 32× memory cut scored
       // by reconstruction) — it is a candidate generator for re-ranking,
-      // so its floor sits below the direct-ranking methods'.
-      val floor = if (r.getString(0) == "pq") 0.2 else 0.5
+      // so its floor sits below the direct-ranking methods'; IVF-PQ
+      // stacks bucket pruning ON TOP of that coarse scoring, so it can
+      // only lose further candidates vs plain PQ.
+      val floor = r.getString(0) match {
+        case "ivfpq" => 0.15
+        case "pq" => 0.2
+        case _ => 0.5
+      }
       assert(recall >= floor && recall <= 1.0,
         s"${r.getString(0)} recall $recall outside [$floor, 1]")
       assert(r.getLong(4) <= r.getLong(3))
@@ -160,6 +166,29 @@ class ExtensionSpec extends SparkSuite {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
+  test("IVF-PQ: ADC scores agree with plain PQ, ranking is deterministic") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity
+      .ivfPqTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val ivfpq = run()
+    assert(ivfpq.toSeq == run().toSeq) // re-run stability
+    // Same sub-codebooks, same ADC fold ⇒ any pair surviving the bucket
+    // pruning must carry EXACTLY the score plain PQ assigns it.
+    val pq = Similarity
+      .pqTopK(emb, queries, "vec_id", "embedding", 50)
+      .select("qid", "nid", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val checked = ivfpq.count { case (pair, score) =>
+      pq.get(pair) match {
+        case Some(s) => assert(s == score, s"$pair: ivfpq $score vs pq $s"); true
+        case None => false // pruned below pq's deep-k cut — can't compare
+      }
+    }
+    assert(checked > 0, "no overlapping pairs to cross-check")
   }
 
   test("as-of join ≡ naive range-join argmax formulation") {
