@@ -301,6 +301,36 @@ object EventsStream {
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
 
+  /** Native merging session windows (`session_window`) — the DECLARATIVE
+    * twin of [[sessionize]]: Spark's built-in session-window state store
+    * does the merge/flush bookkeeping the custom `flatMapGroupsWithState`
+    * path hand-rolls, with the same one-shuffle-on-key shape. Kept as a
+    * separate gated operator because the two paths are the real API
+    * choice a user makes (built-in windows vs custom state).
+    *
+    * Boundary semantics MATCH [[sessionize]] (verified empirically, and
+    * pinned by the EventsStreamSpec boundary test): an event exactly
+    * `gap` after its predecessor still merges — Spark's session-window
+    * state merges sessions whose start is ≤ the current end (inclusive),
+    * not only strictly-overlapping windows. The one contract difference
+    * from the custom path is the emitted window end: last event + gap,
+    * not the last event time.
+    *
+    * Value sums accumulate as DECIMAL(18,4) — exact, so emitted sessions
+    * are independent of micro-batch slicing / replay order. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Batch-equivalent sessionization (window lag + cumulative session ids)
     * — the classic gaps-and-islands formulation; pins [[sessionize]]. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

@@ -251,6 +251,54 @@ object StreamingQueries extends QueryPack {
              |  COUNT(*) AS n_events,
              |  CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
              |FROM s GROUP BY user_id, sess_id
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Native merging session windows (session_window) — the built-in
+    // declarative alternative to st03's custom state. Same sentinel trick
+    // to advance the final watermark, same inclusive gap rule (boundary
+    // pinned by EventsStreamSpec); the oracle differs from st03's only in
+    // the operator's end contract: window end = last event + gap.
+    Q("st08_session_window",
+      (s, dir) => {
+        val feedDir = Files.createTempDirectory("graft_st08_feed")
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          feedDir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        s.read.schema(EventsStream.rawSchema)
+          .parquet(s"$dir/events.parquet").limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts",
+            (col("ts") + lit(3650L * 86400L * 1000000000L)).cast("long"))
+          .write.mode("append").parquet(feedDir.toString)
+        val sessions = EventsStream.sessionWindowAgg(
+          EventsStream.read(s, feedDir.toString))
+        runToCompletion(sessions, "st08_session_window_sink", "append")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events"),
+            col("sum_value").cast("decimal(38,4)").cast("string")
+              .as("sum_value"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) AS v
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s AS (
+             |  SELECT *, CAST(SUM(brk) OVER (
+             |    PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+             |  FROM g)
+             |SELECT user_id, MIN(us) AS start_us,
+             |  MAX(us) + 1800000000 AS end_us,
+             |  COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+             |FROM s GROUP BY user_id, sess_id
              |ORDER BY user_id, start_us""".stripMargin))
   )
 }

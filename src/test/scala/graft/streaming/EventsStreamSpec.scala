@@ -142,6 +142,61 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session_window gap boundary: inclusive merge, end = last + gap") {
+    // Pins the two contract points the st08 oracle depends on, verified
+    // against the REAL operator (not assumed from the docs): an event
+    // exactly `gap` after its predecessor still MERGES (Spark's session
+    // state merges start ≤ current end, inclusive — the same rule as the
+    // custom sessionize path, so st03/st08 share a break condition), and
+    // the emitted end is last event + gap. An event gap+1µs after breaks.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-swb").toString
+    val t0 = 1700000000L * 1000000000L // epoch nanos
+    val gapNs = 1800L * 1000000000L
+    Seq(
+      // user 1: second event EXACTLY gap after the first — merges.
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, t0 + gapNs, 1L, "view", 2.0, "{}"),
+      // user 2: 1µs PAST the gap — breaks into two sessions.
+      (3L, t0, 2L, "view", 3.0, "{}"),
+      (4L, t0 + gapNs + 1000L, 2L, "view", 4.0, "{}"),
+      // sentinel: advances the final watermark so append mode flushes.
+      (5L, t0 + 365L * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+
+    def runStream(out: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).filter(col("user_id") >= 0)
+    }
+
+    val t0us = t0 / 1000L
+    val gapUs = gapNs / 1000L
+    val native = runStream(
+      EventsStream.sessionWindowAgg(EventsStream.read(spark, dir)), "swb_n")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(native.toSeq == Seq(
+      (1L, t0us, t0us + 2 * gapUs, 2L), // diff == gap: ONE session
+      (2L, t0us, t0us + gapUs, 1L),     // diff == gap + 1µs: split,
+      (2L, t0us + gapUs + 1L, t0us + 2 * gapUs + 1L, 1L)))
+
+    val custom = runStream(
+      EventsStream.sessionize(EventsStream.read(spark, dir)).toDF(), "swb_c")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(custom.toSeq == Seq(
+      (1L, t0us, t0us + gapUs, 2L), // same sessions, end = LAST EVENT
+      (2L, t0us, t0us, 1L),
+      (2L, t0us + gapUs + 1L, t0us + gapUs + 1L, 1L)))
+  }
+
   test("keyed upsert never regresses a key on out-of-order batches") {
     import spark.implicits._
     val path = java.nio.file.Files
