@@ -24,10 +24,9 @@ object Tables {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, expr}
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(raw.columns.map(col).toIndexedSeq: _*)
+    import org.apache.spark.sql.functions.expr
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 }
 

@@ -514,6 +514,24 @@ object Dedup {
       "1-bit multiprobe over 8 bands guarantees recall only to hamming 15")
     val sig = reps.select(col("doc_id"),
       Hashing.simhashOfHashes(col("shingles")).as("sig"))
+    val candidates = bandedSimhashCandidates(sig)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    verified(candidates.select("doc_a", "doc_b"), sh, threshold)
+      .join(candidates, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))
+  }
+
+  /** The raw banded + 1-bit-multiprobe candidate stream over (doc_id,
+    * sig) rows: 8 8-bit bands; the probe side replicates each band key 9×
+    * (the key plus its 8 one-bit flips) and joins the un-probed side, so
+    * flipping the differing bit on EITHER side lands on the same key —
+    * one direction of the asymmetric join covers hamming ≤ 15 by
+    * pigeonhole. Emits (doc_a, doc_b, hamming) PRE-distinct and
+    * PRE-verification — callers filter/distinct/verify. Package-visible
+    * so the scale/volume probes in `graft.tools` measure EXACTLY this
+    * join rather than drifting hand copies of it. */
+  private[graft] def bandedSimhashCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
@@ -526,17 +544,12 @@ object Dedup {
       (0 until 8).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
     val probes = banded.select(col("doc_id"), col("sig"), col("band"),
       explode(array(probeKeys: _*)).as("bucket"))
-    val candidates = probes.as("a")
+    probes.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
-    verified(candidates.select("doc_a", "doc_b"), sh, threshold)
-      .join(candidates, Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))
   }
 }

@@ -123,14 +123,19 @@ object EventsStream {
         val spark = batch.sparkSession
         val updated = batch.withColumn("day", to_date(col("hour")))
         val days = updated.select("day").distinct()
-        val current = try
-          spark.read.parquet(path)
+        // Only the READ is the expected first-trigger failure; the joins
+        // stay outside the catch — an AnalysisException from column
+        // resolution (schema drift in an existing mart) must ABORT the
+        // trigger, not be mistaken for "no mart yet" and let the dynamic
+        // overwrite replace touched days with batch-only rows.
+        val existing = try Some(spark.read.parquet(path))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val current = existing match {
+          case Some(mart) => mart
             .join(broadcast(days), Seq("day"), "left_semi")
             .join(updated.select("hour", "event_type"),
               Seq("hour", "event_type"), "left_anti")
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          // first trigger: no mart yet
-          updated.limit(0)
+          case None => updated.limit(0)
         }
         updated.unionByName(current.select(updated.columns.map(col): _*))
           // The write overwrites the very path `current` reads; truncate

@@ -84,9 +84,11 @@ object StreamingQueries extends QueryPack {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // foreachBatch incremental mart: update-mode hourly agg where each
-    // micro-batch dynamically overwrites exactly the hour partitions it
-    // touched. The gate reads the MART PARQUET back — so the oracle checks
-    // the materialized incremental table, not the in-flight stream.
+    // micro-batch dynamically overwrites exactly the DAY partitions it
+    // touched (hour rides as a data column — see EventsStream.hourlyMart
+    // for the day-over-hour partition-granularity rationale). The gate
+    // reads the MART PARQUET back — so the oracle checks the materialized
+    // incremental table, not the in-flight stream.
     Q("st04_stream_incremental_mart",
       (s, dir) => {
         val feedDir = Files.createTempDirectory("graft_st04_feed")
@@ -130,13 +132,18 @@ object StreamingQueries extends QueryPack {
         runToCompletion(joined, "st05_stream_join_sink", "append")
           .orderBy(col("user_id"), col("view_id"), col("click_id"))
       },
-      Some("""SELECT v.user_id, v.event_id AS view_id,
-             | c.event_id AS click_id,
-             | epoch_us(CAST(c.ts AS TIMESTAMP))
-             |   - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
-             |FROM events v JOIN events c ON v.user_id = c.user_id
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events)
+             |SELECT v.user_id, v.event_id AS view_id,
+             | c.event_id AS click_id, c.us - v.us AS lag_us
+             |FROM e v JOIN e c ON v.user_id = c.user_id
              | AND v.event_type = 'view' AND c.event_type = 'click'
-             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+             | -- the join predicate must compare the MICROS the Spark side
+             | -- joins on, not raw nano timestamps: a pair within ~1µs of
+             | -- either bound would otherwise diverge across engines
+             | AND c.us >= v.us AND c.us <= v.us + 3600000000
              |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
 
     // Stream-static join (dimension enrichment): each streamed event

@@ -63,14 +63,21 @@ object FixtureGen {
         Date.valueOf(s"20${10 + i % 10}-0${i % 9 + 1}-15"))
     }, Schemas.truck)
 
-  /** 100 orders: trucks 1-15, locations 1-15 only (16-20 stay order-free),
-    * customer_id NULL on every 5th order, 2024 timestamps. */
+  /** 100 orders: trucks 1-15, locations 1-13 only (14-20 stay order-free),
+    * customer_id NULL on every 5th order, 2024 timestamps. The location
+    * modulus (13) must stay COPRIME-ish to the customer modulus (30): a
+    * divisor of 30 (the old 15) locks every customer to exactly one
+    * location — customer i%30 fixes i mod 30, hence i mod 15 — and the
+    * "multiple locations per customer (ARRAY_AGG DISTINCT)" coverage
+    * requirement silently becomes untestable (all arrays singleton). With
+    * 13, a customer's order indices i, i+30, i+60, i+90 hit up to 4
+    * distinct locations. */
   def orderHeader(spark: SparkSession): DataFrame = df(spark,
     (1 to 100).map { i =>
       val amount = money(1.0 + (i % 9)) // within accepted_range [0, 10]
       val tax = money((1.0 + (i % 9)) * 0.1)
       val total = money((1.0 + (i % 9)) * 1.1)
-      Row(i.toLong, (i % 15 + 1).toLong, (i % 15 + 1).toLong,
+      Row(i.toLong, (i % 15 + 1).toLong, (i % 13 + 1).toLong,
         if (i % 5 == 0) null else (i % 30 + 1).toLong,
         null, (i % 4 + 1).toLong, "08:00:00", "16:00:00",
         if (i % 2 == 0) "Walk-up" else "App",

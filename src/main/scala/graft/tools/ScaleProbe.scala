@@ -24,6 +24,10 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val r = f
       println(f"$label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // Each pipeline registers persists (shingle/cluster caches); left
+      // resident they'd pressure every LATER stage's timing at K× scale —
+      // exactly the linear-vs-quadratic signal this probe measures.
+      graft.core.Caches.releaseAll()
       r
     }
     val docs0 = Tables(spark, dir, "documents")

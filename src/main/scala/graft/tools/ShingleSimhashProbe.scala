@@ -46,26 +46,11 @@ object ShingleSimhashProbe {
     ham.groupBy((col("h") / 4).cast("int").as("hb"))
       .agg(min("jaccard"), max("jaccard")).orderBy(col("hb")).collect()
       .foreach(r => println(s"   h in [${r.getInt(0)*4},${r.getInt(0)*4+3}]: j ${r.get(1)} .. ${r.get(2)}"))
-    // background volume: all-pairs hamming <= cutoffs via banded join
-    val bandCols = (0 until 8).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
-    }
-    val banded = sig
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-    val probeKeys = col("bucket") +:
-      (0 until 8).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    val probes = banded.select(col("doc_id"), col("sig"), col("band"),
-      explode(array(probeKeys: _*)).as("bucket"))
-    val cand = probes.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+    // background volume: all-pairs hamming <= cutoffs via the PRODUCTION
+    // banding join — a hand copy here would silently diverge from the
+    // operator whenever the band/probe scheme changes.
+    val cand = Dedup.bandedSimhashCandidates(sig)
+      .withColumnRenamed("hamming", "h")
       .filter(col("h") <= 15).distinct().persist()
     println("== candidates (probe join, h<=15): " + cand.count())
     Seq(7, 11).foreach(h =>

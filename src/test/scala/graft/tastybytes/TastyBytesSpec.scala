@@ -66,6 +66,12 @@ class TastyBytesSpec extends SparkSuite {
     val got = m.filter(col("customer_id") === 2).collect()(0)
     assert(got.getAs[java.math.BigDecimal]("total_sales") ==
       expected.getAs[java.math.BigDecimal]("s"))
+    // The fixture MUST give this customer several distinct locations —
+    // with a single-location fixture (the old location modulus divided
+    // the customer modulus) every array is a singleton and the DISTINCT
+    // aggregation path is never actually exercised.
+    assert(expected.getAs[Long]("d") > 1,
+      "fixture regression: customer 2 visits only one location")
     assert(got.getAs[Seq[Long]]("visited_location_ids_array").toSet.size ==
       expected.getAs[Long]("d").toInt)
     // only customers with orders appear (inner join)
