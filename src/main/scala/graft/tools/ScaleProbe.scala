@@ -83,6 +83,12 @@ object ScaleProbe {
     t(s"int8 topk x$k")(
       println("  rows=" + Similarity
         .quantizedTopK(emb, queries, "vec_id", "embedding", 5).count()))
+    t(s"pq topk x$k")(
+      println("  rows=" + Similarity
+        .pqTopK(emb, queries, "vec_id", "embedding", 5).count()))
+    t(s"ivfpq topk x$k")(
+      println("  rows=" + Similarity
+        .ivfPqTopK(emb, queries, "vec_id", "embedding", 5).count()))
     t(s"near-dup pairs x$k")(
       println("  pairs=" + Similarity
         .nearDupPairs(emb, "vec_id", "embedding", 0.45).count()))

@@ -64,6 +64,17 @@ class PlanAuditSpec extends SparkSuite {
       s"PQ encode must not shuffle the corpus:\n$p")
   }
 
+  test("IVF-PQ: corpus bucket+encode is one shuffle-free scan, probes broadcast") {
+    val p = plan("v11_ann_ivfpq")
+    assert(p.contains("BroadcastExchange"), "probe side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // Coarse assignment AND PQ encode are row-local work against inlined
+    // codebook literals; the only non-broadcast Exchanges are the
+    // per-query top-k window's shuffle and the gate's final sort.
+    assert(exchanges(p) <= 2,
+      s"IVF-PQ corpus pass must not shuffle:\n$p")
+  }
+
   test("rolling window shuffles once on its key") {
     val p = plan("q33_rolling_window")
     assert(exchanges(p) <= 2, // user_id window + the gate's final sort
@@ -93,6 +104,29 @@ class PlanAuditSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
       s"day filter must prune partitions, plan was:\n$plan")
+  }
+
+  test("dim-filtered join over a partitioned fact uses dynamic partition pruning") {
+    // The 100 TB star-join property: a selective dimension filter must
+    // prune FACT partitions at runtime (DPP inserts a dynamic pruning
+    // subquery on the partition column), not scan the full fact and
+    // filter post-join. Fact = a day-partitioned mart (the incremental
+    // layout), dim = a small date dimension with a selective predicate.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    spark.range(300).selectExpr(
+        "CAST(id % 30 AS STRING) AS event_date", "id AS v")
+      .write.partitionBy("event_date").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.range(30).selectExpr(
+      "CAST(id AS STRING) AS event_date", "id % 7 AS dow")
+    val plan = fact.join(dim, Seq("event_date"))
+      .filter(col("dow") === 3)
+      .groupBy(col("event_date")).agg(sum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP subquery on the fact scan, plan was:\n$plan")
   }
 
   test("sequence packing adds no shuffle after the range partition") {
