@@ -363,6 +363,27 @@ object RelationalQueries extends QueryPack {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
+    // ---- CUBE grouping sets (all 2^k subtotal combinations — completes
+    // the rollup/grouping-sets/cube trio). One Expand + one hash agg,
+    // the same shuffle count as a plain GROUP BY at 4× the row fan-out.
+    Q("q37_cube",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsumStr(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             | COALESCE(o_orderpriority, 'ALL') AS priority,
+             | COUNT(*) AS n,
+             | CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
     // ---- exact COUNT(DISTINCT) (expand-based distinct aggregate).
     Q("q14_distinct_agg",
       (s, dir) => {

@@ -540,6 +540,59 @@ object TextQueries extends QueryPack {
              | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin)),
 
+    // Duplicate n-gram fraction — the n-gram-level Gopher repetition rule
+    // (t12's dup_line_frac is its line-level sibling): the fraction of a
+    // doc's word 3-grams that are repeats of an earlier one. Boilerplate
+    // and template spam score high; the standard pretraining filter drops
+    // docs past ~0.2. Entirely row-local over the native WordShingles
+    // kernel (one pass, duplicates preserved) — a scan with no shuffle
+    // beyond the gate's sort; counts are integers so the fraction is
+    // engine-identical before the 6dp round.
+    Q("t17_dup_ngram_frac",
+      (s, dir) => {
+        // WordShingles emits the shingle SET (first-occurrence order), so
+        // it IS the distinct count; the total is arithmetic on the word
+        // count under the same trim + \s+ tokenization.
+        val t = trim(col("text"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            when(length(t) === 0, 0)
+              .otherwise(greatest(size(split(t, "\\s+")) - 2, lit(0)))
+              .as("n_3grams"),
+            size(wordShingles(col("text"), 3)).as("n_distinct"))
+          .withColumn("dup_frac",
+            when(col("n_3grams") > 0,
+              round((col("n_3grams") - col("n_distinct")).cast("double") /
+                col("n_3grams"), 6))
+              .otherwise(0.0))
+          .withColumn("keep", col("dup_frac") <= 0.2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             |      AS words
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, list_transform(
+             |    range(0, GREATEST(0, len(words) - 2)),
+             |    i -> words[CAST(i + 1 AS INT)] || ' ' ||
+             |         words[CAST(i + 2 AS INT)] || ' ' ||
+             |         words[CAST(i + 3 AS INT)]) AS grams
+             |  FROM w),
+             |c AS (
+             |  SELECT doc_id, len(grams) AS n_3grams,
+             |    len(list_distinct(grams)) AS n_distinct
+             |  FROM g)
+             |SELECT doc_id, n_3grams, n_distinct,
+             |  CASE WHEN n_3grams > 0 THEN
+             |    ROUND(CAST(n_3grams - n_distinct AS DOUBLE) / n_3grams, 6)
+             |  ELSE 0.0 END AS dup_frac,
+             |  CASE WHEN n_3grams > 0 THEN
+             |    ROUND(CAST(n_3grams - n_distinct AS DOUBLE) / n_3grams, 6)
+             |  ELSE 0.0 END <= 0.2 AS keep
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Rare-word ratio — the corpus-level quality/memorization proxy
     // (boilerplate scores ~0 rare words; unique content scores high):
     // per-document fraction of DISTINCT words whose document frequency

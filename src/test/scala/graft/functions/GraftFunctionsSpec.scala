@@ -38,6 +38,24 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(rows(0) == 0.0)
   }
 
+  test("dup-ngram building blocks: set size vs arithmetic total (t17)") {
+    import spark.implicits._
+    val rows = Seq(
+      "aaa bbb aaa bbb aaa", // grams: [aaa bbb aaa, bbb aaa bbb, aaa bbb aaa]
+      "a b",                 // < 3 words: no grams
+      "  x   y  z  ")        // ragged whitespace: one gram
+      .toDF("t")
+      .select(
+        when(length(trim(col("t"))) === 0, 0)
+          .otherwise(greatest(size(split(trim(col("t")), "\\s+")) - 2, lit(0)))
+          .as("total"),
+        size(TextFunctions.wordShingles(col("t"), 3)).as("distinct"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows(0) == ((3, 2))) // one repeated 3-gram -> dup_frac 1/3
+    assert(rows(1) == ((0, 0)))
+    assert(rows(2) == ((1, 1)))
+  }
+
   test("simhash_of_hashes is SQL-registered (the d04 pipeline shape)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
