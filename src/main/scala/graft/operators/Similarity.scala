@@ -547,6 +547,38 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Two-stage retrieval — candidate generation + exact re-rank, the
+    * pattern production ANN serving actually ships: the compressed index
+    * ([[pqTopK]]'s ADC ranking) nominates `candidates` ≫ k cheap
+    * candidates per query, and only those fetch their raw vectors for an
+    * exact rounded-cosine re-rank to the final top-k. At 100 TB the
+    * economics are the whole point: the exact pass touches
+    * |queries|·candidates vectors instead of the corpus.
+    *
+    * Scale shape: the candidate list is tiny (queries × candidates), so
+    * it BROADCASTS into the corpus join — the corpus never shuffles to
+    * fetch raw vectors; the only shuffle is the final per-query top-k
+    * window. Both stages are deterministic (v10's encode/ADC + the
+    * rounded-cosine/nid tiebreak), so the fused pipeline keeps an exact
+    * cross-engine oracle (v12). */
+  def rerankTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int = 25): DataFrame = {
+    val cand = pqTopK(emb, queries, idCol, vecCol, candidates)
+      .select(col("qid"), col("nid"))
+    val corpus = normalized(emb, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val fetched = corpus
+      .join(broadcast(cand), corpus("vid") === cand("nid"))
+      .join(broadcast(q), Seq("qid"))
+    val scored = fetched.select(col("qid"), col("nid"),
+      sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** ANN quality telemetry: recall@k of each approximate path against
     * the exact brute-force ranking over the same query set — the tuning
     * surface for nlist/nprobe (IVF) and bits/bands (LSH), which the

@@ -273,6 +273,79 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // Two-stage retrieval (Similarity.rerankTopK): PQ ADC nominates 25
+    // candidates per query, ONLY those fetch raw vectors for an exact
+    // rounded-cosine re-rank to top-5 — the candidate-gen + re-rank
+    // pattern ANN serving ships. Oracle = v10's encode/ADC CTEs capped
+    // at the candidate depth, joined back to the normalized vectors for
+    // the exact re-rank.
+    Q("v12_rerank_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.rerankTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, candidates = 25)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |seed AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |pcb AS (
+             |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
+             |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
+             |enc0 AS (
+             |  SELECT e.vec_id, pcb.sp, pcb.j,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.sp ORDER BY
+             |      ROUND(list_dot_product(
+             |        list_slice(e.v, pcb.sp * 16 + 1, pcb.sp * 16 + 16),
+             |        pcb.c), 6) DESC, pcb.j) rnk
+             |  FROM e, pcb),
+             |encp AS (
+             |  SELECT vec_id,
+             |    MAX(CASE WHEN sp = 0 THEN j END) c0,
+             |    MAX(CASE WHEN sp = 1 THEN j END) c1,
+             |    MAX(CASE WHEN sp = 2 THEN j END) c2,
+             |    MAX(CASE WHEN sp = 3 THEN j END) c3
+             |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
+             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+             |adc AS (
+             |  SELECT q.qid, p.vec_id nid,
+             |    ROUND(
+             |      list_dot_product(list_slice(q.qv,  1, 16), cb0.c)
+             |    + list_dot_product(list_slice(q.qv, 17, 32), cb1.c)
+             |    + list_dot_product(list_slice(q.qv, 33, 48), cb2.c)
+             |    + list_dot_product(list_slice(q.qv, 49, 64), cb3.c), 6)
+             |      AS score
+             |  FROM q, encp p
+             |  JOIN pcb cb0 ON cb0.sp = 0 AND cb0.j = p.c0
+             |  JOIN pcb cb1 ON cb1.sp = 1 AND cb1.j = p.c1
+             |  JOIN pcb cb2 ON cb2.sp = 2 AND cb2.j = p.c2
+             |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
+             |  WHERE p.vec_id <> q.qid),
+             |cand AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT qid, nid,
+             |      ROW_NUMBER() OVER (PARTITION BY qid
+             |        ORDER BY score DESC, nid) crn
+             |    FROM adc) WHERE crn <= 25),
+             |rr AS (
+             |  SELECT c.qid, c.nid,
+             |    ROUND(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm), 6)
+             |      AS sim
+             |  FROM cand c
+             |  JOIN n nq ON nq.vec_id = c.qid
+             |  JOIN n nc ON nc.vec_id = c.nid),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nid) rn
+             |  FROM rr)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // IVF + PQ composed (Similarity.ivfPqTopK) — the production ANN
     // layout: coarse buckets prune the scan, PQ codes shrink the index.
     // Both stages are the deterministic v04/v10 constructions, so the

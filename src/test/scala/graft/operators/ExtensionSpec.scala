@@ -191,6 +191,46 @@ class ExtensionSpec extends SparkSuite {
     assert(checked > 0, "no overlapping pairs to cross-check")
   }
 
+  test("re-rank lifts PQ candidate recall toward exact top-k") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val pq = pairs(Similarity
+      .pqTopK(emb, queries, "vec_id", "embedding", 5))
+    val rr = pairs(Similarity
+      .rerankTopK(emb, queries, "vec_id", "embedding", 5, candidates = 50))
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    // The re-rank stage exists to turn cheap coarse candidates into a
+    // (near-)exact ranking: it must never do WORSE than the raw PQ
+    // ordering it refines, and with 25 candidates it should recover most
+    // of the true top-5.
+    assert(recall(rr) >= recall(pq),
+      s"re-rank (${recall(rr)}) must not trail raw PQ (${recall(pq)})")
+    assert(recall(rr) >= 0.5, s"re-rank recall ${recall(rr)} below floor")
+    // Deeper candidate pools must help monotonically (the tuning knob).
+    val rr25 = pairs(Similarity
+      .rerankTopK(emb, queries, "vec_id", "embedding", 5, candidates = 25))
+    assert(recall(rr) >= recall(rr25))
+    // Exact ties broken identically: any re-ranked pair that IS in the
+    // exact top-k carries the exact rounded cosine, so overlapping rows
+    // agree bit-for-bit on sim.
+    val exactSims = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Similarity.rerankTopK(emb, queries, "vec_id", "embedding", 5,
+        candidates = 50)
+      .select("qid", "nid", "sim").collect()
+      .foreach { r =>
+        exactSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+          assert(s == r.getDouble(2))
+        }
+      }
+  }
+
   test("as-of join ≡ naive range-join argmax formulation") {
     val left = Seq(
       (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
