@@ -180,6 +180,40 @@ object MultimodalQueries extends QueryPack {
              |       / 16.0), 6) AS VARCHAR)), '|') AS energies
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Header sniffing — the NO-decode metadata path every multimodal
+    // pipeline runs before deciding what to decode (resolution filters,
+    // codec routing, cost estimation): width/height/bit-depth/color-type
+    // read straight from the PNG IHDR bytes (fixed offsets after the
+    // 8-byte signature) with substring/hex/conv column functions over
+    // the binary payload. At 100 TB this is the difference between a
+    // metadata scan and a full decode of every object. Payloads are the
+    // REAL encoder's output (Multimodal.syntheticPng); the oracle
+    // recomputes the dimensions from the synthetic formula — a header
+    // parse that disagrees with what ImageIO encoded goes red.
+    Q("mm07_png_header_meta",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 64)
+          .as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id,
+            w = (8 + id % 5).toInt, h = (8 + id % 3).toInt))))
+          .toDF("doc_id", "payload")
+        def be(pos: Int, len: Int) =
+          conv(hex(substring(col("payload"), pos, len)), 16, 10).cast("long")
+        payloads.select(col("doc_id"),
+            be(17, 4).as("width"),   // IHDR data: bytes 16..19 (0-based)
+            be(21, 4).as("height"),
+            be(25, 1).as("bit_depth"),
+            be(26, 1).as("color_type"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS width,
+             | CAST(8 + doc_id % 3 AS BIGINT) AS height,
+             | CAST(8 AS BIGINT) AS bit_depth,
+             | CAST(0 AS BIGINT) AS color_type
+             |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin)),
+
     // The REAL codec path (javax.imageio), end to end in the plan: gray
     // PNGs are ENCODED per doc_id inside a mapPartitions stage (pixel
     // values a fixed integer formula of id/x/y — Multimodal.syntheticPng),

@@ -33,6 +33,19 @@ class MultimodalSpec extends SparkSuite {
       ((7L, 3, 2, 6L, pixels.values.sum.toLong)))
   }
 
+  test("PNG header sniff agrees with the decoder without decoding") {
+    import org.apache.spark.sql.functions._
+    // Odd, unequal dims so a byte-order or offset slip cannot cancel out.
+    val docs = Seq((3L, png(257, 11)((x, y) => (x + y) % 256)))
+      .toDF("doc_id", "payload")
+    def be(pos: Int, len: Int) =
+      conv(hex(substring(col("payload"), pos, len)), 16, 10).cast("long")
+    val r = docs.select(be(17, 4).as("w"), be(21, 4).as("h"),
+      be(25, 1).as("depth"), be(26, 1).as("color")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((257L, 11L, 8L, 0L)))
+  }
+
   test("decodeImages handles a JPEG payload (dimensions are exact)") {
     val img = new BufferedImage(17, 9, BufferedImage.TYPE_BYTE_GRAY)
     val bos = new ByteArrayOutputStream()
