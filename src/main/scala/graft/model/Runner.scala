@@ -284,6 +284,57 @@ final class CatalogMaterializer extends Materializer {
       keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
   }
 
+  /** Time travel over the atomic-refresh version chain — Snowflake's
+    * `AT (OFFSET => ...)` reduced to exactly the retention the refresh
+    * already keeps: `stepsBack = 0` reads the live version (what the
+    * `__CURRENT` pointer commits), `stepsBack = 1` the retained
+    * immediate predecessor. Deeper history is beyond the one-version
+    * vacuum retention and raises. Clones hold no local version chain
+    * (their pointer references the source's directory), so time travel
+    * on a clone resolves only its own live version.
+    */
+  def tableAtVersion(spark: SparkSession, relation: String,
+      stepsBack: Int): DataFrame = {
+    require(stepsBack >= 0,
+      s"stepsBack must be >= 0, got $stepsBack")
+    val Array(schema, name) = relation.split('.')
+    val dir = schemaDir(spark, schema)
+    val (cur, schemaJson) = readPointer(spark, dir, name).getOrElse(
+      throw new IllegalStateException(
+        s"$relation has no version history (not a pointer-backed table)"))
+    val curLoc = versionLocation(dir, cur)
+    if (stepsBack == 0)
+      return spark.read.schema(pointerSchema(schemaJson))
+        .parquet(curLoc.toString)
+    require(stepsBack == 1,
+      s"version $stepsBack refreshes back is beyond the one-version " +
+        "retention window")
+    // The predecessor is the newest on-disk version strictly older than
+    // the live one (millis + counter order, never lexicographic: the
+    // counter segment has no fixed width).
+    def order(versionDir: String): (Long, Long) = {
+      val v = versionDir.stripPrefix(s"${name}__v").split('_')
+      (v(0).toLong, v(1).toLong)
+    }
+    // A clone's pointer holds a full path into the SOURCE's directory —
+    // it has no local chain to step back through.
+    if (cur.contains('/')) throw new IllegalStateException(
+      s"$relation is a clone; it has no retained predecessor version")
+    val curOrd = order(curLoc.getName)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(s"${name}__v"))
+      // Strictly older than live: a crashed refresh can strand an orphan
+      // NEWER than the pointer (data written, commit never reached) —
+      // that orphan is garbage, not history.
+      .filter(n => Ordering[(Long, Long)].lt(order(n), curOrd))
+      .sortBy(order)
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"$relation has no retained predecessor version"))
+    spark.read.parquet(new org.apache.hadoop.fs.Path(dir, prev).toString)
+  }
+
   /** Step 3: point the session catalog at a committed version — ONE
     * whole-definition `alterTable` (create, on first build), no
     * multi-call mutation. Returns the previous location for retention. */

@@ -409,6 +409,40 @@ object EngineQueries extends QueryPack {
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1, 2, 3 ORDER BY customer_id""".stripMargin)),
 
+    // ---- Time travel (Snowflake `AT (OFFSET => ...)`): the atomic
+    // refresh retains the immediate predecessor version for in-flight
+    // readers — which IS a one-step time-travel window. Build the mart,
+    // rebuild it with different logic, then read BOTH versions: live via
+    // the pointer, history via the retained predecessor directory. The
+    // oracle recomputes the two builds' contents from the source.
+    Q("o11_time_travel",
+      (spark, dir) => {
+        val mat = new CatalogMaterializer
+        def runWith(sql: String): Unit = new Runner(
+          Project(TpchProject.sources(dir),
+            Seq(SqlModel("tt_mart", sql, Materialization.Table,
+              // Isolated schema: o05 pins the dev/analytics listing
+              // statically, so this gate must not add tables there.
+              customSchema = Some("ttgate")))),
+          Target.dev, mat).run(spark)
+        runWith("""SELECT n_nationkey AS k, n_name AS nation_name
+                  |FROM {{ source('tpch', 'nation') }}""".stripMargin)
+        runWith("""SELECT n_nationkey AS k, upper(n_name) AS nation_name
+                  |FROM {{ source('tpch', 'nation') }}
+                  |WHERE n_nationkey < 10""".stripMargin)
+        val prev = mat.tableAtVersion(spark, "ttgate.tt_mart", 1)
+          .withColumn("version", lit("prev"))
+        val curr = mat.tableAtVersion(spark, "ttgate.tt_mart", 0)
+          .withColumn("version", lit("curr"))
+        curr.unionByName(prev).orderBy(col("version"), col("k"))
+      },
+      Some("""SELECT 'curr' AS version, n_nationkey AS k,
+             | upper(n_name) AS nation_name
+             |FROM nation WHERE n_nationkey < 10
+             |UNION ALL
+             |SELECT 'prev', n_nationkey, n_name FROM nation
+             |ORDER BY version, k""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)

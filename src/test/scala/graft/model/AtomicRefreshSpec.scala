@@ -77,6 +77,22 @@ class AtomicRefreshSpec extends SparkSuite {
     assert(versionDirs("t3").length == 2)
   }
 
+  test("time travel: stepsBack=1 reads the predecessor, bounds enforced") {
+    val rel = "atomicspec.t8"
+    mat.materializeTable(spark, rel, spark.range(3).toDF("id"))
+    // First build: live readable at offset 0, no history yet.
+    assert(mat.tableAtVersion(spark, rel, 0).count() == 3)
+    intercept[IllegalStateException](mat.tableAtVersion(spark, rel, 1))
+    mat.materializeTable(spark, rel, spark.range(7).toDF("id"))
+    assert(mat.tableAtVersion(spark, rel, 0).count() == 7)
+    assert(mat.tableAtVersion(spark, rel, 1).count() == 3)
+    // Beyond the one-version retention window.
+    intercept[IllegalArgumentException](mat.tableAtVersion(spark, rel, 2))
+    // A third refresh slides the window: history is now the SECOND build.
+    mat.materializeTable(spark, rel, spark.range(11).toDF("id"))
+    assert(mat.tableAtVersion(spark, rel, 1).count() == 7)
+  }
+
   test("the swap carries a schema change") {
     val rel = "atomicspec.t4"
     mat.materializeTable(spark, rel, spark.range(3).toDF("id"))
