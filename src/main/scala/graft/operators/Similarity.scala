@@ -448,14 +448,17 @@ object Similarity {
     * id (deterministic, exactly like [[ivfCodebook]]): `centers(sp)(j)` is
     * seed j's slice for subspace sp. Returns (centers, subDim). */
   private def pqCenters(corpus: DataFrame, subspaces: Int, nCodes: Int)
-      : (Array[Array[Seq[Double]]], Int) = {
-    val seeds: Array[Array[Double]] = corpus.orderBy(col("vid"))
+      : (Array[Array[Seq[Double]]], Int) =
+    pqCentersFromSeeds(corpus.orderBy(col("vid"))
       .limit(nCodes).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Double](0).toArray), subspaces)
+
+  private def pqCentersFromSeeds(seeds: Array[Array[Double]],
+      subspaces: Int): (Array[Array[Seq[Double]]], Int) = {
     val dims = seeds.head.length
     require(dims % subspaces == 0, "subspaces must divide dims")
     val subDim = dims / subspaces
-    (Array.tabulate(subspaces, nCodes)((sp, j) =>
+    (Array.tabulate(subspaces, seeds.length)((sp, j) =>
       seeds(j).slice(sp * subDim, (sp + 1) * subDim).toSeq), subDim)
   }
 
@@ -526,8 +529,16 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       subspaces: Int = 4, nCodes: Int = 16): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
-    val coarse = ivfCodebook(corpus, nlist)
-    val (centers, subDim) = pqCenters(corpus, subspaces, nCodes)
+    // Both codebooks seed from the same first-N prefix — ONE sort-limit
+    // collect serves coarse buckets and PQ centers (two identical driver
+    // jobs otherwise, since nlist == nCodes by default).
+    val prefix = corpus.orderBy(col("vid"))
+      .limit(math.max(nlist, nCodes))
+      .select(col("vid"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val coarse = prefix.take(nlist)
+    val (centers, subDim) =
+      pqCentersFromSeeds(prefix.take(nCodes).map(_._2), subspaces)
     // One corpus scan emits bucket AND codes; v/nrm are dropped — the
     // scored candidates carry only (cid, vid, c0..c{sp}), the PQ point.
     val encoded = nearestBuckets(corpus, coarse, 1)

@@ -552,13 +552,16 @@ object TextQueries extends QueryPack {
       (s, dir) => {
         // WordShingles emits the shingle SET (first-occurrence order), so
         // it IS the distinct count; the total is arithmetic on the word
-        // count under the same trim + \s+ tokenization.
-        val t = trim(col("text"))
+        // count. Words = NON-EMPTY \s+ tokens — counted that way rather
+        // than via trim: Column trim strips only ASCII space while the
+        // kernel's String.trim strips \n/\t too, and split keeps empty
+        // edge tokens, so a doc with leading/trailing non-space
+        // whitespace would otherwise over-count vs both the kernel and
+        // the oracle (which filters empties identically).
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
         Tables(s, dir, "documents")
           .select(col("doc_id"),
-            when(length(t) === 0, 0)
-              .otherwise(greatest(size(split(t, "\\s+")) - 2, lit(0)))
-              .as("n_3grams"),
+            greatest(size(words) - 2, lit(0)).as("n_3grams"),
             size(wordShingles(col("text"), 3)).as("n_distinct"))
           .withColumn("dup_frac",
             when(col("n_3grams") > 0,

@@ -43,17 +43,23 @@ class GraftFunctionsSpec extends SparkSuite {
     val rows = Seq(
       "aaa bbb aaa bbb aaa", // grams: [aaa bbb aaa, bbb aaa bbb, aaa bbb aaa]
       "a b",                 // < 3 words: no grams
-      "  x   y  z  ")        // ragged whitespace: one gram
+      "  x   y  z  ",        // ragged whitespace: one gram
+      "a b c\n",             // trailing NON-SPACE whitespace: Column trim
+      "\tp q r",             // would miss these; empty-token filter works
+      "")
       .toDF("t")
       .select(
-        when(length(trim(col("t"))) === 0, 0)
-          .otherwise(greatest(size(split(trim(col("t")), "\\s+")) - 2, lit(0)))
-          .as("total"),
+        greatest(
+          size(filter(split(col("t"), "\\s+"), w => length(w) > 0)) - 2,
+          lit(0)).as("total"),
         size(TextFunctions.wordShingles(col("t"), 3)).as("distinct"))
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(rows(0) == ((3, 2))) // one repeated 3-gram -> dup_frac 1/3
     assert(rows(1) == ((0, 0)))
     assert(rows(2) == ((1, 1)))
+    assert(rows(3) == ((1, 1))) // total == distinct: dup_frac 0, keep
+    assert(rows(4) == ((1, 1)))
+    assert(rows(5) == ((0, 0)))
   }
 
   test("simhash_of_hashes is SQL-registered (the d04 pipeline shape)") {

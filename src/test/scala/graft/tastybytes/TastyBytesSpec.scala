@@ -84,7 +84,8 @@ class TastyBytesSpec extends SparkSuite {
     val m = runner.table(spark, "sales_metrics_by_location")
     assert(m.count() > 0)
     // coalesce path: at least one location whose city has trucks but no
-    // orders reports 0 sales (fixtures keep locations 16-20 order-free)
+    // orders reports 0 sales (fixtures keep locations 14-20 order-free —
+    // orders hit locations 1-13 only, see FixtureGen.orderHeader)
     assert(m.filter(col("total_sales") === 0).count() > 0)
     val r = m.filter(col("total_sales") === 0).collect()(0)
     assert(r.getAs[String]("location_description") ==
