@@ -558,6 +558,37 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** 1-bit (sign) quantization + Hamming ranking — the extreme end of
+    * the quantization ladder (float64 → int8 [[quantizedTopK]] → PQ
+    * [[pqTopK]] → one BIT per dimension): a 64-dim vector becomes 64
+    * bits, a 64× cut under float64, searched by Hamming distance. The
+    * classic first-pass filter for billion-scale retrieval (binary
+    * hashing); recall is coarse, so production stacks [[rerankTopK]]'s
+    * exact re-rank on top.
+    *
+    * Hamming distances are INTEGER counts of sign disagreements, so the
+    * whole ranking is exactly cross-engine reproducible (ties break by
+    * neighbor id — plentiful under a coarse metric, hence pinned).
+    * Row-local zip/filter per pair, queries broadcast, corpus streams —
+    * the v01 shape with a 64× cheaper payload. */
+  def binarySignTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    def signs(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol).cast("array<double>"), x => x > 0.0).as("s"))
+    val corpus = signs(emb)
+    val q = signs(queries)
+      .select(col("vid").as("qid"), col("s").as("qs"))
+    val scored = corpus.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        size(filter(zip_with(col("qs"), col("s"),
+          (a, b) => a =!= b), x => x)).as("hamming"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Two-stage retrieval — candidate generation + exact re-rank, the
     * pattern production ANN serving actually ships: the compressed index
     * ([[pqTopK]]'s ADC ranking) nominates `candidates` ≫ k cheap

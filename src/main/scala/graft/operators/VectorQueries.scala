@@ -273,6 +273,34 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // 1-bit sign quantization + Hamming ranking (Similarity
+    // .binarySignTopK) — the extreme quantization tier (64× cut): sign
+    // disagreements are integer counts, so the coarse ranking is exactly
+    // reproducible; ties (plentiful) break by nid in both engines.
+    Q("v13_binary_sign_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.binarySignTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id nid,
+             |    len(list_filter(range(1, 65),
+             |      i -> (q.qv[CAST(i AS INT)] > 0.0)
+             |        <> (c.v[CAST(i AS INT)] > 0.0))) AS hamming
+             |  FROM q, e c WHERE c.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT qid, nid, CAST(hamming AS BIGINT) AS hamming,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY hamming, nid) rn
+             |  FROM scored)
+             |SELECT qid, nid, hamming, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // Two-stage retrieval (Similarity.rerankTopK): PQ ADC nominates 25
     // candidates per query, ONLY those fetch raw vectors for an exact
     // rounded-cosine re-rank to top-5 — the candidate-gen + re-rank

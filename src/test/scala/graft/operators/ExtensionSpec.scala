@@ -191,6 +191,26 @@ class ExtensionSpec extends SparkSuite {
     assert(checked > 0, "no overlapping pairs to cross-check")
   }
 
+  test("binary sign top-k: deterministic, bounded hamming, coarse recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity
+      .binarySignTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val r1 = run()
+    assert(r1.toSeq == run().toSeq)
+    assert(r1.forall { case (_, _, h) => h >= 0 && h <= 64 })
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & r1.map(t => (t._1, t._2)).toSet).size.toDouble /
+      exact.size
+    // 1 bit/dim is the coarse first-pass tier — a weak floor documents
+    // that it still tracks the exact ranking better than chance.
+    assert(recall >= 0.1, s"binary recall $recall below floor")
+  }
+
   test("re-rank lifts PQ candidate recall toward exact top-k") {
     val queries = emb.filter(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
