@@ -438,6 +438,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination by n-gram collision — the pre-training
+    * hygiene pass: flag every TRAINING doc that shares at least one word
+    * n-gram (default 8, the common eval-decontam window) with any
+    * BENCHMARK doc, with hit counts for triage. Collision is on the
+    * LITERAL n-gram (WordShingles' set) so the flag is exactly
+    * cross-engine reproducible; at 100 TB swap in hashedWordShingles for
+    * 8-byte join keys (identical pairs w.h.p.). Inverted-index shape:
+    * one equi-join on the gram key — never train×bench — then one
+    * aggregate; clean docs flow through the left join with zero counts.
+    */
+  def benchmarkContamination(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(Hashing.wordShingles(col(textCol), n)).as("g"))
+    val hits = grams(train, "doc_id")
+      .join(grams(bench, "bench_id"), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_grams"),
+        countDistinct(col("bench_id")).as("n_benchmark_docs"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_benchmark_docs"), lit(0L)).as("n_benchmark_docs"))
+      .withColumn("contaminated", col("n_benchmark_docs") > 0)
+  }
+
   private def minhashRepPairs(reps: DataFrame, sh: DataFrame,
       threshold: Double, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands

@@ -171,6 +171,45 @@ object DedupQueries extends QueryPack {
     // contamination measure jaccard misses — a short doc embedded in a
     // long one. A-side prefix filter against the full inverted index;
     // brute-force containment oracle.
+    // Benchmark decontamination (Dedup.benchmarkContamination): flag
+    // every training doc (doc_id % 5 <> 0 — a scale-invariant split)
+    // sharing any word 8-gram with the held-out benchmark fifth. The
+    // oracle rebuilds the literal gram sets and mirrors the inverted-
+    // index join; clean docs appear with zero counts via the left join.
+    Q("d09_benchmark_decontam",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.benchmarkContamination(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(w) - 6),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+             |           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+             |           w[i+6] || ' ' || w[i+7])) grams
+             |  FROM toks WHERE len(w) >= 8),
+             |ex AS (SELECT doc_id, unnest(grams) gram FROM g),
+             |hits AS (
+             |  SELECT tr.doc_id,
+             |    COUNT(DISTINCT tr.gram) AS n_hit_grams,
+             |    COUNT(DISTINCT be.doc_id) AS n_benchmark_docs
+             |  FROM ex tr JOIN ex be ON tr.gram = be.gram
+             |    AND tr.doc_id % 5 <> 0 AND be.doc_id % 5 = 0
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+             |  COALESCE(h.n_benchmark_docs, 0) AS n_benchmark_docs,
+             |  COALESCE(h.n_benchmark_docs, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin)),
+
     Q("d08_containment_pairs",
       (s, dir) => Dedup
         .containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",

@@ -191,6 +191,26 @@ class ExtensionSpec extends SparkSuite {
     assert(checked > 0, "no overlapping pairs to cross-check")
   }
 
+  test("benchmark decontamination: planted collision flagged, clean corpus clean") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val benchHit = Seq( // shares the 8-gram window of doc 1's tail
+      (100L, "XX beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val r = Dedup.benchmarkContamination(train, benchHit, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq((1L, 1L, 1L, true), (2L, 0L, 0L, false)))
+    // An empty benchmark flags nothing — every train doc flows through
+    // the left join with zero counts.
+    val clean = Dedup.benchmarkContamination(
+        train, train.limit(0), "doc_id", "text")
+      .filter(col("contaminated")).count()
+    assert(clean == 0)
+  }
+
   test("binary sign top-k: deterministic, bounded hamming, coarse recall") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity
