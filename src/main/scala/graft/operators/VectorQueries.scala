@@ -10,6 +10,52 @@ import graft.core.{Q, QueryPack, Tables}
   */
 object VectorQueries extends QueryPack {
 
+  /** Shared oracle CTE block for the PQ family (v10/v11/v12): `e` (cast
+    * vectors), `seed`/`pcb` (the first-16 sub-codebooks), `enc0`/`encp`
+    * (deterministic per-subspace encode), `q` (the query set), `adc`
+    * (left-associative ADC score per (query, non-self corpus) pair).
+    * One definition — three gates; a drift between the engines' PQ
+    * constructions shows up in ALL of them instead of silently in one. */
+  private val PqAdcCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+      |seed AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+      |pcb AS (
+      |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
+      |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
+      |enc0 AS (
+      |  SELECT e.vec_id, pcb.sp, pcb.j,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.sp ORDER BY
+      |      ROUND(list_dot_product(
+      |        list_slice(e.v, pcb.sp * 16 + 1, pcb.sp * 16 + 16),
+      |        pcb.c), 6) DESC, pcb.j) rnk
+      |  FROM e, pcb),
+      |encp AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN sp = 0 THEN j END) c0,
+      |    MAX(CASE WHEN sp = 1 THEN j END) c1,
+      |    MAX(CASE WHEN sp = 2 THEN j END) c2,
+      |    MAX(CASE WHEN sp = 3 THEN j END) c3
+      |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
+      |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT q.qid, p.vec_id nid,
+      |    ROUND(
+      |      list_dot_product(list_slice(q.qv,  1, 16), cb0.c)
+      |    + list_dot_product(list_slice(q.qv, 17, 32), cb1.c)
+      |    + list_dot_product(list_slice(q.qv, 33, 48), cb2.c)
+      |    + list_dot_product(list_slice(q.qv, 49, 64), cb3.c), 6)
+      |      AS score
+      |  FROM q, encp p
+      |  JOIN pcb cb0 ON cb0.sp = 0 AND cb0.j = p.c0
+      |  JOIN pcb cb1 ON cb1.sp = 1 AND cb1.j = p.c1
+      |  JOIN pcb cb2 ON cb2.sp = 2 AND cb2.j = p.c2
+      |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
+      |  WHERE p.vec_id <> q.qid)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("v01_cosine_topk",
       (s, dir) => {
@@ -228,48 +274,12 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |seed AS (
-             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
-             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-             |cb AS (
-             |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
-             |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
-             |enc0 AS (
-             |  SELECT e.vec_id, cb.sp, cb.j,
-             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sp ORDER BY
-             |      ROUND(list_dot_product(
-             |        list_slice(e.v, cb.sp * 16 + 1, cb.sp * 16 + 16),
-             |        cb.c), 6) DESC, cb.j) rnk
-             |  FROM e, cb),
-             |encp AS (
-             |  SELECT vec_id,
-             |    MAX(CASE WHEN sp = 0 THEN j END) c0,
-             |    MAX(CASE WHEN sp = 1 THEN j END) c1,
-             |    MAX(CASE WHEN sp = 2 THEN j END) c2,
-             |    MAX(CASE WHEN sp = 3 THEN j END) c3
-             |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
-             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
-             |scored AS (
-             |  SELECT q.qid, p.vec_id nid,
-             |    ROUND(
-             |      list_dot_product(list_slice(q.qv,  1, 16), cb0.c)
-             |    + list_dot_product(list_slice(q.qv, 17, 32), cb1.c)
-             |    + list_dot_product(list_slice(q.qv, 33, 48), cb2.c)
-             |    + list_dot_product(list_slice(q.qv, 49, 64), cb3.c), 6)
-             |      AS score
-             |  FROM q, encp p
-             |  JOIN cb cb0 ON cb0.sp = 0 AND cb0.j = p.c0
-             |  JOIN cb cb1 ON cb1.sp = 1 AND cb1.j = p.c1
-             |  JOIN cb cb2 ON cb2.sp = 2 AND cb2.j = p.c2
-             |  JOIN cb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
-             |  WHERE p.vec_id <> q.qid),
+      Some(PqAdcCtes + """,
              |ranked AS (
              |  SELECT qid, nid, score,
              |    ROW_NUMBER() OVER (PARTITION BY qid
              |      ORDER BY score DESC, nid) rn
-             |  FROM scored)
+             |  FROM adc)
              |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
@@ -315,44 +325,7 @@ object VectorQueries extends QueryPack {
             k = 5, candidates = 25)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
-             |seed AS (
-             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
-             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-             |pcb AS (
-             |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
-             |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
-             |enc0 AS (
-             |  SELECT e.vec_id, pcb.sp, pcb.j,
-             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.sp ORDER BY
-             |      ROUND(list_dot_product(
-             |        list_slice(e.v, pcb.sp * 16 + 1, pcb.sp * 16 + 16),
-             |        pcb.c), 6) DESC, pcb.j) rnk
-             |  FROM e, pcb),
-             |encp AS (
-             |  SELECT vec_id,
-             |    MAX(CASE WHEN sp = 0 THEN j END) c0,
-             |    MAX(CASE WHEN sp = 1 THEN j END) c1,
-             |    MAX(CASE WHEN sp = 2 THEN j END) c2,
-             |    MAX(CASE WHEN sp = 3 THEN j END) c3
-             |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
-             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
-             |adc AS (
-             |  SELECT q.qid, p.vec_id nid,
-             |    ROUND(
-             |      list_dot_product(list_slice(q.qv,  1, 16), cb0.c)
-             |    + list_dot_product(list_slice(q.qv, 17, 32), cb1.c)
-             |    + list_dot_product(list_slice(q.qv, 33, 48), cb2.c)
-             |    + list_dot_product(list_slice(q.qv, 49, 64), cb3.c), 6)
-             |      AS score
-             |  FROM q, encp p
-             |  JOIN pcb cb0 ON cb0.sp = 0 AND cb0.j = p.c0
-             |  JOIN pcb cb1 ON cb1.sp = 1 AND cb1.j = p.c1
-             |  JOIN pcb cb2 ON cb2.sp = 2 AND cb2.j = p.c2
-             |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
-             |  WHERE p.vec_id <> q.qid),
+      Some(PqAdcCtes + """,
              |cand AS (
              |  SELECT qid, nid FROM (
              |    SELECT qid, nid,
@@ -386,9 +359,7 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+      Some(PqAdcCtes + """,
              |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
              |  ORDER BY vec_id LIMIT 16),
              |casg AS (
@@ -399,48 +370,20 @@ object VectorQueries extends QueryPack {
              |  FROM n, cb),
              |bucketed AS (SELECT vid, cid FROM casg WHERE rnk = 1),
              |qasg AS (
-             |  SELECT n.vec_id qid, n.v qv, cb.cid,
+             |  SELECT n.vec_id qid, cb.cid,
              |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
              |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
              |        DESC, cb.cid) rnk
              |  FROM n, cb WHERE n.vec_id < 5),
-             |probes AS (SELECT qid, qv, cid FROM qasg WHERE rnk <= 4),
-             |seed AS (
-             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
-             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-             |pcb AS (
-             |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
-             |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
-             |enc0 AS (
-             |  SELECT e.vec_id, pcb.sp, pcb.j,
-             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.sp ORDER BY
-             |      ROUND(list_dot_product(
-             |        list_slice(e.v, pcb.sp * 16 + 1, pcb.sp * 16 + 16),
-             |        pcb.c), 6) DESC, pcb.j) rnk
-             |  FROM e, pcb),
-             |encp AS (
-             |  SELECT vec_id,
-             |    MAX(CASE WHEN sp = 0 THEN j END) c0,
-             |    MAX(CASE WHEN sp = 1 THEN j END) c1,
-             |    MAX(CASE WHEN sp = 2 THEN j END) c2,
-             |    MAX(CASE WHEN sp = 3 THEN j END) c3
-             |  FROM enc0 WHERE rnk = 1 GROUP BY vec_id),
+             |probes AS (SELECT qid, cid FROM qasg WHERE rnk <= 4),
+             |-- ADC scores are bucket-independent, so IVF-PQ = the shared
+             |-- adc pairs RESTRICTED to (query, corpus) sharing a probed
+             |-- coarse bucket.
              |scored AS (
-             |  SELECT p.qid, b.vid nid,
-             |    ROUND(
-             |      list_dot_product(list_slice(p.qv,  1, 16), cb0.c)
-             |    + list_dot_product(list_slice(p.qv, 17, 32), cb1.c)
-             |    + list_dot_product(list_slice(p.qv, 33, 48), cb2.c)
-             |    + list_dot_product(list_slice(p.qv, 49, 64), cb3.c), 6)
-             |      AS score
-             |  FROM bucketed b
-             |  JOIN probes p USING (cid)
-             |  JOIN encp pc ON pc.vec_id = b.vid
-             |  JOIN pcb cb0 ON cb0.sp = 0 AND cb0.j = pc.c0
-             |  JOIN pcb cb1 ON cb1.sp = 1 AND cb1.j = pc.c1
-             |  JOIN pcb cb2 ON cb2.sp = 2 AND cb2.j = pc.c2
-             |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = pc.c3
-             |  WHERE b.vid <> p.qid),
+             |  SELECT a.qid, a.nid, a.score
+             |  FROM adc a
+             |  JOIN bucketed b ON b.vid = a.nid
+             |  JOIN probes p ON p.qid = a.qid AND p.cid = b.cid),
              |ranked AS (
              |  SELECT qid, nid, score,
              |    ROW_NUMBER() OVER (PARTITION BY qid

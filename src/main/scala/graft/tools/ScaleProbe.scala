@@ -66,6 +66,13 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", 0.6).count()))
+    t(s"benchmark decontam x$k")(
+      println("  contaminated=" + Dedup
+        .benchmarkContamination(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .filter(col("contaminated")).count()))
 
     val emb0 = Tables(spark, dir, "embeddings")
     val emb = (0 until k).map { i =>
