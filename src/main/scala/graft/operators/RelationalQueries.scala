@@ -1029,6 +1029,45 @@ object RelationalQueries extends QueryPack {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // ---- VARIANT-array flatten (Snowflake LATERAL FLATTEN, the op a
+    // Snowflake user runs on the reference's menu VARIANT column,
+    // setup/setup_data.sql:57): a JSON ARRAY column explodes to one row
+    // per element with its ordinal. The array column is synthesized
+    // in-plan (to_json of the doc's first five words) so the gate
+    // round-trips REAL JSON: one schema'd from_json(array<string>) parse
+    // per row — never per-element re-parsing — then posexplode. Generate
+    // sits inside the scan stage: map-only, no shuffle before the
+    // aggregate.
+    Q("q38_json_flatten",
+      (s, dir) => {
+        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            to_json(slice(words, 1, 5)).as("j")) // the VARIANT array
+          .select(col("doc_id"),
+            posexplode(from_json(col("j"),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType))))
+          .toDF("doc_id", "pos", "word")
+          .groupBy(col("pos"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("word")).as("min_word"),
+            countDistinct(col("word")).as("n_distinct"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             |      AS w
+             |  FROM documents),
+             |ex AS (
+             |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             |    w[CAST(i AS INT)] AS word
+             |  FROM toks, unnest(range(1, LEAST(len(w), 5) + 1)) AS t(i))
+             |SELECT pos, COUNT(*) AS n_docs, MIN(word) AS min_word,
+             |  COUNT(DISTINCT word) AS n_distinct
+             |FROM ex GROUP BY pos ORDER BY pos""".stripMargin)),
+
     // ---- Correlated subqueries (TPC-H q4 shape): EXISTS + NOT EXISTS
     // with correlated predicates, written as SQL so the gate exercises
     // Catalyst's RewritePredicateSubquery path — the planner must rewrite
