@@ -167,10 +167,6 @@ object DedupQueries extends QueryPack {
               |FROM ranked r JOIN canon USING (cluster)
               |ORDER BY doc_id""".stripMargin)),
 
-    // Near-subset containment (|A∩B|/|A| ≥ 0.8, ordered pairs): the
-    // contamination measure jaccard misses — a short doc embedded in a
-    // long one. A-side prefix filter against the full inverted index;
-    // brute-force containment oracle.
     // Benchmark decontamination (Dedup.benchmarkContamination): flag
     // every training doc (doc_id % 5 <> 0 — a scale-invariant split)
     // sharing any word 8-gram with the held-out benchmark fifth. The
@@ -210,6 +206,10 @@ object DedupQueries extends QueryPack {
              |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
              |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin)),
 
+    // Near-subset containment (|A∩B|/|A| ≥ 0.8, ordered pairs): the
+    // contamination measure jaccard misses — a short doc embedded in a
+    // long one. A-side prefix filter against the full inverted index;
+    // brute-force containment oracle.
     Q("d08_containment_pairs",
       (s, dir) => Dedup
         .containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",

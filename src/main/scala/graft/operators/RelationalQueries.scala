@@ -1059,7 +1059,11 @@ object RelationalQueries extends QueryPack {
              |  SELECT doc_id,
              |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
              |      AS w
-             |  FROM documents),
+             |  -- NULL text must drop the row like Spark's
+             |  -- posexplode(from_json(NULL)) does; without the guard,
+             |  -- LEAST(NULL, 5) = 5 (LEAST ignores NULLs) would emit 5
+             |  -- phantom NULL-word rows per NULL doc.
+             |  FROM documents WHERE text IS NOT NULL),
              |ex AS (
              |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
              |    w[CAST(i AS INT)] AS word
