@@ -329,7 +329,8 @@ object EngineCli {
           runner.run(spark, select = Some(seedNames.mkString(" "))))
       case other =>
         System.err.println(s"unknown verb: $other (expected run|build|" +
-          "test|compile|deps|freshness|ls|seed|snapshot|retry|show|docs)")
+          "test|compile|deps|freshness|ls|seed|snapshot|retry|show|docs|" +
+          "clone|optimize)")
         sys.exit(2)
     }
     spark.stop()

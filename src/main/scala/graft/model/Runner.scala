@@ -109,6 +109,44 @@ object CatalogMaterializer {
   private[model] def nextVersion(): String =
     s"${System.currentTimeMillis()}_${versionCounter.incrementAndGet()}"
 
+  /** Concurrent-writer protection for the refresh protocol (the
+    * reference's overlapping-cron world — an hourly scheduled run racing
+    * a manual one; Snowflake's transactional catalog serializes its
+    * `CREATE OR REPLACE`, so must we):
+    *
+    *  - [[commitLock]] — one lock object per relation path; the commit
+    *    critical section (pointer rename → catalog sync → stale-version
+    *    collection) serializes per relation. The DATA write (the long
+    *    part) stays fully concurrent; only the metadata commit — a few
+    *    filesystem/catalog calls — takes the lock, so `--threads` DAG
+    *    parallelism across DIFFERENT relations is untouched.
+    *  - [[inFlight]] — version directories with an active writer. A
+    *    concurrent writer's freshly-written (not yet committed) version
+    *    looks exactly like a crash orphan to another writer's
+    *    stale-version collection; the registry is what tells them apart.
+    *    Entries are removed in a `finally`, so a FAILED write's orphan
+    *    becomes collectable immediately; only a JVM death leaks an entry,
+    *    and a fresh process starts with an empty registry (the orphan is
+    *    then collected by the next refresh, as before).
+    *
+    * Cross-process racers are serialized only at the pointer rename
+    * itself (atomic, last-commit-wins, never torn); their retention
+    * windows are what protects data — a concurrent process's cleanup
+    * retains the pointer's current version (re-read inside cleanup) and
+    * the predecessor it observed. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private[model] def commitLock(relationPath: String): Object =
+    commitLocks.computeIfAbsent(relationPath, _ => new Object)
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[model] def registerInFlight(path: String): Unit =
+    inFlight.add(path)
+  private[model] def unregisterInFlight(path: String): Unit =
+    inFlight.remove(path)
+  private[model] def isInFlight(path: String): Boolean =
+    inFlight.contains(path)
+
   /** Every field (recursively) nullable — what the parquet files a swap
     * points at actually guarantee (StructType.asNullable is private). */
   private[model] def relaxNullability(
@@ -216,9 +254,13 @@ final class CatalogMaterializer extends Materializer {
 
   def dropPartition(spark: SparkSession, relation: String,
       partCol: String, value: String): Unit =
-    if (relationExists(spark, relation))
+    if (relationExists(spark, relation)) {
+      // SQL string-literal escaping: a value containing a single quote
+      // must not break out of the PARTITION (...='...') literal.
+      val escaped = value.replace("'", "''")
       spark.sql(s"ALTER TABLE $relation DROP IF EXISTS " +
-        s"PARTITION ($partCol='$value')")
+        s"PARTITION ($partCol='$escaped')")
+    }
 
   /** Incremental writes go IN PLACE (insertInto), so they must never hit
     * a pointer-backed relation: the pointer would go stale (a later
@@ -274,14 +316,31 @@ final class CatalogMaterializer extends Materializer {
     val dir = schemaDir(spark, schema)
     val newLoc = new org.apache.hadoop.fs.Path(dir,
       s"${name}__v${CatalogMaterializer.nextVersion()}")
-    df.write.mode("overwrite").parquet(newLoc.toString)
-    // Parquet writes every column nullable; the committed schema must
-    // agree or a reader could trust a non-nullable column that isn't.
-    val newSchema = CatalogMaterializer.relaxNullability(df.schema)
-    commitPointer(spark, dir, name, newLoc.getName, newSchema)
-    val prevLoc = syncCatalog(spark, relation, newLoc, newSchema)
-    collectStaleVersions(spark, dir, name,
-      keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
+    // Registered BEFORE the write: from this moment a concurrent
+    // writer's stale-version collection must not treat this directory as
+    // a crash orphan. Unregistered in `finally` so a failed write's
+    // orphan is immediately collectable. Qualified through the
+    // filesystem so the key matches what listStatus reports (scheme and
+    // authority included).
+    val inFlightKey = newLoc.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(newLoc).toString
+    CatalogMaterializer.registerInFlight(inFlightKey)
+    try {
+      df.write.mode("overwrite").parquet(newLoc.toString)
+      // Parquet writes every column nullable; the committed schema must
+      // agree or a reader could trust a non-nullable column that isn't.
+      val newSchema = CatalogMaterializer.relaxNullability(df.schema)
+      // The commit critical section serializes per relation: two
+      // concurrent refreshes of the SAME relation commit one after the
+      // other (last-commit-wins on the pointer), and each cleanup runs
+      // with a keep-set consistent with the catalog state it observed.
+      CatalogMaterializer.commitLock(s"$dir/$name").synchronized {
+        commitPointer(spark, dir, name, newLoc.getName, newSchema)
+        val prevLoc = syncCatalog(spark, relation, newLoc, newSchema)
+        collectStaleVersions(spark, dir, name,
+          keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
+      }
+    } finally CatalogMaterializer.unregisterInFlight(inFlightKey)
   }
 
   /** Time travel over the atomic-refresh version chain — Snowflake's
@@ -409,9 +468,11 @@ final class CatalogMaterializer extends Materializer {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $toSchema")
         val src = versionLocation(schemaDir(spark, fromSchema), versionDir)
         val sch = pointerSchema(schemaJson)
-        commitPointer(spark, schemaDir(spark, toSchema), toName,
-          src.toString, sch)
-        syncCatalog(spark, toRel, src, sch)
+        val toDir = schemaDir(spark, toSchema)
+        CatalogMaterializer.commitLock(s"$toDir/$toName").synchronized {
+          commitPointer(spark, toDir, toName, src.toString, sch)
+          syncCatalog(spark, toRel, src, sch)
+        }
       case None => super.cloneRelation(spark, fromRel, toRel)
     }
   }
@@ -483,6 +544,12 @@ final class CatalogMaterializer extends Materializer {
       dir: org.apache.hadoop.fs.Path, name: String,
       keep: Set[String]): Unit = {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Under concurrent writers the caller's keep-set is not enough: the
+    // pointer may have advanced since (a cross-process racer committed
+    // between our commit and this cleanup) — re-read it and retain
+    // whatever it names NOW. A dropRelation caller passes keep=Set.empty
+    // AFTER deleting the pointer, so the re-read resolves to nothing.
+    val live = readPointer(spark, dir, name).map(_._1).toSet
     if (fs.exists(dir))
       fs.listStatus(dir).map(_.getPath)
         // `name` alone is a legacy managed location (pre-versioning, or a
@@ -492,7 +559,9 @@ final class CatalogMaterializer extends Materializer {
         .filter(p => (p.getName.startsWith(s"${name}__v") ||
             p.getName == name ||
             p.getName.startsWith(s"${name}__CURRENT.tmp.")) &&
-          !keep.contains(p.getName))
+          !keep.contains(p.getName) && !live.contains(p.getName) &&
+          // A concurrent writer's version-in-progress is not an orphan.
+          !CatalogMaterializer.isInFlight(fs.makeQualified(p).toString))
         .foreach(fs.delete(_, true))
   }
 
@@ -512,12 +581,14 @@ final class CatalogMaterializer extends Materializer {
     // what makes the swap safe); an explicit drop removes them all. The
     // pointer goes first, or a later resolution would resurrect the entry.
     val dir = schemaDir(spark, schema)
-    pointerPath(dir, name).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-      .delete(pointerPath(dir, name), false)
-    if (catalog.tableExists(ident)) spark.sql(s"DROP TABLE $relation")
-    collectStaleVersions(spark, dir, name, Set.empty)
-    clearStaleLocation(spark, relation)
+    CatalogMaterializer.commitLock(s"$dir/$name").synchronized {
+      pointerPath(dir, name).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(pointerPath(dir, name), false)
+      if (catalog.tableExists(ident)) spark.sql(s"DROP TABLE $relation")
+      collectStaleVersions(spark, dir, name, Set.empty)
+      clearStaleLocation(spark, relation)
+    }
   }
 
   /** Full-refresh (and first incremental) semantics must survive a dead
@@ -598,12 +669,28 @@ final class PathMaterializer(base: String) extends Materializer {
     // Same escaping Spark used when the partition directory was written.
     val dirName = partCol + "=" + org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(value)
-    val p = new org.apache.hadoop.fs.Path(s"$base/$relation/$dirName")
+    val root = new org.apache.hadoop.fs.Path(s"$base/$relation")
+    val p = new org.apache.hadoop.fs.Path(root, dirName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
+      // Capture the schema BEFORE deleting: if this was the relation's
+      // only partition, re-reading the root would throw "unable to infer
+      // schema" — register an empty frame with the prior schema instead
+      // (matching the catalog twin, where ALTER TABLE leaves an empty
+      // table).
+      val priorSchema = spark.table(relation).schema
       fs.delete(p, true)
-      spark.read.option("mergeSchema", "true").parquet(s"$base/$relation")
-        .createOrReplaceTempView(relation)
+      val anyDataLeft = fs.listStatus(root).exists { s =>
+        s.isDirectory || s.getPath.getName.endsWith(".parquet")
+      }
+      if (anyDataLeft)
+        spark.read.option("mergeSchema", "true").parquet(s"$base/$relation")
+          .createOrReplaceTempView(relation)
+      else
+        spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            priorSchema)
+          .createOrReplaceTempView(relation)
     }
   }
 

@@ -443,6 +443,58 @@ object EngineQueries extends QueryPack {
              |SELECT 'prev', n_nationkey, n_name FROM nation
              |ORDER BY version, k""".stripMargin)),
 
+    // ---- Multi-writer atomicity (the reference's overlapping-cron
+    // world, setup/task.sql:1-6: an hourly scheduled refresh racing a
+    // manual `EXECUTE DBT PROJECT`; Snowflake's transactional catalog
+    // serializes its CREATE OR REPLACE — the pointer commit's
+    // per-relation critical section is our equivalent). TWO runners race
+    // the same table mart from a barrier; both must report success, and
+    // the surviving relation must equal a single run's output
+    // (last-commit-wins over identical content ⇒ deterministic
+    // run_results AND data, whichever writer lands last).
+    // AtomicRefreshSpec pins the lock/in-flight-registry mechanics.
+    Q("o12_concurrent_runners",
+      (spark, dir) => {
+        val mat = new CatalogMaterializer
+        def runner() = new Runner(
+          Project(TpchProject.sources(dir),
+            Seq(SqlModel("race_mart",
+              """SELECT r_name AS region, count(*) AS n_nations
+                |FROM {{ source('tpch', 'nation') }} n
+                |JOIN {{ source('tpch', 'region') }} r
+                |  ON n.n_regionkey = r.r_regionkey
+                |GROUP BY r_name""".stripMargin, Materialization.Table,
+              // Isolated schema: o05 pins the dev/analytics listing
+              // statically, so this gate must not add tables there.
+              customSchema = Some("racegate")))),
+          Target.dev, mat)
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val failures =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+        val statuses =
+          new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        val ts = (0 until 2).map { i =>
+          new Thread(() => {
+            try {
+              val r = runner()
+              barrier.await()
+              val rs = r.run(spark)
+              statuses.put(i,
+                rs.map(n => s"${n.name}:${n.status}").mkString(","))
+            } catch { case t: Throwable => failures.add(t) }
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        require(failures.isEmpty, s"concurrent runner failed: $failures")
+        require((0 until 2).forall(i =>
+            statuses.get(i) == "race_mart:success"),
+          s"non-deterministic run_results under the race: $statuses")
+        spark.table("racegate.race_mart").orderBy(col("region"))
+      },
+      Some("""SELECT r_name AS region, count(*) AS n_nations
+             |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r_name ORDER BY region""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)

@@ -579,7 +579,14 @@ object Similarity {
   def binarySignTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     def signs(df: DataFrame) = {
-      val v = col(vecCol).cast("array<double>")
+      val raw = col(vecCol).cast("array<double>")
+      // Contract: exactly 64 dims (one sign bit per long bit). A shorter
+      // vector would silently score missing dims as sign-0 and extra
+      // dims would be ignored — a shape mismatch must fail loudly, not
+      // degrade ranking quality.
+      val v = when(size(raw) === 64, raw).otherwise(raise_error(concat(
+        lit("binarySignTopK requires 64-dim vectors, got "),
+        size(raw).cast("string"))))
       val packed = (0 until 64).map { i =>
         when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _) // OR, not +: bit 63 is the sign bit, and

@@ -152,6 +152,80 @@ class AtomicRefreshSpec extends SparkSuite {
       "resolution must repair the catalog to the pointer's version")
   }
 
+  test("two concurrent writers racing the commit: last-commit-wins, " +
+      "no torn pointer, no lost live version") {
+    val rel = "atomicspec.t9"
+    mat.materializeTable(spark, rel, spark.range(1).toDF("id"))
+    // The reference's overlapping-cron scenario: a scheduled refresh and
+    // a manual one race the same relation. Several rounds to give the
+    // scheduler chances to interleave commit sections differently.
+    (1 to 4).foreach { round =>
+      val expected = Set(100L * round, 200L * round)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val failures =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+      @volatile var stopReader = false
+      @volatile var readerFailure: Option[Throwable] = None
+      val priorCount = spark.table(rel).count()
+      val reader = new Thread(() =>
+        try while (!stopReader) {
+          val c = spark.table(rel).count()
+          assert(c == priorCount || expected.contains(c),
+            s"round $round reader saw torn count $c")
+        } catch { case t: Throwable => readerFailure = Some(t) })
+      def writer(n: Long) = new Thread(() => {
+        try {
+          barrier.await()
+          mat.materializeTable(spark, rel, spark.range(n).toDF("id"))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      reader.start()
+      val ws = Seq(writer(100L * round), writer(200L * round))
+      ws.foreach(_.start()); ws.foreach(_.join())
+      stopReader = true; reader.join()
+      assert(failures.isEmpty, s"round $round writer failed: $failures")
+      assert(readerFailure.isEmpty,
+        s"round $round reader failed mid-race: $readerFailure")
+      // Last-commit-wins: the live table is exactly ONE writer's full
+      // output — and its version directory must still exist (the loser's
+      // stale-version collection must not have deleted it).
+      val n = spark.table(rel).count()
+      assert(expected.contains(n), s"round $round torn count $n")
+      assert(mat.tableAtVersion(spark, rel, 0).count() == n,
+        s"round $round pointer names a missing/partial version")
+      // Retention holds under the race: both racers' versions survive
+      // (live + retained predecessor), older rounds are collected.
+      assert(versionDirs("t9").length == 2,
+        s"round $round left ${versionDirs("t9").map(_.getName)}")
+    }
+  }
+
+  test("cleanup never deletes a concurrent writer's in-flight version") {
+    val rel = "atomicspec.t10"
+    mat.materializeTable(spark, rel, spark.range(2).toDF("id"))
+    // Simulate writer B mid-data-write: its version directory is on disk
+    // (indistinguishable from a crash orphan) and registered in-flight.
+    val inflight = new File(schemaDir, "t10__v1_999999999")
+    inflight.mkdirs()
+    // Key constructed exactly as materializeTable does: Path from the
+    // warehouse-config string, qualified through the filesystem.
+    val hp = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") +
+        "/atomicspec.db/t10__v1_999999999")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(hp).toString
+    CatalogMaterializer.registerInFlight(key)
+    try {
+      // Writer A refreshes concurrently — its cleanup must skip B's dir.
+      mat.materializeTable(spark, rel, spark.range(3).toDF("id"))
+      assert(inflight.exists,
+        "a racing refresh collected an in-flight version as an orphan")
+    } finally CatalogMaterializer.unregisterInFlight(key)
+    // Once no writer holds it (B died), the next refresh collects it.
+    mat.materializeTable(spark, rel, spark.range(4).toDF("id"))
+    assert(!inflight.exists, "unregistered orphan was not collected")
+  }
+
   test("dropRelation reclaims every versioned location") {
     val rel = "atomicspec.t6"
     (1 to 3).foreach(n =>

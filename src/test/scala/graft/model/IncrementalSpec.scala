@@ -481,4 +481,32 @@ class IncrementalSpec extends SparkSuite {
       .run(spark, Some("mbd_mart"))
     assert(spark.table("dev_mbd_mart").count() == 2)
   }
+
+  test("dropPartition of the only partition leaves an empty readable " +
+      "relation (path twin)") {
+    val base = Files.createTempDirectory("graft-dpg").toString
+    val mat = new PathMaterializer(base)
+    val rel = "dev_dp_only"
+    mat.materializeIncremental(spark,
+      rel, Seq(("2024-01-01", 1L)).toDF("day", "v"), Seq("day"))
+    assert(spark.table(rel).count() == 1)
+    // Pre-guard this threw "unable to infer schema" from the root
+    // re-read and aborted the microbatch run; the catalog twin's ALTER
+    // TABLE path always handled it.
+    mat.dropPartition(spark, rel, "day", "2024-01-01")
+    assert(spark.table(rel).count() == 0)
+    assert(spark.table(rel).columns.toSet == Set("day", "v"))
+  }
+
+  test("catalog dropPartition escapes a quoted partition value") {
+    val mat = new CatalogMaterializer
+    val rel = "dpgate.quoted"
+    mat.materializeIncremental(spark, rel,
+      Seq(("O'Brien", 1L), ("plain", 2L)).toDF("k", "v"), Seq("k"))
+    // Pre-escape the embedded quote broke out of the SQL string literal
+    // and the ALTER TABLE statement failed to parse.
+    mat.dropPartition(spark, rel, "k", "O'Brien")
+    assert(spark.table(rel).select("k").collect()
+      .map(_.getString(0)).toSeq == Seq("plain"))
+  }
 }
