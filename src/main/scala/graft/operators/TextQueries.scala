@@ -129,9 +129,17 @@ object TextQueries extends QueryPack {
               |FROM t ORDER BY doc_id""".stripMargin)),
 
     // True rolling-hash fingerprint (Rabin-Karp O(n) per doc, native
-    // expression): no portable SQL equivalent — rows-only for the driver;
-    // the ScalaTest property suite pins the rolling arithmetic against a
-    // per-window recompute.
+    // expression). The wrap-around ring Z/2⁶⁴ IS expressible in DuckDB
+    // after all: every window hash ≡ the direct polynomial
+    // Σ b[s+k]·B^(63−k) (mod 2⁶⁴) — the rolling update is just the same
+    // polynomial computed incrementally — and HUGEINT holds the ≤2⁷⁸
+    // partial sums, reduced with one `% 2⁶⁴` and re-signed to BIGINT for
+    // the signed min Spark takes. The 64 power-of-B constants are
+    // precomputed HERE with the very Long wrap-around the expression
+    // uses. Byte access: the corpus is pure ASCII (checked at every SF),
+    // so `ord(substr(text,i,1))` equals the UTF-8 byte the Spark side
+    // hashes. The ScalaTest property suite additionally pins the rolling
+    // arithmetic against a per-window recompute.
     Q("t06_rolling_fingerprint",
       (s, dir) => {
         Tables(s, dir, "documents")
@@ -140,7 +148,31 @@ object TextQueries extends QueryPack {
               .as("rolling_fp"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some {
+        val pows = Array.iterate(1L, 64)(_ * 257L) // B^i in Z/2⁶⁴
+        val powRows = (0 until 64).map(k =>
+          s"($k, ${java.lang.Long.toUnsignedString(pows(63 - k))}::HUGEINT)")
+          .mkString(", ")
+        s"""WITH pw(k, p) AS (VALUES $powRows),
+           |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+           |win AS (SELECT doc_id, unnest(generate_series(1, n - 63)) AS s
+           |        FROM d WHERE n >= 64),
+           |h AS (
+           |  SELECT w.doc_id, w.s,
+           |    SUM(CAST(ord(substr(d.text, CAST(w.s + pw.k AS INTEGER), 1))
+           |          AS HUGEINT) * pw.p)
+           |      % 18446744073709551616::HUGEINT AS hu
+           |  FROM win w JOIN d USING (doc_id) CROSS JOIN pw
+           |  GROUP BY w.doc_id, w.s),
+           |sgn AS (
+           |  SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+           |    AS BIGINT) AS hs
+           |  FROM h)
+           |SELECT d.doc_id, MIN(s.hs) AS rolling_fp
+           |FROM d LEFT JOIN sgn s USING (doc_id)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      }),
 
     // Generator (explode/UNNEST) + top-k: corpus vocabulary head. The
     // explode stays inside the scan stage (Generate under the partial
