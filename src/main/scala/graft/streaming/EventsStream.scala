@@ -115,38 +115,47 @@ object EventsStream {
     hourlyAgg(events).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // The batch holds the UPDATED hour rows; rewriting a touched day
-        // needs that day's other hours too, so merge batch rows over the
-        // mart's current rows for exactly the touched days. (At most
-        // watermark-horizon days are live per trigger; closed days are
-        // never read or written.)
-        val spark = batch.sparkSession
-        val updated = batch.withColumn("day", to_date(col("hour")))
-        val days = updated.select("day").distinct()
-        // Only the READ is the expected first-trigger failure; the joins
-        // stay outside the catch — an AnalysisException from column
-        // resolution (schema drift in an existing mart) must ABORT the
-        // trigger, not be mistaken for "no mart yet" and let the dynamic
-        // overwrite replace touched days with batch-only rows.
-        val existing = try Some(spark.read.parquet(path))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val current = existing match {
-          case Some(mart) => mart
-            .join(broadcast(days), Seq("day"), "left_semi")
-            .join(updated.select("hour", "event_type"),
-              Seq("hour", "event_type"), "left_anti")
-          case None => updated.limit(0)
-        }
-        updated.unionByName(current.select(updated.columns.map(col): _*))
-          // The write overwrites the very path `current` reads; truncate
-          // lineage first (day-scale aggregate rows — bounded and tiny).
-          .localCheckpoint()
-          .write.mode("overwrite")
-          // Writer-scoped dynamic overwrite — a session-wide conf toggle
-          // would race with concurrent writers (see Runner).
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day").parquet(path)
+        mergeHourly(batch, path)
       }
+
+  /** One trigger of [[hourlyMart]]: the batch holds the UPDATED hour
+    * rows; rewriting a touched day needs that day's other hours too, so
+    * merge batch rows over the mart's current rows for exactly the
+    * touched days. (At most watermark-horizon days are live per trigger;
+    * closed days are never read or written.) IDEMPOTENT per batch
+    * content: re-applying the same updated rows rewrites the same day
+    * partitions to the same contents — which is what makes the
+    * foreachBatch at-least-once window (crash after the sink write,
+    * before the checkpoint commit; the batch replays on restart) safe.
+    * Factored out so the recovery spec can drive exactly that window. */
+  private[streaming] def mergeHourly(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val updated = batch.withColumn("day", to_date(col("hour")))
+    val days = updated.select("day").distinct()
+    // Only the READ is the expected first-trigger failure; the joins
+    // stay outside the catch — an AnalysisException from column
+    // resolution (schema drift in an existing mart) must ABORT the
+    // trigger, not be mistaken for "no mart yet" and let the dynamic
+    // overwrite replace touched days with batch-only rows.
+    val existing = try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val current = existing match {
+      case Some(mart) => mart
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .join(updated.select("hour", "event_type"),
+          Seq("hour", "event_type"), "left_anti")
+      case None => updated.limit(0)
+    }
+    updated.unionByName(current.select(updated.columns.map(col): _*))
+      // The write overwrites the very path `current` reads; truncate
+      // lineage first (day-scale aggregate rows — bounded and tiny).
+      .localCheckpoint()
+      .write.mode("overwrite")
+      // Writer-scoped dynamic overwrite — a session-wide conf toggle
+      // would race with concurrent writers (see Runner).
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+  }
 
   /** Streaming keyed upsert (`foreachBatch` MERGE) — the CDC-into-
     * warehouse topology: maintain exactly ONE row per user_id holding

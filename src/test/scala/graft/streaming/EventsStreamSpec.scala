@@ -68,6 +68,114 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  // ---- Checkpoint recovery: the exactly-once claim of the foreachBatch
+  // sinks. A crash AFTER the sink write but BEFORE the checkpoint commit
+  // is the at-least-once window foreachBatch leaves open — on restart
+  // the batch REPLAYS over a sink that already holds its effects, so the
+  // sink merge must be idempotent. Both specs split the feed into
+  // multiple micro-batches, apply the production merge, throw right
+  // after a mid-run batch's write, restart from the same checkpoint, and
+  // demand the final sink equals the batch-twin oracle exactly.
+
+  private def splitFeed(parts: Int, byTime: Boolean = false): String = {
+    val feedDir = Files.createTempDirectory("graft-recov-feed").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(srcFile)
+    if (byTime) {
+      // Time-ordered slices, written oldest first (the file source
+      // triggers in modification-time order): a watermark-bounded
+      // pipeline then never sees behind-watermark events, so the
+      // streamed result must EQUAL the batch twin — the equality a
+      // random split would (correctly) break via late-drop.
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+      val sliced = raw.withColumn("slice", ntile(parts).over(w)).cache()
+      (1 to parts).foreach(i =>
+        sliced.filter(col("slice") === i).drop("slice")
+          .coalesce(1).write.mode("append").parquet(feedDir))
+      sliced.unpersist()
+    } else
+      (0 until parts).foreach(i =>
+        raw.filter(col("event_id") % parts === i)
+          .coalesce(1).write.mode("append").parquet(feedDir))
+    feedDir
+  }
+
+  test("checkpoint recovery mid-batch: hourly mart replays to the exact " +
+      "batch result") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val feedDir = splitFeed(3, byTime = true)
+    val mart = Files.createTempDirectory("graft-recov-mart").toString + "/h"
+    val ckpt = Files.createTempDirectory("graft-recov-ckpt").toString
+    @volatile var crashed = false
+    def start() = EventsStream
+      .hourlyAgg(EventsStream.read(spark, feedDir,
+        maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventsStream.mergeHourly(b, mart)
+        // Crash in the at-least-once window: write landed, commit not.
+        if (id == 1 && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash after sink write")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    intercept[StreamingQueryException] { start().awaitTermination() }
+    assert(crashed, "the injected crash never fired")
+    // Restart from the checkpoint: batch 1 replays (its effects are
+    // already in the mart), batch 2 runs fresh.
+    start().awaitTermination()
+    val streamed = spark.read.parquet(mart)
+      .select(col("hour").cast("timestamp").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type")).collect().toSeq.map(_.toSeq)
+    val expected = EventsStream
+      .hourlyAggBatch(Tables(spark, "/root/testdata/sf0.001", "events"))
+      .orderBy(col("hour"), col("event_type")).collect().toSeq.map(_.toSeq)
+    assert(streamed.nonEmpty && streamed == expected,
+      "recovered mart diverged from the batch twin")
+  }
+
+  test("checkpoint recovery mid-batch: keyed upsert replays idempotently") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val feedDir = splitFeed(2)
+    val state = Files.createTempDirectory("graft-recov-state").toString + "/s"
+    val ckpt = Files.createTempDirectory("graft-recov-ckpt2").toString
+    @volatile var crashed = false
+    def start() = EventsStream.read(spark, feedDir,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventsStream.upsertLatest(b, state)
+        if (id == 0 && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash after sink write")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    intercept[StreamingQueryException] { start().awaitTermination() }
+    assert(crashed, "the injected crash never fired")
+    start().awaitTermination()
+    val got = spark.read.parquet(state)
+      .select(col("user_id"), col("us"), col("event_id"))
+      .orderBy(col("user_id")).collect().toSeq.map(_.toSeq)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id")).collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == expected,
+      "recovered state table diverged from the batch twin")
+  }
+
   test("day-partitioned mart: one dir per day; untouched hours survive " +
       "a partial update") {
     val dir = stageDir(1)
