@@ -15,20 +15,24 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    // Optional label filter (substring) — probe one operator at a high K
+    // without paying for the whole suite.
+    val only = args.lift(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      // Each pipeline registers persists (shingle/cluster caches); left
-      // resident they'd pressure every LATER stage's timing at K× scale —
-      // exactly the linear-vs-quadratic signal this probe measures.
-      graft.core.Caches.releaseAll()
-      r
+    def t(label: String)(f: => Unit): Unit = {
+      if (only.forall(label.contains)) {
+        val t0 = System.nanoTime()
+        f
+        println(f"$label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        // Each pipeline registers persists (shingle/cluster caches); left
+        // resident they'd pressure every LATER stage's timing at K× scale
+        // — exactly the linear-vs-quadratic signal this probe measures.
+        graft.core.Caches.releaseAll()
+      }
     }
     val docs0 = Tables(spark, dir, "documents")
     val n0 = docs0.count()
