@@ -661,6 +661,87 @@ object TextQueries extends QueryPack {
              |   AS rare_ratio,
              | COUNT(*) AS n_distinct
              |FROM w2 JOIN f USING (w)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Learned BPE (the real merge-table tokenizer — see [[Bpe]]): train
+    // 20 merges on the corpus vocabulary, replay them over whole
+    // documents, emit per-doc token count + segmentation md5. The oracle
+    // RETRAINS the same 20 merges in SQL (20 unrolled iterations over
+    // the vocabulary, MATERIALIZED CTEs so the chain evaluates once) and
+    // replays them with the same left-to-right non-overlapping
+    // `replace` — an exact oracle for a trained tokenizer.
+    Q("t18_bpe_learned",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", 20)
+        val seg = graft.operators.Bpe.segmented(docs, "text", merges)
+        docs.select(col("doc_id"), seg.as("rep"))
+          .select(col("doc_id"),
+            when(col("rep").isNull, lit(0L))
+              .otherwise(graft.operators.Bpe.tokenCountOf(col("rep"))
+                .cast("long")).as("bpe_tokens"),
+            md5(col("rep")).as("seg_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeOracle(20)))
   )
+
+  /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
+    * argmax pair bN per step) + the same merge-literal replace chain
+    * applied to whole documents. Every CTE is MATERIALIZED — the bN
+    * scalar subqueries are referenced many times, and an inlining
+    * planner would otherwise expand the chain exponentially. */
+  private def bpeOracle(n: Int): String = {
+    val S = graft.operators.Bpe.Sep
+    val ctes = new StringBuilder(
+      s"""v0 AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS cnt,
+         |    '$S' || array_to_string(string_split(word, ''), '$S') || '$S'
+         |      AS rep
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+         |          AS word
+         |        FROM documents WHERE length(trim(text)) > 0) w
+         |  GROUP BY word)""".stripMargin)
+    (1 to n).foreach { i =>
+      ctes.append(
+        s""",
+           |p$i AS MATERIALIZED (
+           |  SELECT s[x] AS a, s[x+1] AS b, SUM(cnt) AS n
+           |  FROM (SELECT cnt, string_split(trim(rep, '$S'), '$S') AS s
+           |        FROM v${i - 1}),
+           |       unnest(generate_series(1, len(s)-1)) AS t(x)
+           |  GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (
+           |  SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           |v$i AS MATERIALIZED (
+           |  SELECT word, cnt, replace(rep,
+           |    '$S' || (SELECT a FROM b$i) || '$S' ||
+           |      (SELECT b FROM b$i) || '$S',
+           |    '$S' || (SELECT a FROM b$i) ||
+           |      (SELECT b FROM b$i) || '$S') AS rep
+           |  FROM v${i - 1})""".stripMargin)
+    }
+    val applied = (1 to n).foldLeft(
+      s"'$S' || array_to_string(string_split(" +
+        s"regexp_replace(trim(text), '\\s+', ' ', 'g'), ''), '$S') || '$S'") {
+      (acc, i) =>
+        s"""replace($acc,
+           |  '$S' || (SELECT a FROM b$i) || '$S' ||
+           |    (SELECT b FROM b$i) || '$S',
+           |  '$S' || (SELECT a FROM b$i) ||
+           |    (SELECT b FROM b$i) || '$S')""".stripMargin
+    }
+    s"""WITH ${ctes.toString},
+       |seg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN NULL
+       |         ELSE $applied END AS rep
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN rep IS NULL THEN 0
+       |       ELSE len(list_filter(string_split(trim(rep, '$S'), '$S'),
+       |                            s -> s <> ' ')) END AS bpe_tokens,
+       |  md5(rep) AS seg_md5
+       |FROM seg ORDER BY doc_id""".stripMargin
+  }
 }

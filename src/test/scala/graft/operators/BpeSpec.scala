@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Pins [[Bpe]]'s training and application semantics against hand-
+  * computed references: deterministic most-frequent-pair selection with
+  * lexicographic tie-breaks, leftmost-greedy non-overlapping merge
+  * application, word-boundary isolation (merges never cross the space
+  * symbol), and end-to-end determinism.
+  */
+class BpeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val S = Bpe.Sep
+
+  private def seg(text: String, merges: Seq[(String, String)]): String =
+    Seq(Tuple1(text)).toDF("text")
+      .select(Bpe.segmented(Seq(Tuple1(text)).toDF("text"), "text", merges)
+        .as("r"))
+      .head().getString(0)
+
+  test("training picks the most frequent pair, ties broken " +
+      "lexicographically") {
+    // "ab" x3, "ba" x3: (a,b) appears 3x, (b,a) 3x -> tie, (a,b) wins.
+    val docs = Seq("ab ab ab ba ba ba").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 1)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("merge ranks replay in order; later merges build on earlier ones") {
+    // Corpus dominated by "abc": merge1 = most frequent char pair,
+    // merge2 composes it into the full word.
+    val docs = Seq("abc abc abc abc xy").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 2)
+    assert(merges.head._1 + merges.head._2 == "ab" ||
+      merges.head._1 + merges.head._2 == "bc")
+    val s = seg("abc", merges)
+    assert(s == s"${S}abc$S", s"expected fully merged 'abc', got $s")
+  }
+
+  test("leftmost-greedy on overlapping occurrences (aaa -> [aa, a])") {
+    val s = seg("aaa", Seq(("a", "a")))
+    assert(s == s"${S}aa${S}a$S")
+  }
+
+  test("merges never cross a word boundary") {
+    // Train on a corpus where 'b a' would be the top CROSS-WORD pair if
+    // boundaries leaked; per-word pairs only see (a,b).
+    val docs = Seq("ab ab ab ab").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 1)
+    assert(merges == Seq(("a", "b")))
+    // Application: the space symbol blocks the merge across words — the
+    // cross-word b..a adjacency in "b ab a" must NOT merge, while the
+    // in-word "ab" does.
+    val s = seg("b ab a", merges)
+    assert(s == S + "b" + S + " " + S + "ab" + S + " " + S + "a" + S,
+      s"got $s")
+  }
+
+  test("token count excludes the space symbol; blank docs are null") {
+    val merges = Seq(("a", "b"))
+    val df = Seq("ab a b", "   ").toDF("text")
+    val out = df.select(
+      Bpe.segmented(df, "text", merges).as("rep"))
+      .select(col("rep"), Bpe.tokenCountOf(col("rep")).as("n"))
+      .collect()
+    assert(out(0).getInt(1) == 3) // [ab], [a], [b]
+    assert(out(1).isNullAt(0))
+  }
+
+  test("training is deterministic across repeated runs") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val m1 = Bpe.trainMerges(docs, "text", 8)
+    val m2 = Bpe.trainMerges(docs, "text", 8)
+    assert(m1 == m2)
+    assert(m1.length == 8)
+    // Multi-char merges appear — the signature of real BPE composition.
+    assert(m1.exists { case (a, b) => (a + b).length > 2 },
+      s"no composed merge in $m1")
+  }
+}
