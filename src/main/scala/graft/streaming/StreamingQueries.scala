@@ -38,18 +38,37 @@ object StreamingQueries extends QueryPack {
     spark.table(name)
   }
 
+  /** Stage the events table into a fresh feed directory for the file
+    * source. Handles both layouts: a single parquet FILE (driver
+    * testdata) and a DIRECTORY of part files (replicated bench builds).
+    * `copies` > 1 stages the whole feed again (replay scenarios). */
+  private def stageFeed(dir: String, tag: String, copies: Int = 1): String = {
+    val feedDir = Files.createTempDirectory(tag)
+    val src = Paths.get(s"$dir/events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(src).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+      } else Seq(src)
+    (0 until copies).foreach { c =>
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.copy(p, feedDir.resolve(s"part-$c-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    feedDir.toString
+  }
+
   def queries: Seq[Q] = Seq(
     // Watermarked tumbling-window aggregation, streamed file-by-file and
     // emitted as the complete final state.
     Q("st01_stream_hourly",
       (s, dir) => {
         // The file source wants a directory to list; stage the feed file.
-        val feedDir = Files.createTempDirectory("graft_st01_feed")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          feedDir.resolve("part-0.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        val feedDir = stageFeed(dir, "graft_st01_feed")
         val agg = EventsStream.hourlyAgg(
-          EventsStream.read(s, feedDir.toString))
+          EventsStream.read(s, feedDir))
         runToCompletion(agg, "st01_stream_hourly_sink", "complete")
           .select(col("hour"), col("event_type"), col("n_events"),
             col("sum_value").cast("decimal(38,4)").cast("string")
@@ -68,13 +87,9 @@ object StreamingQueries extends QueryPack {
     // event exactly once — the oracle is simply the original feed.
     Q("st02_stream_dedup_replay",
       (s, dir) => {
-        val replayDir = Files.createTempDirectory("graft_st02_feed")
-        Seq("part-0.parquet", "part-1-replay.parquet").foreach { f =>
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            replayDir.resolve(f), StandardCopyOption.REPLACE_EXISTING)
-        }
+        val replayDir = stageFeed(dir, "graft_st02_feed", copies = 2)
         val deduped = EventsStream.deduped(
-          EventsStream.read(s, replayDir.toString))
+          EventsStream.read(s, replayDir))
         runToCompletion(deduped, "st02_stream_dedup_sink", "append")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
@@ -91,14 +106,11 @@ object StreamingQueries extends QueryPack {
     // incremental table, not the in-flight stream.
     Q("st04_stream_incremental_mart",
       (s, dir) => {
-        val feedDir = Files.createTempDirectory("graft_st04_feed")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          feedDir.resolve("part-0.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        val feedDir = stageFeed(dir, "graft_st04_feed")
         val mart = Files.createTempDirectory("graft_st04_mart")
           .resolve("hourly").toString
         val q = EventsStream
-          .hourlyMart(EventsStream.read(s, feedDir.toString), mart)
+          .hourlyMart(EventsStream.read(s, feedDir), mart)
           .option("checkpointLocation",
             Files.createTempDirectory("graft_st04_ckpt").toString)
           .trigger(Trigger.AvailableNow())
@@ -123,12 +135,9 @@ object StreamingQueries extends QueryPack {
     // equivalent batch interval self-join.
     Q("st05_stream_stream_join",
       (s, dir) => {
-        val feedDir = Files.createTempDirectory("graft_st05_feed")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          feedDir.resolve("part-0.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        val feedDir = stageFeed(dir, "graft_st05_feed")
         val joined = EventsStream.viewClickJoin(
-          EventsStream.read(s, feedDir.toString))
+          EventsStream.read(s, feedDir))
         runToCompletion(joined, "st05_stream_join_sink", "append")
           .orderBy(col("user_id"), col("view_id"), col("click_id"))
       },
@@ -193,14 +202,11 @@ object StreamingQueries extends QueryPack {
 
     Q("st06_stream_static_join",
       (s, dir) => {
-        val feedDir = Files.createTempDirectory("graft_st06_feed")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          feedDir.resolve("part-0.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        val feedDir = stageFeed(dir, "graft_st06_feed")
         val profile = graft.core.Tables(s, dir, "events")
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_user_events"))
-        val enriched = EventsStream.read(s, feedDir.toString)
+        val enriched = EventsStream.read(s, feedDir)
           .join(broadcast(profile), "user_id")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("n_user_events"))
@@ -220,10 +226,7 @@ object StreamingQueries extends QueryPack {
     // session before AvailableNow terminates.
     Q("st03_stream_sessionize",
       (s, dir) => {
-        val feedDir = Files.createTempDirectory("graft_st03_feed")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          feedDir.resolve("part-0.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        val feedDir = stageFeed(dir, "graft_st03_feed")
         s.read.schema(EventsStream.rawSchema)
           .parquet(s"$dir/events.parquet").limit(1)
           .withColumn("user_id", lit(-1L))
@@ -231,7 +234,7 @@ object StreamingQueries extends QueryPack {
             (col("ts") + lit(3650L * 86400L * 1000000000L)).cast("long"))
           .write.mode("append").parquet(feedDir.toString)
         val sessions = EventsStream.sessionize(
-          EventsStream.read(s, feedDir.toString)).toDF()
+          EventsStream.read(s, feedDir)).toDF()
         runToCompletion(sessions, "st03_stream_sessionize_sink", "append")
           .filter(col("user_id") >= 0)
           .select(col("user_id"), col("start_us"), col("end_us"),
@@ -267,10 +270,7 @@ object StreamingQueries extends QueryPack {
     // the operator's end contract: window end = last event + gap.
     Q("st08_session_window",
       (s, dir) => {
-        val feedDir = Files.createTempDirectory("graft_st08_feed")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          feedDir.resolve("part-0.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        val feedDir = stageFeed(dir, "graft_st08_feed")
         s.read.schema(EventsStream.rawSchema)
           .parquet(s"$dir/events.parquet").limit(1)
           .withColumn("user_id", lit(-1L))
@@ -278,7 +278,7 @@ object StreamingQueries extends QueryPack {
             (col("ts") + lit(3650L * 86400L * 1000000000L)).cast("long"))
           .write.mode("append").parquet(feedDir.toString)
         val sessions = EventsStream.sessionWindowAgg(
-          EventsStream.read(s, feedDir.toString))
+          EventsStream.read(s, feedDir))
         runToCompletion(sessions, "st08_session_window_sink", "append")
           .filter(col("user_id") >= 0)
           .select(col("user_id"), col("start_us"), col("end_us"),
