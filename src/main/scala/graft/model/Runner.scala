@@ -120,32 +120,63 @@ object CatalogMaterializer {
     *    part) stays fully concurrent; only the metadata commit — a few
     *    filesystem/catalog calls — takes the lock, so `--threads` DAG
     *    parallelism across DIFFERENT relations is untouched.
-    *  - [[inFlight]] — version directories with an active writer. A
-    *    concurrent writer's freshly-written (not yet committed) version
-    *    looks exactly like a crash orphan to another writer's
-    *    stale-version collection; the registry is what tells them apart.
-    *    Entries are removed in a `finally`, so a FAILED write's orphan
-    *    becomes collectable immediately; only a JVM death leaks an entry,
-    *    and a fresh process starts with an empty registry (the orphan is
-    *    then collected by the next refresh, as before).
+    *  - [[registerInFlight]] — version directories with an active
+    *    writer. A concurrent writer's freshly-written (not yet
+    *    committed) version looks exactly like a crash orphan to another
+    *    writer's stale-version collection; the in-flight mark is what
+    *    tells them apart. The mark is BOTH a JVM-local registry entry
+    *    (fast path) and a sidecar `<dir>.INFLIGHT` file on the
+    *    filesystem — the sidecar is what a SEPARATE PROCESS's cleanup
+    *    sees (the overlapping-cron world is multi-process: a JVM-only
+    *    registry would let a scheduled run collect a manual run's
+    *    uncommitted version mid-write). Marks are removed in a
+    *    `finally`, so a FAILED write's orphan becomes collectable
+    *    immediately; a JVM death leaks the sidecar, which expires after
+    *    [[inFlightLeaseMs]] (conf `spark.graft.inflightLeaseMs`,
+    *    default 1 h) — size the lease above the longest data write.
     *
     * Cross-process racers are serialized only at the pointer rename
-    * itself (atomic, last-commit-wins, never torn); their retention
-    * windows are what protects data — a concurrent process's cleanup
-    * retains the pointer's current version (re-read inside cleanup) and
-    * the predecessor it observed. */
+    * itself (atomic, last-commit-wins, never torn); the re-read keep-set
+    * plus the in-flight sidecars are what protect data — a concurrent
+    * process's cleanup retains the pointer's current version (re-read
+    * inside cleanup), the predecessor it observed, and any version with
+    * a live in-flight mark. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private[model] def commitLock(relationPath: String): Object =
     commitLocks.computeIfAbsent(relationPath, _ => new Object)
   private val inFlight =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private[model] def registerInFlight(path: String): Unit =
-    inFlight.add(path)
-  private[model] def unregisterInFlight(path: String): Unit =
-    inFlight.remove(path)
-  private[model] def isInFlight(path: String): Boolean =
-    inFlight.contains(path)
+  private[model] val InFlightSuffix = ".INFLIGHT"
+  private[model] def inFlightLeaseMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.inflightLeaseMs")
+      .map(_.toLong).getOrElse(3600000L)
+  private[model] def markerPath(versionDir: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(versionDir.getParent,
+      versionDir.getName + InFlightSuffix)
+  private[model] def registerInFlight(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: org.apache.hadoop.fs.Path): Unit = {
+    inFlight.add(fs.makeQualified(versionDir).toString)
+    fs.create(markerPath(versionDir), true).close()
+  }
+  private[model] def unregisterInFlight(
+      fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: org.apache.hadoop.fs.Path): Unit = {
+    inFlight.remove(fs.makeQualified(versionDir).toString)
+    fs.delete(markerPath(versionDir), false)
+  }
+  /** Someone (this JVM or another process) is writing `versionDir`.
+    * A sidecar older than the lease is a leak from a dead JVM, not an
+    * active writer. */
+  private[model] def isInFlight(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: org.apache.hadoop.fs.Path, leaseMs: Long): Boolean =
+    inFlight.contains(fs.makeQualified(versionDir).toString) || {
+      val m = markerPath(versionDir)
+      fs.exists(m) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(m).getModificationTime < leaseMs
+    }
 
   /** Every field (recursively) nullable — what the parquet files a swap
     * points at actually guarantee (StructType.asNullable is private). */
@@ -255,9 +286,13 @@ final class CatalogMaterializer extends Materializer {
   def dropPartition(spark: SparkSession, relation: String,
       partCol: String, value: String): Unit =
     if (relationExists(spark, relation)) {
-      // SQL string-literal escaping: a value containing a single quote
-      // must not break out of the PARTITION (...='...') literal.
-      val escaped = value.replace("'", "''")
+      // SQL string-literal escaping: backslash first (Spark's default
+      // parser treats `\` as an escape inside string literals — a
+      // trailing `\` would swallow the closing quote, `\t` would
+      // silently become TAB and target a different partition), then
+      // quote doubling so a value containing `'` can't break out of the
+      // PARTITION (...='...') literal.
+      val escaped = value.replace("\\", "\\\\").replace("'", "''")
       spark.sql(s"ALTER TABLE $relation DROP IF EXISTS " +
         s"PARTITION ($partCol='$escaped')")
     }
@@ -317,14 +352,12 @@ final class CatalogMaterializer extends Materializer {
     val newLoc = new org.apache.hadoop.fs.Path(dir,
       s"${name}__v${CatalogMaterializer.nextVersion()}")
     // Registered BEFORE the write: from this moment a concurrent
-    // writer's stale-version collection must not treat this directory as
-    // a crash orphan. Unregistered in `finally` so a failed write's
-    // orphan is immediately collectable. Qualified through the
-    // filesystem so the key matches what listStatus reports (scheme and
-    // authority included).
-    val inFlightKey = newLoc.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).makeQualified(newLoc).toString
-    CatalogMaterializer.registerInFlight(inFlightKey)
+    // writer's stale-version collection — in this JVM (registry) or any
+    // other process (sidecar file) — must not treat this directory as a
+    // crash orphan. Unregistered in `finally` so a failed write's
+    // orphan is immediately collectable.
+    val fs = newLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CatalogMaterializer.registerInFlight(fs, newLoc)
     try {
       df.write.mode("overwrite").parquet(newLoc.toString)
       // Parquet writes every column nullable; the committed schema must
@@ -340,7 +373,7 @@ final class CatalogMaterializer extends Materializer {
         collectStaleVersions(spark, dir, name,
           keep = Set(newLoc.getName) ++ prevLoc.map(_.getName))
       }
-    } finally CatalogMaterializer.unregisterInFlight(inFlightKey)
+    } finally CatalogMaterializer.unregisterInFlight(fs, newLoc)
   }
 
   /** Time travel over the atomic-refresh version chain — Snowflake's
@@ -382,7 +415,9 @@ final class CatalogMaterializer extends Materializer {
     val curOrd = order(curLoc.getName)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith(s"${name}__v"))
+      .filter(n => n.startsWith(s"${name}__v") &&
+        // An in-flight sidecar is a marker file, not a version.
+        !n.endsWith(CatalogMaterializer.InFlightSuffix))
       // Strictly older than live: a crashed refresh can strand an orphan
       // NEWER than the pointer (data written, commit never reached) —
       // that orphan is garbage, not history.
@@ -550,19 +585,48 @@ final class CatalogMaterializer extends Materializer {
     // whatever it names NOW. A dropRelation caller passes keep=Set.empty
     // AFTER deleting the pointer, so the re-read resolves to nothing.
     val live = readPointer(spark, dir, name).map(_._1).toSet
-    if (fs.exists(dir))
-      fs.listStatus(dir).map(_.getPath)
+    if (fs.exists(dir)) {
+      val lease = CatalogMaterializer.inFlightLeaseMs(spark)
+      val all = fs.listStatus(dir).map(_.getPath).toSeq
+      all
         // `name` alone is a legacy managed location (pre-versioning, or a
         // model switched from incremental): reclaimed once not retained.
         // `__CURRENT.tmp.*` files are pointer writes orphaned by a crash
-        // before their commit rename.
+        // before their commit rename. `.INFLIGHT` sidecars are handled
+        // separately below.
         .filter(p => (p.getName.startsWith(s"${name}__v") ||
             p.getName == name ||
             p.getName.startsWith(s"${name}__CURRENT.tmp.")) &&
+          !p.getName.endsWith(CatalogMaterializer.InFlightSuffix) &&
           !keep.contains(p.getName) && !live.contains(p.getName) &&
-          // A concurrent writer's version-in-progress is not an orphan.
-          !CatalogMaterializer.isInFlight(fs.makeQualified(p).toString))
-        .foreach(fs.delete(_, true))
+          // A concurrent writer's version-in-progress — this JVM's
+          // registry or another process's live sidecar — is not an
+          // orphan.
+          !CatalogMaterializer.isInFlight(fs, p, lease))
+        .foreach { p =>
+          fs.delete(p, true)
+          fs.delete(CatalogMaterializer.markerPath(p), false)
+        }
+      // Dangling sidecars: the version dir is gone (collected earlier),
+      // or the lease expired while the dir itself is retained (a writer
+      // that committed, then died before its `finally` unregistered).
+      all.filter(m =>
+          m.getName.startsWith(s"${name}__v") &&
+          m.getName.endsWith(CatalogMaterializer.InFlightSuffix))
+        .foreach { m =>
+          val d = new org.apache.hadoop.fs.Path(m.getParent, m.getName
+            .stripSuffix(CatalogMaterializer.InFlightSuffix))
+          // The stale pass above may already have removed this sidecar
+          // along with its dir.
+          if (fs.exists(m)) {
+            val expired = System.currentTimeMillis() -
+              fs.getFileStatus(m).getModificationTime >= lease
+            if (!fs.exists(d) ||
+                (expired && !CatalogMaterializer.isInFlight(fs, d, lease)))
+              fs.delete(m, false)
+          }
+        }
+    }
   }
 
   /** The catalog never points at a location materializeTable writes, so
@@ -677,8 +741,13 @@ final class PathMaterializer(base: String) extends Materializer {
       // only partition, re-reading the root would throw "unable to infer
       // schema" — register an empty frame with the prior schema instead
       // (matching the catalog twin, where ALTER TABLE leaves an empty
-      // table).
-      val priorSchema = spark.table(relation).schema
+      // table). Read it from the parquet root, not spark.table: path
+      // relations are session-scoped temp views, and a fresh process can
+      // reach dropPartition (earliest microbatch period recomputing
+      // empty) before anything has registered the view.
+      val priorSchema =
+        spark.read.option("mergeSchema", "true").parquet(s"$base/$relation")
+          .schema
       fs.delete(p, true)
       val anyDataLeft = fs.listStatus(root).exists { s =>
         s.isDirectory || s.getPath.getName.endsWith(".parquet")

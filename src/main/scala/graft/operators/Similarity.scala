@@ -583,10 +583,17 @@ object Similarity {
       // Contract: exactly 64 dims (one sign bit per long bit). A shorter
       // vector would silently score missing dims as sign-0 and extra
       // dims would be ignored — a shape mismatch must fail loudly, not
-      // degrade ranking quality.
-      val v = when(size(raw) === 64, raw).otherwise(raise_error(concat(
-        lit("binarySignTopK requires 64-dim vectors, got "),
-        size(raw).cast("string"))))
+      // degrade ranking quality. A NULL embedding fails loudly too, but
+      // named as such — size(NULL) is NULL/-1 depending on legacy conf,
+      // and "got -1" would send the caller hunting a nonexistent
+      // 1-dim vector.
+      val v = when(raw.isNull,
+          raise_error(lit("binarySignTopK requires 64-dim vectors, " +
+            "got NULL embedding")))
+        .when(size(raw) === 64, raw)
+        .otherwise(raise_error(concat(
+          lit("binarySignTopK requires 64-dim vectors, got "),
+          size(raw).cast("string"))))
       val packed = (0 until 64).map { i =>
         when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _) // OR, not +: bit 63 is the sign bit, and

@@ -690,7 +690,17 @@ object TextQueries extends QueryPack {
     * argmax pair bN per step) + the same merge-literal replace chain
     * applied to whole documents. Every CTE is MATERIALIZED — the bN
     * scalar subqueries are referenced many times, and an inlining
-    * planner would otherwise expand the chain exponentially. */
+    * planner would otherwise expand the chain exponentially.
+    *
+    * [[Bpe.trainMerges]] stops early when the vocabulary exhausts
+    * (every word one symbol) — then b_{k+1}.. are EMPTY and their
+    * scalar subqueries NULL, which unguarded would NULL-cascade through
+    * every later replace and zero the whole oracle output. Each
+    * iteration COALESCEs pattern and replacement to the same impossible
+    * literal (`␟␟` — symbols are non-empty, and identical pattern/
+    * replacement is an identity replace regardless), so exhausted
+    * iterations are exact no-ops, mirroring the Spark side's absent
+    * merges. */
   private def bpeOracle(n: Int): String = {
     val S = graft.operators.Bpe.Sep
     val ctes = new StringBuilder(
@@ -715,10 +725,10 @@ object TextQueries extends QueryPack {
            |  SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
            |v$i AS MATERIALIZED (
            |  SELECT word, cnt, replace(rep,
-           |    '$S' || (SELECT a FROM b$i) || '$S' ||
-           |      (SELECT b FROM b$i) || '$S',
-           |    '$S' || (SELECT a FROM b$i) ||
-           |      (SELECT b FROM b$i) || '$S') AS rep
+           |    COALESCE('$S' || (SELECT a FROM b$i) || '$S' ||
+           |      (SELECT b FROM b$i) || '$S', '$S$S'),
+           |    COALESCE('$S' || (SELECT a FROM b$i) ||
+           |      (SELECT b FROM b$i) || '$S', '$S$S')) AS rep
            |  FROM v${i - 1})""".stripMargin)
     }
     val applied = (1 to n).foldLeft(
@@ -726,10 +736,10 @@ object TextQueries extends QueryPack {
         s"regexp_replace(trim(text), '\\s+', ' ', 'g'), ''), '$S') || '$S'") {
       (acc, i) =>
         s"""replace($acc,
-           |  '$S' || (SELECT a FROM b$i) || '$S' ||
-           |    (SELECT b FROM b$i) || '$S',
-           |  '$S' || (SELECT a FROM b$i) ||
-           |    (SELECT b FROM b$i) || '$S')""".stripMargin
+           |  COALESCE('$S' || (SELECT a FROM b$i) || '$S' ||
+           |    (SELECT b FROM b$i) || '$S', '$S$S'),
+           |  COALESCE('$S' || (SELECT a FROM b$i) ||
+           |    (SELECT b FROM b$i) || '$S', '$S$S'))""".stripMargin
     }
     s"""WITH ${ctes.toString},
        |seg AS (

@@ -48,8 +48,12 @@ object StreamingQueries extends QueryPack {
     val parts: Seq[java.nio.file.Path] =
       if (Files.isDirectory(src)) {
         import scala.jdk.CollectionConverters._
-        Files.list(src).iterator().asScala.toSeq
+        // Files.list holds an open DirectoryStream — close it or every
+        // staged gate leaks a directory fd for the JVM's lifetime.
+        val st = Files.list(src)
+        try st.iterator().asScala.toSeq
           .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+        finally st.close()
       } else Seq(src)
     (0 until copies).foreach { c =>
       parts.zipWithIndex.foreach { case (p, i) =>

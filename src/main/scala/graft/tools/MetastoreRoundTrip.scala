@@ -62,7 +62,8 @@ object MetastoreRoundTrip {
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current = new org.apache.hadoop.fs.Path(meta.location).getName
         val predecessor = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(n => n.startsWith("mart__v") && n != current)
+          .filter(n => n.startsWith("mart__v") && n != current &&
+            !n.endsWith(".INFLIGHT"))
           .head
         catalog.alterTable(meta.copy(storage = meta.storage.copy(
           locationUri = Some(new org.apache.hadoop.fs.Path(dir, predecessor)

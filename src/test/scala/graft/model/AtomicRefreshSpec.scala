@@ -27,7 +27,8 @@ class AtomicRefreshSpec extends SparkSuite {
   private def schemaDir = new File("/tmp/graft-test-warehouse/atomicspec.db")
   private def versionDirs(name: String): Seq[File] =
     Option(schemaDir.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"${name}__v")).toSeq
+      .filter(f => f.getName.startsWith(s"${name}__v") &&
+        !f.getName.endsWith(".INFLIGHT")).toSeq
 
   test("a concurrent reader never sees the table missing during a refresh") {
     val rel = "atomicspec.t1"
@@ -207,23 +208,50 @@ class AtomicRefreshSpec extends SparkSuite {
     // (indistinguishable from a crash orphan) and registered in-flight.
     val inflight = new File(schemaDir, "t10__v1_999999999")
     inflight.mkdirs()
-    // Key constructed exactly as materializeTable does: Path from the
+    // Path constructed exactly as materializeTable does: from the
     // warehouse-config string, qualified through the filesystem.
     val hp = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") +
         "/atomicspec.db/t10__v1_999999999")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val key = fs.makeQualified(hp).toString
-    CatalogMaterializer.registerInFlight(key)
+    CatalogMaterializer.registerInFlight(fs, hp)
     try {
       // Writer A refreshes concurrently — its cleanup must skip B's dir.
       mat.materializeTable(spark, rel, spark.range(3).toDF("id"))
       assert(inflight.exists,
         "a racing refresh collected an in-flight version as an orphan")
-    } finally CatalogMaterializer.unregisterInFlight(key)
+    } finally CatalogMaterializer.unregisterInFlight(fs, hp)
     // Once no writer holds it (B died), the next refresh collects it.
     mat.materializeTable(spark, rel, spark.range(4).toDF("id"))
     assert(!inflight.exists, "unregistered orphan was not collected")
+    assert(!new File(schemaDir, "t10__v1_999999999.INFLIGHT").exists,
+      "sidecar survived its version's collection")
+  }
+
+  test("a SEPARATE PROCESS's in-flight version survives a racing cleanup") {
+    val rel = "atomicspec.t11"
+    mat.materializeTable(spark, rel, spark.range(2).toDF("id"))
+    // Simulate a writer in ANOTHER JVM mid-data-write: its version dir
+    // and `.INFLIGHT` sidecar are on disk, but THIS JVM's registry has
+    // never heard of it (the overlapping-cron scenario — a scheduled run
+    // racing a manual one, separate processes).
+    val inflight = new File(schemaDir, "t11__v1_999999999")
+    inflight.mkdirs()
+    val sidecar = new File(schemaDir, "t11__v1_999999999.INFLIGHT")
+    assert(sidecar.createNewFile())
+    // Writer A (this process) refreshes — cleanup must honor the sidecar.
+    mat.materializeTable(spark, rel, spark.range(3).toDF("id"))
+    assert(inflight.exists,
+      "cleanup collected another process's in-flight version as an orphan")
+    assert(sidecar.exists)
+    // The other JVM died without unregistering: once the sidecar's lease
+    // expires, the orphan and its sidecar are both collectable.
+    val expired = System.currentTimeMillis() -
+      CatalogMaterializer.inFlightLeaseMs(spark) - 1000
+    assert(sidecar.setLastModified(expired))
+    mat.materializeTable(spark, rel, spark.range(4).toDF("id"))
+    assert(!inflight.exists, "lease-expired orphan was not collected")
+    assert(!sidecar.exists, "lease-expired sidecar was not collected")
   }
 
   test("dropRelation reclaims every versioned location") {
