@@ -22,6 +22,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Layout canary (footer-only): name drifted testdata columns loudly
+    // up front instead of benching 123 queries against a broken layout.
+    graft.core.SchemaCanary.warn(spark, sfDir)
     // Untimed warmup: one small end-to-end query JITs the scan/agg/join
     // codegen paths and datasource init so the first timed query isn't
     // charged for session warmup. Runs against the SAME data dir the

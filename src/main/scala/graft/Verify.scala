@@ -24,6 +24,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Layout canary: one readable line per drifted testdata assumption
+    // (footer-only reads), so schema drift never surfaces as a pile of
+    // cryptic per-query failures. Warn-and-continue — see SchemaCanary.
+    graft.core.SchemaCanary.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach {
       case (name, fn) =>

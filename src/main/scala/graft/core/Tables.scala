@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types._
 
 /** Loader for the driver testdata layout (`TESTDATA.md`): one parquet file
   * per table under `\$dir/`. At 100 TB these would be partitioned parquet
@@ -17,16 +19,78 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and convert to a regular
-    * micros timestamp (UTC session) — sub-microsecond precision is dropped,
-    * matching what every downstream aggregate needs.
+  /** The events `ts` column has shipped in more than one physical parquet
+    * encoding across testdata generations; sniff the footer and adapt
+    * instead of assuming one (see [[EventsLayout]]).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
+    val layout = EventsLayout.sniff(spark, s"$dir/events.parquet")
+    layout.normalize(spark.read.parquet(s"$dir/events.parquet"))
+  }
+}
+
+/** Physical encoding of the events `ts` column, sniffed from the parquet
+  * FOOTER (a schema-only read — no data scan). Observed encodings across
+  * testdata generations:
+  *
+  *  - int64 TIMESTAMP(NANOS): Spark's reader rejects it unless
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces it as a
+  *    raw nanos `LongType` → convert with `timestamp_micros(ts div 1000)`.
+  *    A plain BIGINT column holding epoch nanos (spec fixtures, scale
+  *    probes) sniffs identically and needs the identical conversion.
+  *  - timestamp[us] with isAdjustedToUTC=false → Spark reads
+  *    `TimestampNTZType` → cast to the session `TimestampType` (sessions
+  *    here pin UTC, so wall-clock == instant and the micros are unchanged).
+  *  - timestamp[us/ms] adjusted to UTC (or INT96) → already
+  *    `TimestampType` → pass through.
+  *
+  * Every events reader — batch [[Tables]], streaming `EventsStream.read`,
+  * and the gates that stage feed files — goes through this one sniff, so a
+  * testdata regeneration that flips the encoding is a no-op, not 13 broken
+  * queries and 6 silently-wrong streaming answers (the round-8 failure
+  * mode: schema-on-read drift produces wrong answers, not errors — the
+  * variant that would poison a 100 TB backfill).
+  */
+final case class EventsLayout(schema: StructType, tsType: DataType) {
+
+  /** Rewrite `ts` to the one downstream shape every operator assumes: a
+    * session-zone `TimestampType` at micros precision. */
+  def normalize(df: DataFrame): DataFrame = tsType match {
+    case LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => df
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other — supported: " +
+        "int64 epoch nanos (legacy), timestamp[us] (NTZ or UTC-adjusted)")
+  }
+
+  /** Shift a raw `ts` column forward by whole days, PRESERVING the raw
+    * encoding — for staging sentinel/late rows back into a feed directory
+    * that the stream re-reads under this same layout. */
+  def shiftTsDays(tsCol: Column, days: Long): Column = tsType match {
+    case LongType => (tsCol + lit(days * 86400L * 1000000000L)).cast(LongType)
+    case _ => tsCol + expr(s"interval $days days")
+  }
+
+  /** Shift by raw seconds (same contract as [[shiftTsDays]]). */
+  def shiftTsSeconds(tsCol: Column, seconds: Long): Column = tsType match {
+    case LongType => (tsCol + lit(seconds * 1000000000L)).cast(LongType)
+    case _ => tsCol + expr(s"interval $seconds seconds")
+  }
+}
+
+object EventsLayout {
+  /** Sniff the layout of an events parquet file or directory. Sets the
+    * legacy nanos flag first — a TIMESTAMP(NANOS) footer cannot even be
+    * schema-read without it, and the flag is inert for other encodings. */
+  def sniff(spark: SparkSession, path: String): EventsLayout = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.expr
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(path).schema
+    require(schema.fieldNames.contains("ts"),
+      s"events at $path has no `ts` column; found ${schema.fieldNames.mkString(", ")}")
+    EventsLayout(schema, schema("ts").dataType)
   }
 }
 

@@ -36,29 +36,21 @@ final case class SessionsState(sessions: Seq[SessionState])
   */
 object EventsStream {
 
-  /** Parquet-footer schema of events.parquet with ts as raw nanos (the
-    * file stores TIMESTAMP(NANOS); pair with
-    * `spark.sql.legacy.parquet.nanosAsLong=true`). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of event parquet files. */
+  /** File-source stream over a directory of event parquet files. The
+    * file source needs an explicit schema; batch-sniff the directory's
+    * parquet footer once (`EventsLayout` — handles both the legacy
+    * int64-nanos and the current timestamp[us] encodings) and normalize
+    * `ts` to a session timestamp the same way the batch path does. */
   def read(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
+    val layout = graft.core.EventsLayout.sniff(spark, dir)
+    val reader = spark.readStream.schema(layout.schema)
     // Bounding files-per-trigger slices a backlog into multiple micro-
     // batches (AvailableNow honors source limits) — gates use it to
     // exercise merge-over-existing-state paths, production uses it to
     // bound per-trigger memory during backfill.
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    layout.normalize(reader.parquet(dir))
   }
 
   /** Tumbling 1-hour windows per event type; the 2-hour watermark bounds

@@ -154,8 +154,8 @@ object StreamingQueries extends QueryPack {
              |FROM e v JOIN e c ON v.user_id = c.user_id
              | AND v.event_type = 'view' AND c.event_type = 'click'
              | -- the join predicate must compare the MICROS the Spark side
-             | -- joins on, not raw nano timestamps: a pair within ~1µs of
-             | -- either bound would otherwise diverge across engines
+             | -- joins on, not the source's raw ts encoding: a pair within
+             | -- ~1µs of either bound would otherwise diverge across engines
              | AND c.us >= v.us AND c.us <= v.us + 3600000000
              |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
 
@@ -172,7 +172,10 @@ object StreamingQueries extends QueryPack {
     Q("st07_keyed_upsert",
       (s, dir) => {
         val feedDir = Files.createTempDirectory("graft_st07_feed").toString
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Raw (un-normalized) read+rewrite: the split files keep the
+        // source's own ts encoding, whatever it is — the sniff in
+        // EventsStream.read adapts when the stream reads them back.
+        graft.core.EventsLayout.sniff(s, s"$dir/events.parquet")
         val raw = s.read.parquet(s"$dir/events.parquet")
         raw.filter(col("event_id") % 2 === 0)
           .coalesce(1).write.mode("append").parquet(feedDir)
@@ -231,11 +234,13 @@ object StreamingQueries extends QueryPack {
     Q("st03_stream_sessionize",
       (s, dir) => {
         val feedDir = stageFeed(dir, "graft_st03_feed")
-        s.read.schema(EventsStream.rawSchema)
+        // Sentinel must be written in the feed's RAW ts encoding (the
+        // stream reads every file under one sniffed schema).
+        val layout = graft.core.EventsLayout.sniff(s, s"$dir/events.parquet")
+        s.read.schema(layout.schema)
           .parquet(s"$dir/events.parquet").limit(1)
           .withColumn("user_id", lit(-1L))
-          .withColumn("ts",
-            (col("ts") + lit(3650L * 86400L * 1000000000L)).cast("long"))
+          .withColumn("ts", layout.shiftTsDays(col("ts"), 3650L))
           .write.mode("append").parquet(feedDir.toString)
         val sessions = EventsStream.sessionize(
           EventsStream.read(s, feedDir)).toDF()
@@ -275,11 +280,11 @@ object StreamingQueries extends QueryPack {
     Q("st08_session_window",
       (s, dir) => {
         val feedDir = stageFeed(dir, "graft_st08_feed")
-        s.read.schema(EventsStream.rawSchema)
+        val layout = graft.core.EventsLayout.sniff(s, s"$dir/events.parquet")
+        s.read.schema(layout.schema)
           .parquet(s"$dir/events.parquet").limit(1)
           .withColumn("user_id", lit(-1L))
-          .withColumn("ts",
-            (col("ts") + lit(3650L * 86400L * 1000000000L)).cast("long"))
+          .withColumn("ts", layout.shiftTsDays(col("ts"), 3650L))
           .write.mode("append").parquet(feedDir.toString)
         val sessions = EventsStream.sessionWindowAgg(
           EventsStream.read(s, feedDir))

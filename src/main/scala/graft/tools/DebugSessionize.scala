@@ -24,10 +24,11 @@ object DebugSessionize {
     q.processAllAvailable()
     println("AFTER BATCH1 watermark: " + q.lastProgress.eventTime)
     println("rows: " + spark.table("sessions").count())
-    val sentinel = spark.read.schema(EventsStream.rawSchema)
+    val layout = graft.core.EventsLayout.sniff(spark, src)
+    val sentinel = spark.read.schema(layout.schema)
       .parquet(src).limit(1)
       .withColumn("user_id", lit(-1L))
-      .withColumn("ts", (col("ts") + lit(365L * 86400L * 1000000000L)).cast("long"))
+      .withColumn("ts", layout.shiftTsDays(col("ts"), 365L))
     sentinel.write.mode("append").parquet(dir)
     q.processAllAvailable()
     println("AFTER SENTINEL watermark: " + q.lastProgress.eventTime)

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * fixed — their keys are the join targets that must keep resolving.
   * Events offset user_id too (a 10× log with 10× users), keeping ts
   * unchanged so time-window densities grow 10× — the adversarial case
-  * for window/sessionize state. The events table keeps its raw
-  * nanos-as-long ts column (written as BIGINT; `Tables`' micros
-  * conversion handles both encodings).
+  * for window/sessionize state. The events ts column is read raw and
+  * written back unchanged, so the replica preserves whatever physical
+  * encoding the source uses (legacy nanos-as-long reads as BIGINT and
+  * writes as BIGINT; timestamp[us] round-trips as timestamp[us]) —
+  * `EventsLayout`'s footer sniff adapts on read either way.
   *
   * Run: `runMain graft.tools.ReplicateSf <srcDir> <outDir> <K>`.
   */

@@ -60,8 +60,8 @@ object StreamScaleProbe {
     (0 until k).foreach { i =>
       ev.select(
         (col("event_id") + lit(i * 1000000000L)).as("event_id"),
-        // Back to the raw file shape (nanos-as-long) EventsStream.read
-        // expects, shifted i replicas forward.
+        // Written as epoch-nanos longs, shifted i replicas forward —
+        // one of the encodings EventsStream.read's layout sniff accepts.
         ((unix_micros(col("ts")) + lit(i * spanUs)) * 1000L).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("append").parquet(feedDir)

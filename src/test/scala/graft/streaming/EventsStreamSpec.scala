@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 import graft.SparkSuite
-import graft.core.Tables
+import graft.core.{EventsLayout, Tables}
 
 class EventsStreamSpec extends SparkSuite {
 
@@ -79,7 +79,8 @@ class EventsStreamSpec extends SparkSuite {
 
   private def splitFeed(parts: Int, byTime: Boolean = false): String = {
     val feedDir = Files.createTempDirectory("graft-recov-feed").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Raw read preserves the source's ts encoding in the split files.
+    EventsLayout.sniff(spark, srcFile)
     val raw = spark.read.parquet(srcFile)
     if (byTime) {
       // Time-ordered slices, written oldest first (the file source
@@ -202,9 +203,9 @@ class EventsStreamSpec extends SparkSuite {
       // above the watermark survive, so the update touches a strict
       // subset of the final day's hours — and the day-granular overwrite
       // must carry that day's UNTOUCHED hours through the rewrite.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(EventsStream.rawSchema).parquet(srcFile)
-        .withColumn("ts", (col("ts") + lit(3600L * 1000000000L)).cast("long"))
+      val layout = EventsLayout.sniff(spark, srcFile)
+      spark.read.schema(layout.schema).parquet(srcFile)
+        .withColumn("ts", layout.shiftTsSeconds(col("ts"), 3600L))
         .write.mode("append").parquet(dir)
       q.processAllAvailable()
       val after = spark.read.parquet(mart)
@@ -223,13 +224,15 @@ class EventsStreamSpec extends SparkSuite {
       q.processAllAvailable()
       // Advance the watermark far past every session's gap horizon so
       // event-time timeouts flush the remaining open sessions. The
-      // sentinel must be written in the stream's RAW layout (ts = nanos
-      // long), not the Tables-converted one.
+      // sentinel must be written in the stream's RAW ts encoding
+      // (whatever the sniffed feed layout is), not the Tables-converted
+      // one.
       val batch = Tables(spark, "/root/testdata/sf0.001", "events")
-      val sentinel = spark.read.schema(EventsStream.rawSchema)
+      val layout = EventsLayout.sniff(spark, srcFile)
+      val sentinel = spark.read.schema(layout.schema)
         .parquet(srcFile).limit(1)
         .withColumn("user_id", lit(-1L))
-        .withColumn("ts", (col("ts") + lit(365L * 86400L * 1000000000L)).cast("long"))
+        .withColumn("ts", layout.shiftTsDays(col("ts"), 365L))
       sentinel.write.mode("append").parquet(dir)
       q.processAllAvailable()
       q.processAllAvailable() // one more trigger for the timeout batch
