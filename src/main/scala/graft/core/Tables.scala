@@ -27,6 +27,21 @@ object Tables {
     val layout = EventsLayout.sniff(spark, s"$dir/events.parquet")
     layout.normalize(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Time-sliced events scan with the range predicate applied in the RAW
+    * `ts` encoding BEFORE normalization, so it pushes down to the parquet
+    * scan and prunes row groups (see [[EventsLayout.rawTsRange]] — the
+    * normalized column's filter cannot push). The 100 TB access path for
+    * "give me this hour/day of the log". Bounds are `[startUs, endUs)`
+    * epoch micros.
+    */
+  def eventsBetween(spark: SparkSession, dir: String,
+      startUs: Long, endUs: Long): DataFrame = {
+    val layout = EventsLayout.sniff(spark, s"$dir/events.parquet")
+    layout.normalize(
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(layout.rawTsRange(startUs, endUs)))
+  }
 }
 
 /** Physical encoding of the events `ts` column, sniffed from the parquet
@@ -78,6 +93,32 @@ final case class EventsLayout(schema: StructType, tsType: DataType) {
   def shiftTsSeconds(tsCol: Column, seconds: Long): Column = tsType match {
     case LongType => (tsCol + lit(seconds * 1000000000L)).cast(LongType)
     case _ => tsCol + expr(s"interval $seconds seconds")
+  }
+
+  /** `[startUs, endUs)` range predicate phrased against the RAW `ts`
+    * encoding, so it PUSHES DOWN to the parquet scan. Filtering the
+    * NORMALIZED column cannot push: `timestamp_micros(ts div 1000) >= X`
+    * is an expression over the source column, and the scan would read
+    * every row group of a 100 TB log to evaluate it. Phrased raw, each
+    * encoding's predicate is a plain column comparison (long or
+    * timestamp) that reaches `PushedFilters` and prunes row groups via
+    * min/max stats — at scale, the difference between reading an hour
+    * and reading years. Pinned by PlanAuditSpec for both encodings.
+    */
+  def rawTsRange(startUs: Long, endUs: Long): Column = {
+    def ntz(us: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC))
+    tsType match {
+      case LongType =>
+        col("ts") >= lit(startUs * 1000L) && col("ts") < lit(endUs * 1000L)
+      case TimestampNTZType =>
+        // NTZ literals compare wall-clock; sessions pin UTC so wall == us.
+        col("ts") >= ntz(startUs) && col("ts") < ntz(endUs)
+      case _ =>
+        col("ts") >= expr(s"timestamp_micros(${startUs}L)") &&
+          col("ts") < expr(s"timestamp_micros(${endUs}L)")
+    }
   }
 }
 

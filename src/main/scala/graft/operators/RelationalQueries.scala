@@ -1107,6 +1107,39 @@ object RelationalQueries extends QueryPack {
              |                  WHERE l2.l_orderkey = o.o_orderkey
              |                    AND l2.l_discount > 0.05)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- Pushed-down time-slice scan: "give me day 2 of the log" with
+    // the range predicate phrased in the RAW ts encoding, BEFORE the
+    // normalizing projection (Tables.eventsBetween) — so it reaches
+    // PushedFilters and prunes parquet row groups by min/max stats
+    // (PlanAuditSpec pins this for both physical encodings). Filtering
+    // the normalized column instead would evaluate an expression over
+    // every row of a 100 TB log; this path reads only the slice. Bounds
+    // derive from the corpus min (one 1-row bounded collect), so the
+    // gate is scale-factor-independent.
+    Q("q39_events_time_slice",
+      (s, dir) => {
+        val minUs = Tables(s, dir, "events")
+          .agg(min(unix_micros(col("ts")))).head().getLong(0)
+        Tables.eventsBetween(s, dir,
+            minUs + 86400000000L, minUs + 172800000000L)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            dsumStr(col("value"), 4).as("sum_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH b AS (
+             |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS mn
+             |  FROM events)
+             |SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
+             |    AS VARCHAR) AS sum_value
+             |FROM events, b
+             |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= b.mn + 86400000000
+             |  AND epoch_us(CAST(ts AS TIMESTAMP)) < b.mn + 172800000000
+             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
   )
 }

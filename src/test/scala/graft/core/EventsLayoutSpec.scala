@@ -98,6 +98,36 @@ class EventsLayoutSpec extends SparkSuite {
     assert(a == batch)
   }
 
+  test("time-slice range filter pushes to the parquet scan in BOTH encodings") {
+    // The 100 TB access path (Tables.eventsBetween): the range predicate
+    // must reach PushedFilters — phrased on the RAW encoding — so the
+    // scan prunes row groups instead of reading the full log and
+    // filtering post-normalization. And both encodings must slice to the
+    // same rows.
+    val minUs = canonical.agg(min(col("us"))).head().getLong(0)
+    val (lo, hi) = (minUs + 86400000000L, minUs + 172800000000L)
+    def sliced(dir: String) = Tables.eventsBetween(spark, dir, lo, hi)
+    def scanLine(dir: String): String = sliced(dir)
+      .queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    for (dir <- Seq(stageNanos(), stageMicros())) {
+      val line = scanLine(dir)
+      assert(line.contains("GreaterThanOrEqual(ts") &&
+        line.contains("LessThan(ts"),
+        s"ts range must reach PushedFilters for $dir, scan was: $line")
+    }
+    val a = sliced(stageNanos()).orderBy(col("event_id"))
+      .collect().toSeq.map(_.toSeq)
+    val b = sliced(stageMicros()).orderBy(col("event_id"))
+      .collect().toSeq.map(_.toSeq)
+    assert(a.nonEmpty && a == b)
+    // And the slice is a strict, correct subset: exactly the canonical
+    // rows whose micros fall in [lo, hi).
+    val expected = canonical.filter(col("us") >= lo && col("us") < hi)
+      .count()
+    assert(a.size.toLong == expected)
+  }
+
   test("schema canary is clean on the driver testdata") {
     assert(SchemaCanary.problems(spark, "/root/testdata/sf0.001") == Seq.empty)
     assert(SchemaCanary.problems(spark, "/root/testdata/sf0.01") == Seq.empty)

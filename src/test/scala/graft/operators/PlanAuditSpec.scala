@@ -129,6 +129,17 @@ class PlanAuditSpec extends SparkSuite {
       s"expected a DPP subquery on the fact scan, plan was:\n$plan")
   }
 
+  test("events time-slice pushes its ts range into the parquet scan") {
+    // Tables.eventsBetween phrases the range on the RAW ts encoding
+    // before the normalizing projection — a filter on the normalized
+    // column can never push, and at 100 TB an unpushed time slice reads
+    // the whole log. Both physical encodings are pinned by
+    // EventsLayoutSpec; this pins the gate's plan on the live testdata.
+    val p = plan("q39_events_time_slice")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"ts range must reach PushedFilters, plan was:\n$p")
+  }
+
   test("sequence packing adds no shuffle after the range partition") {
     // One range-partition Exchange feeds the mapPartitions pass; the
     // remaining Exchanges belong to the gate's groupBy + sort, never a
