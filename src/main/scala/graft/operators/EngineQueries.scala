@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{CsvIngest, Q, QueryPack, Tables}
+import graft.core.{CsvIngest, JsonlIngest, Q, QueryPack, Tables}
 import graft.model._
 
 /** A complete engine project over the driver testdata, structurally
@@ -1077,6 +1077,32 @@ object EngineQueries extends QueryPack {
             supplier.schema, s"$base/supplier_tbl")
           .orderBy(col("s_suppkey"))
       },
-      Some("SELECT * FROM supplier ORDER BY s_suppkey"))
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // ---- JSONL source (the scraped-corpus landing format): stage the
+    // documents table as line-delimited JSON, add two malformed lines (a
+    // truncated object and trailing garbage — the poison pills a real
+    // crawl delivers), then run the schema'd PERMISSIVE ingest. The good
+    // rows must round-trip to exactly the original table (the oracle) and
+    // the two bad lines must land in the quarantine, not kill the load —
+    // JsonlIngestSpec pins the quarantine contents; the gate pins the
+    // survivors. Schema is explicit: inference would read a 100 TB corpus
+    // twice.
+    Q("s02_jsonl_roundtrip",
+      (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft_jsonl")
+          .toString
+        JsonlIngest.stage(docs, s"$base/docs_jsonl")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/docs_jsonl/zz-bad.json"),
+          "{\"doc_id\": 1, \"text\": \nnot json at all\n".getBytes("UTF-8"))
+        val (good, quarantine) =
+          JsonlIngest.ingest(spark, s"$base/docs_jsonl", docs.schema)
+        require(quarantine.count() == 2L,
+          "both malformed lines must be quarantined")
+        good.orderBy(col("doc_id"))
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id"))
   )
 }
