@@ -27,6 +27,32 @@ final case class SessionState(
   * land inside it and bridge the two sides. */
 final case class SessionsState(sessions: Seq[SessionState])
 
+/** Shared session-merge fold for the two custom-state sessionizers
+  * ([[EventsStream.sessionize]] v1, [[SessionizeProcessor]] tws): each
+  * event enters as a singleton session; sorting by start and folding
+  * adjacent-within-gap summaries reproduces sequential event-time-order
+  * accumulation and handles bridging (an event between two prior
+  * sessions merges all three). Group sizes are bounded by per-user
+  * activity inside the watermark horizon — row-local and tiny.
+  * Top-level serializable object: it is referenced from inside executor
+  * closures, which must never drag the (non-serializable) EventsStream
+  * module into the task. */
+private[streaming] object SessionMerge extends Serializable {
+  def apply(prior: Seq[SessionState], incoming: Seq[SessionState],
+      gapUs: Long): Seq[SessionState] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    (prior ++ incoming).sortBy(s => (s.start_us, s.end_us)).foreach { s =>
+      if (merged.nonEmpty && s.start_us - merged.last.end_us <= gapUs) {
+        val l = merged.last
+        merged(merged.length - 1) = SessionState(
+          l.start_us, math.max(l.end_us, s.end_us),
+          l.n_events + s.n_events, l.sum_s4 + s.sum_s4)
+      } else merged += s
+    }
+    merged.toSeq
+  }
+}
+
 /** Structured Streaming path for the `events` table — the reference is
   * batch-only (hourly cron re-runs, SURVEY §2.6), so this is the
   * engine-level extension that replaces "re-run the batch hourly" with an
@@ -250,6 +276,21 @@ object EventsStream {
     * via `GroupStateTimeout.EventTimeTimeout`; the timeout path flushes
     * sessions for users that simply stop sending.
     */
+  /** Key the events frame for the custom-state sessionizers: (user_id,
+    * micros, exact ×10⁴-scaled value — see [[Session]] for why integer). */
+  private def keyedForSessions(events: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[
+          Long, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long")
+          .as("v_s4"),
+        col("ts"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -257,38 +298,16 @@ object EventsStream {
     val gapUs = gapMinutes * 60L * 1000000L
     implicit val sessEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionsState]
-    val keyed = events
-      .withWatermark("ts", "2 hours")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        // Exact scaled-decimal value (Spark's own double→decimal cast
-        // semantics), so state addition is integer-exact — see [[Session]].
-        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long")
-          .as("v_s4"),
-        col("ts"))
-      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
 
     def flush(
         key: Long, rows: Iterator[Row],
         state: GroupState[SessionsState]): Iterator[Session] = {
       val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
-      // Each event enters as a singleton session; sorting by start and
-      // folding adjacent-within-gap summaries reproduces sequential
-      // event-time-order accumulation and handles bridging (an event
-      // between two prior sessions merges all three). Group sizes are
-      // bounded by per-user activity per micro-batch — row-local and tiny.
       val incoming = rows.map { r =>
         val us = r.getLong(1)
         SessionState(us, us, 1L, r.getLong(2))
       }.toSeq
-      val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-      (prior ++ incoming).sortBy(s => (s.start_us, s.end_us)).foreach { s =>
-        if (merged.nonEmpty && s.start_us - merged.last.end_us <= gapUs) {
-          val l = merged.last
-          merged(merged.length - 1) = SessionState(
-            l.start_us, math.max(l.end_us, s.end_us),
-            l.n_events + s.n_events, l.sum_s4 + s.sum_s4)
-        } else merged += s
-      }
+      val merged = SessionMerge(prior, incoming, gapUs)
       val wm = state.getCurrentWatermarkMs()
       def horizonMs(s: SessionState): Long = (s.end_us + gapUs) / 1000L
       val (ripe, live) = merged.partition(horizonMs(_) < wm)
@@ -303,8 +322,35 @@ object EventsStream {
         Session(key, s.start_us, s.end_us, s.n_events, s.sum_s4))
     }
 
-    keyed.flatMapGroupsWithState(
+    keyedForSessions(events).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
+
+  /** Sessionization on `transformWithState` — Spark 4's arbitrary-state
+    * API, the successor to `flatMapGroupsWithState` and the third of the
+    * three real API choices for custom streaming state (v1 custom state
+    * [[sessionize]], declarative [[sessionWindowAgg]], this). Semantics
+    * are pinned IDENTICAL to [[sessionize]] (same merge fold, same
+    * watermark-passed-horizon emission), so the three paths stay
+    * interchangeable; what the new API buys at scale is the typed state
+    * handle model (named states + timers per key, TTL support) and the
+    * RocksDB state store it requires — changelog-checkpointed,
+    * spillable-to-disk state, the right backend when per-key state ×
+    * keys no longer fits an executor heap.
+    *
+    * Timers: exactly one live event-time timer per key, re-registered as
+    * the earliest live-session gap horizon moves — `handleExpiredTimer`
+    * flushes sessions for users that simply stop sending (the timeout
+    * path `AvailableNow` replays drive through the final watermark).
+    */
+  def sessionizeTws(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sessEnc = Encoders.product[Session]
+    keyedForSessions(events).transformWithState(
+      new SessionizeProcessor(gapMinutes * 60L * 1000000L),
+      TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Native merging session windows (`session_window`) — the DECLARATIVE
@@ -338,7 +384,8 @@ object EventsStream {
         col("n_events"), col("sum_value"))
 
   /** Batch-equivalent sessionization (window lag + cumulative session ids)
-    * — the classic gaps-and-islands formulation; pins [[sessionize]]. */
+    * — the classic gaps-and-islands formulation; pins [[sessionize]] and
+    * [[sessionizeTws]]. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapUs = gapMinutes * 60L * 1000000L
@@ -358,5 +405,81 @@ object EventsStream {
         count(lit(1)).as("n_events"), sum(col("v_s4")).as("sum_s4"))
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("sum_s4"))
+  }
+}
+
+/** The `transformWithState` processor behind
+  * [[EventsStream.sessionizeTws]]: per-key state = every session summary
+  * whose gap horizon the watermark has not passed ([[SessionsState]],
+  * same shape as the v1 path), plus the one registered timer timestamp
+  * (so re-registration can delete the stale timer instead of leaking a
+  * firing per obsolete horizon). Both live in named state handles —
+  * RocksDB-backed, so state size is bounded by disk, not heap.
+  *
+  * Emission contract (identical to the v1 `flush`): a session is emitted
+  * exactly once, when the watermark passes `end + gap`; anything that
+  * could still change it would be behind the watermark and is excluded
+  * by contract. `handleInputRows` merges and emits on data;
+  * `handleExpiredTimer` emits for keys with no new data. Top-level class
+  * (serialized into the query plan — no outer instance capture).
+  */
+final class SessionizeProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, org.apache.spark.sql.Row, Session] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, Row}
+
+  @transient private var sessions: ValueState[SessionsState] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sessions = getHandle.getValueState[SessionsState]("sessions",
+      Encoders.product[SessionsState], TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timerAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def horizonMs(s: SessionState): Long = (s.end_us + gapUs) / 1000L
+
+  /** Partition merged sessions on the watermark, persist the live rest,
+    * and keep exactly one timer at the earliest live horizon. */
+  private def emitAndArm(key: Long, merged: Seq[SessionState],
+      watermarkMs: Long): Iterator[Session] = {
+    val (ripe, live) = merged.partition(horizonMs(_) < watermarkMs)
+    if (timerAt.exists()) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
+    if (live.isEmpty) sessions.clear()
+    else {
+      sessions.update(SessionsState(live))
+      // Strictly ahead of the current watermark, like the v1 path's
+      // setTimeoutTimestamp contract.
+      val at = math.max(live.map(horizonMs).min, watermarkMs + 1)
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+    }
+    ripe.iterator.map(s =>
+      Session(key, s.start_us, s.end_us, s.n_events, s.sum_s4))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Row],
+      timers: TimerValues): Iterator[Session] = {
+    val prior =
+      if (sessions.exists()) sessions.get().sessions else Seq.empty
+    val incoming = rows.map { r =>
+      val us = r.getLong(1)
+      SessionState(us, us, 1L, r.getLong(2))
+    }.toSeq
+    emitAndArm(key, SessionMerge(prior, incoming, gapUs),
+      timers.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[Session] = {
+    val prior =
+      if (sessions.exists()) sessions.get().sessions else Seq.empty
+    // The fired timer is gone from the timer store; drop our record of
+    // it so emitAndArm doesn't delete a successor's registration.
+    timerAt.clear()
+    emitAndArm(key, prior, timers.getCurrentWatermarkInMs())
   }
 }

@@ -272,6 +272,61 @@ object StreamingQueries extends QueryPack {
              |FROM s GROUP BY user_id, sess_id
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // Sessionization #3: the transformWithState arbitrary-state API
+    // (Spark 4's successor to flatMapGroupsWithState) over the RocksDB
+    // state store it requires — same merge fold, same oracle as st03, so
+    // the three sessionization paths (v1 custom state, native
+    // session_window, new API) are pinned interchangeable. The provider
+    // conf is captured at query START; it is restored right after
+    // completion so no other gate silently inherits RocksDB.
+    Q("st09_sessionize_tws",
+      (s, dir) => {
+        val feedDir = stageFeed(dir, "graft_st09_feed")
+        val layout = graft.core.EventsLayout.sniff(s, s"$dir/events.parquet")
+        s.read.schema(layout.schema)
+          .parquet(s"$dir/events.parquet").limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", layout.shiftTsDays(col("ts"), 3650L))
+          .write.mode("append").parquet(feedDir.toString)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(providerKey)
+        s.conf.set(providerKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sessions = EventsStream.sessionizeTws(
+            EventsStream.read(s, feedDir)).toDF()
+          runToCompletion(sessions, "st09_sessionize_tws_sink", "append")
+            .filter(col("user_id") >= 0)
+            .select(col("user_id"), col("start_us"), col("end_us"),
+              col("n_events"),
+              (col("sum_s4").cast("decimal(38,4)") / lit(10000))
+                .cast("decimal(38,4)").cast("string").as("sum_value"))
+            .orderBy(col("user_id"), col("start_us"))
+        } finally prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) AS v
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s AS (
+             |  SELECT *, CAST(SUM(brk) OVER (
+             |    PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+             |  FROM g)
+             |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+             |  COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+             |FROM s GROUP BY user_id, sess_id
+             |ORDER BY user_id, start_us""".stripMargin)),
+
     // Native merging session windows (session_window) — the built-in
     // declarative alternative to st03's custom state. Same sentinel trick
     // to advance the final watermark, same inclusive gap rule (boundary

@@ -253,6 +253,50 @@ class EventsStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the batch result " +
+      "(and therefore the v1 custom-state path)") {
+    val dir = stageDir(1)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.sessionizeTws(EventsStream.read(spark, dir))
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // Same sentinel protocol as the v1 test: advance the watermark
+        // past every gap horizon so the TIMER path (handleExpiredTimer)
+        // flushes the remaining sessions.
+        val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+        val layout = EventsLayout.sniff(spark, srcFile)
+        spark.read.schema(layout.schema)
+          .parquet(srcFile).limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", layout.shiftTsDays(col("ts"), 365L))
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        q.processAllAvailable() // one more trigger for the timer batch
+
+        def canon(df: org.apache.spark.sql.DataFrame) = df
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events").cast("long").as("n_events"), col("sum_s4"))
+          .orderBy(col("user_id"), col("start_us"))
+          .collect().toSeq.map(_.toSeq)
+
+        val streamed = canon(spark.table("sessions_tws"))
+        val expected = canon(EventsStream.sessionizeBatch(batch))
+        assert(streamed.nonEmpty)
+        assert(streamed == expected)
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("session_window gap boundary: inclusive merge, end = last + gap") {
     // Pins the two contract points the st08 oracle depends on, verified
     // against the REAL operator (not assumed from the docs): an event
