@@ -93,6 +93,19 @@ object StreamScaleProbe {
       EventsStream.viewClickJoin(feed()), "append")
     probeStateful("st08 session_window",
       EventsStream.sessionWindowAgg(feed()), "append")
+    // st09: the transformWithState path needs the RocksDB provider; the
+    // conf is captured at query start — restore after so st07 below
+    // keeps the default store.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try probeStateful("st09 sessionize tws",
+      EventsStream.sessionizeTws(feed()).toDF(), "append")
+    finally priorProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
 
     // st07 keyed upsert: foreachBatch MERGE — state is the parquet
     // table, bounded by |keys| whatever the log length.
