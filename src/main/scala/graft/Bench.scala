@@ -23,7 +23,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Layout canary (footer-only): name drifted testdata columns loudly
-    // up front instead of benching 123 queries against a broken layout.
+    // up front instead of benching the whole inventory against a broken
+    // layout.
     graft.core.SchemaCanary.warn(spark, sfDir)
     // Untimed warmup: one small end-to-end query JITs the scan/agg/join
     // codegen paths and datasource init so the first timed query isn't

@@ -89,10 +89,15 @@ object SchemaCanary {
       "label" -> integral))
 
   /** Every drifted assumption in `dir`, one readable line each; empty =
-    * the engine's assumptions hold. */
-  def problems(spark: SparkSession, dir: String): Seq[String] = {
-    // Legacy TIMESTAMP(NANOS) footers cannot be schema-read without this.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * the engine's assumptions hold. The session conf is left exactly as
+    * found — the canary only footer-reads, so the legacy nanos flag it
+    * needs for TIMESTAMP(NANOS) footers never outlives the call. */
+  def problems(spark: SparkSession, dir: String): Seq[String] =
+    EventsLayout.withNanosFlag(spark) { restore =>
+      try problemsUnderFlag(spark, dir) finally restore()
+    }
+
+  private def problemsUnderFlag(spark: SparkSession, dir: String): Seq[String] = {
     expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val path = s"$dir/$table.parquet"
       val schema =
@@ -112,9 +117,37 @@ object SchemaCanary {
                 Some(s"$table.$c: type ${f.dataType.simpleString} outside " +
                   s"the accepted family [${fam(accept)}] — engine " +
                   "assumptions need updating before results can be trusted")
+              case Some(f) if table == "events" && c == "ts" &&
+                  f.dataType == LongType =>
+                longTsPlausible(spark, path)
               case _ => None
             }
           }
+      }
+    }
+  }
+
+  /** A LongType `ts` passes the type-family check whether it holds epoch
+    * NANOS (what [[EventsLayout.normalize]] assumes: `ts div 1000` →
+    * micros) or — the silent-wrong-answer drift — epoch millis/micros in a
+    * plain BIGINT, which the same decode would misplace by 1000–1000000×.
+    * Cheap sanity probe: read ONE row (single row group, single column)
+    * and require the nanos interpretation to land in a plausible year. */
+  private def longTsPlausible(spark: SparkSession, path: String): Option[String] = {
+    val one = spark.read.parquet(path).select("ts").limit(1).collect()
+    one.headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).flatMap { v =>
+      def year(sec: Long): Int =
+        java.time.Instant.ofEpochSecond(sec).atZone(java.time.ZoneOffset.UTC).getYear
+      val asNanos = year(Math.floorDiv(v, 1000000000L))
+      if (asNanos >= 1990 && asNanos <= 2100) None
+      else {
+        val guess = Seq("micros" -> 1000000L, "millis" -> 1000L)
+          .collectFirst { case (u, d)
+            if { val y = year(Math.floorDiv(v, d)); y >= 1990 && y <= 2100 } => u }
+          .getOrElse("unknown-unit")
+        Some(s"events.ts: long value $v decodes to year $asNanos under the " +
+          s"epoch-NANOS interpretation the engine assumes — looks like epoch " +
+          s"$guess; normalize would misdecode every timestamp")
       }
     }
   }

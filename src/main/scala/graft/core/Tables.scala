@@ -123,15 +123,38 @@ final case class EventsLayout(schema: StructType, tsType: DataType) {
 }
 
 object EventsLayout {
-  /** Sniff the layout of an events parquet file or directory. Sets the
-    * legacy nanos flag first — a TIMESTAMP(NANOS) footer cannot even be
-    * schema-read without it, and the flag is inert for other encodings. */
+  private[core] val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Sniff the layout of an events parquet file or directory. The legacy
+    * nanos flag must be on to even schema-read a TIMESTAMP(NANOS) footer;
+    * the prior session value is restored UNLESS the layout turns out to be
+    * the nanos/long encoding — every later data scan of that table re-reads
+    * the footer and needs the flag, so only then does it stay set. A
+    * non-nanos sniff leaves the session conf exactly as it found it. */
   def sniff(spark: SparkSession, path: String): EventsLayout = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    require(schema.fieldNames.contains("ts"),
-      s"events at $path has no `ts` column; found ${schema.fieldNames.mkString(", ")}")
-    EventsLayout(schema, schema("ts").dataType)
+    withNanosFlag(spark) { restore =>
+      val schema = spark.read.parquet(path).schema
+      require(schema.fieldNames.contains("ts"),
+        s"events at $path has no `ts` column; found ${schema.fieldNames.mkString(", ")}")
+      val layout = EventsLayout(schema, schema("ts").dataType)
+      if (layout.tsType != LongType) restore()
+      layout
+    }
+  }
+
+  /** Run `body` with the nanos flag set; `body` receives a restore thunk
+    * putting the flag back to its pre-call state (set-or-unset). On throw,
+    * the flag is always restored. */
+  private[core] def withNanosFlag[A](spark: SparkSession)(
+      body: (() => Unit) => A): A = {
+    val prior = spark.conf.getOption(NanosFlag)
+    val restore: () => Unit = () => prior match {
+      case Some(v) => spark.conf.set(NanosFlag, v)
+      case None => spark.conf.unset(NanosFlag)
+    }
+    spark.conf.set(NanosFlag, "true")
+    try body(restore)
+    catch { case scala.util.control.NonFatal(e) => restore(); throw e }
   }
 }
 

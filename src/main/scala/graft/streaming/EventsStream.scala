@@ -478,8 +478,12 @@ final class SessionizeProcessor(gapUs: Long)
     val prior =
       if (sessions.exists()) sessions.get().sessions else Seq.empty
     // The fired timer is gone from the timer store; drop our record of
-    // it so emitAndArm doesn't delete a successor's registration.
-    timerAt.clear()
+    // it so emitAndArm doesn't delete a successor's registration — but
+    // ONLY if the firing matches our record. A stale firing (a timer
+    // deleted this batch, should Spark ever deliver one) must not orphan
+    // the live registration we just armed.
+    if (timerAt.exists() && timerAt.get() == expired.getExpiryTimeInMs())
+      timerAt.clear()
     emitAndArm(key, prior, timers.getCurrentWatermarkInMs())
   }
 }

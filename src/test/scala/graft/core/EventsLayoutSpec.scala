@@ -128,6 +128,72 @@ class EventsLayoutSpec extends SparkSuite {
     assert(a.size.toLong == expected)
   }
 
+  test("sniff leaves the session conf untouched for non-nanos encodings") {
+    // The legacy nanos flag is needed to footer-read TIMESTAMP(NANOS);
+    // the sniff must not leak it session-wide when the table isn't nanos
+    // (a leaked legacy flag is a latent behavior change for every OTHER
+    // parquet read in the session on a future Spark upgrade).
+    val key = EventsLayout.NanosFlag
+    val microsDir = stageMicros()
+    // (conf.getOption reports the registered DEFAULT "false" even when the
+    // flag was never set, so "restored" is observable as effective value.)
+    // Case 1: flag at its default (false) → back at false after the sniff.
+    spark.conf.unset(key)
+    EventsLayout.sniff(spark, s"$microsDir/events.parquet")
+    assert(spark.conf.getOption(key).contains("false"),
+      "micros sniff must restore the default-false flag")
+    // Case 2: flag explicitly false → restored to false.
+    spark.conf.set(key, "false")
+    EventsLayout.sniff(spark, s"$microsDir/events.parquet")
+    assert(spark.conf.getOption(key).contains("false"),
+      "micros sniff must restore the prior explicit value")
+    spark.conf.unset(key)
+    // Case 3: nanos layout → the flag MUST stay set (each later data scan
+    // of that table re-reads the footer and fails without it) — and the
+    // table must actually be readable afterwards.
+    val nanosDir = stageNanos()
+    EventsLayout.sniff(spark, s"$nanosDir/events.parquet")
+    assert(spark.conf.getOption(key).contains("true"),
+      "nanos sniff must keep the flag for subsequent data reads")
+    assert(Tables(spark, nanosDir, "events").count() > 0)
+  }
+
+  test("schema canary leaves the session conf untouched") {
+    val key = EventsLayout.NanosFlag
+    spark.conf.unset(key)
+    SchemaCanary.problems(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(key).contains("false"),
+      "canary (footer-only reads) must never leak the legacy flag")
+  }
+
+  test("schema canary catches a BIGINT ts holding epoch MILLIS") {
+    // The type-family check alone accepts any LongType; a regeneration
+    // shipping millis in a BIGINT would pass it and then normalize would
+    // misdecode every timestamp by 1e6. The canary's 1-row plausibility
+    // probe must catch that.
+    val dir = Files.createTempDirectory("graft-canary-millis").toString
+    Tables.names.foreach {
+      case "events" =>
+        canonical
+          .select(col("event_id"), (col("us") / 1000L).cast(LongType).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      case t =>
+        spark.read.parquet(sf(s"$t.parquet"))
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val ps = SchemaCanary.problems(spark, dir)
+    assert(ps.exists(p => p.startsWith("events.ts:") && p.contains("millis")),
+      s"expected a millis-misencoding line, got: $ps")
+    // And the true nanos encoding still passes the probe.
+    val okDir = stageNanos()
+    Tables.names.filterNot(_ == "events").foreach { t =>
+      spark.read.parquet(sf(s"$t.parquet"))
+        .write.mode("overwrite").parquet(s"$okDir/$t.parquet")
+    }
+    assert(SchemaCanary.problems(spark, okDir) == Seq.empty)
+  }
+
   test("schema canary is clean on the driver testdata") {
     assert(SchemaCanary.problems(spark, "/root/testdata/sf0.001") == Seq.empty)
     assert(SchemaCanary.problems(spark, "/root/testdata/sf0.01") == Seq.empty)
