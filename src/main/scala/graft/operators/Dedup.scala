@@ -68,7 +68,7 @@ object Dedup {
   /** Two-sided [[verified]]: candidate sides resolve their shingles from
     * separate frames (cross-corpus pairs; same-corpus callers pass the
     * one frame twice). */
-  private def verifiedCross(candidates: DataFrame, shA: DataFrame,
+  private[operators] def verifiedCross(candidates: DataFrame, shA: DataFrame,
       shB: DataFrame, threshold: Double): DataFrame = {
     val sa = shA.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val sb = shB.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
@@ -124,7 +124,7 @@ object Dedup {
     * its representative (min doc_id), carrying the member list. Shared —
     * via the CacheManager, same canonical plan — by every dedup operator
     * over the same corpus. */
-  private def clusters(sh: DataFrame): DataFrame =
+  private[operators] def clusters(sh: DataFrame): DataFrame =
     Caches.persist(sh.groupBy(col("shingles"))
       .agg(min(col("doc_id")).as("doc_id"),
         sort_array(collect_list(col("doc_id"))).as("members")))
@@ -400,24 +400,12 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sa = shingled(corpusA, idCol, textCol)
     val sb = shingled(corpusB, idCol, textCol)
     val ga = clusters(sa)
     val gb = clusters(sb)
-    def banded(reps: DataFrame): DataFrame = {
-      val sig = reps.select(col("doc_id"),
-        Hashing.minhashSig(col("shingles"), numHashes).as("sig"))
-      val bandCols = (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(",", transform(
-            slice(col("sig"), bnd * rows + 1, rows), _.cast("string")))
-            .as("bucket"))
-      }
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
-    }
+    def banded(reps: DataFrame): DataFrame =
+      bandedBuckets(reps, numHashes, bands)
     val candidates = banded(ga.select(col("doc_id"), col("shingles"))).as("a")
       .join(banded(gb.select(col("doc_id"), col("shingles"))).as("b"),
         col("a.band") === col("b.band") &&
@@ -466,22 +454,31 @@ object Dedup {
       .withColumn("contaminated", col("n_benchmark_docs") > 0)
   }
 
-  private def minhashRepPairs(reps: DataFrame, sh: DataFrame,
-      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
+  /** (doc_id, band, bucket) LSH index rows for (doc_id, shingles) input:
+    * MinHash signature sliced into `bands` buckets, bucket key the
+    * band's signature slice. ONE definition of the bucket-key format —
+    * shared by the in-query LSH paths and the persisted
+    * [[DedupStore]] index, so a probe banded today always collides with
+    * an index row banded last month. */
+  private[operators] def bandedBuckets(reps: DataFrame,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val sig = reps.select(col("doc_id"),
       Hashing.minhashSig(col("shingles"), numHashes).as("sig"))
-    // (doc, band, bucket-key): bucket key is the band's signature slice.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", transform(
           slice(col("sig"), b * rows + 1, rows), _.cast("string")))
           .as("bucket"))
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+  }
+
+  private def minhashRepPairs(reps: DataFrame, sh: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandedBuckets(reps, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

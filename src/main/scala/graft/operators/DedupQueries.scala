@@ -272,6 +272,30 @@ object DedupQueries extends QueryPack {
               |JOIN sizes sa ON doc_a = sa.doc_id
               |JOIN sizes sb ON doc_b = sb.doc_id
               |WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= $Threshold
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Persisted + incremental dedup ([[DedupStore]]): build the store
+    // from an 80% "historical corpus" (doc_id % 5 != 0), then dedupe the
+    // remaining 20% as an arriving batch AGAINST THE STORE (stored docs
+    // are never re-shingled — their shingles and LSH index rows stream
+    // off the persisted tables), merge, and read back the accumulated
+    // pair set. The oracle is the FULL RECOMPUTE over corpus ∪ batch —
+    // the same brute-force jaccard oracle as d02/d03 — pinning the
+    // production invariant: incremental maintenance loses nothing
+    // relative to re-running the one-shot pass. Recall argument is
+    // d03's (banding misses a ≥0.6 pair with planted-dup similarity
+    // astronomically rarely; verification makes precision exact).
+    Q("d10_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val store = DedupStore("dedup_store")
+        DedupStore.reset(s, store)
+        DedupStore.build(s, docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", Threshold, store)
+        DedupStore.appendBatch(s, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", Threshold, store, "b1")
+        DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardOracle))
   )
 }
