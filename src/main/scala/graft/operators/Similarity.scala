@@ -33,7 +33,7 @@ object Similarity {
       (sqrt(Hashing.dotProduct(a, a)) * sqrt(Hashing.dotProduct(b, b)))
 
   /** (vid, v, nrm) with the L2 norm materialized once per vector. */
-  private def normalized(emb: DataFrame, idCol: String, vecCol: String) = {
+  private[operators] def normalized(emb: DataFrame, idCol: String, vecCol: String) = {
     val v = col(vecCol).cast("array<double>")
     emb.select(col(idCol).as("vid"), v.as("v"))
       .withColumn("nrm", sqrt(Hashing.dotProduct(col("v"), col("v"))))
@@ -353,7 +353,7 @@ object Similarity {
     * structs per row, `array_sort`ed lexicographically so ties break
     * exactly like a (csim DESC, cid ASC) ranking, then sliced to `n`.
     * Zero shuffle and (for n = 1) zero row expansion. */
-  private def nearestBuckets(points: DataFrame,
+  private[operators] def nearestBuckets(points: DataFrame,
       codebook: Array[(Long, Array[Double], Double)], n: Int): DataFrame = {
     val entries = codebook.map { case (cid, cv, cn) =>
       struct(
@@ -453,7 +453,7 @@ object Similarity {
       .limit(nCodes).select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray), subspaces)
 
-  private def pqCentersFromSeeds(seeds: Array[Array[Double]],
+  private[operators] def pqCentersFromSeeds(seeds: Array[Array[Double]],
       subspaces: Int): (Array[Array[Seq[Double]]], Int) = {
     val dims = seeds.head.length
     require(dims % subspaces == 0, "subspaces must divide dims")
@@ -467,7 +467,7 @@ object Similarity {
 
   /** Row-local PQ encode: per subspace, the max rounded-dot code against
     * the inlined codebook (ties to the lower index). */
-  private def pqCode(c: Column, sp: Int,
+  private[operators] def pqCode(c: Column, sp: Int,
       centers: Array[Array[Seq[Double]]], subDim: Int): Column = {
     val entries = centers(sp).indices.map { j =>
       struct(
@@ -482,7 +482,7 @@ object Similarity {
     * the RAW query slice and the chosen codebook center, accumulated
     * left-to-right so the double fold matches any engine that chains `+`
     * left-associatively. */
-  private def pqAdcScore(qv: Column, centers: Array[Array[Seq[Double]]],
+  private[operators] def pqAdcScore(qv: Column, centers: Array[Array[Seq[Double]]],
       subDim: Int): Column =
     centers.indices.map { sp =>
       Hashing.dotProduct(pqSub(qv, sp, subDim),

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.CatalogMaterializer
+
+/** Persisted, appendable IVF-PQ index — the production ANN lifecycle
+  * that the in-query operators ([[Similarity.ivfPqTopK]]) deliberately
+  * skip: they rebuild codebooks and re-encode the corpus inside every
+  * query plan, which is the right shape for a one-shot audit and the
+  * wrong one for a pipeline that probes the same corpus daily and
+  * appends a crawl's worth of new vectors nightly. Here the index is
+  * two engine-managed tables:
+  *
+  *  - `ann_codebook(vid, v, nrm)` — the deterministic seed prefix (the
+  *    first max(nlist, nCodes) corpus vectors by id, exactly
+  *    [[Similarity.ivfPqTopK]]'s seeding), materialized via the atomic
+  *    full-refresh sink: codebooks change ONLY on a full rebuild, never
+  *    on append — the classic production contract (append encodes with
+  *    the frozen codebook; retraining is an explicit rebuild);
+  *  - `ann_codes(cid, vid, c0..c{m}, batch_id)` — coarse bucket + PQ
+  *    codes per vector, partition-per-batch with dynamic overwrite
+  *    (append = encode the DELTA row-locally and commit one partition;
+  *    replaying a batch is idempotent).
+  *
+  * Because every step (seed prefix, rounded-cosine bucket assignment,
+  * rounded-dot PQ encode, ADC scoring) is deterministic, a probe
+  * against the persisted index equals the one-shot
+  * [[Similarity.ivfPqTopK]] over the union of all appended batches —
+  * v14 pins that against the same exact DuckDB oracle as v11, with the
+  * index built from an 80% base and the rest arriving as a batch.
+  *
+  * Scale shape: append is a row-local scan of the delta (inline-literal
+  * codebook, zero shuffle) plus one partition commit; the probe
+  * broadcasts queries against the codes table (8-byte-ish rows — the
+  * whole point of PQ) with the per-query top-k window as the only
+  * shuffle; nothing ever re-touches stored vectors.
+  */
+final case class VectorIndex(schemaName: String) {
+  val codebookRel: String = s"$schemaName.ann_codebook"
+  val codesRel: String = s"$schemaName.ann_codes"
+}
+
+object VectorIndex {
+  private val Nlist = 16
+  private val NCodes = 16
+  private val Subspaces = 4
+
+  private def mat = new CatalogMaterializer
+
+  def reset(spark: SparkSession, index: VectorIndex): Unit =
+    Seq(index.codebookRel, index.codesRel)
+      .foreach(mat.dropRelation(spark, _))
+
+  /** Full build: freeze the codebook from `corpus`'s seed prefix and
+    * encode the whole corpus as batch zero. */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, index: VectorIndex, batchId: String = "base"): Unit = {
+    val n = Similarity.normalized(corpus, idCol, vecCol)
+    val prefix = n.orderBy(col("vid")).limit(math.max(Nlist, NCodes))
+      .select(col("vid"), col("v"), col("nrm"))
+    mat.materializeTable(spark, index.codebookRel, prefix)
+    writeCodes(spark, n, index, batchId)
+  }
+
+  /** Append: encode ONLY `delta` with the frozen codebook (row-local —
+    * no stored vector is read, no codebook retrained) and commit its
+    * partition. */
+  def append(spark: SparkSession, delta: DataFrame, idCol: String,
+      vecCol: String, index: VectorIndex, batchId: String): Unit =
+    writeCodes(spark, Similarity.normalized(delta, idCol, vecCol),
+      index, batchId)
+
+  /** Approximate top-k off the PERSISTED index: queries probe `nprobe`
+    * coarse buckets, candidates stream off `ann_codes`, ADC-scored and
+    * top-k windowed — identical ranking to [[Similarity.ivfPqTopK]]
+    * over the union of all appended batches. */
+  def topK(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, index: VectorIndex, k: Int, nprobe: Int = 4)
+      : DataFrame = {
+    val prefix = readCodebook(spark, index)
+    val coarse = prefix.take(Nlist)
+    val (centers, subDim) =
+      Similarity.pqCentersFromSeeds(prefix.take(NCodes).map(_._2), Subspaces)
+    val probes = Similarity
+      .nearestBuckets(Similarity.normalized(queries, idCol, vecCol),
+        coarse, nprobe)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("cid"))
+    val scored = spark.table(index.codesRel).join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(Similarity.pqAdcScore(col("qv"), centers, subDim), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** The frozen codebook prefix, ordered by vid — bounded
+    * (max(nlist, nCodes) rows), collected once per probe/append. */
+  private def readCodebook(spark: SparkSession, index: VectorIndex)
+      : Array[(Long, Array[Double], Double)] =
+    spark.table(index.codebookRel).orderBy(col("vid"))
+      .select(col("vid"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Encode (bucket + PQ codes, both row-local against the inline
+    * codebook) and commit one batch partition. */
+  private def writeCodes(spark: SparkSession, n: DataFrame,
+      index: VectorIndex, batchId: String): Unit = {
+    val prefix = readCodebook(spark, index)
+    val coarse = prefix.take(Nlist)
+    val (centers, subDim) =
+      Similarity.pqCentersFromSeeds(prefix.take(NCodes).map(_._2), Subspaces)
+    val encoded = Similarity.nearestBuckets(n, coarse, 1)
+      .select(col("cid") +: col("vid") +:
+        (0 until Subspaces).map(sp =>
+          Similarity.pqCode(col("v"), sp, centers, subDim).as(s"c$sp")): _*)
+      .withColumn("batch_id", lit(batchId))
+    mat.dropPartition(spark, index.codesRel, "batch_id", batchId)
+    mat.materializeIncremental(spark, index.codesRel, encoded,
+      Seq("batch_id"))
+  }
+}

@@ -56,6 +56,44 @@ object VectorQueries extends QueryPack {
       |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
       |  WHERE p.vec_id <> q.qid)""".stripMargin
 
+  /** Full IVF-PQ oracle (coarse buckets + probes over [[PqAdcCtes]]'
+    * ADC scores) — shared by v11 (one-shot in-query index) and v14
+    * (persisted index built incrementally): the two engines' paths are
+    * pinned to ONE recompute, so equality between them is transitive
+    * through the oracle. */
+  private val IvfPqOracle: String = PqAdcCtes + """,
+    |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+    |  ORDER BY vec_id LIMIT 16),
+    |casg AS (
+    |  SELECT n.vec_id vid, cb.cid,
+    |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+    |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+    |        DESC, cb.cid) rnk
+    |  FROM n, cb),
+    |bucketed AS (SELECT vid, cid FROM casg WHERE rnk = 1),
+    |qasg AS (
+    |  SELECT n.vec_id qid, cb.cid,
+    |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+    |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+    |        DESC, cb.cid) rnk
+    |  FROM n, cb WHERE n.vec_id < 5),
+    |probes AS (SELECT qid, cid FROM qasg WHERE rnk <= 4),
+    |-- ADC scores are bucket-independent, so IVF-PQ = the shared
+    |-- adc pairs RESTRICTED to (query, corpus) sharing a probed
+    |-- coarse bucket.
+    |scored AS (
+    |  SELECT a.qid, a.nid, a.score
+    |  FROM adc a
+    |  JOIN bucketed b ON b.vid = a.nid
+    |  JOIN probes p ON p.qid = a.qid AND p.cid = b.cid),
+    |ranked AS (
+    |  SELECT qid, nid, score,
+    |    ROW_NUMBER() OVER (PARTITION BY qid
+    |      ORDER BY score DESC, nid) rn
+    |  FROM scored)
+    |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
+    |ORDER BY qid, rn""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("v01_cosine_topk",
       (s, dir) => {
@@ -359,38 +397,33 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some(PqAdcCtes + """,
-             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
-             |  ORDER BY vec_id LIMIT 16),
-             |casg AS (
-             |  SELECT n.vec_id vid, cb.cid,
-             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
-             |        DESC, cb.cid) rnk
-             |  FROM n, cb),
-             |bucketed AS (SELECT vid, cid FROM casg WHERE rnk = 1),
-             |qasg AS (
-             |  SELECT n.vec_id qid, cb.cid,
-             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
-             |        DESC, cb.cid) rnk
-             |  FROM n, cb WHERE n.vec_id < 5),
-             |probes AS (SELECT qid, cid FROM qasg WHERE rnk <= 4),
-             |-- ADC scores are bucket-independent, so IVF-PQ = the shared
-             |-- adc pairs RESTRICTED to (query, corpus) sharing a probed
-             |-- coarse bucket.
-             |scored AS (
-             |  SELECT a.qid, a.nid, a.score
-             |  FROM adc a
-             |  JOIN bucketed b ON b.vid = a.nid
-             |  JOIN probes p ON p.qid = a.qid AND p.cid = b.cid),
-             |ranked AS (
-             |  SELECT qid, nid, score,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY score DESC, nid) rn
-             |  FROM scored)
-             |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(IvfPqOracle)),
+
+    // Persisted + appendable ANN index ([[VectorIndex]]): freeze the
+    // codebook and encode an 80% base corpus into the index tables, then
+    // APPEND the remaining vectors (vec_id % 5 == 0, above the seed
+    // prefix) by encoding only the delta against the frozen codebook —
+    // stored vectors are never touched — and probe from the persisted
+    // codes. Deterministic seeding/encode/ADC make the probe EQUAL to
+    // v11's one-shot over the full corpus (the split keeps the global
+    // first-16 seed prefix inside the base, so the frozen codebook is
+    // the one-shot's codebook), so v14 shares v11's exact DuckDB oracle:
+    // incremental index maintenance loses nothing vs full rebuild.
+    Q("v14_ann_persisted",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val index = VectorIndex("ann_store")
+        VectorIndex.reset(s, index)
+        val isBatch = col("vec_id") % 5 === 0 && col("vec_id") >= 80
+        VectorIndex.build(s, emb.filter(!isBatch), "vec_id", "embedding",
+          index)
+        VectorIndex.append(s, emb.filter(isBatch), "vec_id", "embedding",
+          index, "b1")
+        VectorIndex.topK(s, emb.filter(col("vec_id") < 5), "vec_id",
+            "embedding", index, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(IvfPqOracle)),
 
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
