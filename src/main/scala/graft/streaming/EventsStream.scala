@@ -58,7 +58,11 @@ private[streaming] object SessionMerge extends Serializable {
   * engine-level extension that replaces "re-run the batch hourly" with an
   * incremental pipeline: file source → watermark → windowed aggregation /
   * exactly-once dedup → sink. At scale the same topology runs off a log
-  * (Kafka source) with identical transform code.
+  * (Kafka source) with identical transform code — not just a claim:
+  * LogSourceSpec runs hourlyAgg and the dedup replay off an offset-based
+  * row-by-row source (MemoryStream, the same DSv2 micro-batch path a
+  * Kafka topic feeds; the Kafka connector jar itself is not in this
+  * environment) and pins the results to the batch twins.
   */
 object EventsStream {
 
