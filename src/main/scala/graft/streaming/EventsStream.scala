@@ -149,25 +149,38 @@ object EventsStream {
     * partitions to the same contents — which is what makes the
     * foreachBatch at-least-once window (crash after the sink write,
     * before the checkpoint commit; the batch replays on restart) safe.
-    * Factored out so the recovery spec can drive exactly that window. */
-  private[streaming] def mergeHourly(batch: DataFrame, path: String): Unit = {
+    * Factored out so the recovery spec can drive exactly that window
+    * (and so MartTriggerProbe can time exactly this merge per trigger). */
+  private[graft] def mergeHourly(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     val updated = batch.withColumn("day", to_date(col("hour")))
-    val days = updated.select("day").distinct()
-    // Only the READ is the expected first-trigger failure; the joins
-    // stay outside the catch — an AnalysisException from column
-    // resolution (schema drift in an existing mart) must ABORT the
-    // trigger, not be mistaken for "no mart yet" and let the dynamic
-    // overwrite replace touched days with batch-only rows.
-    val existing = try Some(spark.read.parquet(path))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val current = existing match {
-      case Some(mart) => mart
-        .join(broadcast(days), Seq("day"), "left_semi")
+    // Bounded driver-side collect BY CONTRACT: a watermark-bounded
+    // trigger touches at most horizon days (1-2 at production cadence).
+    // Naming the touched day DIRECTORIES makes the merge read O(touched
+    // days): reading the mart ROOT instead — even filtered or semi-joined
+    // on `day` — lists and plans over every partition ever written, an
+    // O(mart-age) term per trigger that MartTriggerProbe measured growing
+    // (7.8 s for an EMPTY trigger against a 362-day mart).
+    // Collected as yyyy-MM-dd STRINGS (the partition-dir spelling):
+    // decoding DateType rows on the streaming microbatch thread trips a
+    // MethodHandles lookup in Spark's date deserializer.
+    val days = updated.select(col("day").cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Existence is checked per day dir (a new day has no dir yet), so
+    // "no mart yet" needs no exception fallback — and an
+    // AnalysisException from column resolution (schema drift in an
+    // existing mart) still ABORTS the trigger rather than letting the
+    // dynamic overwrite replace touched days with batch-only rows.
+    val existingDirs = days.map(d => s"$path/day=$d")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val current =
+      if (existingDirs.isEmpty) updated.limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(existingDirs.toIndexedSeq: _*)
         .join(updated.select("hour", "event_type"),
           Seq("hour", "event_type"), "left_anti")
-      case None => updated.limit(0)
-    }
     updated.unionByName(current.select(updated.columns.map(col): _*))
       // The write overwrites the very path `current` reads; truncate
       // lineage first (day-scale aggregate rows — bounded and tiny).
