@@ -254,18 +254,28 @@ final class CatalogMaterializer extends Materializer {
     } else CatalogMaterializer.dynamicOverwriteLock.synchronized {
       requireNotPointerBacked(spark, relation)
       val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
+      // The toggle must land on the session that EXECUTES the write —
+      // df.sparkSession, which differs from `spark` when the increment
+      // comes out of a foreachBatch micro-batch (a session CLONE whose
+      // conf stays at the default). Toggling only `spark` there leaves
+      // the clone in STATIC overwrite and the insert replaces the whole
+      // table, not the increment's partitions (caught by the streaming
+      // store-ingest spec). The writer-scoped option is belt-and-braces
+      // for the same contract.
+      val sess = df.sparkSession
+      val prev = sess.conf.getOption(key)
+      sess.conf.set(key, "dynamic")
       try {
         // insertInto resolves positionally against the catalog schema;
         // reorder the increment to match (partition cols land last there).
         val target = spark.table(relation).columns
         df.select(target.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(relation)
+          .write.mode("overwrite").option(key, "dynamic")
+          .insertInto(relation)
       } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+        case Some(v) => sess.conf.set(key, v)
+        case None => sess.conf.unset(key)
       }
     }
 

@@ -296,6 +296,31 @@ object DedupQueries extends QueryPack {
           "doc_id", "text", Threshold, store, "b1")
         DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
       },
+      Some(jaccardOracle)),
+
+    // Store maintenance ([[StoreCompaction]]): accumulate three batch
+    // partitions, FOLD the closed ones into the `compacted` partition
+    // (one file each — the small-file bound a year of nightly appends
+    // needs), then dedupe ANOTHER batch against the compacted store.
+    // The oracle is still the full brute-force recompute over the whole
+    // corpus: compaction must be invisible to every future increment —
+    // folded index rows collide with new batches exactly as the
+    // originals did. StoreCompactionSpec separately pins the
+    // file/partition counts, idempotency, and crash-replay convergence.
+    Q("d11_store_compaction",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val store = DedupStore("dedup_compact")
+        DedupStore.reset(s, store)
+        DedupStore.build(s, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", Threshold, store)
+        DedupStore.appendBatch(s, docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", Threshold, store, "b1")
+        StoreCompaction.compactDedupStore(s, store, keep = Set("b1"))
+        DedupStore.appendBatch(s, docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", Threshold, store, "b2")
+        DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
+      },
       Some(jaccardOracle))
   )
 }

@@ -425,6 +425,32 @@ object VectorQueries extends QueryPack {
       },
       Some(IvfPqOracle)),
 
+    // Index maintenance ([[StoreCompaction]] on the codes table): build
+    // + two appends leave three batch partitions; fold the closed ones
+    // into `compacted` and probe from the compacted index. Codes are
+    // opaque deterministic rows, so the probe must rank IDENTICALLY to
+    // v11's one-shot over the union — same exact oracle — or the fold
+    // dropped/duplicated a vector.
+    Q("v15_ann_compacted",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val index = VectorIndex("ann_compact")
+        VectorIndex.reset(s, index)
+        val m5 = col("vec_id") % 5
+        val base = !(m5 === 0 || m5 === 1) || col("vec_id") < 80
+        VectorIndex.build(s, emb.filter(base), "vec_id", "embedding",
+          index)
+        VectorIndex.append(s, emb.filter(!base && m5 === 0), "vec_id",
+          "embedding", index, "b1")
+        StoreCompaction.compactVectorIndex(s, index, keep = Set.empty)
+        VectorIndex.append(s, emb.filter(!base && m5 === 1), "vec_id",
+          "embedding", index, "b2")
+        VectorIndex.topK(s, emb.filter(col("vec_id") < 5), "vec_id",
+            "embedding", index, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(IvfPqOracle)),
+
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
     // Every step is engine-reproducible (first-k seeding, raw-double

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+import graft.operators.{Dedup, DedupStore, Similarity, StoreCompaction,
+  VectorIndex}
+
+/** One vector as fed through a log source. */
+final case class VecRow(vec_id: Long, embedding: Array[Float])
+
+/** One document as fed through a log source. */
+final case class DocRow(doc_id: Long, text: String)
+
+/** The persisted stores' STREAMING ingest path: `DedupStore.appendBatch`
+  * and `VectorIndex.append` are batch functions, and a production
+  * pipeline's natural driver for them is `foreachBatch` over a log
+  * source — each micro-batch becomes one store batch, keyed by the
+  * micro-batch id, which makes the store's partition-per-batch replay
+  * idempotency line up EXACTLY with foreachBatch's at-least-once
+  * window (a replayed micro-batch re-commits its own partition).
+  * Pinned here off [[MemoryStream]] (the offset-based DSv2 path a
+  * Kafka topic feeds — see LogSourceSpec for why not the Kafka jar):
+  * multi-trigger streamed ingest must equal the one-shot pass, and
+  * compacting mid-stream must stay invisible.
+  */
+class StoreIngestSpec extends SparkSuite {
+
+  test("streamed vector ingest: persisted-index probe equals one-shot") {
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val index = VectorIndex("stream_vec")
+    VectorIndex.reset(spark, index)
+    // Base keeps the global seed prefix (codebooks freeze at build);
+    // the rest arrives on the stream.
+    val isStream = col("vec_id") % 5 === 0 && col("vec_id") >= 80
+    VectorIndex.build(spark, emb.filter(!isStream), "vec_id", "embedding",
+      index)
+    val arriving = emb.filter(isStream)
+      .select(col("vec_id"), col("embedding")).as[VecRow].collect().toSeq
+
+    val input = MemoryStream[VecRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        VectorIndex.append(spark, b, "vec_id", "embedding", index, s"s$id")
+      }
+      .outputMode("append").start()
+    try {
+      arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val queries = emb.filter(col("vec_id") < 5)
+    def ranking(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rn"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oneShot = ranking(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    assert(ranking(VectorIndex.topK(spark, queries, "vec_id", "embedding",
+      index, k = 5)) == oneShot)
+    // Ingested batch partitions fold away without touching the ranking.
+    StoreCompaction.compactVectorIndex(spark, index, keep = Set.empty)
+    assert(ranking(VectorIndex.topK(spark, queries, "vec_id", "embedding",
+      index, k = 5)) == oneShot)
+    VectorIndex.reset(spark, index)
+  }
+
+  test("streamed document ingest: accumulated pairs equal one-shot") {
+    import spark.implicits._
+    val T = 0.6
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val store = DedupStore("stream_dedup")
+    DedupStore.reset(spark, store)
+    DedupStore.build(spark, docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", T, store)
+    val arriving = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).as[DocRow].collect().toSeq
+
+    val input = MemoryStream[DocRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        DedupStore.appendBatch(spark, b, "doc_id", "text", T, store,
+          s"s$id")
+        (): Unit
+      }
+      .outputMode("append").start()
+    try {
+      arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val oneShot = pairsOf(Dedup.minhashLshPairs(docs, "doc_id", "text", T))
+    val streamed = pairsOf(DedupStore.allPairs(spark, store))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    DedupStore.reset(spark, store)
+  }
+}
