@@ -321,6 +321,31 @@ object DedupQueries extends QueryPack {
           "doc_id", "text", Threshold, store, "b2")
         DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(jaccardOracle))
+      Some(jaccardOracle)),
+
+    // Targeted deletion ([[StoreRetention]]): the takedown path. Build
+    // the store over the whole corpus (two batches), then DELETE a
+    // victim slice — shingles, index rows, and every pair touching a
+    // victim, rewriting only the partitions that contain them. The
+    // oracle is the full recompute over the SURVIVORS: deletion must
+    // leave the store exactly as if the victims had never been
+    // ingested (pair discovery is per-pair, so survivor pairs don't
+    // depend on victims' presence). StoreRetentionSpec separately pins
+    // partition-scoped rewrites, emptied-partition drops, idempotency.
+    Q("d12_store_delete",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val store = DedupStore("dedup_delete")
+        DedupStore.reset(s, store)
+        DedupStore.build(s, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", Threshold, store)
+        DedupStore.appendBatch(s, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", Threshold, store, "b1")
+        StoreRetention.deleteDocs(s, store,
+          docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+        DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardOracle.replace("WHERE length(trim(text)) > 0",
+        "WHERE length(trim(text)) > 0 AND doc_id % 10 <> 7")))
   )
 }

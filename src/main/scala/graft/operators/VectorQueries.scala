@@ -451,6 +451,35 @@ object VectorQueries extends QueryPack {
       },
       Some(IvfPqOracle)),
 
+    // Targeted deletion ([[StoreRetention]]): remove a victim slice
+    // from the persisted codes and probe — the ranking must equal the
+    // one-shot over the SURVIVORS. Victims sit above the seed prefix,
+    // so the frozen codebook/centroids match the oracle's (which
+    // derives both from the filtered corpus's first-16 — identical
+    // because the prefix survives). Oracle = IvfPqOracle with the
+    // victim slice filtered out of the corpus CTE.
+    Q("v16_ann_deleted",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val index = VectorIndex("ann_delete")
+        VectorIndex.reset(s, index)
+        val isBatch = col("vec_id") % 5 === 0 && col("vec_id") >= 80
+        VectorIndex.build(s, emb.filter(!isBatch), "vec_id", "embedding",
+          index)
+        VectorIndex.append(s, emb.filter(isBatch), "vec_id", "embedding",
+          index, "b1")
+        StoreRetention.deleteVectors(s, index,
+          emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 80)
+            .select(col("vec_id")))
+        VectorIndex.topK(s, emb.filter(col("vec_id") < 5), "vec_id",
+            "embedding", index, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      // The replace edits the ALREADY-stripMargin'd oracle string, so
+      // the inserted continuation carries no margin pipe.
+      Some(IvfPqOracle.replace("FROM embeddings),",
+        "FROM embeddings WHERE NOT (vec_id % 7 = 3 AND vec_id >= 80)),"))),
+
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.
     // Every step is engine-reproducible (first-k seeding, raw-double
