@@ -66,10 +66,15 @@ object DedupStore {
     Seq(store.shinglesRel, store.bucketsRel, store.pairsRel)
       .foreach(mat.dropRelation(spark, _))
 
-  /** First build: treat the whole corpus as batch zero. */
+  /** Full (re)build: treat the whole corpus as batch zero. REPLACES any
+    * existing store first — without the reset, a rebuild over a store
+    * that had accumulated batches would dynamic-overwrite only the
+    * `base` partition and silently retain every stale batch partition
+    * next to the fresh build (the CREATE OR REPLACE footgun). */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, store: DedupStore,
       batchId: String = "base"): Unit = {
+    reset(spark, store)
     val sh = Dedup.shingled(corpus, idCol, textCol)
     val pairs = Dedup.minhashLshPairs(corpus, idCol, textCol, threshold,
       NumHashes, Bands)

@@ -54,10 +54,14 @@ object VectorIndex {
     Seq(index.codebookRel, index.codesRel)
       .foreach(mat.dropRelation(spark, _))
 
-  /** Full build: freeze the codebook from `corpus`'s seed prefix and
-    * encode the whole corpus as batch zero. */
+  /** Full (re)build: freeze the codebook from `corpus`'s seed prefix
+    * and encode the whole corpus as batch zero. REPLACES any existing
+    * index first — this is also the RETRAIN path after deletions or
+    * drift (the codebook refresh is atomic; the codes reset clears
+    * stale batch partitions a plain re-encode would retain). */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, index: VectorIndex, batchId: String = "base"): Unit = {
+    reset(spark, index)
     val n = Similarity.normalized(corpus, idCol, vecCol)
     val prefix = n.orderBy(col("vid")).limit(math.max(Nlist, NCodes))
       .select(col("vid"), col("v"), col("nrm"))

@@ -69,6 +69,24 @@ class DedupStoreSpec extends SparkSuite {
     DedupStore.reset(spark, store)
   }
 
+  test("rebuild REPLACES the store — stale batch partitions don't survive") {
+    val store = DedupStore("dedup_store_rebuild")
+    DedupStore.reset(spark, store)
+    DedupStore.build(spark, docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", T, store)
+    DedupStore.appendBatch(spark, docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", T, store, "b1")
+    // Rebuild over the full corpus: without build's internal reset the
+    // b1 partition would survive next to the fresh base and every doc in
+    // it would be double-counted.
+    DedupStore.build(spark, docs, "doc_id", "text", T, store)
+    assert(StoreCompaction.batchIds(spark, store.shinglesRel) ==
+      Seq("base"))
+    assert(pairsOf(DedupStore.allPairs(spark, store)) == oneShot)
+    assert(DedupStore.allPairs(spark, store).count() == oneShot.size)
+    DedupStore.reset(spark, store)
+  }
+
   test("the increment reads the persisted index, not recomputed corpus state") {
     val store = DedupStore("dedup_store_plan")
     DedupStore.reset(spark, store)

@@ -39,6 +39,23 @@ class VectorIndexSpec extends SparkSuite {
     VectorIndex.reset(spark, index)
   }
 
+  test("rebuild REPLACES the index — the retrain path clears stale codes") {
+    val index = VectorIndex("ann_spec_rebuild")
+    VectorIndex.reset(spark, index)
+    VectorIndex.build(spark, emb.filter(!isBatch), "vec_id", "embedding",
+      index)
+    VectorIndex.append(spark, emb.filter(isBatch), "vec_id", "embedding",
+      index, "b1")
+    // Retrain over the full corpus: without build's internal reset the
+    // b1 partition would survive next to the fresh base and its vectors
+    // would score twice in every probe.
+    VectorIndex.build(spark, emb, "vec_id", "embedding", index)
+    assert(StoreCompaction.batchIds(spark, index.codesRel) == Seq("base"))
+    assert(rows(VectorIndex.topK(spark, queries, "vec_id", "embedding",
+      index, k = 5)) == oneShot)
+    VectorIndex.reset(spark, index)
+  }
+
   test("append replay is idempotent; codebook is frozen across appends") {
     val index = VectorIndex("ann_spec_replay")
     VectorIndex.reset(spark, index)
