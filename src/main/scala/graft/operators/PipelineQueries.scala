@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+
+/** Gates for the composed corpus pipeline ([[CorpusPipeline]]): the
+  * end-to-end pretraining data build — quality → exact dedup → near-dup
+  * removal → tokenize → pack → shard manifest — one-shot (p01) and
+  * incrementally against persisted engine state (p02), plus the funnel
+  * "data card" (p03). p01 and p02 share one full-recompute DuckDB
+  * oracle: the incremental pass must be indistinguishable from the
+  * one-shot pass over the union — the amortization contract at 100 TB.
+  *
+  * Recall argument for the LSH stage is d03's (banding misses a ≥0.6
+  * pair on this corpus astronomically rarely; verification makes
+  * precision exact), so the oracle's brute-force pair set and the
+  * engine's LSH pair set agree.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** One-shot pipeline stages through the pack manifest, in DuckDB.
+    * Stage CTEs mirror [[CorpusPipeline]] exactly: q = quality (50 ≤
+    * words ≤ 100k, 6dp-rounded alpha fraction > 0.8), kept = min-id per
+    * d01 fingerprint, drops = doc_b of every brute-force jaccard ≥ 0.6
+    * pair among kept (the predecessor rule), c = the packing prefix sum
+    * (t11's window form). */
+  private val pipelinePrefix: String =
+    """WITH qw AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, text, CAST(len(w) AS BIGINT) AS toks
+      |  FROM qw
+      |  WHERE len(w) BETWEEN 50 AND 100000
+      |    AND ROUND(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+      |          / len(w), 6) > 0.8),
+      |ex AS (
+      |  SELECT doc_id, text, toks, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    ORDER BY doc_id) AS rn
+      |  FROM q),
+      |kept AS (SELECT doc_id, toks FROM ex WHERE rn = 1),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+      |  FROM kept JOIN qw USING (doc_id)
+      |  WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+      |exn AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+      |  FROM exn a JOIN exn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT doc_b FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+      |surv AS (
+      |  SELECT doc_id, toks FROM kept
+      |  WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+      |c AS (SELECT doc_id, toks,
+      |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM surv)""".stripMargin
+
+  private val manifestOracle: String =
+    s"""$pipelinePrefix
+       |SELECT (cum - toks) // ${CorpusPipeline.SeqLen} AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    Q("p01_corpus_pipeline",
+      (s, dir) => CorpusPipeline
+        .manifest(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("pack_id")),
+      Some(manifestOracle)),
+
+    // Incremental: bootstrap on the first ~80% of the id range, then two
+    // appends (80→90%, 90→100%) through the persisted state — exact
+    // probes off `doc_meta`, near-dup probes off the dedup store,
+    // packing offset off the shard manifest. The read-back merges
+    // boundary packs across batch partitions. Oracle: the SAME full
+    // recompute as p01 — increments must lose (and invent) nothing.
+    Q("p02_incremental_pipeline",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val cut1 = maxId * 4 / 5
+        val cut2 = maxId * 9 / 10
+        val st = CorpusPipeline.State("corpus_pipeline")
+        CorpusPipeline.buildHistory(s,
+          docs.filter(col("doc_id") <= cut1), "doc_id", "text", st)
+        CorpusPipeline.appendBatch(s,
+          docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          "doc_id", "text", st, "b1")
+        CorpusPipeline.appendBatch(s,
+          docs.filter(col("doc_id") > cut2), "doc_id", "text", st, "b2")
+        CorpusPipeline.readManifest(s, st).orderBy(col("pack_id"))
+      },
+      Some(manifestOracle)),
+
+    // The funnel "data card": documents surviving each stage, final
+    // token total, shard count (= ceil(tokens / seq_len) — the
+    // training-sequence count, identical formula both engines).
+    Q("p03_pipeline_funnel",
+      (s, dir) => CorpusPipeline
+        .funnel(Tables(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""$pipelinePrefix
+              |SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+              |  (SELECT COUNT(*) FROM q) AS n_quality,
+              |  (SELECT COUNT(*) FROM kept) AS n_exact,
+              |  (SELECT COUNT(*) FROM surv) AS n_survivors,
+              |  (SELECT CAST(SUM(toks) AS BIGINT) FROM surv) AS total_tokens,
+              |  CAST(CEIL((SELECT SUM(toks) FROM surv)
+              |    / ${CorpusPipeline.SeqLen}.0) AS BIGINT) AS n_packs"""
+        .stripMargin))
+  )
+}

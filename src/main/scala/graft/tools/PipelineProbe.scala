@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Tables}
+import graft.operators.CorpusPipeline
+
+/** Amortization probe for the composed corpus pipeline (not part of the
+  * driver contract; run manually:
+  * `runMain graft.tools.PipelineProbe <sfDir>`).
+  *
+  * Question: once the pipeline state (doc_meta + dedup store + shard
+  * manifest) is built, does pushing a new batch through ALL five stages
+  * cost ∝ batch, or does some stage still pay an accumulated-corpus
+  * term? Method: bootstrap on the first 80% of the id range, then time
+  * appends of a ~4% and a ~16% id-range slice (the predecessor rule's
+  * ordering contract) against the one-shot full recompute. Emits one
+  * JSON line for SCALEPROBE.md.
+  */
+object PipelineProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val c80 = maxId * 4 / 5
+    val c84 = maxId * 21 / 25
+    val st = CorpusPipeline.State("pipeline_probe")
+    val (_, buildS) = time {
+      CorpusPipeline.buildHistory(spark,
+        docs.filter(col("doc_id") <= c80), "doc_id", "text", st)
+    }
+    Caches.releaseAll()
+    val (_, smallS) = time {
+      CorpusPipeline.appendBatch(spark,
+        docs.filter(col("doc_id") > c80 && col("doc_id") <= c84),
+        "doc_id", "text", st, "b_small")
+    }
+    Caches.releaseAll()
+    val (_, largeS) = time {
+      CorpusPipeline.appendBatch(spark,
+        docs.filter(col("doc_id") > c84), "doc_id", "text", st, "b_large")
+    }
+    Caches.releaseAll()
+    val (oneShot, fullS) = time {
+      CorpusPipeline.manifest(docs, "doc_id", "text").count()
+    }
+    Caches.releaseAll()
+    val merged = CorpusPipeline.readManifest(spark, st).count()
+    println(s"""{"probe":"corpus_pipeline","sf_dir":"$dir","n_docs":$n,""" +
+      s""""build_80pct_sec":$buildS,""" +
+      s""""append_4pct_sec":$smallS,"append_16pct_sec":$largeS,""" +
+      s""""one_shot_full_sec":$fullS,""" +
+      s""""incremental_packs":$merged,"one_shot_packs":$oneShot}""")
+    CorpusPipeline.reset(spark, st)
+    spark.stop()
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+
+/** The composed-pipeline contract: incremental maintenance through the
+  * persisted state must equal the one-shot pass over the union, batch
+  * replays must be no-ops, boundary packs must reassemble across batch
+  * partitions, and the predecessor near-dup rule must be prefix-stable
+  * (the property cluster-canonical keep lacks — see the
+  * [[CorpusPipeline]] scaladoc).
+  */
+class CorpusPipelineSpec extends SparkSuite {
+
+  private def docs: DataFrame =
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  private def rowsOf(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+        col("first_doc"), col("last_doc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  private def oneShot: Set[(Long, Long, Long, Long, Long)] =
+    rowsOf(CorpusPipeline.manifest(docs, "doc_id", "text"))
+
+  test("incremental build + two appends equals the one-shot manifest") {
+    val st = CorpusPipeline.State("pipe_spec")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 399), "doc_id", "text", st)
+    CorpusPipeline.appendBatch(spark,
+      docs.filter(col("doc_id") > 399 && col("doc_id") <= 449),
+      "doc_id", "text", st, "b1")
+    CorpusPipeline.appendBatch(spark,
+      docs.filter(col("doc_id") > 449), "doc_id", "text", st, "b2")
+    val inc = rowsOf(CorpusPipeline.readManifest(spark, st))
+    assert(inc.nonEmpty)
+    assert(inc == oneShot)
+    CorpusPipeline.reset(spark, st)
+  }
+
+  test("a boundary pack spans two shard partitions and reassembles") {
+    val st = CorpusPipeline.State("pipe_spec_boundary")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 249), "doc_id", "text", st)
+    CorpusPipeline.appendBatch(spark,
+      docs.filter(col("doc_id") > 249), "doc_id", "text", st, "b1")
+    // The raw shard table must hold the boundary pack twice (base
+    // partial + b1 partial) — i.e. the merge in readManifest is real
+    // work, not a formality. (History token totals are never an exact
+    // multiple of 2048 on this corpus; assert rather than assume.)
+    val perPack = spark.table(st.shardsRel)
+      .groupBy(col("pack_id"))
+      .agg(countDistinct(col("batch_id")).as("n_batches"))
+    assert(perPack.filter(col("n_batches") === 2).count() == 1)
+    assert(rowsOf(CorpusPipeline.readManifest(spark, st)) == oneShot)
+    CorpusPipeline.reset(spark, st)
+  }
+
+  test("replaying a batch is idempotent") {
+    val st = CorpusPipeline.State("pipe_spec_replay")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 399), "doc_id", "text", st)
+    val batch = docs.filter(col("doc_id") > 399)
+    CorpusPipeline.appendBatch(spark, batch, "doc_id", "text", st, "b1")
+    val first = rowsOf(CorpusPipeline.readManifest(spark, st))
+    CorpusPipeline.appendBatch(spark, batch, "doc_id", "text", st, "b1")
+    assert(rowsOf(CorpusPipeline.readManifest(spark, st)) == first)
+    assert(first == oneShot)
+    CorpusPipeline.reset(spark, st)
+  }
+
+  test("predecessor rule is prefix-stable: appends never touch history") {
+    // Crafted corpus: docs 1 and 2 share a 60-word core but differ in
+    // 21-word tails (jaccard 58/100 = 0.58 < 0.6 — NOT near-dups), while
+    // doc 3 = core + both tails is a near-dup of each (0.79 and 0.755).
+    // Cluster-canonical keep would merge {1,2,3} through the doc-3
+    // bridge and drop doc 2 on the full corpus; the predecessor rule
+    // keeps 1 and 2 (no EARLIER near-dup) and drops only 3 — so
+    // history's survivor set, and therefore its already-shipped shards,
+    // are immutable under append.
+    import spark.implicits._
+    val core = (1 to 60).map(i => s"core$i").mkString(" ")
+    val tailX = (1 to 21).map(i => s"ex$i").mkString(" ")
+    val tailY = (1 to 21).map(i => s"why$i").mkString(" ")
+    val a = s"$core $tailX"
+    val b = s"$core $tailY"
+    val hist = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val full = hist.union(
+      Seq((3L, s"$core $tailX $tailY")).toDF("doc_id", "text"))
+    val one = rowsOf(CorpusPipeline.manifest(full, "doc_id", "text"))
+    val st = CorpusPipeline.State("pipe_spec_stable")
+    CorpusPipeline.buildHistory(spark, hist, "doc_id", "text", st)
+    val histShards = rowsOf(CorpusPipeline.readManifest(spark, st))
+    CorpusPipeline.appendBatch(spark,
+      Seq((3L, a + " " + b)).toDF("doc_id", "text"),
+      "doc_id", "text", st, "b1")
+    val merged = rowsOf(CorpusPipeline.readManifest(spark, st))
+    assert(merged == one)
+    // Doc 3 was dropped, so the append added nothing: history rows
+    // survive byte-identically.
+    assert(merged == histShards)
+    CorpusPipeline.reset(spark, st)
+  }
+
+  test("the exact-dedup history probe never reads stored text") {
+    val st = CorpusPipeline.State("pipe_spec_plan")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 399), "doc_id", "text", st)
+    val q = CorpusPipeline.qualitySurvivors(
+        docs.filter(col("doc_id") > 399), "doc_id", "text")
+      .withColumn("fingerprint",
+        graft.functions.TextFunctions.fingerprint(col("text")))
+    val plan = CorpusPipeline.exactFresh(spark, q, "doc_id", st, "b1")
+      .queryExecution.executedPlan.toString
+    // The persisted meta side must arrive as a pruned parquet scan —
+    // fingerprint (plus the partition column) only, no text, no toks:
+    // the increment's history cost is one thin column, not a re-read.
+    val metaScans = plan.linesIterator
+      .filter(l => l.contains("doc_meta") && l.contains("ReadSchema"))
+      .toList
+    assert(metaScans.nonEmpty, s"no doc_meta scan in plan:\n$plan")
+    assert(metaScans.forall(l =>
+      l.contains("ReadSchema: struct<fingerprint:string>")),
+      s"meta scan reads more than the fingerprint column:\n$metaScans")
+    assert(plan.contains("LeftAnti"),
+      "history fingerprint probe must plan as an anti join")
+    CorpusPipeline.reset(spark, st)
+  }
+
+  test("funnel counts are consistent with the manifest") {
+    val f = CorpusPipeline.funnel(docs, "doc_id", "text").head()
+    val m = CorpusPipeline.manifest(docs, "doc_id", "text")
+      .agg(sum(col("n_docs")), sum(col("pack_tokens")),
+        count(lit(1))).head()
+    assert(f.getAs[Long]("n_survivors") == m.getLong(0))
+    assert(f.getAs[Long]("total_tokens") == m.getLong(1))
+    assert(f.getAs[Long]("n_packs") == m.getLong(2))
+    assert(f.getAs[Long]("n_raw") >= f.getAs[Long]("n_quality"))
+    assert(f.getAs[Long]("n_quality") >= f.getAs[Long]("n_exact"))
+    assert(f.getAs[Long]("n_exact") >= f.getAs[Long]("n_survivors"))
+  }
+}

@@ -104,4 +104,44 @@ class StoreIngestSpec extends SparkSuite {
     assert(streamed.nonEmpty && streamed == oneShot)
     DedupStore.reset(spark, store)
   }
+
+  test("streamed corpus pipeline: accumulated shards equal one-shot") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val st = graft.operators.CorpusPipeline.State("stream_pipe")
+    // Bootstrap on the first 80% of the id range; the rest arrives on
+    // the stream in id order (the predecessor rule's ordering contract —
+    // a crawl log delivers this for free).
+    graft.operators.CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 399), "doc_id", "text", st)
+    val arriving = docs.filter(col("doc_id") > 399)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    val input = MemoryStream[DocRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.CorpusPipeline.appendBatch(spark, b, "doc_id",
+          "text", st, s"s$id")
+      }
+      .outputMode("append").start()
+    try {
+      arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+        col("first_doc"), col("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val oneShot = rowsOf(
+      graft.operators.CorpusPipeline.manifest(docs, "doc_id", "text"))
+    val streamed = rowsOf(
+      graft.operators.CorpusPipeline.readManifest(spark, st))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    graft.operators.CorpusPipeline.reset(spark, st)
+  }
 }
