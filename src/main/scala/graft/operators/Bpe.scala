@@ -108,4 +108,34 @@ object Bpe {
     * boundaries, not tokens). */
   def tokenCountOf(seg: Column): Column =
     size(filter(split(trim(seg, Sep), Sep), s => s =!= " "))
+
+  // ---- Persisted tokenizer lifecycle (gate t19). Training is the only
+  // corpus-sized cost in the BPE tier; a production pipeline trains ONCE
+  // on a frozen history slice, persists the merge table, and applies it
+  // map-only to every future batch — retraining would silently change
+  // token boundaries across shards. The merge table is tiny (numMerges
+  // rows) but it is STATE, so it lives in the engine's atomic
+  // full-refresh sink: a retrain is one pointer swap, readers never see
+  // a half-written table, and time travel keeps the predecessor.
+
+  /** Persist a trained merge table as an engine relation
+    * `(rank, a, b)` — an atomic full replace (a retrain IS a replace). */
+  def persistMerges(spark: org.apache.spark.sql.SparkSession,
+      relation: String, merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val df = merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b")
+    new graft.model.CatalogMaterializer()
+      .materializeTable(spark, relation, df)
+  }
+
+  /** Load a persisted merge table in rank order — numMerges rows, the
+    * one collect a tokenizer apply needs (the merges become literals in
+    * the codegen'd replace chain; nothing corpus-sized moves). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      relation: String): Seq[(String, String)] =
+    spark.table(relation).orderBy(col("rank"))
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caches
 import graft.functions.TextFunctions
 import graft.model.CatalogMaterializer
 
@@ -128,7 +129,7 @@ object CorpusPipeline {
   def manifest(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val q = qualitySurvivors(docs, idCol, textCol)
-    val kept = exactSurvivors(q, idCol, textCol)
+    val kept = Caches.persist(exactSurvivors(q, idCol, textCol))
     val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, Threshold)
     packPartial(dropNearDups(kept, idCol, pairs), idCol, 0L)
   }
@@ -137,8 +138,8 @@ object CorpusPipeline {
     * each stage passed, the surviving token total, the shard count. */
   def funnel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val q = qualitySurvivors(docs, idCol, textCol)
-    val kept = exactSurvivors(q, idCol, textCol)
+    val q = Caches.persist(qualitySurvivors(docs, idCol, textCol))
+    val kept = Caches.persist(exactSurvivors(q, idCol, textCol))
     val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, Threshold)
     val surv = dropNearDups(kept, idCol, pairs)
     // Single-row aggregates joined via broadcast crossJoins (each side
@@ -163,8 +164,12 @@ object CorpusPipeline {
   def buildHistory(spark: SparkSession, history: DataFrame, idCol: String,
       textCol: String, st: State): Unit = {
     reset(spark, st)
-    val q = qualitySurvivors(history, idCol, textCol)
-    val kept = exactSurvivors(q, idCol, textCol)
+    // The quality and exact-survivor frames feed several independent
+    // actions (store build, near-dup drop, meta write, pack write) —
+    // persisted via the harness-released cache registry so each scans
+    // the corpus once, not once per downstream action.
+    val q = Caches.persist(qualitySurvivors(history, idCol, textCol))
+    val kept = Caches.persist(exactSurvivors(q, idCol, textCol))
     DedupStore.build(spark, kept, idCol, textCol, Threshold, st.dedup)
     val surv = dropNearDups(kept, idCol,
       DedupStore.allPairs(spark, st.dedup))
@@ -181,9 +186,9 @@ object CorpusPipeline {
     * `batchId` (crash recovery) overwrites exactly its own partitions. */
   def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, st: State, batchId: String): Unit = {
-    val q = qualitySurvivors(batch, idCol, textCol)
-      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
-    val kept = exactFresh(spark, q, idCol, st, batchId)
+    val q = Caches.persist(qualitySurvivors(batch, idCol, textCol)
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol))))
+    val kept = Caches.persist(exactFresh(spark, q, idCol, st, batchId))
     // Near-dup: batch×store ∪ batch×batch pairs; every pair's doc_b is
     // in this batch (the id-ordering contract), so drops are batch-local.
     val newPairs = DedupStore.appendBatch(spark, kept, idCol, textCol,

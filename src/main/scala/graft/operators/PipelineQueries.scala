@@ -79,26 +79,25 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("pack_id")),
       Some(manifestOracle)),
 
-    // Incremental: bootstrap on the first ~80% of the id range, then two
-    // appends (80→90%, 90→100%) through the persisted state — exact
-    // probes off `doc_meta`, near-dup probes off the dedup store,
-    // packing offset off the shard manifest. The read-back merges
-    // boundary packs across batch partitions. Oracle: the SAME full
-    // recompute as p01 — increments must lose (and invent) nothing.
+    // Incremental: bootstrap on the first ~80% of the id range, then
+    // append the remaining 20% as an arriving batch through the
+    // persisted state — exact probes off `doc_meta`, near-dup probes
+    // off the dedup store, packing offset off the shard manifest. The
+    // read-back merges boundary packs across batch partitions. Oracle:
+    // the SAME full recompute as p01 — the increment must lose (and
+    // invent) nothing. (Multi-batch accumulation and streamed ingest
+    // are spec-pinned — CorpusPipelineSpec / StoreIngestSpec — the
+    // gate keeps ONE append so its wall measures the lifecycle, not
+    // repeated fixed commit costs.)
     Q("p02_incremental_pipeline",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-        val cut1 = maxId * 4 / 5
-        val cut2 = maxId * 9 / 10
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
         val st = CorpusPipeline.State("corpus_pipeline")
         CorpusPipeline.buildHistory(s,
-          docs.filter(col("doc_id") <= cut1), "doc_id", "text", st)
+          docs.filter(col("doc_id") <= cut), "doc_id", "text", st)
         CorpusPipeline.appendBatch(s,
-          docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-          "doc_id", "text", st, "b1")
-        CorpusPipeline.appendBatch(s,
-          docs.filter(col("doc_id") > cut2), "doc_id", "text", st, "b2")
+          docs.filter(col("doc_id") > cut), "doc_id", "text", st, "b1")
         CorpusPipeline.readManifest(s, st).orderBy(col("pack_id"))
       },
       Some(manifestOracle)),

@@ -683,7 +683,38 @@ object TextQueries extends QueryPack {
             md5(col("rep")).as("seg_md5"))
           .orderBy(col("doc_id"))
       },
-      Some(bpeOracle(20)))
+      Some(bpeOracle(20))),
+
+    // Persisted tokenizer lifecycle ([[Bpe.persistMerges]]/
+    // [[Bpe.loadMerges]]): train on a FROZEN history slice (the first
+    // 80% of the id range), persist the merge table through the
+    // engine's atomic full-refresh sink, load it back, and apply it
+    // map-only to the WHOLE corpus — new batches never retrain (a
+    // retrain would silently shift token boundaries across shards; the
+    // persisted table makes the tokenizer a versioned artifact with
+    // time travel like any other relation). The oracle retrains the
+    // same 20 merges on the same slice in SQL and applies them to every
+    // document — so persist→load must be a faithful round trip AND the
+    // application must be training-set-independent.
+    Q("t19_bpe_persisted",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+        val merges = graft.operators.Bpe.trainMerges(
+          docs.filter(col("doc_id") <= cut), "text", 20)
+        graft.operators.Bpe.persistMerges(s, "tokenizer.merges", merges)
+        val loaded = graft.operators.Bpe.loadMerges(s, "tokenizer.merges")
+        val seg = graft.operators.Bpe.segmented(docs, "text", loaded)
+        docs.select(col("doc_id"), seg.as("rep"))
+          .select(col("doc_id"),
+            when(col("rep").isNull, lit(0L))
+              .otherwise(graft.operators.Bpe.tokenCountOf(col("rep"))
+                .cast("long")).as("bpe_tokens"),
+            md5(col("rep")).as("seg_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeOracle(20,
+        "doc_id <= (SELECT MAX(doc_id) * 4 // 5 FROM documents)")))
   )
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
@@ -701,7 +732,7 @@ object TextQueries extends QueryPack {
     * replacement is an identity replace regardless), so exhausted
     * iterations are exact no-ops, mirroring the Spark side's absent
     * merges. */
-  private def bpeOracle(n: Int): String = {
+  private def bpeOracle(n: Int, trainPred: String = "TRUE"): String = {
     val S = graft.operators.Bpe.Sep
     val ctes = new StringBuilder(
       s"""v0 AS MATERIALIZED (
@@ -710,7 +741,8 @@ object TextQueries extends QueryPack {
          |      AS rep
          |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
          |          AS word
-         |        FROM documents WHERE length(trim(text)) > 0) w
+         |        FROM documents
+         |        WHERE length(trim(text)) > 0 AND ($trainPred)) w
          |  GROUP BY word)""".stripMargin)
     (1 to n).foreach { i =>
       ctes.append(

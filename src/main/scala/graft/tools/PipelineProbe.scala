@@ -36,34 +36,57 @@ object PipelineProbe {
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
     val c80 = maxId * 4 / 5
     val c84 = maxId * 21 / 25
-    val st = CorpusPipeline.State("pipeline_probe")
-    val (_, buildS) = time {
-      CorpusPipeline.buildHistory(spark,
-        docs.filter(col("doc_id") <= c80), "doc_id", "text", st)
+    // Two full passes, min per phase: the first pass's first heavy
+    // action absorbs JIT/datasource warmup (observed 2.5× on the build
+    // phase), and local walls swing ±20% — the min is the plan's cost
+    // (the CompactionProbe lesson).
+    var buildS, smallS, largeS, rebuildS, fullS = Double.MaxValue
+    var merged, oneShot = 0L
+    (1 to 2).foreach { pass =>
+      val st = CorpusPipeline.State(s"pipeline_probe_$pass")
+      val (_, b) = time {
+        CorpusPipeline.buildHistory(spark,
+          docs.filter(col("doc_id") <= c80), "doc_id", "text", st)
+      }
+      Caches.releaseAll()
+      val (_, sm) = time {
+        CorpusPipeline.appendBatch(spark,
+          docs.filter(col("doc_id") > c80 && col("doc_id") <= c84),
+          "doc_id", "text", st, "b_small")
+      }
+      Caches.releaseAll()
+      val (_, lg) = time {
+        CorpusPipeline.appendBatch(spark,
+          docs.filter(col("doc_id") > c84), "doc_id", "text", st,
+          "b_large")
+      }
+      Caches.releaseAll()
+      val (os, f) = time {
+        CorpusPipeline.manifest(docs, "doc_id", "text").count()
+      }
+      Caches.releaseAll()
+      // The no-store alternative an increment replaces: re-running the
+      // WHOLE pipeline with all state writes. This — not the count-only
+      // one-shot above — is the apples-to-apples amortization baseline
+      // (appends pay five table commits; so does the rebuild).
+      val st2 = CorpusPipeline.State(s"pipeline_probe_rebuild_$pass")
+      val (_, rb) = time {
+        CorpusPipeline.buildHistory(spark, docs, "doc_id", "text", st2)
+      }
+      Caches.releaseAll()
+      merged = CorpusPipeline.readManifest(spark, st).count()
+      oneShot = os
+      buildS = math.min(buildS, b); smallS = math.min(smallS, sm)
+      largeS = math.min(largeS, lg); rebuildS = math.min(rebuildS, rb)
+      fullS = math.min(fullS, f)
+      CorpusPipeline.reset(spark, st)
+      CorpusPipeline.reset(spark, st2)
     }
-    Caches.releaseAll()
-    val (_, smallS) = time {
-      CorpusPipeline.appendBatch(spark,
-        docs.filter(col("doc_id") > c80 && col("doc_id") <= c84),
-        "doc_id", "text", st, "b_small")
-    }
-    Caches.releaseAll()
-    val (_, largeS) = time {
-      CorpusPipeline.appendBatch(spark,
-        docs.filter(col("doc_id") > c84), "doc_id", "text", st, "b_large")
-    }
-    Caches.releaseAll()
-    val (oneShot, fullS) = time {
-      CorpusPipeline.manifest(docs, "doc_id", "text").count()
-    }
-    Caches.releaseAll()
-    val merged = CorpusPipeline.readManifest(spark, st).count()
     println(s"""{"probe":"corpus_pipeline","sf_dir":"$dir","n_docs":$n,""" +
       s""""build_80pct_sec":$buildS,""" +
       s""""append_4pct_sec":$smallS,"append_16pct_sec":$largeS,""" +
-      s""""one_shot_full_sec":$fullS,""" +
+      s""""rebuild_full_sec":$rebuildS,"one_shot_count_sec":$fullS,""" +
       s""""incremental_packs":$merged,"one_shot_packs":$oneShot}""")
-    CorpusPipeline.reset(spark, st)
     spark.stop()
   }
 }

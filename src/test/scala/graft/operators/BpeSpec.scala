@@ -82,4 +82,36 @@ class BpeSpec extends SparkSuite {
     assert(m1.exists { case (a, b) => (a + b).length > 2 },
       s"no composed merge in $m1")
   }
+
+  test("persisted merge table round-trips in rank order") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val trained = Bpe.trainMerges(docs, "text", 8)
+    Bpe.persistMerges(spark, "bpe_spec.merges", trained)
+    assert(Bpe.loadMerges(spark, "bpe_spec.merges") == trained)
+    // A retrain is an atomic full replace, not an append.
+    Bpe.persistMerges(spark, "bpe_spec.merges", trained.take(3))
+    assert(Bpe.loadMerges(spark, "bpe_spec.merges") == trained.take(3))
+    new graft.model.CatalogMaterializer()
+      .dropRelation(spark, "bpe_spec.merges")
+  }
+
+  test("applying a loaded tokenizer is map-only: no shuffle, no retrain") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    Bpe.persistMerges(spark, "bpe_spec.apply",
+      Bpe.trainMerges(docs.filter(col("doc_id") < 100), "text", 8))
+    val loaded = Bpe.loadMerges(spark, "bpe_spec.apply")
+    val plan = docs
+      .select(col("doc_id"), Bpe.segmented(docs, "text", loaded).as("rep"))
+      .queryExecution.executedPlan.toString
+    // The merge table rides as literals in one projection over the
+    // scan — any Exchange or Aggregate here would mean application
+    // re-pays a training-sized cost per batch.
+    assert(!plan.contains("Exchange"), s"apply plan shuffles:\n$plan")
+    assert(!plan.contains("Aggregate"), s"apply plan aggregates:\n$plan")
+    new graft.model.CatalogMaterializer()
+      .dropRelation(spark, "bpe_spec.apply")
+  }
 }

@@ -147,4 +147,25 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("t11_sequence_packing")
     assert(!p.contains("Window"), "packing must not use a window")
   }
+
+  test("composed pipeline keeps every join an equi-join") {
+    // Five stages fused into one plan: the near-dup candidate stage must
+    // stay a (band,bucket) equi-join — any all-pairs degradation shows
+    // up here as a cartesian/nested-loop. (The exact-dedup stage's
+    // KEYED window — partitioned by fingerprint — is fine; the
+    // global-window packing defect is pinned at t11 on the operator.)
+    val p = plan("p01_corpus_pipeline")
+    assert(!p.contains("CartesianProduct"),
+      "pipeline plan degraded to a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pipeline plan degraded to a nested-loop join")
+  }
+
+  test("loaded-tokenizer apply inlines merges as literals over one scan") {
+    val p = plan("t19_bpe_persisted")
+    // Application must never join against the merge table — the merges
+    // ride as literals in the replace chain; the only joins/aggregates
+    // in the gate plan would come from a retraining regression.
+    assert(!p.contains("Join"), s"t19 apply plan joins:\n$p")
+  }
 }
