@@ -346,6 +346,98 @@ object DedupQueries extends QueryPack {
         DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
       },
       Some(jaccardOracle.replace("WHERE length(trim(text)) > 0",
-        "WHERE length(trim(text)) > 0 AND doc_id % 10 <> 7")))
+        "WHERE length(trim(text)) > 0 AND doc_id % 10 <> 7"))),
+
+    // SEMANTIC dedup ([[Similarity.semanticDedup]] — the SemDeDup
+    // recipe): near-duplicate removal in EMBEDDING space, where
+    // paraphrases the shingle tiers can't see land close in cosine.
+    // Deterministic spherical k-means clusters the corpus, the
+    // near-dup search runs only within clusters (O(Σ|c|²), never
+    // O(N²)), and the predecessor keep rule makes history append-
+    // stable. Every stage is engine-reproducible (v06's training
+    // determinism + v03's 6dp-rounded compare), so the oracle replays
+    // the FULL recipe — trained clusters included — in SQL.
+    Q("d13_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, iters = 3, threshold = 0.45)
+        .orderBy(col("vec_id")),
+      Some(semanticOracle(VectorQueries.kmeansCtes(k = 10, iters = 3)))),
+
+    // PERSISTED semantic dedup ([[SemanticStore]] — the d10/v14/t19
+    // story for the semantic tier): train the k-means codebook ONCE on
+    // the first 80% of the id range, freeze it as an engine table, and
+    // ingest the remaining 20% as an arriving batch — assignment is
+    // row-local against the frozen centroids, the keep verdict probes
+    // only the store's matching clusters, and verdicts written once are
+    // final (frozen clusters + id-ordered batches = append-stable).
+    // Oracle: the one-shot predecessor pass over the union with the
+    // SAME frozen codebook — the SQL trains on the history slice (`nh`)
+    // and assigns everyone, so the incremental store must be
+    // indistinguishable from the one-shot run it amortizes.
+    Q("d14_semantic_store",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+        val store = SemanticStore("sem_store")
+        SemanticStore.build(s, emb.filter(col("vec_id") <= cut),
+          "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45,
+          store)
+        SemanticStore.append(s, emb.filter(col("vec_id") > cut),
+          "vec_id", "embedding", threshold = 0.45, store, "b1")
+        SemanticStore.keeps(s, store, "vec_id").orderBy(col("vec_id"))
+      },
+      Some(semanticOracle(VectorQueries.kmeansCtes(k = 10, iters = 3,
+        trainPred =
+          "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)")))),
+
+    // Semantic-store TAKEDOWN with verdict repair ([[SemanticStore
+    // .delete]]): deleting a vector must also RE-EVALUATE the verdicts
+    // it supported — if the victim was the only earlier near-dup of a
+    // stored vector, that vector's `keep=false` is stale evidence and
+    // must flip back (the bug a generic row-delete would leave behind;
+    // SemanticStoreSpec pins the resurrection on a crafted chain). The
+    // codebook stays frozen (learned statistics; retraining = explicit
+    // rebuild, the v16 policy). Oracle: train on the FULL original
+    // history, run the final pass over the SURVIVORS only — the store
+    // must be indistinguishable from one that never ingested the
+    // victims under the same codebook.
+    Q("d15_semantic_delete",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+        val store = SemanticStore("sem_del")
+        SemanticStore.reset(s, store)
+        SemanticStore.build(s, emb.filter(col("vec_id") <= cut),
+          "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45,
+          store)
+        SemanticStore.append(s, emb.filter(col("vec_id") > cut),
+          "vec_id", "embedding", threshold = 0.45, store, "b1")
+        SemanticStore.delete(s, store,
+          emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")),
+          threshold = 0.45)
+        SemanticStore.keeps(s, store, "vec_id").orderBy(col("vec_id"))
+      },
+      Some(semanticOracle(
+        VectorQueries.kmeansCtes(k = 10, iters = 3, trainPred =
+          "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)"),
+        survPred = "vid % 10 <> 7")))
   )
+
+  /** Shared d13/d14/d15 oracle tail: predecessor drops within the final
+    * assignment pass (`asg4` = iters+1 at the gates' iters=3) filtered
+    * to `survPred` (d15's takedown survivors — TRUE elsewhere), then
+    * the per-vector keep verdict. */
+  private def semanticOracle(ctes: String,
+      survPred: String = "TRUE"): String =
+    s"""$ctes,
+       |sasg AS (SELECT * FROM asg4 WHERE ($survPred)),
+       |drops AS (
+       |  SELECT DISTINCT b.vid FROM sasg a JOIN sasg b
+       |    ON a.cid = b.cid AND a.vid < b.vid
+       |  WHERE ROUND(list_dot_product(a.v, b.v)
+       |          / (a.nrm * b.nrm), 6) >= 0.45)
+       |SELECT vid AS vec_id, cid,
+       |  vid NOT IN (SELECT vid FROM drops) AS keep
+       |FROM sasg ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixture construction — the reweighting step between a cleaned
+  * corpus and a training run: each source (crawl, code, books, …) gets
+  * a TOKEN QUOTA from a target weight vector, and the pipeline takes
+  * documents from each source, in a deterministic pseudo-random order,
+  * until the quota is met. (The reference pipeline has no analogue —
+  * its corpus is single-source — but every published pretraining recipe
+  * specifies such a mixture, and re-running the build must reproduce
+  * the same sample bit-for-bit.)
+  *
+  * Semantics: within a source, documents are ordered by
+  * `(md5(id), id)` — a deterministic shuffle, so the quota prefix is
+  * an unbiased sample of the source and every re-run over the same
+  * corpus reproduces it bit-for-bit. (Unlike the pipeline's near-dup
+  * stage this is NOT append-stable — a grown corpus legitimately
+  * yields a different sample, because a mixture is drawn fresh per
+  * training run from whatever the corpus then holds.) A document is
+  * kept iff its EXCLUSIVE running token total is still under the
+  * quota — so the crossing document is included and every quota is
+  * met (never undershot) when the source has enough tokens.
+  *
+  * 100 TB design: the per-source running total is
+  * [[Packing.keyedCumSum]] — a range partition on (source, order) plus
+  * a (partition, key)-subtotal prefix sum, NOT a
+  * `Window.partitionBy(source)` whose biggest source would become one
+  * task. Quotas derive from one scalar total that rides a broadcast
+  * join; everything else is row-local arithmetic.
+  */
+object Mixture {
+
+  /** Quota-bounded mixture sample: returns
+    * `(id, source, n_tokens, cum_before, keep)`.
+    *
+    * @param docs      one row per document
+    * @param sourceCol mixture key (non-null strings)
+    * @param idCol     unique document id (integral)
+    * @param tokens    per-document token count expression
+    * @param quotaOf   per-row token quota for `sourceCol`'s value, given
+    *                  the corpus-wide token total (a `bigint` column) as
+    *                  its argument — integer arithmetic only (`div`, not
+    *                  `/`), so re-runs and external replays agree exactly
+    */
+  def sample(docs: DataFrame, sourceCol: String, idCol: String,
+      tokens: Column, quotaOf: Column => Column): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol),
+      tokens.cast("long").as("n_tokens"),
+      struct(md5(col(idCol).cast("string")), col(idCol)).as("__ord"))
+    val cum = Packing.keyedCumSum(base, sourceCol, "__ord", "n_tokens")
+    // One-row corpus total; the broadcast crossJoin attaches it without
+    // shuffling the corpus (the funnel/p03 pattern).
+    val total = base.agg(sum(col("n_tokens")).as("__total"))
+    cum.crossJoin(broadcast(total))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("cum_before"),
+        (col("cum_before") < quotaOf(col("__total"))).as("keep"))
+  }
+}

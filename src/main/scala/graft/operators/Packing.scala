@@ -95,4 +95,73 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Per-KEY deterministic prefix sum — the stratified twin of
+    * [[packAssignments]]: adds `cum_before` (the exclusive running
+    * `tokCol` total within `keyCol`, in `(orderCol, tie)` order) to the
+    * input rows. The building block for quota-bounded mixture sampling:
+    * "take documents from this source, in deterministic order, until
+    * the source's token quota is met" is exactly `cum_before < quota`.
+    *
+    * 100 TB design — the naive `Window.partitionBy(key).orderBy(order)`
+    * sorts EACH key in a single task: a 30 TB source is a 30 TB task.
+    * Here keys do not bound parallelism: range-partition by
+    * `(key, order)` so every partition holds a contiguous slice of one
+    * or a few keys' global order, aggregate one `(partition, key)`
+    * subtotal row each (partitions + keys rows total — thousands at
+    * 100 TB, never data-sized), prefix-sum those on the driver per key
+    * in partition order, and replay the running sum per-partition with
+    * the broadcast offsets. Zero data-sized shuffles beyond the one
+    * range Exchange, and the biggest key splits across as many
+    * partitions as its bytes demand.
+    */
+  def keyedCumSum(docs: DataFrame, keyCol: String, orderCol: String,
+      tokCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val parted = Caches.persist(
+      docs.repartitionByRange(col(keyCol), col(orderCol))
+        .sortWithinPartitions(keyCol, orderCol)
+        .withColumn("__pid", spark_partition_id()))
+    // One subtotal row per (partition, key) — range partitioning keeps
+    // each key on a contiguous pid run, so this is O(parts + keys).
+    val subtotals = parted.groupBy(col("__pid"), col(keyCol))
+      .agg(sum(col(tokCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    val offsets = subtotals.map { case (pid, key, t) =>
+      val start = acc.getOrElse(key, 0L)
+      acc(key) = start + t
+      (pid, key) -> start
+    }.toMap
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    val inSchema = parted.schema
+    val pidIdx = inSchema.fieldIndex("__pid")
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val tokIdx = inSchema.fieldIndex(tokCol)
+    val keptIdx = inSchema.fields.indices.filterNot(_ == pidIdx)
+    val outSchema = StructType(
+      keptIdx.map(inSchema.fields) :+
+        StructField("cum_before", LongType, nullable = false))
+    parted.mapPartitions { rows =>
+      // Within a partition rows arrive key-grouped and order-sorted, so
+      // one running counter per key change suffices.
+      var curKey: String = null
+      var cum = 0L
+      var pid = -1
+      rows.map { r =>
+        if (pid < 0) pid = r.getInt(pidIdx)
+        val key = r.getString(keyIdx)
+        if (key != curKey) {
+          curKey = key
+          cum = offsetsBc.value((pid, key))
+        }
+        val toks = Option(r.get(tokIdx))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+        val before = cum
+        cum += toks
+        Row.fromSeq(keptIdx.map(r.get) :+ before)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

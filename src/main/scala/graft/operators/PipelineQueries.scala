@@ -116,6 +116,47 @@ object PipelineQueries extends QueryPack {
               |  (SELECT CAST(SUM(toks) AS BIGINT) FROM surv) AS total_tokens,
               |  CAST(CEIL((SELECT SUM(toks) FROM surv)
               |    / ${CorpusPipeline.SeqLen}.0) AS BIGINT) AS n_packs"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Data-mixture construction ([[Mixture.sample]]): every pretraining
+    // recipe reweights its sources — here source `srcI` gets weight
+    // (I+1)/210 of half the corpus's tokens (upsampling high-index
+    // sources, starving low ones), quota arithmetic kept INTEGER
+    // (`total * (I+1) div 420`) so Spark and the oracle can't diverge
+    // on a double rounding. Order within a source is the deterministic
+    // shuffle (md5(id), id); keep = exclusive running total < quota, so
+    // the crossing document is included and quotas are met exactly once
+    // per re-run. The per-source running total is the keyed two-phase
+    // prefix sum — no single-task source windows (see Packing).
+    Q("p04_mixture_sample",
+      (s, dir) => Mixture.sample(
+          Tables(s, dir, "documents"), "source", "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")),
+          // floor(decimal(x)/420) ≡ x div 420 exactly: the quotient is
+          // rounded at scale 6 and the fractional parts are k/420
+          // (≤ 419/420 ≈ 0.99762), so rounding can never cross an
+          // integer boundary.
+          total => floor((total * (regexp_extract(col("source"),
+              "src(\\d+)", 1).cast("long") + 1)).cast("decimal(38,0)")
+            / lit(420)).cast("long"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, CAST(CASE
+             |      WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |    END AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |tot AS (SELECT SUM(n_tokens) AS total FROM t),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+             |      AS cum_before
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens, cum_before,
+             |  cum_before < (total * (CAST(regexp_extract(source,
+             |    'src(\d+)', 1) AS BIGINT) + 1)) // 420 AS keep
+             |FROM c, tot ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Caches
+import graft.model.CatalogMaterializer
+
+/** Persisted, incrementally-maintained SEMANTIC dedup state — the
+  * production lifecycle for [[Similarity.semanticDedup]] (d13), exactly
+  * parallel to [[DedupStore]] for the shingle tiers and
+  * [[Bpe.persistMerges]] for the tokenizer: train ONCE on history,
+  * freeze the model as an engine table, and let every future batch pay
+  * only batch-proportional work against the frozen state.
+  *
+  *  - `sem_codebook(cid, cv, cn)` — the spherical-k-means centroids
+  *    trained on the history corpus ([[Similarity.kmeansFit]] — the
+  *    actual Lloyd loop, not a seed prefix), materialized via the
+  *    atomic full-refresh sink. Centroids change ONLY on an explicit
+  *    rebuild: retraining on every append would silently reshuffle
+  *    cluster boundaries and flip historical keep decisions.
+  *  - `sem_vectors(cid, vid, v, nrm, keep, batch_id)` — every ingested
+  *    vector with its frozen-cluster assignment and its keep verdict,
+  *    partition-per-batch with dynamic overwrite (replaying a batch is
+  *    idempotent).
+  *
+  * Keep rule: the predecessor rule over the FROZEN clusters — a vector
+  * is dropped iff some same-cluster vector with a smaller id (stored
+  * or earlier in its own batch) has 6dp-rounded cosine ≥ τ. Because
+  * batches arrive in increasing id order (the same ordering contract
+  * as [[DedupStore]]) and clusters never move, a verdict written once
+  * is FINAL — appends can never flip history, which is what makes the
+  * flag safe to persist at all. Dropped vectors stay in the store as
+  * predecessors (exactly the one-shot rule's semantics, where a
+  * dropped vector still drops its own successors).
+  *
+  * Invariant after N appends (gate d14): `(vid, cid, keep)` equals the
+  * one-shot predecessor pass over the union of all batches against the
+  * same frozen codebook — the DuckDB oracle replays the full recipe,
+  * training loop included, with the training set restricted to the
+  * history slice.
+  *
+  * Scale shape: an append is one row-local assignment pass over the
+  * delta (inline-literal codebook, zero shuffle), one cid equi-join of
+  * the delta against the store's matching clusters (store side streams
+  * off parquet, column-pruned to (cid, vid, v, nrm); AQE splits hot
+  * clusters), and one partition commit. Stored vectors are never
+  * re-assigned, the codebook is never re-trained.
+  */
+final case class SemanticStore(schemaName: String) {
+  val codebookRel: String = s"$schemaName.sem_codebook"
+  val vectorsRel: String = s"$schemaName.sem_vectors"
+}
+
+object SemanticStore {
+
+  private def mat = new CatalogMaterializer
+
+  /** Drop both store tables — a fresh start for gates/specs. */
+  def reset(spark: SparkSession, store: SemanticStore): Unit =
+    Seq(store.codebookRel, store.vectorsRel)
+      .foreach(mat.dropRelation(spark, _))
+
+  /** Full (re)build: train the codebook on `history` and ingest it as
+    * batch zero. REPLACES any existing store (same rationale as
+    * [[DedupStore.build]] — dynamic overwrite alone would retain stale
+    * batch partitions next to the fresh build). */
+  def build(spark: SparkSession, history: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, threshold: Double,
+      store: SemanticStore, batchId: String = "base"): Unit = {
+    reset(spark, store)
+    val (codebook, _) = Similarity.kmeansFit(history, idCol, vecCol, k,
+      iters, trackObjective = false)
+    import spark.implicits._
+    val cbDf = codebook.zipWithIndex.toSeq
+      .map { case ((cv, cn), i) => (i, cv.toSeq, cn) }
+      .toDF("cid", "cv", "cn")
+    mat.materializeTable(spark, store.codebookRel, cbDf)
+    ingest(spark, history, idCol, vecCol, threshold, store, batchId,
+      firstBatch = true)
+  }
+
+  /** Incremental append: assign `delta` against the frozen codebook,
+    * decide its keep verdicts against the store plus itself, and commit
+    * one batch partition. Batch-proportional; never touches stored
+    * rows. */
+  def append(spark: SparkSession, delta: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, store: SemanticStore,
+      batchId: String): Unit =
+    ingest(spark, delta, idCol, vecCol, threshold, store, batchId,
+      firstBatch = false)
+
+  /** The persisted verdicts: `(idCol, cid, keep)` over all batches. */
+  def keeps(spark: SparkSession, store: SemanticStore,
+      idCol: String): DataFrame =
+    spark.table(store.vectorsRel)
+      .select(col("vid").as(idCol), col("cid"), col("keep"))
+
+  /** Targeted deletion WITH verdict repair — why the semantic store
+    * cannot use [[StoreRetention.deleteRows]]'s generic row removal: a
+    * stored verdict depends on the victim. If A dropped B (A earlier,
+    * cosine ≥ τ) and A is taken down, a naive row-delete leaves B
+    * marked `keep = false` forever on the strength of evidence that no
+    * longer exists — the stale-verdict bug. Deletion here is
+    * cluster-scoped repair:
+    *
+    *  1. find the affected CLUSTERS (≤ k ids — one bounded collect);
+    *  2. re-run the predecessor pass over those clusters' SURVIVORS
+    *     (vectors and norms stream off the store — nothing is
+    *     re-embedded or re-assigned, the frozen codebook is untouched:
+    *     like [[StoreRetention.deleteVectors]], centroids are learned
+    *     statistics, and retraining them is the explicit rebuild);
+    *  3. rewrite exactly the batch partitions that hold affected-
+    *     cluster rows (other clusters' rows in those partitions ride
+    *     along unchanged), dropping any partition the delete emptied.
+    *
+    * Post-delete the store is indistinguishable from one that ingested
+    * only the survivors under the same codebook — gate d15 pins that
+    * against the full-recipe oracle with the final pass filtered to
+    * survivors. Idempotent: a replayed victim set finds no affected
+    * clusters. Returns (rewritten, dropped) partition names.
+    *
+    * @param victims one `vec_id` column (takedown lists are frames,
+    *                never literals)
+    */
+  def delete(spark: SparkSession, store: SemanticStore,
+      victims: DataFrame, threshold: Double)
+      : (Seq[String], Seq[String]) = {
+    val t = spark.table(store.vectorsRel)
+    val vic = victims.select(col("vec_id").as("vid"))
+    val cids = t.join(vic, "vid").select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    if (cids.isEmpty) return (Nil, Nil)
+    val scoped = t.filter(col("cid").isin(cids: _*))
+    val parts = scoped.select(col("batch_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val surv = Caches.persist(scoped.join(vic, Seq("vid"), "left_anti")
+      .select(col("cid"), col("vid"), col("v"), col("nrm"),
+        col("batch_id")))
+    val pred = surv.select(col("cid"), col("vid").as("pvid"),
+      col("v").as("pv"), col("nrm").as("pn"))
+    val dropped = surv.join(pred, "cid")
+      .filter(col("pvid") < col("vid") &&
+        Similarity.sim(col("pv"), col("pn"), col("v"), col("nrm"))
+          >= threshold)
+      .select(col("vid")).distinct()
+      .withColumn("__dropped", lit(true))
+    val repaired = surv.join(dropped, Seq("vid"), "left")
+      .select(col("cid"), col("vid"), col("v"), col("nrm"),
+        col("__dropped").isNull.as("keep"), col("batch_id"))
+    val untouched = t.filter(col("batch_id").isin(parts: _*) &&
+        !col("cid").isin(cids: _*))
+      .select(col("cid"), col("vid"), col("v"), col("nrm"), col("keep"),
+        col("batch_id"))
+    // The overwrite replaces partitions this plan reads — truncate
+    // lineage first (bounded by the affected clusters' spread).
+    val rewrite = repaired.union(untouched).localCheckpoint()
+    val kept = rewrite.select(col("batch_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (kept.nonEmpty)
+      mat.materializeIncremental(spark, store.vectorsRel, rewrite,
+        Seq("batch_id"))
+    val emptied = parts.filterNot(kept)
+    emptied.foreach(p =>
+      mat.dropPartition(spark, store.vectorsRel, "batch_id", p))
+    (parts, emptied)
+  }
+
+  /** The frozen codebook in cid order — k rows, the one bounded collect
+    * an ingest needs (centroids ride inline in the assignment
+    * expression). */
+  private def loadCodebook(spark: SparkSession, store: SemanticStore)
+      : Array[(Array[Double], Double)] =
+    spark.table(store.codebookRel).orderBy(col("cid"))
+      .select(col("cv"), col("cn")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+
+  private def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, store: SemanticStore,
+      batchId: String, firstBatch: Boolean): Unit = {
+    val cb = loadCodebook(spark, store)
+    val assigned = Caches.persist(Similarity.assignClusters(
+        Similarity.normalized(batch, idCol, vecCol), cb)
+      .select(col("vid"), col("cid"), col("v"), col("nrm")))
+    val batchPred = assigned.select(col("cid"), col("vid").as("pvid"),
+      col("v").as("pv"), col("nrm").as("pn"))
+    // The store side excludes this batch's own partition (crash-replay
+    // correctness — a half-written replay must not pair the batch with
+    // itself through the store; the exclusion is partition-pruned).
+    val preds =
+      if (firstBatch) batchPred
+      else batchPred.union(spark.table(store.vectorsRel)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("cid"), col("vid").as("pvid"), col("v").as("pv"),
+          col("nrm").as("pn")))
+    val dropped = assigned.join(preds, "cid")
+      .filter(col("pvid") < col("vid") &&
+        Similarity.sim(col("pv"), col("pn"), col("v"), col("nrm"))
+          >= threshold)
+      .select(col("vid")).distinct()
+      .withColumn("__dropped", lit(true))
+    val rows = assigned.join(dropped, Seq("vid"), "left")
+      .select(col("cid"), col("vid"), col("v"), col("nrm"),
+        col("__dropped").isNull.as("keep"),
+        lit(batchId).as("batch_id"))
+    mat.dropPartition(spark, store.vectorsRel, "batch_id", batchId)
+    mat.materializeIncremental(spark, store.vectorsRel, rows,
+      Seq("batch_id"))
+  }
+}

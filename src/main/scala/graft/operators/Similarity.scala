@@ -39,7 +39,8 @@ object Similarity {
       .withColumn("nrm", sqrt(Hashing.dotProduct(col("v"), col("v"))))
   }
 
-  private def sim(av: Column, an: Column, bv: Column, bn: Column): Column =
+  private[operators] def sim(av: Column, an: Column, bv: Column,
+      bn: Column): Column =
     round(Hashing.dotProduct(av, bv) / (an * bn), 6)
 
   /** Exact top-k neighbors for each query vector (queries broadcast). Ties
@@ -299,7 +300,7 @@ object Similarity {
   /** Row-local nearest-centroid assignment against an in-line codebook:
     * adds `cid` (codebook index; ties toward the lower index) and `csim`
     * (raw cosine to it) to a (vid, v, nrm) frame. */
-  private def assignClusters(corpus: DataFrame,
+  private[operators] def assignClusters(corpus: DataFrame,
       codebook: Array[(Array[Double], Double)]): DataFrame = {
     val entries = codebook.zipWithIndex.map { case ((cv, cn), i) =>
       struct(
@@ -321,6 +322,47 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cid"))
+  }
+
+  /** Embedding-space semantic dedup (the SemDeDup recipe, Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus with the deterministic
+    * spherical k-means ([[kmeansFit]]), then search for near-duplicates
+    * ONLY within each cluster — the candidate set shrinks from O(N²)
+    * pairs to O(Σ|cluster|²), and at scale k grows with the corpus so
+    * cluster sizes (and so per-cluster work) stay bounded. Keep rule is
+    * the PREDECESSOR rule (drop v iff some same-cluster u with a
+    * smaller id has rounded cosine ≥ τ) — prefix-stable, so appending
+    * vectors can never flip history's keep decisions (the same property
+    * the corpus pipeline's near-dup stage relies on).
+    *
+    * Returns `(idCol, cid, keep)`. Fully deterministic: the training
+    * loop is [[kmeansFit]]'s (exact-decimal mean updates), assignment
+    * ties break to the lower centroid index, and the cosine compare
+    * rounds to 6dp first (the v03 convention) — so an external engine
+    * can replay the whole thing exactly, trained clusters included.
+    *
+    * 100 TB shape: training cost is iters × (one row-local assignment
+    * pass + one per-(cluster, dim) agg); the dedup join is a cid
+    * equi-join (one shuffle of (id, vec) pairs, hot clusters split by
+    * AQE skew handling) — never an all-pairs product.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val (codebook, _) =
+      kmeansFit(emb, idCol, vecCol, k, iters, trackObjective = false)
+    val assigned = Caches.persist(
+      assignClusters(normalized(emb, idCol, vecCol), codebook)
+        .select(col("vid"), col("cid"), col("v"), col("nrm")))
+    val pred = assigned.select(col("cid"), col("vid").as("pvid"),
+      col("v").as("pv"), col("nrm").as("pn"))
+    val dropped = assigned.join(pred, "cid")
+      .filter(col("pvid") < col("vid") &&
+        sim(col("pv"), col("pn"), col("v"), col("nrm")) >= threshold)
+      .select(col("vid")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cid"),
+        col("__dropped").isNull.as("keep"))
   }
 
   /** IVF-style approximate top-k: corpus assigned to its nearest centroid

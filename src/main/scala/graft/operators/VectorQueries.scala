@@ -500,15 +500,28 @@ object VectorQueries extends QueryPack {
     * update (exact DECIMAL(38,18) per-dim sums cast to double before one
     * double division, empty clusters keeping their previous centroid) —
     * followed by a final assignment pass and the cluster census. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
-    def asg(i: Int, cb: String) =
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters)}
+       |SELECT cid, COUNT(*) n_vectors FROM asg${iters + 1}
+       |GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** The unrolled-Lloyd CTE chain through the final assignment pass
+    * `asg{iters+1}` (vid, v, nrm, cid) — shared by the v06 census
+    * oracle and the d13 semantic-dedup oracle. */
+  private[operators] def kmeansCtes(k: Int, iters: Int,
+      trainPred: String = "TRUE"): String = {
+    // Training CTEs draw from `nh` (the history slice — everything when
+    // trainPred is TRUE); only the FINAL assignment pass covers the
+    // whole corpus `n`. This is the frozen-model contract the d14
+    // semantic store relies on: train on history, assign everyone.
+    def asg(i: Int, cb: String, src: String = "nh") =
       s"""asg$i AS (
          |  SELECT vid, v, nrm, cid FROM (
          |    SELECT n.vec_id vid, n.v, n.nrm, $cb.cid,
          |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
          |        list_dot_product(n.v, $cb.cv) / (n.nrm * $cb.cn) DESC,
          |        $cb.cid) rnk
-         |    FROM n, $cb) WHERE rnk = 1)""".stripMargin
+         |    FROM $src n, $cb) WHERE rnk = 1)""".stripMargin
     def update(i: Int) =
       s"""m$i AS (
          |  SELECT cid, dim,
@@ -527,12 +540,11 @@ object VectorQueries extends QueryPack {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
        |  FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+       |nh AS (SELECT * FROM n WHERE ($trainPred)),
        |cb0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 cid, v cv, nrm cn
-       |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, v, nrm FROM nh ORDER BY vec_id LIMIT $k)),
        |${steps.mkString(",\n")},
-       |${asg(iters + 1, s"cb$iters")}
-       |SELECT cid, COUNT(*) n_vectors FROM asg${iters + 1}
-       |GROUP BY cid ORDER BY cid""".stripMargin
+       |${asg(iters + 1, s"cb$iters", src = "n")}""".stripMargin
   }
 }

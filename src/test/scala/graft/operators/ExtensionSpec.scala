@@ -348,6 +348,27 @@ class ExtensionSpec extends SparkSuite {
     assert(sizes.map(_.getLong(1)).sum == emb.count())
   }
 
+  test("semantic dedup: deterministic, cluster-consistent, min id kept") {
+    def run() = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", k = 10, iters = 3,
+        threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val a = run()
+    assert(a == run()) // trained clusters + keep set fully reproducible
+    assert(a.size == emb.count())
+    // The smallest id in a cluster has no predecessor — always kept.
+    a.groupBy(_._2).values.foreach(g => assert(g.minBy(_._1)._3))
+    // Cluster census agrees with the v06 pass at the same (k, iters).
+    val sizes = Similarity.kmeansClusterSizes(
+        emb, "vec_id", "embedding", 10, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(a.groupBy(_._2).view.mapValues(_.size.toLong).toMap == sizes)
+    // And the corpus's planted near-dups actually get dropped.
+    assert(a.exists(!_._3))
+    graft.core.Caches.releaseAll()
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity

@@ -44,4 +44,42 @@ class PackingSpec extends SparkSuite {
     })
     graft.core.Caches.releaseAll()
   }
+
+  test("keyed prefix sum equals the per-key window; partition-invariant") {
+    import spark.implicits._
+    // Keys of very different sizes (the skew case the two-phase form
+    // exists for) plus a key whose rows straddle many partitions.
+    val docs = (1 to 400).map { i =>
+      val key = if (i % 7 == 0) "small" else if (i % 2 == 0) "big" else "mid"
+      (i.toLong, key, (i * 31 % 113) + 1)
+    }.toDF("doc_id", "src", "toks")
+    def run(parts: Int) =
+      Packing.keyedCumSum(docs.repartition(parts), "src", "doc_id", "toks")
+        .select("doc_id", "src", "cum_before").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = run(5)
+    assert(got == run(13)) // partition count never changes the sums
+    val naive = docs
+      .withColumn("cum_before",
+        coalesce(sum(col("toks").cast("long")).over(
+          Window.partitionBy("src").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "src", "cum_before").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == naive)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("keyed prefix sum plans without a Window (no single-task keys)") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, s"k${i % 3}", i))
+      .toDF("doc_id", "src", "toks")
+    val plan = Packing.keyedCumSum(docs, "src", "doc_id", "toks")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keyedCumSum must not fall back to a per-key window:\n$plan")
+    graft.core.Caches.releaseAll()
+  }
 }

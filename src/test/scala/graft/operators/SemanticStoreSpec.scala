@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The production contract of the persisted semantic-dedup store: the
+  * codebook is trained once and frozen, appends are batch-local against
+  * the frozen state, verdicts written once never change, and batch
+  * slicing is invisible (N appends ≡ one append of the union).
+  */
+class SemanticStoreSpec extends SparkSuite {
+
+  private def emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def keepsOf(store: SemanticStore): Seq[(Long, Int, Boolean)] =
+    SemanticStore.keeps(spark, store, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+
+  private def cut: Long =
+    emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 5
+
+  test("batch slicing is invisible: two appends equal one") {
+    val a = SemanticStore("sem_spec_a")
+    val b = SemanticStore("sem_spec_b")
+    val hist = emb.filter(col("vec_id") <= cut)
+    val rest = emb.filter(col("vec_id") > cut)
+    val mid = emb.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5
+    SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45, a)
+    SemanticStore.append(spark, rest.filter(col("vec_id") <= mid),
+      "vec_id", "embedding", 0.45, a, "b1")
+    SemanticStore.append(spark, rest.filter(col("vec_id") > mid),
+      "vec_id", "embedding", 0.45, a, "b2")
+    SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45, b)
+    SemanticStore.append(spark, rest, "vec_id", "embedding", 0.45, b, "b1")
+    val got = keepsOf(a)
+    assert(got == keepsOf(b))
+    assert(got.size == emb.count() && got.exists(!_._3))
+    SemanticStore.reset(spark, a)
+    SemanticStore.reset(spark, b)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("appends never retrain the codebook or flip stored verdicts") {
+    val store = SemanticStore("sem_spec_c")
+    val hist = emb.filter(col("vec_id") <= cut)
+    SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45,
+      store)
+    val cbBefore = spark.table(store.codebookRel).collect().toSet
+    val baseBefore = keepsOf(store)
+    SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", 0.45, store, "b1")
+    assert(spark.table(store.codebookRel).collect().toSet == cbBefore)
+    val after = keepsOf(store).filter(k => baseBefore.exists(_._1 == k._1))
+    assert(after == baseBefore) // history verdicts are final
+    SemanticStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("delete repairs verdicts: the victim's drop-ee resurrects") {
+    import spark.implicits._
+    // Two tight pairs in orthogonal subspaces: with k=2 seeds (v1, v2)
+    // one Lloyd iteration lands {1,2} and {3,4} in separate clusters,
+    // so 2 is dropped by predecessor 1 and 4 by predecessor 3.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.99f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val store = SemanticStore("sem_spec_e")
+    SemanticStore.build(spark, vecs.filter(col("vec_id") <= 3),
+      "vec_id", "embedding", 2, 1, 0.45, store)
+    SemanticStore.append(spark, vecs.filter(col("vec_id") === 4),
+      "vec_id", "embedding", 0.45, store, "b1")
+    assert(keepsOf(store).map(k => k._1 -> k._3).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // Take down vector 1: its evidence against 2 vanishes — 2 must
+    // flip back to keep; the other cluster's verdicts are untouched.
+    val (rewritten, _) = SemanticStore.delete(spark, store,
+      Seq(1L).toDF("vec_id"), 0.45)
+    assert(rewritten.nonEmpty)
+    assert(keepsOf(store).map(k => k._1 -> k._3).toMap ==
+      Map(2L -> true, 3L -> true, 4L -> false))
+    // Idempotent: the replayed victim set finds no affected clusters.
+    assert(SemanticStore.delete(spark, store, Seq(1L).toDF("vec_id"),
+      0.45) == ((Nil, Nil)))
+    // Emptying a batch partition drops it: 4 was b1's only row.
+    val (_, emptied) = SemanticStore.delete(spark, store,
+      Seq(3L, 4L).toDF("vec_id"), 0.45)
+    assert(emptied == Seq("b1"))
+    assert(keepsOf(store).map(k => k._1 -> k._3).toMap ==
+      Map(2L -> true))
+    SemanticStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("replaying a batch is idempotent") {
+    val store = SemanticStore("sem_spec_d")
+    SemanticStore.build(spark, emb.filter(col("vec_id") <= cut),
+      "vec_id", "embedding", 8, 2, 0.45, store)
+    SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", 0.45, store, "b1")
+    val once = keepsOf(store)
+    SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", 0.45, store, "b1")
+    assert(keepsOf(store) == once)
+    SemanticStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
+}
