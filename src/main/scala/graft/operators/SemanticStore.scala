@@ -178,6 +178,22 @@ object SemanticStore {
   private def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, threshold: Double, store: SemanticStore,
       batchId: String, firstBatch: Boolean): Unit = {
+    val rows = verdicts(spark, batch, idCol, vecCol, threshold, store,
+      batchId, firstBatch)
+    mat.dropPartition(spark, store.vectorsRel, "batch_id", batchId)
+    mat.materializeIncremental(spark, store.vectorsRel, rows,
+      Seq("batch_id"))
+  }
+
+  /** The compute half of an ingest — the batch's `(cid, vid, v, nrm,
+    * keep, batch_id)` rows, nothing written. Split out (the
+    * [[DedupStore.deltaPairs]] pattern) so the spec can audit that the
+    * increment's plan reads the PERSISTED store and assigns only the
+    * batch. */
+  private[operators] def verdicts(spark: SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      store: SemanticStore, batchId: String, firstBatch: Boolean)
+      : DataFrame = {
     val cb = loadCodebook(spark, store)
     val assigned = Caches.persist(Similarity.assignClusters(
         Similarity.normalized(batch, idCol, vecCol), cb)
@@ -199,12 +215,9 @@ object SemanticStore {
           >= threshold)
       .select(col("vid")).distinct()
       .withColumn("__dropped", lit(true))
-    val rows = assigned.join(dropped, Seq("vid"), "left")
+    assigned.join(dropped, Seq("vid"), "left")
       .select(col("cid"), col("vid"), col("v"), col("nrm"),
         col("__dropped").isNull.as("keep"),
         lit(batchId).as("batch_id"))
-    mat.dropPartition(spark, store.vectorsRel, "batch_id", batchId)
-    mat.materializeIncremental(spark, store.vectorsRel, rows,
-      Seq("batch_id"))
   }
 }

@@ -97,6 +97,27 @@ class SemanticStoreSpec extends SparkSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("the increment reads the persisted store, not recomputed state") {
+    val store = SemanticStore("sem_spec_plan")
+    SemanticStore.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", 8, 2, 0.45, store)
+    val plan = SemanticStore.verdicts(spark,
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        0.45, store, "b1", firstBatch = false)
+      .queryExecution.optimizedPlan.toString
+    // Store-side predecessors stream off the persisted table...
+    assert(plan.contains("sem_vectors"),
+      s"increment must scan the persisted store:\n$plan")
+    // ...and every raw-embeddings scan carries the batch filter — the
+    // assignment pass is batch-sized, never corpus-sized.
+    assert(plan.linesIterator.exists(_.contains("% 5) = 0")),
+      s"embeddings scans must be batch-filtered:\n$plan")
+    assert(!plan.contains("NOT ((vec_id"),
+      s"no corpus-side (negated-filter) embeddings scan may appear:\n$plan")
+    SemanticStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
+
   test("replaying a batch is idempotent") {
     val store = SemanticStore("sem_spec_d")
     SemanticStore.build(spark, emb.filter(col("vec_id") <= cut),

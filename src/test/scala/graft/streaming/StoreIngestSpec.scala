@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 import graft.core.Tables
-import graft.operators.{Dedup, DedupStore, Similarity, StoreCompaction,
+import graft.operators.{Dedup, DedupStore, SemanticStore, Similarity, StoreCompaction,
   VectorIndex}
 
 /** One vector as fed through a log source. */
@@ -143,5 +143,49 @@ class StoreIngestSpec extends SparkSuite {
       graft.operators.CorpusPipeline.readManifest(spark, st))
     assert(streamed.nonEmpty && streamed == oneShot)
     graft.operators.CorpusPipeline.reset(spark, st)
+  }
+
+  test("streamed semantic ingest: persisted verdicts equal one-shot") {
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 5
+    val hist = emb.filter(col("vec_id") <= cut)
+    val store = SemanticStore("stream_sem")
+    SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45,
+      store)
+    // Arrivals in id order — the predecessor rule's ordering contract,
+    // which a crawl log delivers for free.
+    val arriving = emb.filter(col("vec_id") > cut)
+      .select(col("vec_id"), col("embedding")).as[VecRow].collect()
+      .sortBy(_.vec_id).toSeq
+
+    val input = MemoryStream[VecRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SemanticStore.append(spark, b, "vec_id", "embedding", 0.45,
+          store, s"s$id")
+      }
+      .outputMode("append").start()
+    try {
+      arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val ref = SemanticStore("stream_sem_ref")
+    SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45,
+      ref)
+    SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", 0.45, ref, "b1")
+    def keepsOf(st: SemanticStore) =
+      SemanticStore.keeps(spark, st, "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val streamed = keepsOf(store)
+    assert(streamed.size == emb.count() && streamed == keepsOf(ref))
+    SemanticStore.reset(spark, store)
+    SemanticStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
   }
 }
