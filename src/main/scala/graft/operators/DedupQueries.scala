@@ -421,7 +421,31 @@ object DedupQueries extends QueryPack {
       Some(semanticOracle(
         VectorQueries.kmeansCtes(k = 10, iters = 3, trainPred =
           "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)"),
-        survPred = "vid % 10 <> 7")))
+        survPred = "vid % 10 <> 7"))),
+
+    // Semantic-dedup RECALL telemetry ([[Similarity
+    // .semanticRecallReport]] — the v07 pattern for the semantic tier):
+    // cluster-scoped search structurally misses cross-cluster near-dup
+    // pairs; this reports the exact split — total ≥ τ pairs, caught
+    // within a cluster, missed across — the tuning surface for k.
+    // Both arms deterministic, so the oracle recomputes the trained
+    // clustering AND the brute-force pair set exactly.
+    Q("d16_semantic_recall",
+      (s, dir) => Similarity.semanticRecallReport(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, iters = 3, threshold = 0.45),
+      Some(s"""${VectorQueries.kmeansCtes(k = 10, iters = 3)},
+              |pairs AS (
+              |  SELECT a.vid va, b.vid vb, a.cid ca, b.cid cb
+              |  FROM asg4 a JOIN asg4 b ON a.vid < b.vid
+              |  WHERE ROUND(list_dot_product(a.v, b.v)
+              |          / (a.nrm * b.nrm), 6) >= 0.45)
+              |SELECT COUNT(*) AS n_pairs,
+              |  CAST(COALESCE(SUM(CASE WHEN ca = cb THEN 1 END), 0)
+              |    AS BIGINT) AS n_within,
+              |  CAST(COALESCE(SUM(CASE WHEN ca <> cb THEN 1 END), 0)
+              |    AS BIGINT) AS n_cross
+              |FROM pairs""".stripMargin))
   )
 
   /** Shared d13/d14/d15 oracle tail: predecessor drops within the final

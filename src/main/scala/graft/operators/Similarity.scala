@@ -346,6 +346,36 @@ object Similarity {
     * equi-join (one shuffle of (id, vec) pairs, hot clusters split by
     * AQE skew handling) — never an all-pairs product.
     */
+  /** The honesty meter for [[semanticDedup]]'s approximation: cluster-
+    * scoped search structurally MISSES near-dup pairs that straddle a
+    * cluster boundary. This reports the exact count of ≥ τ pairs split
+    * by whether the trained clustering keeps them together —
+    * `(n_pairs, n_within, n_cross)` — the tuning surface for k (larger
+    * k = cheaper search, more boundary misses). Exact arm is
+    * [[nearDupPairs]] (blocked tiled self-join); at 100 TB this
+    * telemetry runs on a hash-sampled slice, same caveat as the HLL
+    * accuracy arm in q21. Deterministic end to end, so the oracle
+    * recomputes both arms exactly.
+    */
+  def semanticRecallReport(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val (codebook, _) =
+      kmeansFit(emb, idCol, vecCol, k, iters, trackObjective = false)
+    val assigned = Caches.persist(
+      assignClusters(normalized(emb, idCol, vecCol), codebook)
+        .select(col("vid"), col("cid")))
+    nearDupPairs(emb, idCol, vecCol, threshold)
+      .join(assigned.select(col("vid").as("id_a"), col("cid").as("ca")),
+        "id_a")
+      .join(assigned.select(col("vid").as("id_b"), col("cid").as("cb")),
+        "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+          .as("n_within"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L))
+          .as("n_cross"))
+  }
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
     val (codebook, _) =
