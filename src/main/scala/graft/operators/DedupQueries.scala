@@ -384,7 +384,7 @@ object DedupQueries extends QueryPack {
           "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45,
           store)
         SemanticStore.append(s, emb.filter(col("vec_id") > cut),
-          "vec_id", "embedding", threshold = 0.45, store, "b1")
+          "vec_id", "embedding", store, "b1")
         SemanticStore.keeps(s, store, "vec_id").orderBy(col("vec_id"))
       },
       Some(semanticOracle(VectorQueries.kmeansCtes(k = 10, iters = 3,
@@ -412,10 +412,9 @@ object DedupQueries extends QueryPack {
           "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45,
           store)
         SemanticStore.append(s, emb.filter(col("vec_id") > cut),
-          "vec_id", "embedding", threshold = 0.45, store, "b1")
+          "vec_id", "embedding", store, "b1")
         SemanticStore.delete(s, store,
-          emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")),
-          threshold = 0.45)
+          emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")))
         SemanticStore.keeps(s, store, "vec_id").orderBy(col("vec_id"))
       },
       Some(semanticOracle(

@@ -117,6 +117,8 @@ object Packing {
     */
   def keyedCumSum(docs: DataFrame, keyCol: String, orderCol: String,
       tokCol: String): DataFrame = {
+    // Keys must be non-null strings (a null key fails loudly in the
+    // driver-side subtotal sort, never silently miscounts).
     val spark = docs.sparkSession
     val parted = Caches.persist(
       docs.repartitionByRange(col(keyCol), col(orderCol))
@@ -145,14 +147,18 @@ object Packing {
         StructField("cum_before", LongType, nullable = false))
     parted.mapPartitions { rows =>
       // Within a partition rows arrive key-grouped and order-sorted, so
-      // one running counter per key change suffices.
+      // one running counter per key change suffices. `started` (not a
+      // null sentinel) guards the first row — a legitimately-null key
+      // must still trigger the offset lookup.
+      var started = false
       var curKey: String = null
       var cum = 0L
       var pid = -1
       rows.map { r =>
         if (pid < 0) pid = r.getInt(pidIdx)
         val key = r.getString(keyIdx)
-        if (key != curKey) {
+        if (!started || key != curKey) {
+          started = true
           curKey = key
           cum = offsetsBc.value((pid, key))
         }

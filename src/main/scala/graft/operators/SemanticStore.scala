@@ -72,22 +72,27 @@ object SemanticStore {
     val (codebook, _) = Similarity.kmeansFit(history, idCol, vecCol, k,
       iters, trackObjective = false)
     import spark.implicits._
+    // The threshold is STORE POLICY, not a per-call knob: it rides in
+    // the codebook table so appends and deletes can never run a
+    // different tau than the verdicts already on disk were decided
+    // under (a mismatched tau would rewrite only the touched clusters'
+    // verdicts — a silently inconsistent store).
     val cbDf = codebook.zipWithIndex.toSeq
-      .map { case ((cv, cn), i) => (i, cv.toSeq, cn) }
-      .toDF("cid", "cv", "cn")
+      .map { case ((cv, cn), i) => (i, cv.toSeq, cn, threshold) }
+      .toDF("cid", "cv", "cn", "tau")
     mat.materializeTable(spark, store.codebookRel, cbDf)
-    ingest(spark, history, idCol, vecCol, threshold, store, batchId,
+    ingest(spark, history, idCol, vecCol, store, batchId,
       firstBatch = true)
   }
 
   /** Incremental append: assign `delta` against the frozen codebook,
-    * decide its keep verdicts against the store plus itself, and commit
-    * one batch partition. Batch-proportional; never touches stored
-    * rows. */
+    * decide its keep verdicts against the store plus itself (under the
+    * store's PERSISTED threshold — tau is build-time policy, not a
+    * per-call knob), and commit one batch partition.
+    * Batch-proportional; never touches stored rows. */
   def append(spark: SparkSession, delta: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, store: SemanticStore,
-      batchId: String): Unit =
-    ingest(spark, delta, idCol, vecCol, threshold, store, batchId,
+      vecCol: String, store: SemanticStore, batchId: String): Unit =
+    ingest(spark, delta, idCol, vecCol, store, batchId,
       firstBatch = false)
 
   /** The persisted verdicts: `(idCol, cid, keep)` over all batches. */
@@ -124,8 +129,8 @@ object SemanticStore {
     *                never literals)
     */
   def delete(spark: SparkSession, store: SemanticStore,
-      victims: DataFrame, threshold: Double)
-      : (Seq[String], Seq[String]) = {
+      victims: DataFrame): (Seq[String], Seq[String]) = {
+    val threshold = storedTau(spark, store)
     val t = spark.table(store.vectorsRel)
     val vic = victims.select(col("vec_id").as("vid"))
     val cids = t.join(vic, "vid").select(col("cid")).distinct()
@@ -169,6 +174,11 @@ object SemanticStore {
   /** The frozen codebook in cid order — k rows, the one bounded collect
     * an ingest needs (centroids ride inline in the assignment
     * expression). */
+  /** The store's persisted similarity threshold (one value, set at
+    * build). */
+  def storedTau(spark: SparkSession, store: SemanticStore): Double =
+    spark.table(store.codebookRel).select(col("tau")).head().getDouble(0)
+
   private def loadCodebook(spark: SparkSession, store: SemanticStore)
       : Array[(Array[Double], Double)] =
     spark.table(store.codebookRel).orderBy(col("cid"))
@@ -176,9 +186,9 @@ object SemanticStore {
       .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
 
   private def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, store: SemanticStore,
+      vecCol: String, store: SemanticStore,
       batchId: String, firstBatch: Boolean): Unit = {
-    val rows = verdicts(spark, batch, idCol, vecCol, threshold, store,
+    val rows = verdicts(spark, batch, idCol, vecCol, store,
       batchId, firstBatch)
     mat.dropPartition(spark, store.vectorsRel, "batch_id", batchId)
     mat.materializeIncremental(spark, store.vectorsRel, rows,
@@ -191,9 +201,10 @@ object SemanticStore {
     * increment's plan reads the PERSISTED store and assigns only the
     * batch. */
   private[operators] def verdicts(spark: SparkSession, batch: DataFrame,
-      idCol: String, vecCol: String, threshold: Double,
+      idCol: String, vecCol: String,
       store: SemanticStore, batchId: String, firstBatch: Boolean)
       : DataFrame = {
+    val threshold = storedTau(spark, store)
     val cb = loadCodebook(spark, store)
     val assigned = Caches.persist(Similarity.assignClusters(
         Similarity.normalized(batch, idCol, vecCol), cb)

@@ -57,10 +57,10 @@ object SemanticProbe {
     val a16 = timed(graft.operators.SemanticStore.append(spark,
       emb.filter(col("vec_id") > maxId * 4 / 5 &&
         col("vec_id") <= maxId * 24 / 25),
-      "vec_id", "embedding", 0.45, store, "b1"))
+      "vec_id", "embedding", store, "b1"))
     val a4 = timed(graft.operators.SemanticStore.append(spark,
       emb.filter(col("vec_id") > maxId * 24 / 25),
-      "vec_id", "embedding", 0.45, store, "b2"))
+      "vec_id", "embedding", store, "b2"))
     val rebuild = timed(graft.operators.SemanticStore.build(spark,
       emb, "vec_id", "embedding", k0, 3, 0.45, store))
     graft.operators.SemanticStore.reset(spark, store)

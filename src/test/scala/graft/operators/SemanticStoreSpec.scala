@@ -31,11 +31,11 @@ class SemanticStoreSpec extends SparkSuite {
     val mid = emb.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5
     SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45, a)
     SemanticStore.append(spark, rest.filter(col("vec_id") <= mid),
-      "vec_id", "embedding", 0.45, a, "b1")
+      "vec_id", "embedding", a, "b1")
     SemanticStore.append(spark, rest.filter(col("vec_id") > mid),
-      "vec_id", "embedding", 0.45, a, "b2")
+      "vec_id", "embedding", a, "b2")
     SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45, b)
-    SemanticStore.append(spark, rest, "vec_id", "embedding", 0.45, b, "b1")
+    SemanticStore.append(spark, rest, "vec_id", "embedding", b, "b1")
     val got = keepsOf(a)
     assert(got == keepsOf(b))
     assert(got.size == emb.count() && got.exists(!_._3))
@@ -52,7 +52,7 @@ class SemanticStoreSpec extends SparkSuite {
     val cbBefore = spark.table(store.codebookRel).collect().toSet
     val baseBefore = keepsOf(store)
     SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
-      "vec_id", "embedding", 0.45, store, "b1")
+      "vec_id", "embedding", store, "b1")
     assert(spark.table(store.codebookRel).collect().toSet == cbBefore)
     val after = keepsOf(store).filter(k => baseBefore.exists(_._1 == k._1))
     assert(after == baseBefore) // history verdicts are final
@@ -74,22 +74,22 @@ class SemanticStoreSpec extends SparkSuite {
     SemanticStore.build(spark, vecs.filter(col("vec_id") <= 3),
       "vec_id", "embedding", 2, 1, 0.45, store)
     SemanticStore.append(spark, vecs.filter(col("vec_id") === 4),
-      "vec_id", "embedding", 0.45, store, "b1")
+      "vec_id", "embedding", store, "b1")
     assert(keepsOf(store).map(k => k._1 -> k._3).toMap ==
       Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
     // Take down vector 1: its evidence against 2 vanishes — 2 must
     // flip back to keep; the other cluster's verdicts are untouched.
     val (rewritten, _) = SemanticStore.delete(spark, store,
-      Seq(1L).toDF("vec_id"), 0.45)
+      Seq(1L).toDF("vec_id"))
     assert(rewritten.nonEmpty)
     assert(keepsOf(store).map(k => k._1 -> k._3).toMap ==
       Map(2L -> true, 3L -> true, 4L -> false))
     // Idempotent: the replayed victim set finds no affected clusters.
-    assert(SemanticStore.delete(spark, store, Seq(1L).toDF("vec_id"),
-      0.45) == ((Nil, Nil)))
+    assert(SemanticStore.delete(spark, store, Seq(1L).toDF("vec_id"))
+      == ((Nil, Nil)))
     // Emptying a batch partition drops it: 4 was b1's only row.
     val (_, emptied) = SemanticStore.delete(spark, store,
-      Seq(3L, 4L).toDF("vec_id"), 0.45)
+      Seq(3L, 4L).toDF("vec_id"))
     assert(emptied == Seq("b1"))
     assert(keepsOf(store).map(k => k._1 -> k._3).toMap ==
       Map(2L -> true))
@@ -103,7 +103,7 @@ class SemanticStoreSpec extends SparkSuite {
       "vec_id", "embedding", 8, 2, 0.45, store)
     val plan = SemanticStore.verdicts(spark,
         emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
-        0.45, store, "b1", firstBatch = false)
+        store, "b1", firstBatch = false)
       .queryExecution.optimizedPlan.toString
     // Store-side predecessors stream off the persisted table...
     assert(plan.contains("sem_vectors"),
@@ -123,10 +123,10 @@ class SemanticStoreSpec extends SparkSuite {
     SemanticStore.build(spark, emb.filter(col("vec_id") <= cut),
       "vec_id", "embedding", 8, 2, 0.45, store)
     SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
-      "vec_id", "embedding", 0.45, store, "b1")
+      "vec_id", "embedding", store, "b1")
     val once = keepsOf(store)
     SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
-      "vec_id", "embedding", 0.45, store, "b1")
+      "vec_id", "embedding", store, "b1")
     assert(keepsOf(store) == once)
     SemanticStore.reset(spark, store)
     graft.core.Caches.releaseAll()

@@ -162,7 +162,7 @@ class StoreIngestSpec extends SparkSuite {
     val input = MemoryStream[VecRow](spark)
     val q = input.toDF().writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        SemanticStore.append(spark, b, "vec_id", "embedding", 0.45,
+        SemanticStore.append(spark, b, "vec_id", "embedding",
           store, s"s$id")
       }
       .outputMode("append").start()
@@ -177,7 +177,7 @@ class StoreIngestSpec extends SparkSuite {
     SemanticStore.build(spark, hist, "vec_id", "embedding", 8, 2, 0.45,
       ref)
     SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
-      "vec_id", "embedding", 0.45, ref, "b1")
+      "vec_id", "embedding", ref, "b1")
     def keepsOf(st: SemanticStore) =
       SemanticStore.keeps(spark, st, "vec_id").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
