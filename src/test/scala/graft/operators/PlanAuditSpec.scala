@@ -168,4 +168,27 @@ class PlanAuditSpec extends SparkSuite {
     // in the gate plan would come from a retraining regression.
     assert(!p.contains("Join"), s"t19 apply plan joins:\n$p")
   }
+
+  test("semantic dedup pairs only within clusters — equi-join, no cartesian") {
+    // The whole SemDeDup point: the pair search must stay a cid
+    // equi-join (O(Σ|c|²) candidates), with assignment row-local
+    // against the inline codebook — an all-pairs degradation or a
+    // codebook join shows up here.
+    val p = plan("d13_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "semantic pair search degraded to a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "semantic pair search degraded to a nested-loop join")
+  }
+
+  test("mixture sampling runs on the keyed prefix sum, not a window") {
+    // A per-source Window.partitionBy would make the biggest source a
+    // single task at scale; the keyed two-phase prefix sum must keep
+    // the plan Window-free, with the corpus total attached by a
+    // broadcast crossJoin (never a data-sized nested loop).
+    val p = plan("p04_mixture_sample")
+    assert(!p.contains("Window"), s"p04 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "p04 total-attach degraded to a cartesian join")
+  }
 }
