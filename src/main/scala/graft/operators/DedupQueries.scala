@@ -422,6 +422,34 @@ object DedupQueries extends QueryPack {
           "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)"),
         survPred = "vid % 10 <> 7"))),
 
+    // Semantic-store COMPACTION (the d11/v15 maintenance story for the
+    // semantic tier): fold closed batch partitions into one `compacted`
+    // partition mid-lifecycle — verdicts, later appends (which probe
+    // the folded rows as predecessors), and reads must all be
+    // indistinguishable from the uncompacted store. Same oracle as d14:
+    // compaction is invisible to the semantics by contract.
+    Q("d17_semantic_compacted",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+        val cut1 = maxId * 4 / 5
+        val cut2 = maxId * 9 / 10
+        val store = SemanticStore("sem_compact")
+        SemanticStore.build(s, emb.filter(col("vec_id") <= cut1),
+          "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45,
+          store)
+        SemanticStore.append(s,
+          emb.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
+          "vec_id", "embedding", store, "b1")
+        StoreCompaction.compactSemanticStore(s, store, keep = Set("b1"))
+        SemanticStore.append(s, emb.filter(col("vec_id") > cut2),
+          "vec_id", "embedding", store, "b2")
+        SemanticStore.keeps(s, store, "vec_id").orderBy(col("vec_id"))
+      },
+      Some(semanticOracle(VectorQueries.kmeansCtes(k = 10, iters = 3,
+        trainPred =
+          "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)")))),
+
     // Semantic-dedup RECALL telemetry ([[Similarity
     // .semanticRecallReport]] — the v07 pattern for the semantic tier):
     // cluster-scoped search structurally misses cross-cluster near-dup

@@ -129,4 +129,12 @@ object StoreCompaction {
   def compactVectorIndex(spark: SparkSession, index: VectorIndex,
       keep: Set[String], targetFiles: Int = 1): Stats =
     compact(spark, index.codesRel, keep, targetFiles)
+
+  /** Compact the [[SemanticStore]] vectors table (row-unique — one row
+    * per vector — so the distinct-union replay contract holds; the
+    * codebook is a tiny atomic-refresh table, nothing to fold). Same
+    * `keep` contract as [[compactDedupStore]]. */
+  def compactSemanticStore(spark: SparkSession, store: SemanticStore,
+      keep: Set[String], targetFiles: Int = 1): Stats =
+    compact(spark, store.vectorsRel, keep, targetFiles)
 }
