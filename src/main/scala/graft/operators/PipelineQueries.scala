@@ -157,6 +157,61 @@ object PipelineQueries extends QueryPack {
              |SELECT doc_id, source, n_tokens, cum_before,
              |  cum_before < (total * (CAST(regexp_extract(source,
              |    'src(\d+)', 1) AS BIGINT) + 1)) // 420 AS keep
-             |FROM c, tot ORDER BY doc_id""".stripMargin))
+             |FROM c, tot ORDER BY doc_id""".stripMargin)),
+
+    // Mixture → pack composition: the downstream use of p04 — the
+    // sampled (quota-kept) documents packed into fixed-length training
+    // sequences in doc_id order, emitting the same per-pack manifest
+    // shape as p01. Two distributed prefix sums chain (per-source for
+    // the quota, global for the packing) without a single window or
+    // cartesian between them.
+    Q("p05_mixture_pack",
+      (s, dir) => {
+        val kept = Mixture.sample(
+            Tables(s, dir, "documents"), "source", "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            total => floor((total * (regexp_extract(col("source"),
+                "src(\\d+)", 1).cast("long") + 1)).cast("decimal(38,0)")
+              / lit(420)).cast("long"))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("n_tokens"))
+        Packing.packAssignments(kept, "doc_id", "n_tokens",
+            CorpusPipeline.SeqLen)
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("pack_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, CAST(CASE
+              |      WHEN length(trim(text)) = 0 THEN 0
+              |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              |    END AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |tot AS (SELECT SUM(n_tokens) AS total FROM t),
+              |c AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+              |      AS cum_before
+              |  FROM t),
+              |kept AS (
+              |  SELECT doc_id, n_tokens FROM c, tot
+              |  WHERE cum_before < (total * (CAST(regexp_extract(source,
+              |    'src(\\d+)', 1) AS BIGINT) + 1)) // 420),
+              |g AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM kept)
+              |SELECT (cum - n_tokens) // ${CorpusPipeline.SeqLen}
+              |    AS pack_id,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              |FROM g GROUP BY 1 ORDER BY pack_id""".stripMargin))
   )
 }
