@@ -51,8 +51,10 @@ object Mixture {
       struct(md5(col(idCol).cast("string")), col(idCol)).as("__ord"))
     val cum = Packing.keyedCumSum(base, sourceCol, "__ord", "n_tokens")
     // One-row corpus total; the broadcast crossJoin attaches it without
-    // shuffling the corpus (the funnel/p03 pattern).
-    val total = base.agg(sum(col("n_tokens")).as("__total"))
+    // shuffling the corpus (the funnel/p03 pattern). Aggregated from
+    // `cum` — the prefix sum's CACHED range-partitioned frame — so the
+    // raw corpus is scanned (and tokenized) once, not twice.
+    val total = cum.agg(sum(col("n_tokens")).as("__total"))
     cum.crossJoin(broadcast(total))
       .select(col(idCol), col(sourceCol), col("n_tokens"),
         col("cum_before"),

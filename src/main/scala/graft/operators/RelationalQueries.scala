@@ -882,15 +882,30 @@ object RelationalQueries extends QueryPack {
     // ---- Distinct-count sketch (HLL++): the 100 TB cardinality path —
     // one pass, fixed memory, mergeable partials — next to the exact
     // count it approximates. Sketch internals are engine-specific, so no
-    // cross-engine oracle; ExtensionSpec pins the 2% default error bound.
+    // cross-engine oracle; ExtensionSpec pins the 2% default error bound
+    // and equality with the single-agg countDistinct formulation.
+    //
+    // The exact arm is a MANUAL two-level aggregate rather than
+    // `countDistinct` beside the sketch: Spark plans mixed
+    // distinct/non-distinct aggregates through Expand (doubling every
+    // input row) into a sort-aggregate whose final stage is one task
+    // per group — with 3 return flags that's a 2N-row sort landing on 3
+    // tasks. Here the dedup is a hash shuffle on (flag, orderkey) with
+    // map-side partial dedup, and the counts reduce through partials —
+    // the 10x probe had the Expand plan at 26.6 s vs 2.2 s for this
+    // shape on identical data, and the gap widens with data size. The
+    // (tiny) flag-keyed join below is broadcast by AQE.
     Q("q21_approx_distinct",
       (s, dir) => {
-        Tables(s, dir, "lineitem")
+        val li = Tables(s, dir, "lineitem")
+        val exact = li.groupBy(col("l_returnflag"), col("l_orderkey"))
+          .agg(count(lit(1)))
           .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_orderkey")).as("exact_orders"),
-            approx_count_distinct(col("l_orderkey"), rsd = 0.02)
-              .as("approx_orders"))
+          .agg(count(lit(1)).as("exact_orders"))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+            .as("approx_orders"))
+        exact.join(approx, "l_returnflag")
           .orderBy(col("l_returnflag"))
       },
       None),

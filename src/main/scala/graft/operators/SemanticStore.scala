@@ -13,12 +13,14 @@ import graft.model.CatalogMaterializer
   * freeze the model as an engine table, and let every future batch pay
   * only batch-proportional work against the frozen state.
   *
-  *  - `sem_codebook(cid, cv, cn)` — the spherical-k-means centroids
-  *    trained on the history corpus ([[Similarity.kmeansFit]] — the
-  *    actual Lloyd loop, not a seed prefix), materialized via the
-  *    atomic full-refresh sink. Centroids change ONLY on an explicit
-  *    rebuild: retraining on every append would silently reshuffle
-  *    cluster boundaries and flip historical keep decisions.
+  *  - `sem_codebook(cid, cv, cn, tau)` — the spherical-k-means
+  *    centroids trained on the history corpus ([[Similarity.kmeansFit]]
+  *    — the actual Lloyd loop, not a seed prefix) plus the similarity
+  *    threshold, materialized via the atomic full-refresh sink.
+  *    Centroids AND tau change ONLY on an explicit rebuild: retraining
+  *    on every append would silently reshuffle cluster boundaries and
+  *    flip historical keep decisions, and a per-call tau could rewrite
+  *    verdicts under a different policy than the rows beside them.
   *  - `sem_vectors(cid, vid, v, nrm, keep, batch_id)` — every ingested
   *    vector with its frozen-cluster assignment and its keep verdict,
   *    partition-per-batch with dynamic overwrite (replaying a batch is

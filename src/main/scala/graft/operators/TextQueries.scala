@@ -714,7 +714,48 @@ object TextQueries extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some(bpeOracle(20,
-        "doc_id <= (SELECT MAX(doc_id) * 4 // 5 FROM documents)")))
+        "doc_id <= (SELECT MAX(doc_id) * 4 // 5 FROM documents)"))),
+
+    // Cross-document gram NOVELTY (the C4/RefinedWeb span-dedup signal
+    // at corpus level): for each document, the fraction of its distinct
+    // word 3-grams whose FIRST corpus occurrence (min doc_id) is this
+    // document — boilerplate-heavy docs score low, the per-doc signal a
+    // dedup-aware sampler weights by. One inverted-index shuffle on the
+    // gram (the d09 shape: grams equi-join, never doc×doc) plus one
+    // per-doc aggregate; docs with fewer than 3 tokens have no grams
+    // and no row, identically in both engines.
+    Q("t20_novel_gram_fraction",
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(wordShingles(col("text"), 3)).as("gram"))
+        val firstOwner = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstOwner, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            round(col("n_novel") / col("n_grams"), 6).as("novel_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(w)-1),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) gram
+             |  FROM toks WHERE len(w) >= 3),
+             |f AS (SELECT gram, MIN(doc_id) first_doc FROM g GROUP BY gram)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             |    / COUNT(*), 6) AS novel_frac
+             |FROM g JOIN f USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the

@@ -443,6 +443,13 @@ class ExtensionSpec extends SparkSuite {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
+    // The manual two-level exact arm (the Expand-free plan) must equal
+    // the single-agg countDistinct it replaced.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ref = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == ref)
   }
 
   test("byte histogram counts all bytes into the right buckets") {
