@@ -60,4 +60,55 @@ object Mixture {
         col("cum_before"),
         (col("cum_before") < quotaOf(col("__total"))).as("keep"))
   }
+
+  /** EPOCHED mixture — the upsampling half [[sample]] can't express: a
+    * target weight may exceed a source's own token count, in which case
+    * the source REPEATS (Wikipedia-for-3-epochs in every published
+    * recipe). Each source runs `ceil(target / S)` epochs over the same
+    * deterministic order; every epoch but the last is complete, the
+    * last keeps the prefix that lands the target exactly — keep iff
+    * `epoch·S + cum_before < target` (all integer arithmetic).
+    * Returns one row per KEPT (document, epoch):
+    * `(id, source, epoch, n_tokens)`.
+    *
+    * Scale shape: everything [[sample]] does, plus one per-source
+    * total (a broadcast-joined aggregate, |sources| rows) and a
+    * row-local `explode(sequence(0, nEpochs−1))` whose expansion is
+    * exactly the emitted sample — no additional shuffle. (A real
+    * loader reshuffles each epoch; the fixed per-epoch order here is
+    * the price of an exact external replay, and a per-epoch reshuffle
+    * is one extra hash in `__ord` away.)
+    *
+    * @param targetOf per-source token target, from the corpus-wide
+    *                 total — integer arithmetic only
+    */
+  def epochedSample(docs: DataFrame, sourceCol: String, idCol: String,
+      tokens: Column, targetOf: Column => Column): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol),
+      tokens.cast("long").as("n_tokens"),
+      struct(md5(col(idCol).cast("string")), col(idCol)).as("__ord"))
+    val cum = Packing.keyedCumSum(base, sourceCol, "__ord", "n_tokens")
+    val total = cum.agg(sum(col("n_tokens")).as("__total"))
+    val perSource = cum.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__s"))
+    val target = targetOf(col("__total"))
+    cum.crossJoin(broadcast(total))
+      .join(broadcast(perSource), sourceCol)
+      .filter(col("__s") > 0)
+      .withColumn("__target", target)
+      // ceil(target / S) epochs via (x − x mod S) / S with
+      // x = target + S − 1: the numerator is exactly divisible, so the
+      // double division is IEEE-exact for any corpus under 2^53 tokens
+      // (a plain long/long `/` is double division, and a decimal-floor
+      // would mis-round fractions (S−1)/S once S passes ~2e6). Sources
+      // whose target rounds to zero emit nothing (sequence(0, -1) is
+      // empty).
+      .withColumn("__x", col("__target") + col("__s") - 1)
+      .withColumn("epoch", explode(sequence(lit(0),
+        (((col("__x") - pmod(col("__x"), col("__s"))) / col("__s"))
+          .cast("long") - 1).cast("int"))))
+      .filter(col("epoch") * col("__s") + col("cum_before")
+        < col("__target"))
+      .select(col(idCol), col(sourceCol), col("epoch"), col("n_tokens"))
+  }
 }

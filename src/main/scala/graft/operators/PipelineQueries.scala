@@ -212,6 +212,55 @@ object PipelineQueries extends QueryPack {
               |  COUNT(*) AS n_docs,
               |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
               |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-              |FROM g GROUP BY 1 ORDER BY pack_id""".stripMargin))
+              |FROM g GROUP BY 1 ORDER BY pack_id""".stripMargin)),
+
+    // EPOCHED mixture ([[Mixture.epochedSample]]): the upsampling half
+    // of mixture construction — targets of 2x the corpus's tokens
+    // weighted (I+1)/210 push high-index sources past their own token
+    // count, so they run multiple epochs (the Wikipedia-for-3-epochs
+    // recipe); low-index sources keep a sub-epoch prefix. All integer
+    // arithmetic (fixed-denominator decimal floor for the target, the
+    // pmod ceil-div for epochs), so the oracle replays epoch counts
+    // and prefix cuts exactly.
+    Q("p06_epoched_mixture",
+      (s, dir) => Mixture.epochedSample(
+          Tables(s, dir, "documents"), "source", "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")),
+          total => floor(((total * 2) * (regexp_extract(col("source"),
+              "src(\\d+)", 1).cast("long") + 1)).cast("decimal(38,0)")
+            / lit(210)).cast("long"))
+        .orderBy(col("doc_id"), col("epoch")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, CAST(CASE
+             |      WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |    END AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |tot AS (SELECT SUM(n_tokens) AS total FROM t),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+             |      AS cum_before
+             |  FROM t),
+             |st AS (SELECT source, SUM(n_tokens) AS s FROM t
+             |  GROUP BY source),
+             |e AS (
+             |  SELECT c.doc_id, c.source, c.n_tokens, c.cum_before,
+             |    st.s,
+             |    (2 * total * (CAST(regexp_extract(c.source,
+             |      'src(\d+)', 1) AS BIGINT) + 1)) // 210 AS target
+             |  FROM c JOIN st USING (source), tot
+             |  WHERE st.s > 0)
+             |SELECT doc_id, source, CAST(epoch AS INT) AS epoch,
+             |  n_tokens
+             |FROM (
+             |  SELECT doc_id, source, n_tokens, cum_before, s, target,
+             |    unnest(range(CAST((target + s - 1) // s AS BIGINT)))
+             |      AS epoch
+             |  FROM e)
+             |WHERE epoch * s + cum_before < target
+             |ORDER BY doc_id, epoch""".stripMargin))
   )
 }
