@@ -190,5 +190,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), s"p04 fell back to a window:\n$p")
     assert(!p.contains("CartesianProduct"),
       "p04 total-attach degraded to a cartesian join")
+    // The epoched variant adds only broadcast attaches and a row-local
+    // epoch explode on top of the same prefix sum.
+    val e = plan("p06_epoched_mixture")
+    assert(!e.contains("Window"), s"p06 fell back to a window:\n$e")
+    assert(!e.contains("CartesianProduct"),
+      "p06 degraded to a cartesian join")
+    assert(e.contains("Generate"), "p06 lost its row-local epoch explode")
   }
 }
