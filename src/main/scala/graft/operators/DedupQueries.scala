@@ -422,6 +422,55 @@ object DedupQueries extends QueryPack {
           "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)"),
         survPred = "vid % 10 <> 7"))),
 
+    // LEAKAGE-FREE train/val split: a per-document hash split leaks —
+    // near-duplicate documents land on both sides and the eval set
+    // contains paraphrases of training data. Splitting by the d05
+    // CLUSTER id (the connected component of the near-dup graph) keeps
+    // every duplicate family in ONE split by construction: the split
+    // is a deterministic hash gate (t10's portable substr(md5) form)
+    // on the cluster representative, so membership replays exactly in
+    // any engine. ExtensionSpec additionally pins the semantic claim —
+    // no ≥ threshold pair straddles the split. Costs exactly d05 plus
+    // a row-local projection.
+    Q("d18_leakage_free_split",
+      (s, dir) => Dedup
+        .duplicateClusters(Tables(s, dir, "documents"), "doc_id",
+          "text", Threshold)
+        .select(col("doc_id"), col("cluster"),
+          when(substring(md5(col("cluster").cast("string")), 1, 2)
+            <= "19", "val").otherwise("train").as("split"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE toks AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+              |  FROM documents WHERE length(trim(text)) > 0),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(range(1, len(w)-1),
+              |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+              |  FROM toks WHERE len(w) >= 3),
+              |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+              |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+              |inter AS (
+              |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+              |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= $Threshold),
+              |edges AS (
+              |  SELECT doc_a a, doc_b b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+              |SELECT id AS doc_id, MIN(r) AS cluster,
+              |  CASE WHEN substr(md5(CAST(MIN(r) AS VARCHAR)), 1, 2)
+              |    <= '19' THEN 'val' ELSE 'train' END AS split
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Semantic-store COMPACTION (the d11/v15 maintenance story for the
     // semantic tier): fold closed batch partitions into one `compacted`
     // partition mid-lifecycle — verdicts, later appends (which probe

@@ -348,6 +348,23 @@ class ExtensionSpec extends SparkSuite {
     assert(sizes.map(_.getLong(1)).sum == emb.count())
   }
 
+  test("leakage-free split: no near-dup pair straddles train/val") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = DedupQueries.queries
+      .find(_.name == "d18_leakage_free_split").get.fn(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0)
+    // And both splits are populated on this corpus.
+    assert(split.select(col("split")).distinct().count() == 2)
+  }
+
   test("semantic dedup: deterministic, cluster-consistent, min id kept") {
     def run() = Similarity
       .semanticDedup(emb, "vec_id", "embedding", k = 10, iters = 3,
