@@ -149,6 +149,12 @@ object CorpusPipeline {
       .crossJoin(kept.agg(count(lit(1)).as("n_exact")))
       .crossJoin(surv.agg(count(lit(1)).as("n_survivors"),
         sum(col("toks")).cast("long").as("total_tokens")))
+      // n_packs is the TRAINING-SEQUENCE count ceil(tokens / SeqLen),
+      // not the manifest's distinct pack-id count: packAssignments puts
+      // a whole document in floor(cum_before / SeqLen), so a document
+      // longer than the window skips intermediate pack ids and the
+      // manifest can hold fewer rows than n_packs. The card reports
+      // sequences because that is what a training run consumes.
       .withColumn("n_packs",
         ceil(col("total_tokens").cast("double") / SeqLen).cast("long"))
   }

@@ -101,12 +101,15 @@ object Mixture {
       // double division is IEEE-exact for any corpus under 2^53 tokens
       // (a plain long/long `/` is double division, and a decimal-floor
       // would mis-round fractions (S−1)/S once S passes ~2e6). Sources
-      // whose target rounds to zero emit nothing (sequence(0, -1) is
-      // empty).
+      // whose target rounds to ≤0 must emit NOTHING — sequence(0, −1)
+      // is NOT empty (Spark steps −1, yielding [0, −1]), so the explode
+      // is guarded: a null sequence drops the row.
       .withColumn("__x", col("__target") + col("__s") - 1)
-      .withColumn("epoch", explode(sequence(lit(0),
+      .withColumn("__epochs",
         (((col("__x") - pmod(col("__x"), col("__s"))) / col("__s"))
-          .cast("long") - 1).cast("int"))))
+          .cast("long")).cast("int"))
+      .withColumn("epoch", explode(when(col("__epochs") > 0,
+        sequence(lit(0), col("__epochs") - 1))))
       .filter(col("epoch") * col("__s") + col("cum_before")
         < col("__target"))
       .select(col(idCol), col(sourceCol), col("epoch"), col("n_tokens"))

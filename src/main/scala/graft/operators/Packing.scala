@@ -148,8 +148,8 @@ object Packing {
     parted.mapPartitions { rows =>
       // Within a partition rows arrive key-grouped and order-sorted, so
       // one running counter per key change suffices. `started` (not a
-      // null sentinel) guards the first row — a legitimately-null key
-      // must still trigger the offset lookup.
+      // null-sentinel comparison) guards the first row; keys are
+      // non-null by this method's contract.
       var started = false
       var curKey: String = null
       var cum = 0L

@@ -898,7 +898,11 @@ object RelationalQueries extends QueryPack {
     Q("q21_approx_distinct",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
-        val exact = li.groupBy(col("l_returnflag"), col("l_orderkey"))
+        // NULL guard: groupBy keeps a null group, countDistinct ignores
+        // nulls — the filter keeps the two-level rewrite exactly
+        // equivalent even on data with null keys (TPC-H never has one).
+        val exact = li.filter(col("l_orderkey").isNotNull)
+          .groupBy(col("l_returnflag"), col("l_orderkey"))
           .agg(count(lit(1)))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("exact_orders"))

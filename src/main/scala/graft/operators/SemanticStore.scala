@@ -173,14 +173,14 @@ object SemanticStore {
     (parts, emptied)
   }
 
-  /** The frozen codebook in cid order — k rows, the one bounded collect
-    * an ingest needs (centroids ride inline in the assignment
-    * expression). */
   /** The store's persisted similarity threshold (one value, set at
     * build). */
   def storedTau(spark: SparkSession, store: SemanticStore): Double =
     spark.table(store.codebookRel).select(col("tau")).head().getDouble(0)
 
+  /** The frozen codebook in cid order — k rows, the one bounded collect
+    * an ingest needs (centroids ride inline in the assignment
+    * expression). */
   private def loadCodebook(spark: SparkSession, store: SemanticStore)
       : Array[(Array[Double], Double)] =
     spark.table(store.codebookRel).orderBy(col("cid"))

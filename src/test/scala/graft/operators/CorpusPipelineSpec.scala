@@ -139,7 +139,13 @@ class CorpusPipelineSpec extends SparkSuite {
         count(lit(1))).head()
     assert(f.getAs[Long]("n_survivors") == m.getLong(0))
     assert(f.getAs[Long]("total_tokens") == m.getLong(1))
-    assert(f.getAs[Long]("n_packs") == m.getLong(2))
+    // n_packs is the training-sequence count ceil(tokens/SeqLen); the
+    // manifest's row count can only be ≤ it (a document longer than the
+    // window skips intermediate pack ids), with equality on corpora of
+    // window-sized-or-shorter documents like this fixture.
+    assert(f.getAs[Long]("n_packs") >= m.getLong(2))
+    assert(f.getAs[Long]("n_packs") ==
+      math.ceil(m.getLong(1).toDouble / CorpusPipeline.SeqLen).toLong)
     assert(f.getAs[Long]("n_raw") >= f.getAs[Long]("n_quality"))
     assert(f.getAs[Long]("n_quality") >= f.getAs[Long]("n_exact"))
     assert(f.getAs[Long]("n_exact") >= f.getAs[Long]("n_survivors"))
