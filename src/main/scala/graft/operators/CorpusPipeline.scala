@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Caches
-import graft.functions.TextFunctions
+import graft.functions.{Hashing, TextFunctions}
 import graft.model.CatalogMaterializer
 
 /** The composed corpus pipeline — the end-to-end shape a pretraining
@@ -248,5 +248,329 @@ object CorpusPipeline {
         mat.dropPartition(spark, rel, "batch_id", batchId)
         mat.materializeIncremental(spark, rel, tag(df), Seq("batch_id"))
     }
+  }
+
+  /** Cascading TAKEDOWN — the one "forget this document everywhere" verb
+    * over the five-table incremental state (the [[StoreRetention]] story
+    * composed through the whole pipeline, not per store):
+    *
+    *  1. expand victims to their EXACT-CONTENT FAMILY — every quality
+    *     survivor sharing a victim's fingerprint. A bit-identical copy
+    *     of taken-down content is the same content; deleting the family
+    *     wholesale is both the correct takedown semantics and what makes
+    *     the exact-dedup stage repairable without stored text (removing
+    *     complete fingerprint groups never changes another group's
+    *     min-id winner);
+    *  2. remove the family from the dedup store (shingles, LSH index
+    *     rows, every pair touching it — [[StoreRetention.deleteDocs]])
+    *     and from `doc_meta`, rewriting only the partitions that hold
+    *     family rows;
+    *  3. re-derive the survivor set from the REPAIRED state — exact
+    *     winners off `doc_meta`'s fingerprints, near-dup drops off the
+    *     remaining `dup_pairs` — which RESURRECTS any document whose
+    *     only predecessors were family members (the d15 stale-verdict
+    *     repair, here for the shingle tier). No text is ever re-read:
+    *     the pair graph among exact survivors is already persisted in
+    *     full, and the predecessor rule does not cascade;
+    *  4. re-pack from the earliest changed document onward: batches
+    *     wholly before `min(family)` keep their shard partials
+    *     bit-for-bit (every changed or resurrected doc id is >
+    *     some family id), later batches recompute against the offset
+    *     summed from the untouched partials — the honest takedown cost
+    *     (a mid-corpus deletion shifts every later training sequence).
+    *
+    * Post-delete the manifest equals the one-shot pipeline over the
+    * corpus minus the family (gate p10). Idempotent: replayed victims
+    * find no family in `doc_meta` and touch nothing. Returns
+    * (family size, rewritten shard partitions, dropped shard
+    * partitions). */
+  def delete(spark: SparkSession, st: State, victims: DataFrame)
+      : (Long, Seq[String], Seq[String]) = {
+    val meta = spark.table(st.metaRel)
+    val vicFps = meta
+      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("fingerprint")).distinct()
+    val family = Caches.persist(meta
+      .join(vicFps, Seq("fingerprint"), "left_semi")
+      .select(col("doc_id")))
+    val nFamily = family.count()
+    if (nFamily == 0) return (0L, Nil, Nil)
+    val minChanged = family.agg(min(col("doc_id"))).head.getLong(0)
+    // Shard partitions needing a re-pack: any batch holding a doc id ≥
+    // the earliest family member (computed BEFORE the meta rewrite — a
+    // batch whose only late doc WAS the victim still owns stale partial
+    // rows). Batches wholly before it are untouched by construction.
+    val affected = meta.groupBy(col("batch_id").cast("string").as("b"))
+      .agg(max(col("doc_id")).as("mx"))
+      .filter(col("mx") >= minChanged)
+      .select(col("b")).collect().map(_.getString(0)).sorted.toIndexedSeq
+    StoreRetention.deleteDocs(spark, st.dedup, family)
+    StoreRetention.deleteRows(spark, st.metaRel, family,
+      (t, v) => t("doc_id") === v("doc_id"))
+    // Survivor flags from the repaired state — fingerprints and the pair
+    // graph, never text. One column-pruned scan of each.
+    val meta2 = spark.table(st.metaRel)
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val kept = meta2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("toks"), col("batch_id"))
+    val surv = kept.join(
+      DedupStore.allPairs(spark, st.dedup).select(col("doc_b")),
+      kept("doc_id") === col("doc_b"), "left_anti")
+    val offset = spark.table(st.shardsRel)
+      .filter(!col("batch_id").isin(affected: _*))
+      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
+    val partials = Packing.packAssignments(
+        surv.filter(col("batch_id").isin(affected: _*)),
+        "doc_id", "toks", SeqLen)
+      .withColumn("pack_id",
+        floor((lit(offset) + col("cum_tokens") - col("toks")) / SeqLen))
+      .groupBy(col("pack_id"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+        col("first_doc"), col("last_doc"), col("batch_id"))
+      // The overwrite replaces partitions whose offset scalar this plan
+      // already consumed; lineage is truncated to the affected batches'
+      // recomputed rows (bounded by the takedown's spread).
+      .localCheckpoint()
+    val rewritten = partials.select(col("batch_id").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (rewritten.nonEmpty)
+      mat.materializeIncremental(spark, st.shardsRel, partials,
+        Seq("batch_id"))
+    val emptied = affected.filterNot(rewritten)
+    emptied.foreach(p =>
+      mat.dropPartition(spark, st.shardsRel, "batch_id", p))
+    (nFamily, affected, emptied)
+  }
+
+  // --------------------------------------------------------------------
+  // The FULL pretraining recipe: the five-stage pipeline above extended
+  // with the two remaining production stages every published pretraining
+  // build runs — SEMANTIC dedup (the SemDeDup recipe over document
+  // embeddings, [[Similarity.semanticDedup]]'s predecessor rule scoped
+  // to deterministically-trained frozen clusters) and BENCHMARK
+  // DECONTAMINATION (drop any document sharing a word 8-gram with the
+  // held-out eval set, [[Dedup.benchmarkContamination]]'s inverted-index
+  // shape). Stage order: quality → exact → MinHash near-dup → semantic →
+  // decontam → pack. Semantic runs before decontam so a contaminated
+  // document still serves as semantic predecessor — the order both the
+  // one-shot and incremental passes must agree on.
+  //
+  // Semantic-stage policy (what keeps one-shot ≡ incremental):
+  //  - The CODEBOOK is learned statistics, trained ONCE on the full
+  //    embedding pool handed to the build (history slice for the
+  //    incremental pass) and frozen — the d14 contract.
+  //  - VERDICTS consider only PIPELINE-SURVIVOR predecessors (a doc
+  //    dropped by an earlier stage is redundant evidence — its
+  //    near-identical survivor is already a predecessor), under the
+  //    prefix-stable predecessor rule, so appends can never flip
+  //    history's keeps.
+  //  - A survivor WITHOUT an embedding row passes the stage (nothing to
+  //    compare), the honest degradation at 100 TB where embedding
+  //    coverage trails the crawl.
+  //
+  // Decontamination is per-document against a FIXED benchmark (an eval
+  // set does not grow with the corpus): the benchmark's distinct grams
+  // persist once as an engine table and every increment probes them with
+  // one equi-join — batch-proportional by construction.
+  // --------------------------------------------------------------------
+
+  val SemK = 10
+  val SemIters = 3
+  val SemTau = 0.45
+  val DecontamN = 8
+
+  /** Incremental full-recipe state: the five base tables plus the
+    * semantic store (codebook + verdicts) and the persisted benchmark
+    * gram set. */
+  final case class FullState(schemaName: String) {
+    val base: State = State(schemaName)
+    val sem: SemanticStore = SemanticStore(schemaName)
+    val benchGramsRel = s"$schemaName.bench_grams"
+  }
+
+  /** Drop all full-recipe state. */
+  def resetFull(spark: SparkSession, st: FullState): Unit = {
+    reset(spark, st.base)
+    SemanticStore.reset(spark, st.sem)
+    mat.dropRelation(spark, st.benchGramsRel)
+  }
+
+  /** The benchmark's distinct word 8-grams — the decontam probe side,
+    * persisted once at build and fixed thereafter. */
+  private def benchGrams(bench: DataFrame, textCol: String): DataFrame =
+    bench.select(explode(Hashing.wordShingles(col(textCol), DecontamN))
+      .as("g")).distinct()
+
+  /** Ids of `docs` sharing at least one word 8-gram with the benchmark
+    * gram set — one inverted-index equi-join, never docs × benchmark. */
+  private def contaminatedIds(docs: DataFrame, idCol: String,
+      textCol: String, grams: DataFrame): DataFrame =
+    docs.select(col(idCol),
+        explode(Hashing.wordShingles(col(textCol), DecontamN)).as("g"))
+      .join(grams.select(col("g")), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+
+  /** Predecessor-rule drops among `assigned` (vid, cid, v, nrm) rows
+    * under frozen clusters: vid is dropped iff some same-cluster pvid <
+    * vid has 6dp-rounded cosine ≥ [[SemTau]]. One cid equi-join — the
+    * cluster scoping that keeps this O(Σ|c|²), never O(N²). */
+  private def semanticDropIds(assigned: DataFrame): DataFrame = {
+    val pred = assigned.select(col("cid"), col("vid").as("pvid"),
+      col("v").as("pv"), col("nrm").as("pn"))
+    assigned.join(pred, "cid")
+      .filter(col("pvid") < col("vid") &&
+        Similarity.sim(col("pv"), col("pn"), col("v"), col("nrm"))
+          >= SemTau)
+      .select(col("vid")).distinct()
+  }
+
+  /** One-shot semantic stage: survivors minus the predecessor drops of
+    * their embedding rows assigned against `codebook`. Survivors with no
+    * embedding row pass through the left-anti join untouched. */
+  private def semanticSurvivors(survivors: DataFrame, idCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      codebook: Array[(Array[Double], Double)]): DataFrame = {
+    val survEmb = emb.join(
+      survivors.select(col(idCol).as("__sid")),
+      emb(vecIdCol) === col("__sid"), "left_semi")
+    val assigned = Caches.persist(Similarity.assignClusters(
+        Similarity.normalized(survEmb, vecIdCol, vecCol), codebook)
+      .select(col("vid"), col("cid"), col("v"), col("nrm")))
+    survivors.join(semanticDropIds(assigned),
+      survivors(idCol) === col("vid"), "left_anti")
+  }
+
+  /** One-shot full-recipe survivors: `(idCol, textCol, toks)` after all
+    * six filter stages. Package-private so the funnel and the gates
+    * share one definition. */
+  private[operators] def fullSurvivors(docs: DataFrame, emb: DataFrame,
+      bench: DataFrame, idCol: String, textCol: String,
+      vecIdCol: String, vecCol: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val q = Caches.persist(qualitySurvivors(docs, idCol, textCol))
+    val kept = Caches.persist(exactSurvivors(q, idCol, textCol))
+    val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, Threshold)
+    val surv3 = Caches.persist(dropNearDups(kept, idCol, pairs))
+    val (codebook, _) = Similarity.kmeansFit(emb, vecIdCol, vecCol,
+      SemK, SemIters, trackObjective = false)
+    val surv4 = Caches.persist(semanticSurvivors(surv3, idCol, emb,
+      vecIdCol, vecCol, codebook))
+    val surv5 = surv4.join(
+      contaminatedIds(surv4, idCol, textCol,
+        benchGrams(bench, textCol)).withColumnRenamed(idCol, "__cid"),
+      surv4(idCol) === col("__cid"), "left_anti")
+    (surv5, Seq(q, kept, surv3, surv4))
+  }
+
+  /** ONE-SHOT full recipe: corpus + embeddings + benchmark in, the shard
+    * manifest of the fully-cleaned corpus out. */
+  def fullManifest(docs: DataFrame, emb: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String,
+      vecCol: String): DataFrame = {
+    val (surv, _) = fullSurvivors(docs, emb, bench, idCol, textCol,
+      vecIdCol, vecCol)
+    packPartial(surv, idCol, 0L)
+  }
+
+  /** ONE-SHOT full-recipe funnel — the extended data card: documents
+    * surviving each of the six stages, final token total, sequence
+    * count. */
+  def fullFunnel(docs: DataFrame, emb: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String,
+      vecCol: String): DataFrame = {
+    val (surv, stages) = fullSurvivors(docs, emb, bench, idCol, textCol,
+      vecIdCol, vecCol)
+    val Seq(q, kept, surv3, surv4) = stages
+    docs.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(q.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(surv3.agg(count(lit(1)).as("n_neardup")))
+      .crossJoin(surv4.agg(count(lit(1)).as("n_semantic")))
+      .crossJoin(surv.agg(count(lit(1)).as("n_clean"),
+        sum(col("toks")).cast("long").as("total_tokens")))
+      .withColumn("n_packs",
+        ceil(col("total_tokens").cast("double") / SeqLen).cast("long"))
+  }
+
+  /** INCREMENTAL full-recipe bootstrap: the one-shot stages over the
+    * historical corpus, all state persisted — the five base tables, the
+    * semantic store (codebook trained on `emb`, verdicts ingested for
+    * pipeline survivors only), and the benchmark gram table. */
+  def buildHistoryFull(spark: SparkSession, history: DataFrame,
+      emb: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      vecIdCol: String, vecCol: String, st: FullState): Unit = {
+    resetFull(spark, st)
+    val q = Caches.persist(qualitySurvivors(history, idCol, textCol))
+    val kept = Caches.persist(exactSurvivors(q, idCol, textCol))
+    DedupStore.build(spark, kept, idCol, textCol, Threshold,
+      st.base.dedup)
+    val surv3 = Caches.persist(dropNearDups(kept, idCol,
+      DedupStore.allPairs(spark, st.base.dedup)))
+    mat.materializeTable(spark, st.benchGramsRel,
+      benchGrams(bench, textCol))
+    // Train on the FULL history embedding pool, ingest survivors only —
+    // see the semantic-stage policy note above.
+    val survEmb = emb.join(surv3.select(col(idCol).as("__sid")),
+      emb(vecIdCol) === col("__sid"), "left_semi")
+    SemanticStore.buildFrom(spark, emb, survEmb, vecIdCol, vecCol,
+      SemK, SemIters, SemTau, st.sem)
+    writeBatch(spark, st.base, "base",
+      q.select(col(idCol).as("doc_id"),
+        TextFunctions.fingerprint(col(textCol)).as("fingerprint"),
+        col("toks")),
+      packPartial(cleanOf(spark, surv3, idCol, textCol, st, "base"),
+        idCol, 0L))
+  }
+
+  /** INCREMENTAL full-recipe append: one new batch (ids strictly greater
+    * than all stored ids) through all seven stages against the persisted
+    * state. Each stage's increment is batch-proportional: exact probes
+    * the pruned fingerprint column, near-dup probes the persisted LSH
+    * index, semantic assigns the batch row-locally against the frozen
+    * codebook and probes only matching clusters, decontam probes the
+    * fixed gram table. */
+  def appendBatchFull(spark: SparkSession, batch: DataFrame,
+      emb: DataFrame, idCol: String, textCol: String, vecIdCol: String,
+      vecCol: String, st: FullState, batchId: String): Unit = {
+    val q = Caches.persist(qualitySurvivors(batch, idCol, textCol)
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol))))
+    val kept = Caches.persist(exactFresh(spark, q, idCol, st.base,
+      batchId))
+    val newPairs = DedupStore.appendBatch(spark, kept, idCol, textCol,
+      Threshold, st.base.dedup, batchId)
+    val surv3 = Caches.persist(dropNearDups(kept, idCol, newPairs))
+    val survEmb = emb.join(surv3.select(col(idCol).as("__sid")),
+      emb(vecIdCol) === col("__sid"), "left_semi")
+    SemanticStore.append(spark, survEmb, vecIdCol, vecCol, st.sem,
+      batchId)
+    val offset = spark.table(st.base.shardsRel)
+      .filter(col("batch_id") =!= batchId)
+      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
+    writeBatch(spark, st.base, batchId,
+      q.select(col(idCol).as("doc_id"), col("fingerprint"), col("toks")),
+      packPartial(cleanOf(spark, surv3, idCol, textCol, st, batchId),
+        idCol, offset))
+  }
+
+  /** Stages 4–5 of the incremental pass: near-dup survivors minus this
+    * batch's persisted `keep = false` semantic verdicts, minus
+    * benchmark-gram hits against the persisted gram table. */
+  private def cleanOf(spark: SparkSession, surv3: DataFrame,
+      idCol: String, textCol: String, st: FullState,
+      batchId: String): DataFrame = {
+    val semDropped = spark.table(st.sem.vectorsRel)
+      .filter(col("batch_id") === batchId && !col("keep"))
+      .select(col("vid"))
+    val surv4 = surv3.join(semDropped, surv3(idCol) === col("vid"),
+      "left_anti")
+    surv4.join(
+      contaminatedIds(surv4, idCol, textCol,
+        spark.table(st.benchGramsRel)).withColumnRenamed(idCol, "__cid"),
+      surv4(idCol) === col("__cid"), "left_anti")
   }
 }

@@ -261,6 +261,252 @@ object PipelineQueries extends QueryPack {
              |      AS epoch
              |  FROM e)
              |WHERE epoch * s + cum_before < target
-             |ORDER BY doc_id, epoch""".stripMargin))
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
+    // THE FULL PRETRAINING RECIPE ([[CorpusPipeline.fullManifest]]): the
+    // p01 pipeline extended with its two missing production stages —
+    // semantic dedup (SemDeDup predecessor rule under a deterministically
+    // trained frozen codebook, the d13 recipe) and benchmark gram
+    // decontamination (the d09 shape, benchmark = the held-out doc_id%5=0
+    // fifth; corpus = the rest). quality → exact → MinHash near-dup →
+    // semantic → decontam → pack, one oracle replaying every stage —
+    // k-means training loop included — in SQL.
+    Q("p07_full_recipe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        CorpusPipeline.fullManifest(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            Tables(s, dir, "embeddings")
+              .filter(col("vec_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", "vec_id", "embedding")
+          .orderBy(col("pack_id"))
+      },
+      Some(fullRecipeOracle("vec_id % 5 <> 0"))),
+
+    // The full recipe INCREMENTALLY ([[CorpusPipeline.buildHistoryFull]]
+    // / [[appendBatchFull]]): bootstrap on the first 80% of the corpus id
+    // range — k-means codebook trained on the HISTORY embedding slice and
+    // frozen (the d14 contract), benchmark grams persisted once — then
+    // append the remaining 20% against the persisted seven-table state.
+    // Oracle: the full recompute with training restricted to the history
+    // slice — the increment must be indistinguishable from the one-shot
+    // pass it amortizes.
+    Q("p08_full_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val bench = docs.filter(col("doc_id") % 5 === 0)
+        val cEmb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0)
+        val cut = corpus.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+        val st = CorpusPipeline.FullState("full_pipeline")
+        CorpusPipeline.buildHistoryFull(s,
+          corpus.filter(col("doc_id") <= cut),
+          cEmb.filter(col("vec_id") <= cut), bench,
+          "doc_id", "text", "vec_id", "embedding", st)
+        CorpusPipeline.appendBatchFull(s,
+          corpus.filter(col("doc_id") > cut),
+          cEmb.filter(col("vec_id") > cut),
+          "doc_id", "text", "vec_id", "embedding", st, "b1")
+        CorpusPipeline.readManifest(s, st.base).orderBy(col("pack_id"))
+      },
+      Some(fullRecipeOracle(
+        """vec_id % 5 <> 0 AND vec_id <= (SELECT MAX(doc_id) * 4 // 5
+          |    FROM documents WHERE doc_id % 5 <> 0)""".stripMargin))),
+
+    // The full recipe's funnel — the extended data card: survivors of
+    // each of the six stages, final token total, training-sequence
+    // count. The per-stage deltas are the corpus build's headline
+    // numbers (how much each cleaning stage cost).
+    Q("p09_full_funnel",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        CorpusPipeline.fullFunnel(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          Tables(s, dir, "embeddings").filter(col("vec_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "vec_id", "embedding")
+      },
+      Some(s"""${fullRecipeCtes("vec_id % 5 <> 0")}
+              |SELECT
+              |  (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0)
+              |    AS n_raw,
+              |  (SELECT COUNT(*) FROM q) AS n_quality,
+              |  (SELECT COUNT(*) FROM kept) AS n_exact,
+              |  (SELECT COUNT(*) FROM surv) AS n_neardup,
+              |  (SELECT COUNT(*) FROM s4) AS n_semantic,
+              |  (SELECT COUNT(*) FROM clean) AS n_clean,
+              |  (SELECT CAST(SUM(toks) AS BIGINT) FROM clean)
+              |    AS total_tokens,
+              |  CAST(CEIL((SELECT SUM(toks) FROM clean)
+              |    / ${CorpusPipeline.SeqLen}.0) AS BIGINT) AS n_packs"""
+        .stripMargin)),
+
+    // Cascading TAKEDOWN through the composed pipeline
+    // ([[CorpusPipeline.delete]]): one verb forgets a document from all
+    // five state tables — victims expand to their exact-content family
+    // (identical copies of removed content are the same content), the
+    // dedup store and doc_meta drop the family, near-dup verdicts REPAIR
+    // off the persisted pair graph (a doc whose only predecessors were
+    // victims resurrects — the d15 story for the shingle tier, no text
+    // re-read), and shards re-pack from the earliest change onward.
+    // Oracle: the one-shot pipeline over the corpus minus the family —
+    // the store must be indistinguishable from one that never ingested
+    // the family.
+    Q("p10_pipeline_delete",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+        val st = CorpusPipeline.State("pipeline_del")
+        CorpusPipeline.buildHistory(s,
+          docs.filter(col("doc_id") <= cut), "doc_id", "text", st)
+        CorpusPipeline.appendBatch(s,
+          docs.filter(col("doc_id") > cut), "doc_id", "text", st, "b1")
+        CorpusPipeline.delete(s, st,
+          docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+        CorpusPipeline.readManifest(s, st).orderBy(col("pack_id"))
+      },
+      Some(s"""WITH qw AS (
+              |  SELECT doc_id, text,
+              |    regexp_split_to_array(trim(text), '\\s+') AS w
+              |  FROM documents),
+              |q0 AS (
+              |  SELECT doc_id, text, CAST(len(w) AS BIGINT) AS toks,
+              |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+              |      AS fp
+              |  FROM qw
+              |  WHERE len(w) BETWEEN 50 AND 100000
+              |    AND ROUND(len(list_filter(w,
+              |          t -> regexp_matches(t, '[A-Za-z]')))
+              |          / len(w), 6) > 0.8),
+              |fam AS (
+              |  SELECT doc_id FROM q0
+              |  WHERE fp IN (SELECT fp FROM q0 WHERE doc_id % 10 = 7)),
+              |q AS (
+              |  SELECT doc_id, text, toks, fp FROM q0
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM fam)),
+              |ex AS (
+              |  SELECT doc_id, toks, ROW_NUMBER() OVER (
+              |    PARTITION BY fp ORDER BY doc_id) AS rn
+              |  FROM q),
+              |kept AS (SELECT doc_id, toks FROM ex WHERE rn = 1),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(range(1, len(w)-1),
+              |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+              |  FROM kept JOIN qw USING (doc_id)
+              |  WHERE len(w) >= 3),
+              |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+              |exn AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+              |inter AS (
+              |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+              |  FROM exn a JOIN exn b
+              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |drops AS (
+              |  SELECT DISTINCT doc_b FROM inter
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+              |    >= ${CorpusPipeline.Threshold}),
+              |surv AS (
+              |  SELECT doc_id, toks FROM kept
+              |  WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+              |c AS (SELECT doc_id, toks,
+              |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+              |  FROM surv)
+              |SELECT (cum - toks) // ${CorpusPipeline.SeqLen} AS pack_id,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin))
   )
+
+  /** The full recipe's CTE chain: k-means training (`trainPred` slice)
+    * and corpus-wide assignment ([[VectorQueries.kmeansCtes]]), then the
+    * p01 document stages restricted to the doc_id%5<>0 corpus, then the
+    * semantic predecessor drops among pipeline survivors, then the
+    * benchmark-gram decontamination, ending at `clean(doc_id, toks)`
+    * and the packing prefix sum `c`. */
+  private def fullRecipeCtes(trainPred: String): String = {
+    val gram8 = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""${VectorQueries.kmeansCtes(CorpusPipeline.SemK,
+         CorpusPipeline.SemIters, trainPred)},
+       |qw AS (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |q AS (
+       |  SELECT doc_id, text, CAST(len(w) AS BIGINT) AS toks
+       |  FROM qw
+       |  WHERE len(w) BETWEEN 50 AND 100000
+       |    AND ROUND(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+       |          / len(w), 6) > 0.8),
+       |ex AS (
+       |  SELECT doc_id, text, toks, ROW_NUMBER() OVER (
+       |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |    ORDER BY doc_id) AS rn
+       |  FROM q),
+       |kept AS (SELECT doc_id, toks FROM ex WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+       |  FROM kept JOIN qw USING (doc_id)
+       |  WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+       |exn AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+       |  FROM exn a JOIN exn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT doc_b FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+       |    >= ${CorpusPipeline.Threshold}),
+       |surv AS (
+       |  SELECT doc_id, toks FROM kept
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+       |sasg AS (
+       |  SELECT a.vid, a.cid, a.v, a.nrm
+       |  FROM asg${CorpusPipeline.SemIters + 1} a
+       |  JOIN surv s ON a.vid = s.doc_id),
+       |sdrops AS (
+       |  SELECT DISTINCT b.vid FROM sasg a JOIN sasg b
+       |    ON a.cid = b.cid AND a.vid < b.vid
+       |  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |    >= ${CorpusPipeline.SemTau}),
+       |s4 AS (
+       |  SELECT doc_id, toks FROM surv
+       |  WHERE doc_id NOT IN (SELECT vid FROM sdrops)),
+       |bw AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents
+       |  WHERE doc_id % 5 = 0 AND length(trim(text)) > 0),
+       |bg AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, len(w) - 6), i -> $gram8))) AS gram
+       |  FROM bw WHERE len(w) >= 8),
+       |tg AS (
+       |  SELECT s.doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(qw.w) - 6), i -> ${gram8.replace("w[", "qw.w[")})))
+       |    AS gram
+       |  FROM s4 s JOIN qw USING (doc_id) WHERE len(qw.w) >= 8),
+       |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+       |clean AS (
+       |  SELECT doc_id, toks FROM s4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |c AS (SELECT doc_id, toks,
+       |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM clean)""".stripMargin
+  }
+
+  private def fullRecipeOracle(trainPred: String): String =
+    s"""${fullRecipeCtes(trainPred)}
+       |SELECT (cum - toks) // ${CorpusPipeline.SeqLen} AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
 }

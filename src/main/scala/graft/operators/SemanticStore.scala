@@ -69,9 +69,24 @@ object SemanticStore {
     * batch partitions next to the fresh build). */
   def build(spark: SparkSession, history: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int, threshold: Double,
-      store: SemanticStore, batchId: String = "base"): Unit = {
+      store: SemanticStore, batchId: String = "base"): Unit =
+    buildFrom(spark, history, history, idCol, vecCol, k, iters,
+      threshold, store, batchId)
+
+  /** [[build]] with the TRAINING POOL split from the INGESTED rows — the
+    * corpus-pipeline shape: centroids are learned statistics, so they
+    * train on the full history embedding slice, while verdicts must only
+    * ever consider PIPELINE-SURVIVOR predecessors (a doc dropped by an
+    * earlier dedup stage is redundant evidence — its near-identical
+    * survivor is already in the store — and counting it would diverge
+    * from the one-shot pass over survivors). Both frames must share
+    * `(idCol, vecCol)`. */
+  def buildFrom(spark: SparkSession, train: DataFrame, ingest: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      threshold: Double, store: SemanticStore,
+      batchId: String = "base"): Unit = {
     reset(spark, store)
-    val (codebook, _) = Similarity.kmeansFit(history, idCol, vecCol, k,
+    val (codebook, _) = Similarity.kmeansFit(train, idCol, vecCol, k,
       iters, trackObjective = false)
     import spark.implicits._
     // The threshold is STORE POLICY, not a per-call knob: it rides in
@@ -83,7 +98,7 @@ object SemanticStore {
       .map { case ((cv, cn), i) => (i, cv.toSeq, cn, threshold) }
       .toDF("cid", "cv", "cn", "tau")
     mat.materializeTable(spark, store.codebookRel, cbDf)
-    ingest(spark, history, idCol, vecCol, store, batchId,
+    this.ingest(spark, ingest, idCol, vecCol, store, batchId,
       firstBatch = true)
   }
 

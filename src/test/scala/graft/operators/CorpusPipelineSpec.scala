@@ -132,6 +132,153 @@ class CorpusPipelineSpec extends SparkSuite {
     CorpusPipeline.reset(spark, st)
   }
 
+  // ---- Takedown (p10) contracts --------------------------------------
+
+  /** Crafted corpus with a known evidence chain: 100 is a quality doc,
+    * 101 a near-dup of it (predecessor 100), 102 an exact copy of 100,
+    * 103/104 unrelated. Deleting 100 must take the family {100, 102}
+    * and RESURRECT 101 (its only predecessor was family). */
+  private def craftedDocs: DataFrame = {
+    import spark.implicits._
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"alpha${seed}x$i").mkString(" ")
+    val base = words(1, 60)
+    val nearDup = words(1, 58) + " omega one two"
+    Seq(
+      (100L, base), (101L, nearDup), (102L, base),
+      (103L, words(7, 55)), (104L, words(9, 70)))
+      .toDF("doc_id", "text")
+  }
+
+  test("delete takes the exact family and resurrects near-dup victims' " +
+      "survivors; replay is a no-op") {
+    val st = CorpusPipeline.State("pipe_del_spec")
+    CorpusPipeline.buildHistory(spark,
+      craftedDocs.filter(col("doc_id") <= 102), "doc_id", "text", st)
+    CorpusPipeline.appendBatch(spark,
+      craftedDocs.filter(col("doc_id") > 102), "doc_id", "text", st, "b1")
+    // Pre-delete: 101 (near-dup of 100) and 102 (exact copy) are absent.
+    val preDocs = spark.table(st.shardsRel)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(preDocs == 3, s"expected survivors {100,103,104}: $preDocs")
+    import spark.implicits._
+    val (n, affected, _) = CorpusPipeline.delete(spark, st,
+      Seq(100L).toDF("doc_id"))
+    assert(n == 2, "family must be {100, 102}")
+    assert(affected.nonEmpty)
+    val post = rowsOf(CorpusPipeline.readManifest(spark, st))
+    val oneShotSurvivors = rowsOf(CorpusPipeline.manifest(
+      craftedDocs.filter(!col("doc_id").isin(100L, 102L)),
+      "doc_id", "text"))
+    assert(post == oneShotSurvivors,
+      "post-delete state must equal the one-shot pipeline over the " +
+        s"corpus minus the family: $post vs $oneShotSurvivors")
+    // 101 is back in the manifest range.
+    assert(post.exists { case (_, _, _, first, last) =>
+      first <= 101L && 101L <= last })
+    // Replay: the family is gone from doc_meta, so nothing is touched.
+    assert(CorpusPipeline.delete(spark, st, Seq(100L).toDF("doc_id"))
+      == ((0L, Nil, Nil)))
+    CorpusPipeline.reset(spark, st)
+  }
+
+  test("delete leaves batches wholly before the family untouched") {
+    val st = CorpusPipeline.State("pipe_del_prefix")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 249), "doc_id", "text", st)
+    CorpusPipeline.appendBatch(spark,
+      docs.filter(col("doc_id") > 249), "doc_id", "text", st, "b1")
+    import spark.implicits._
+    // A victim deep in b1 (the batch's last quality survivor): the base
+    // batch's partials must not be rewritten (the affected list is the
+    // proof — and the repack offset is read off those untouched rows).
+    val victim = spark.table(st.metaRel)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    assert(victim > 249L)
+    val (n, affected, _) = CorpusPipeline.delete(spark, st,
+      Seq(victim).toDF("doc_id"))
+    assert(n >= 1)
+    assert(affected == Seq("b1"), s"only b1 may be re-packed: $affected")
+    CorpusPipeline.reset(spark, st)
+  }
+
+  // ---- Full-recipe (p07/p08) contracts ------------------------------
+
+  private def emb: DataFrame =
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("full recipe: build + two appends equals build + one combined " +
+      "append (multi-batch accumulation under the frozen codebook)") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val cEmb = emb.filter(col("vec_id") % 5 =!= 0)
+    def run(name: String, splits: Seq[Long]): Set[(Long, Long, Long, Long, Long)] = {
+      val st = CorpusPipeline.FullState(name)
+      CorpusPipeline.buildHistoryFull(spark,
+        corpus.filter(col("doc_id") <= 299),
+        cEmb.filter(col("vec_id") <= 299), bench,
+        "doc_id", "text", "vec_id", "embedding", st)
+      splits.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        CorpusPipeline.appendBatchFull(spark,
+          corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          cEmb.filter(col("vec_id") > lo && col("vec_id") <= hi),
+          "doc_id", "text", "vec_id", "embedding", st, s"b$i")
+      }
+      val out = rowsOf(CorpusPipeline.readManifest(spark, st.base))
+      CorpusPipeline.resetFull(spark, st)
+      out
+    }
+    val twoBatches = run("full_spec_a", Seq(299L, 399L, 499L))
+    val oneBatch = run("full_spec_b", Seq(299L, 499L))
+    assert(twoBatches.nonEmpty)
+    assert(twoBatches == oneBatch)
+  }
+
+  test("full recipe: replaying a batch is idempotent across all seven " +
+      "state tables") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val cEmb = emb.filter(col("vec_id") % 5 =!= 0)
+    val st = CorpusPipeline.FullState("full_spec_replay")
+    CorpusPipeline.buildHistoryFull(spark,
+      corpus.filter(col("doc_id") <= 399),
+      cEmb.filter(col("vec_id") <= 399), bench,
+      "doc_id", "text", "vec_id", "embedding", st)
+    def append(): Unit = CorpusPipeline.appendBatchFull(spark,
+      corpus.filter(col("doc_id") > 399),
+      cEmb.filter(col("vec_id") > 399),
+      "doc_id", "text", "vec_id", "embedding", st, "b1")
+    append()
+    val first = rowsOf(CorpusPipeline.readManifest(spark, st.base))
+    val firstKeeps = SemanticStore.keeps(spark, st.sem, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    append()
+    assert(rowsOf(CorpusPipeline.readManifest(spark, st.base)) == first)
+    assert(SemanticStore.keeps(spark, st.sem, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+      == firstKeeps)
+    CorpusPipeline.resetFull(spark, st)
+  }
+
+  test("full-recipe funnel stages are monotone and the last two fire " +
+      "on this corpus") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val f = CorpusPipeline.fullFunnel(corpus,
+      emb.filter(col("vec_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", "vec_id", "embedding").head()
+    val stages = Seq("n_raw", "n_quality", "n_exact", "n_neardup",
+      "n_semantic", "n_clean").map(f.getAs[Long])
+    assert(stages == stages.sorted.reverse,
+      s"funnel must be monotone non-increasing: $stages")
+    // The composed gate proves nothing about a stage that never drops:
+    // pin that near-dup, semantic, and decontam each remove at least one
+    // document on the fixture corpus.
+    assert(f.getAs[Long]("n_neardup") < f.getAs[Long]("n_exact"))
+    assert(f.getAs[Long]("n_semantic") < f.getAs[Long]("n_neardup"))
+    assert(f.getAs[Long]("n_clean") < f.getAs[Long]("n_semantic"))
+  }
+
   test("funnel counts are consistent with the manifest") {
     val f = CorpusPipeline.funnel(docs, "doc_id", "text").head()
     val m = CorpusPipeline.manifest(docs, "doc_id", "text")
