@@ -412,13 +412,33 @@ object Similarity {
     * to take a per-row argmax — a non-starter at 100 TB.
     */
   /** IVF coarse codebook: the first `nlist` corpus vectors by id —
-    * deterministic seeding (k-means refinement would slot in here),
-    * collected once as a bounded driver-side structure. */
+    * deterministic seeding, collected once as a bounded driver-side
+    * structure. The TRAINED alternative is [[trainedIvfCodebook]]
+    * (pass `trainIters > 0` to [[ivfTopK]]/[[ivfPqTopK]]): seeding is
+    * kept as the default so the seeded gates stay exact baselines the
+    * trained path's recall gain is measured against (v07/v17). */
   private def ivfCodebook(corpus: DataFrame, nlist: Int)
       : Array[(Long, Array[Double], Double)] =
     corpus.orderBy(col("vid")).limit(nlist)
       .select(col("vid"), col("v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** TRAINED IVF coarse codebook: [[kmeansFit]]'s deterministic
+    * spherical-k-means centroids (which SEED from the same first-`nlist`
+    * prefix, then refine for `iters` Lloyd steps), labeled by centroid
+    * index. Same bounded driver-side shape as the seed codebook —
+    * centroids still inline as literals into the row-local assignment,
+    * so the corpus pass stays zero-shuffle; training adds `iters` ×
+    * (one assignment pass + one per-(cluster, dim) aggregate), paid once
+    * per build and amortized by [[VectorIndex]]'s frozen-codebook
+    * lifecycle. Fully deterministic (exact-decimal mean updates), so the
+    * trained index keeps an exact cross-engine oracle (v17/v18). */
+  private[operators] def trainedIvfCodebook(emb: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int)
+      : Array[(Long, Array[Double], Double)] =
+    kmeansFit(emb, idCol, vecCol, nlist, iters, trackObjective = false)
+      ._1.zipWithIndex
+      .map { case ((cv, cn), i) => (i.toLong, cv, cn) }
 
   /** The `n` nearest coarse buckets of each (vid, v, nrm) point, ROW-LOCAL:
     * the codebook is inlined as literals into one array of (−sim, cid)
@@ -440,9 +460,13 @@ object Similarity {
   }
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
-    val codebook = ivfCodebook(corpus, nlist)
+    val codebook =
+      if (trainIters > 0)
+        trainedIvfCodebook(emb, idCol, vecCol, nlist, trainIters)
+      else ivfCodebook(corpus, nlist)
     val bucketed = nearestBuckets(corpus, codebook, 1) // single assignment
     val probes = nearestBuckets(normalized(queries, idCol, vecCol),
         codebook, nprobe)
@@ -599,16 +623,24 @@ object Similarity {
     * per-query top-k window over bucket-pruned candidates. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      subspaces: Int = 4, nCodes: Int = 16): DataFrame = {
+      subspaces: Int = 4, nCodes: Int = 16,
+      trainIters: Int = 0): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
     // Both codebooks seed from the same first-N prefix — ONE sort-limit
     // collect serves coarse buckets and PQ centers (two identical driver
-    // jobs otherwise, since nlist == nCodes by default).
+    // jobs otherwise, since nlist == nCodes by default). With
+    // `trainIters > 0` the COARSE codebook refines by k-means; PQ
+    // sub-codebooks stay seeded (training them is a separate knob —
+    // sub-codebook k-means runs per subspace and buys reconstruction
+    // accuracy, not bucket recall).
     val prefix = corpus.orderBy(col("vid"))
       .limit(math.max(nlist, nCodes))
       .select(col("vid"), col("v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val coarse = prefix.take(nlist)
+    val coarse =
+      if (trainIters > 0)
+        trainedIvfCodebook(emb, idCol, vecCol, nlist, trainIters)
+      else prefix.take(nlist)
     val (centers, subDim) =
       pqCentersFromSeeds(prefix.take(nCodes).map(_._2), subspaces)
     // One corpus scan emits bucket AND codes; v/nrm are dropped — the
@@ -750,7 +782,14 @@ object Similarity {
             .as("recall_at_k"))
     one("int8", quantizedTopK(emb, queries, idCol, vecCol, k))
       .unionByName(one("ivf", ivfTopK(emb, queries, idCol, vecCol, k)))
+      // The trained arms run at the SAME nlist/nprobe as their seeded
+      // twins — the telemetry that justifies paying for training (v17's
+      // point, asserted ≥ seeded by AnnTelemetrySpec).
+      .unionByName(one("ivf_trained",
+        ivfTopK(emb, queries, idCol, vecCol, k, trainIters = 3)))
       .unionByName(one("ivfpq", ivfPqTopK(emb, queries, idCol, vecCol, k)))
+      .unionByName(one("ivfpq_trained",
+        ivfPqTopK(emb, queries, idCol, vecCol, k, trainIters = 3)))
       .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("pq", pqTopK(emb, queries, idCol, vecCol, k)))
   }

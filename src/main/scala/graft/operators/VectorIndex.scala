@@ -14,12 +14,15 @@ import graft.model.CatalogMaterializer
   * appends a crawl's worth of new vectors nightly. Here the index is
   * two engine-managed tables:
   *
-  *  - `ann_codebook(vid, v, nrm)` — the deterministic seed prefix (the
-  *    first max(nlist, nCodes) corpus vectors by id, exactly
-  *    [[Similarity.ivfPqTopK]]'s seeding), materialized via the atomic
-  *    full-refresh sink: codebooks change ONLY on a full rebuild, never
-  *    on append — the classic production contract (append encodes with
-  *    the frozen codebook; retraining is an explicit rebuild);
+  *  - `ann_codebook(kind, ord, v, nrm)` — the coarse centroids (`kind =
+  *    'coarse'`, in cid order: the deterministic seed prefix by
+  *    default, or k-means-trained centroids when the build passes
+  *    `trainIters > 0`) and the PQ sub-codebook seeds (`kind = 'pq'`,
+  *    exactly [[Similarity.ivfPqTopK]]'s seeding), materialized via the
+  *    atomic full-refresh sink: codebooks change ONLY on a full
+  *    rebuild, never on append — the classic production contract
+  *    (append encodes with the frozen codebook; retraining is an
+  *    explicit rebuild);
   *  - `ann_codes(cid, vid, c0..c{m}, batch_id)` — coarse bucket + PQ
   *    codes per vector, partition-per-batch with dynamic overwrite
   *    (append = encode the DELTA row-locally and commit one partition;
@@ -54,18 +57,38 @@ object VectorIndex {
     Seq(index.codebookRel, index.codesRel)
       .foreach(mat.dropRelation(spark, _))
 
-  /** Full (re)build: freeze the codebook from `corpus`'s seed prefix
-    * and encode the whole corpus as batch zero. REPLACES any existing
-    * index first — this is also the RETRAIN path after deletions or
-    * drift (the codebook refresh is atomic; the codes reset clears
-    * stale batch partitions a plain re-encode would retain). */
+  /** Full (re)build: freeze the codebook — the seed prefix by default,
+    * or ([[Similarity.trainedIvfCodebook]], `trainIters > 0`) the
+    * k-means-refined coarse centroids, with PQ sub-codebooks staying
+    * seeded either way — and encode the whole corpus as batch zero.
+    * REPLACES any existing index first — this is also the RETRAIN path
+    * after deletions or drift (the codebook refresh is atomic; the
+    * codes reset clears stale batch partitions a plain re-encode would
+    * retain). The codebook table stores coarse and PQ rows side by side
+    * (`kind`, `ord`): training happens ONCE here, appends and probes
+    * only ever read the frozen rows. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
-      vecCol: String, index: VectorIndex, batchId: String = "base"): Unit = {
+      vecCol: String, index: VectorIndex, batchId: String = "base",
+      trainIters: Int = 0): Unit = {
     reset(spark, index)
     val n = Similarity.normalized(corpus, idCol, vecCol)
     val prefix = n.orderBy(col("vid")).limit(math.max(Nlist, NCodes))
-      .select(col("vid"), col("v"), col("nrm"))
-    mat.materializeTable(spark, index.codebookRel, prefix)
+      .select(col("vid"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val coarse =
+      if (trainIters > 0)
+        Similarity.trainedIvfCodebook(corpus, idCol, vecCol, Nlist,
+          trainIters)
+      else prefix.take(Nlist).zipWithIndex
+        .map { case ((_, v, nr), i) => (i.toLong, v, nr) }
+    import spark.implicits._
+    val rows =
+      coarse.toSeq.map { case (cid, v, nr) =>
+        ("coarse", cid, v.toSeq, nr) } ++
+      prefix.take(NCodes).zipWithIndex.map { case ((_, v, nr), j) =>
+        ("pq", j.toLong, v.toSeq, nr) }
+    mat.materializeTable(spark, index.codebookRel,
+      rows.toDF("kind", "ord", "v", "nrm"))
     writeCodes(spark, n, index, batchId)
   }
 
@@ -84,10 +107,9 @@ object VectorIndex {
   def topK(spark: SparkSession, queries: DataFrame, idCol: String,
       vecCol: String, index: VectorIndex, k: Int, nprobe: Int = 4)
       : DataFrame = {
-    val prefix = readCodebook(spark, index)
-    val coarse = prefix.take(Nlist)
+    val (coarse, pqSeeds) = readCodebook(spark, index)
     val (centers, subDim) =
-      Similarity.pqCentersFromSeeds(prefix.take(NCodes).map(_._2), Subspaces)
+      Similarity.pqCentersFromSeeds(pqSeeds, Subspaces)
     val probes = Similarity
       .nearestBuckets(Similarity.normalized(queries, idCol, vecCol),
         coarse, nprobe)
@@ -103,22 +125,27 @@ object VectorIndex {
       .filter(col("rn") <= k)
   }
 
-  /** The frozen codebook prefix, ordered by vid — bounded
-    * (max(nlist, nCodes) rows), collected once per probe/append. */
+  /** The frozen codebook — (coarse centroids in cid order, PQ seed
+    * vectors in seed order); bounded (nlist + nCodes rows), collected
+    * once per probe/append. */
   private def readCodebook(spark: SparkSession, index: VectorIndex)
-      : Array[(Long, Array[Double], Double)] =
-    spark.table(index.codebookRel).orderBy(col("vid"))
-      .select(col("vid"), col("v"), col("nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      : (Array[(Long, Array[Double], Double)], Array[Array[Double]]) = {
+    val rows = spark.table(index.codebookRel)
+      .orderBy(col("kind"), col("ord"))
+      .select(col("kind"), col("ord"), col("v"), col("nrm")).collect()
+    val (c, p) = rows.partition(_.getString(0) == "coarse")
+    (c.map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3))),
+      p.map(_.getSeq[Double](2).toArray))
+  }
 
   /** Encode (bucket + PQ codes, both row-local against the inline
     * codebook) and commit one batch partition. */
   private def writeCodes(spark: SparkSession, n: DataFrame,
       index: VectorIndex, batchId: String): Unit = {
-    val prefix = readCodebook(spark, index)
-    val coarse = prefix.take(Nlist)
+    val (coarse, pqSeeds) = readCodebook(spark, index)
     val (centers, subDim) =
-      Similarity.pqCentersFromSeeds(prefix.take(NCodes).map(_._2), Subspaces)
+      Similarity.pqCentersFromSeeds(pqSeeds, Subspaces)
     val encoded = Similarity.nearestBuckets(n, coarse, 1)
       .select(col("cid") +: col("vid") +:
         (0 until Subspaces).map(sp =>

@@ -16,11 +16,17 @@ object VectorQueries extends QueryPack {
     * (left-associative ADC score per (query, non-self corpus) pair).
     * One definition — three gates; a drift between the engines' PQ
     * constructions shows up in ALL of them instead of silently in one. */
-  private val PqAdcCtes: String =
+  private lazy val PqAdcCtes: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
       |  FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
-      |seed AS (
+      |""".stripMargin + PqAdcBody
+
+  /** [[PqAdcCtes]] minus its `e`/`n` prelude — composable after any CTE
+    * chain that already defines them with the same shape (v18 appends
+    * this to [[kmeansCtes]], whose `e`/`n` are identical). */
+  private val PqAdcBody: String =
+    """seed AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
       |pcb AS (
@@ -479,6 +485,104 @@ object VectorQueries extends QueryPack {
       // the inserted continuation carries no margin pipe.
       Some(IvfPqOracle.replace("FROM embeddings),",
         "FROM embeddings WHERE NOT (vec_id % 7 = 3 AND vec_id >= 80)),"))),
+
+    // TRAINED-codebook IVF ([[Similarity.ivfTopK]] with trainIters > 0):
+    // the coarse codebook is k-means-refined from the same first-N seeds
+    // the seeded path uses raw — the recall upgrade that was "one call
+    // away" (v07's telemetry now reports both arms at equal
+    // nlist/nprobe; AnnTelemetrySpec asserts trained ≥ seeded).
+    // Training is kmeansFit's deterministic loop, so the oracle replays
+    // it (kmeansCtes) and then the ROUNDED-cosine bucket assignment +
+    // probe exactly as v04 does against the seed codebook.
+    Q("v17_ann_ivf_trained",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, nlist = 10, nprobe = 4, trainIters = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${kmeansCtes(k = 10, iters = 3)},
+              |tcb AS (SELECT cid, cv, cn FROM cb3),
+              |casg AS (
+              |  SELECT n.vec_id vid, n.v, n.nrm, tcb.cid,
+              |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+              |      ROUND(list_dot_product(n.v, tcb.cv)
+              |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+              |  FROM n, tcb),
+              |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+              |qasg AS (
+              |  SELECT n.vec_id qid, n.v qv, n.nrm qn, tcb.cid,
+              |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+              |      ROUND(list_dot_product(n.v, tcb.cv)
+              |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+              |  FROM n, tcb WHERE n.vec_id < 5),
+              |probes AS (SELECT qid, qv, qn, cid FROM qasg WHERE rnk <= 4),
+              |scored AS (
+              |  SELECT p.qid, b.vid nid,
+              |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+              |  FROM bucketed b JOIN probes p USING (cid)
+              |  WHERE b.vid <> p.qid),
+              |ranked AS (
+              |  SELECT qid, nid, sim,
+              |    ROW_NUMBER() OVER (PARTITION BY qid
+              |      ORDER BY sim DESC, nid) rn
+              |  FROM scored)
+              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+              |ORDER BY qid, rn""".stripMargin)),
+
+    // TRAINED persisted index ([[VectorIndex.build]] with trainIters):
+    // the v14 lifecycle — build 80%, append the rest against the FROZEN
+    // codebook, probe from persisted codes — but the frozen coarse
+    // centroids are now k-means-trained on the build corpus (the
+    // d14 frozen-model contract applied to the ANN tier; PQ
+    // sub-codebooks stay seeded). Oracle: kmeansCtes trains on the
+    // build slice, assigns everyone with the rounded bucket rule, and
+    // the shared ADC pair scores restrict to probed buckets.
+    Q("v18_ann_index_trained",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val index = VectorIndex("ann_trained")
+        VectorIndex.reset(s, index)
+        val isBatch = col("vec_id") % 5 === 0 && col("vec_id") >= 80
+        VectorIndex.build(s, emb.filter(!isBatch), "vec_id", "embedding",
+          index, trainIters = 3)
+        VectorIndex.append(s, emb.filter(isBatch), "vec_id", "embedding",
+          index, "b1")
+        VectorIndex.topK(s, emb.filter(col("vec_id") < 5), "vec_id",
+            "embedding", index, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${kmeansCtes(k = 16, iters = 3,
+               trainPred = "NOT (vec_id % 5 = 0 AND vec_id >= 80)")},
+              |$PqAdcBody,
+              |tcb AS (SELECT cid, cv, cn FROM cb3),
+              |casg AS (
+              |  SELECT n.vec_id vid, tcb.cid,
+              |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+              |      ROUND(list_dot_product(n.v, tcb.cv)
+              |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+              |  FROM n, tcb),
+              |bucketed AS (SELECT vid, cid FROM casg WHERE rnk = 1),
+              |qasg AS (
+              |  SELECT n.vec_id qid, tcb.cid,
+              |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+              |      ROUND(list_dot_product(n.v, tcb.cv)
+              |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+              |  FROM n, tcb WHERE n.vec_id < 5),
+              |probes AS (SELECT qid, cid FROM qasg WHERE rnk <= 4),
+              |scored AS (
+              |  SELECT a.qid, a.nid, a.score
+              |  FROM adc a
+              |  JOIN bucketed b ON b.vid = a.nid
+              |  JOIN probes p ON p.qid = a.qid AND p.cid = b.cid),
+              |ranked AS (
+              |  SELECT qid, nid, score,
+              |    ROW_NUMBER() OVER (PARTITION BY qid
+              |      ORDER BY score DESC, nid) rn
+              |  FROM scored)
+              |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
+              |ORDER BY qid, rn""".stripMargin)),
 
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.

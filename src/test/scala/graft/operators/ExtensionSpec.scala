@@ -97,7 +97,8 @@ class ExtensionSpec extends SparkSuite {
       .orderBy(col("method")).collect()
     val r1 = report()
     assert(r1.map(_.getString(0)).toSeq ==
-      Seq("int8", "ivf", "ivfpq", "lsh", "pq"))
+      Seq("int8", "ivf", "ivf_trained", "ivfpq", "ivfpq_trained",
+        "lsh", "pq"))
     assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
       .columns.toSeq ==
       Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
@@ -114,7 +115,7 @@ class ExtensionSpec extends SparkSuite {
       // stacks bucket pruning ON TOP of that coarse scoring, so it can
       // only lose further candidates vs plain PQ.
       val floor = r.getString(0) match {
-        case "ivfpq" => 0.15
+        case "ivfpq" | "ivfpq_trained" => 0.15
         case "pq" => 0.2
         case _ => 0.5
       }
@@ -122,6 +123,36 @@ class ExtensionSpec extends SparkSuite {
         s"${r.getString(0)} recall $recall outside [$floor, 1]")
       assert(r.getLong(4) <= r.getLong(3))
     }
+  }
+
+  test("trained IVF beats seeded IVF where seeding fails: a clustered " +
+      "corpus whose seed prefix all lies in one cluster") {
+    import spark.implicits._
+    // 8 well-separated direction clusters; the first 16 vectors (= the
+    // seed prefix, nlist = 16) ALL belong to cluster 0 — the seeded
+    // coarse codebook collapses onto one region and bucket membership
+    // stops tracking true neighborhoods, which is exactly the failure
+    // k-means training repairs (Lloyd steps pull the redundant
+    // centroids out toward the unclaimed clusters). Fully deterministic
+    // construction, so the comparison is a pin, not a flake.
+    val dims = 64
+    def vec(i: Int): Seq[Float] = {
+      val c = if (i < 16) 0 else i % 8
+      Array.tabulate(dims) { d =>
+        val center = if (d % 8 == c) 1.0 else 0.0
+        (center + 0.15 * math.sin(1.7 * i + 0.3 * d)).toFloat
+      }.toSeq
+    }
+    val crafted = (0 until 256).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = crafted.filter(col("vec_id").between(16, 31))
+    val recalls = Similarity
+      .recallReport(crafted, queries, "vec_id", "embedding", 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(recalls("ivf_trained") > recalls("ivf"),
+      s"training must lift coarse recall on clustered data: $recalls")
+    assert(recalls("ivfpq_trained") >= recalls("ivfpq"),
+      s"trained coarse buckets must not lose IVF-PQ recall: $recalls")
   }
 
   test("int8-quantized ranking stays close to exact cosine") {

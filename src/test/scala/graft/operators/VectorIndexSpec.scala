@@ -62,7 +62,7 @@ class VectorIndexSpec extends SparkSuite {
     VectorIndex.build(spark, emb.filter(!isBatch), "vec_id", "embedding",
       index)
     val cbBefore = spark.table(index.codebookRel)
-      .orderBy(col("vid")).collect().toSeq.map(_.toSeq)
+      .orderBy(col("kind"), col("ord")).collect().toSeq.map(_.toSeq)
     VectorIndex.append(spark, emb.filter(isBatch), "vec_id", "embedding",
       index, "b1")
     val first = rows(VectorIndex.topK(spark, queries, "vec_id",
@@ -75,7 +75,7 @@ class VectorIndexSpec extends SparkSuite {
       index, k = 5)) == first)
     assert(spark.table(index.codesRel).count() == codeRows,
       "replay must not duplicate code rows")
-    assert(spark.table(index.codebookRel).orderBy(col("vid"))
+    assert(spark.table(index.codebookRel).orderBy(col("kind"), col("ord"))
       .collect().toSeq.map(_.toSeq) == cbBefore,
       "append must never retrain the codebook")
     VectorIndex.reset(spark, index)
