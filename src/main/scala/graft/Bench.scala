@@ -86,19 +86,37 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$passes$errJson}"""
     println(line)
-    // The driver's round artifact tail-truncates this line past ~60
-    // queries, losing the d/m/mm/o families from the record — persist
-    // the complete JSON in-repo as well (BENCH_full.json, committed per
-    // round) so every per-query time survives in history.
     // A filtered run is a local probe — never let it clobber the
-    // committed full-inventory record.
+    // committed full-inventory records or emit a summary line the
+    // driver could mistake for a full run.
     if (nameFilter.isDefined) { spark.stop(); return }
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case t: Throwable =>
-      System.err.println(s"BENCH_full.json write failed: $t") }
+    // The driver's round artifact tail-scrapes ~2 KB of stdout, which
+    // truncates the full per-query line mid-JSON (BENCH_r10 captured 58
+    // of 146 queries, parsed: null — flagged three rounds running). Two
+    // mitigations: (1) the LAST stdout line is a short, complete JSON
+    // summary that always fits the tail window, so the scrape parses;
+    // (2) the full structured line persists in-repo — BENCH_full.json
+    // (committed per round) plus a best-effort BENCH_r{next}.json so
+    // the round artifact slot holds the complete record when nothing
+    // overwrites it.
+    def write(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable =>
+        System.err.println(s"$path write failed: $t") }
+    write(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json"))
+    // Only a driver-shaped run (no local output override) claims the
+    // round slot — a local probe must never pollute BENCH_r*.json.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      val roundRe = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => roundRe.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+      if (prev.nonEmpty) write(f"BENCH_r${prev.max + 1}%02d.json")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""sf":"$sfDir","runs":$passes,"n_queries":${results.size},""" +
+      s""""queries_in":"BENCH_full.json"}""")
     spark.stop()
   }
 }

@@ -49,11 +49,135 @@ object Bpe {
       .withColumn("rep",
         concat(lit(Sep), array_join(split(col("word"), ""), Sep), lit(Sep)))
 
-  /** Train `numMerges` merges; returns them in rank order. Driver holds
-    * only the merge table (numMerges pairs) and a 1-row result per
-    * iteration — the vocabulary itself never leaves the cluster. */
-  def trainMerges(docs: DataFrame, textCol: String,
+  /** Train `numMerges` merges; returns them in rank order.
+    *
+    * Where training runs is a |V| question, not a corpus question: BPE
+    * iterates over the WORD VOCABULARY (distinct word, count), which one
+    * corpus-wide aggregation produces and which stays small no matter
+    * how big the corpus gets (~10M entries for web-scale text — the
+    * quantity every production tokenizer trainer holds in memory). So:
+    *
+    *  - |V| ≤ `maxLocalVocab`: ONE Spark job aggregates the vocabulary,
+    *    then [[trainMergesLocal]] runs the standard incremental
+    *    algorithm driver-side — pair counts update only for words the
+    *    last merge touched, selection pops a lazy-deletion heap. 50 000
+    *    merges are arithmetic, not 50 000 sequential Spark jobs (the
+    *    scale cliff the old shape had: one full aggregate + 1-row
+    *    collect PER MERGE).
+    *  - |V| > `maxLocalVocab` (pathological vocabularies — no natural-
+    *    language corpus reaches it): the distributed per-merge loop
+    *    below, one aggregate + 1-row collect per merge, bound
+    *    documented there.
+    *
+    * Both paths implement the identical total order (max summed count,
+    * ties (a, b) ascending) and the identical left-to-right
+    * non-overlapping merge, so the choice is invisible — BpeSpec pins
+    * local ≡ distributed on the fixture corpus, and the t18 oracle
+    * replays either. */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      maxLocalVocab: Long = 2000000L): Seq[(String, String)] = {
+    val v = vocabulary(docs, textCol)
+    if (v.count() <= maxLocalVocab) {
+      val entries = v.select(col("cnt"), col("rep")).collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).split(Sep).filter(_.nonEmpty)))
+      trainMergesLocal(entries, numMerges)
+    } else trainMergesDistributed(docs, textCol, numMerges)
+  }
+
+  /** The in-memory trainer: incremental pair counts over the collected
+    * vocabulary — a merge re-counts ONLY the words that contained its
+    * pair (tracked by an index with lazily-dropped stale entries), and
+    * selection pops a lazy-deletion max-heap ordered (count desc, pair
+    * asc). Exactly the distributed path's semantics, at in-memory
+    * speed. */
+  private[operators] def trainMergesLocal(
+      entries: Array[(Long, Array[String])],
       numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val cnts = entries.map(_._1)
+    val syms: Array[Array[String]] = entries.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val hosts = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      (1 until s.length).iterator.map(i => (s(i - 1), s(i)))
+    def add(p: (String, String), wi: Int, d: Long): Unit = {
+      counts.update(p, counts.getOrElse(p, 0L) + d)
+      hosts.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+    }
+    syms.indices.foreach { wi =>
+      pairsOf(syms(wi)).foreach(p => add(p, wi, cnts(wi)))
+    }
+    // Max count first, then LOWEST (a, b) — the total order both paths
+    // and the oracle share.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), n) => if (n > 0) heap.enqueue((n, a, b)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      // Pop until an entry matches the live count (lazy deletion).
+      var best: Option[(String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        if (n > 0 && counts.getOrElse((a, b), 0L) == n)
+          best = Some((a, b))
+      }
+      best match {
+        case None => exhausted = true
+        case Some((a, b)) =>
+          merges += ((a, b))
+          val ab = a + b
+          val touched = mutable.HashSet.empty[(String, String)]
+          hosts.get((a, b)).map(_.toArray).getOrElse(Array.empty)
+            .foreach { wi =>
+              val s = syms(wi)
+              if (pairsOf(s).contains((a, b))) { // skip stale index rows
+                pairsOf(s).foreach { p =>
+                  counts.update(p, counts(p) - cnts(wi)); touched += p
+                }
+                // Left-to-right, non-overlapping — String.replace's scan.
+                val out = mutable.ArrayBuffer.empty[String]
+                var i = 0
+                while (i < s.length) {
+                  if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                    out += ab; i += 2
+                  } else { out += s(i); i += 1 }
+                }
+                syms(wi) = out.toArray
+                pairsOf(syms(wi)).foreach { p =>
+                  add(p, wi, cnts(wi)); touched += p
+                }
+              }
+            }
+          touched.foreach { p =>
+            val n = counts.getOrElse(p, 0L)
+            if (n > 0) heap.enqueue((n, p._1, p._2))
+          }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed per-merge loop — the |V|-exceeds-driver fallback.
+    * Driver holds only the merge table (numMerges pairs) and a 1-row
+    * result per iteration; the cost bound is ONE vocabulary aggregate +
+    * collect PER MERGE (sequential by nature — merge k+1's counts
+    * depend on merge k), so a 50k-merge vocabulary pays 50k Spark jobs
+    * here: fine for the gated 20, and exactly why [[trainMerges]] routes
+    * any vocabulary that fits the driver to [[trainMergesLocal]]. */
+  private[operators] def trainMergesDistributed(docs: DataFrame,
+      textCol: String, numMerges: Int): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // localCheckpoint per iteration: the vocabulary is tiny (|V| rows)
     // but an iterated withColumn chain over cached frames grows the

@@ -521,6 +521,36 @@ object DedupQueries extends QueryPack {
               |    AS BIGINT) AS n_within,
               |  CAST(COALESCE(SUM(CASE WHEN ca <> cb THEN 1 END), 0)
               |    AS BIGINT) AS n_cross
+              |FROM pairs""".stripMargin)),
+
+    // d16 at the AUTO-CHOSEN k ([[SemanticStore.autoK]] — k = N / target
+    // cluster size): the policy the probes argued for (k ∝ N holds
+    // per-cluster quadratic work bounded as the corpus grows), now the
+    // default sizing instead of a hand-tuned constant, with its recall
+    // price reported by the same telemetry. The oracle computes k from
+    // COUNT(*) in SQL (a scalar subquery in the seed LIMIT), so the
+    // policy itself — not just the clustering — replays exactly.
+    Q("d19_semantic_recall_autok",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.semanticRecallReport(emb, "vec_id", "embedding",
+          k = SemanticStore.autoK(emb.count()), iters = 3,
+          threshold = 0.45)
+      },
+      Some(s"""${VectorQueries.kmeansCtesK(
+               s"(SELECT GREATEST(1, COUNT(*) // ${
+                 SemanticStore.TargetClusterSize}) FROM embeddings)",
+               iters = 3)},
+              |pairs AS (
+              |  SELECT a.vid va, b.vid vb, a.cid ca, b.cid cb
+              |  FROM asg4 a JOIN asg4 b ON a.vid < b.vid
+              |  WHERE ROUND(list_dot_product(a.v, b.v)
+              |          / (a.nrm * b.nrm), 6) >= 0.45)
+              |SELECT COUNT(*) AS n_pairs,
+              |  CAST(COALESCE(SUM(CASE WHEN ca = cb THEN 1 END), 0)
+              |    AS BIGINT) AS n_within,
+              |  CAST(COALESCE(SUM(CASE WHEN ca <> cb THEN 1 END), 0)
+              |    AS BIGINT) AS n_cross
               |FROM pairs""".stripMargin))
   )
 

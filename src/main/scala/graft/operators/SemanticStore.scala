@@ -56,6 +56,31 @@ final case class SemanticStore(schemaName: String) {
 
 object SemanticStore {
 
+  /** The auto-k policy's target mean cluster size: SemDeDup's knob is
+    * really per-cluster work (the search is O(Σ|c|²)), so k grows with
+    * the corpus to hold E[|c|] at this constant — the `SemanticProbe`
+    * result that k ∝ N keeps 10×-data growth sub-linear, made the
+    * default instead of a per-call guess. */
+  val TargetClusterSize = 50L
+
+  /** k from corpus size: `max(1, n / TargetClusterSize)` — mean cluster
+    * size ≈ the target, per-cluster search work bounded as the corpus
+    * grows. At 500 vectors this yields the k=10 the fixed-k gates
+    * (d13–d16) were hand-tuned to; at 10× data it yields 40 where the
+    * hand-tuned constant would have let clusters (and the quadratic
+    * within-cluster search) grow 10×. Integer arithmetic so any engine
+    * replays the choice exactly (d19's oracle computes it in SQL). */
+  def autoK(n: Long): Int =
+    math.max(1L, n / TargetClusterSize).toInt
+
+  /** [[build]] with k chosen by [[autoK]] from the training corpus —
+    * the production default: the caller sizes nothing by hand. */
+  def buildAuto(spark: SparkSession, history: DataFrame, idCol: String,
+      vecCol: String, iters: Int, threshold: Double,
+      store: SemanticStore, batchId: String = "base"): Unit =
+    build(spark, history, idCol, vecCol, autoK(history.count()), iters,
+      threshold, store, batchId)
+
   private def mat = new CatalogMaterializer
 
   /** Drop both store tables — a fresh start for gates/specs. */

@@ -613,7 +613,17 @@ object VectorQueries extends QueryPack {
     * `asg{iters+1}` (vid, v, nrm, cid) — shared by the v06 census
     * oracle and the d13 semantic-dedup oracle. */
   private[operators] def kmeansCtes(k: Int, iters: Int,
+      trainPred: String = "TRUE"): String =
+    kmeansCtesK(k.toString, iters, trainPred)
+
+  /** [[kmeansCtes]] with the cluster count as a SQL EXPRESSION instead
+    * of a literal — the auto-k policy's oracle hook (d19): DuckDB
+    * accepts a scalar subquery in LIMIT, so `k = f(COUNT(*))` replays
+    * exactly. Only the seed LIMIT depends on k; the unrolled loop is
+    * k-independent. */
+  private[operators] def kmeansCtesK(kSql: String, iters: Int,
       trainPred: String = "TRUE"): String = {
+    val k = kSql
     // Training CTEs draw from `nh` (the history slice — everything when
     // trainPred is TRUE); only the FINAL assignment pass covers the
     // whole corpus `n`. This is the frozen-model contract the d14

@@ -499,8 +499,22 @@ final class SessionizeProcessor(gapUs: Long)
     // ONLY if the firing matches our record. A stale firing (a timer
     // deleted this batch, should Spark ever deliver one) must not orphan
     // the live registration we just armed.
-    if (timerAt.exists() && timerAt.get() == expired.getExpiryTimeInMs())
+    if (SessionizeProcessor.firedTimerIsOurs(
+        if (timerAt.exists()) Some(timerAt.get()) else None,
+        expired.getExpiryTimeInMs()))
       timerAt.clear()
     emitAndArm(key, prior, timers.getCurrentWatermarkInMs())
   }
+}
+
+object SessionizeProcessor {
+  /** The stale-firing guard's decision, pure so the invariant is
+    * unit-pinned: the record of the registered timer may be dropped
+    * ONLY when the firing IS that timer — a stale firing (deleted this
+    * batch, delivered anyway) or a firing with no live registration
+    * must leave the record alone, else `emitAndArm`'s delete-then-
+    * re-register would orphan the successor timer and the key would
+    * never flush on the timer path again. */
+  private[streaming] def firedTimerIsOurs(recorded: Option[Long],
+      firedMs: Long): Boolean = recorded.contains(firedMs)
 }

@@ -71,6 +71,28 @@ class BpeSpec extends SparkSuite {
     assert(out(1).isNullAt(0))
   }
 
+  test("local trainer equals the distributed per-merge loop") {
+    // trainMerges routes driver-sized vocabularies to the in-memory
+    // incremental trainer; the two implementations must share one total
+    // order and one merge semantics bit-for-bit — 20 merges on the real
+    // fixture corpus, including composed (multi-char) merges, pins it.
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val local = Bpe.trainMerges(docs, "text", 20)
+    val dist = Bpe.trainMergesDistributed(docs, "text", 20)
+    assert(local == dist, s"local $local\nvs distributed $dist")
+  }
+
+  test("local trainer handles overlap, exhaustion, and stale index rows") {
+    // "aaaa": merge 1 = (a,a) -> [aa, aa]; merge 2 = (aa,aa) -> [aaaa];
+    // then exhaustion (single-symbol words have no pairs). The second
+    // merge exercises the stale-hosts path: the (a,a) index still lists
+    // the word, but the live symbols no longer contain that pair.
+    val docs = Seq("aaaa aaaa b").toDF("text")
+    assert(Bpe.trainMerges(docs, "text", 10) ==
+      Seq(("a", "a"), ("aa", "aa")))
+  }
+
   test("training is deterministic across repeated runs") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
       "documents")

@@ -131,4 +131,48 @@ class SemanticStoreSpec extends SparkSuite {
     SemanticStore.reset(spark, store)
     graft.core.Caches.releaseAll()
   }
+
+  test("autoK policy: k = n / target cluster size, clamped to 1") {
+    assert(SemanticStore.autoK(500) == 10) // the d13-d16 hand-tuned k
+    assert(SemanticStore.autoK(2000) == 40) // 10x corpus -> 10x clusters
+    assert(SemanticStore.autoK(49) == 1)
+    assert(SemanticStore.autoK(1) == 1)
+    // Mean cluster size stays at the target as the corpus grows — the
+    // bound on the O(|c|^2) within-cluster search that fixed k loses.
+    Seq(500L, 5000L, 500000L).foreach { n =>
+      val meanSize = n.toDouble / SemanticStore.autoK(n)
+      assert(meanSize <= SemanticStore.TargetClusterSize * 2,
+        s"n=$n mean cluster size $meanSize")
+    }
+  }
+
+  test("autoK recovers full within-cluster recall on clustered data") {
+    import spark.implicits._
+    // 8 well-separated direction clusters, 400 vectors -> autoK = 8 =
+    // the true cluster count; vids round-robin so the k-means seed
+    // prefix holds one vector per cluster and Lloyd converges onto the
+    // true structure. Every >= tau pair is intra-cluster by
+    // construction (orthogonal centers), so the policy's k must catch
+    // ALL of them — the recall guarantee auto-k buys when the target
+    // cluster size matches real structure (on isotropic data it is a
+    // cost policy instead; d16 vs d19 reports that tradeoff honestly).
+    val dims = 64
+    def vec(i: Int): Seq[Float] = {
+      val c = i % 8
+      Array.tabulate(dims) { d =>
+        val center = if (d % 8 == c) 1.0 else 0.0
+        (center + 0.1 * math.sin(1.3 * i + 0.7 * d)).toFloat
+      }.toSeq
+    }
+    val crafted = (0 until 400).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val k = SemanticStore.autoK(400)
+    assert(k == 8)
+    val r = Similarity.semanticRecallReport(crafted, "vec_id",
+      "embedding", k, iters = 3, threshold = 0.45).head()
+    assert(r.getAs[Long]("n_pairs") > 0, "fixture must have >= tau pairs")
+    assert(r.getAs[Long]("n_cross") == 0,
+      s"auto-k on matching structure must catch every pair: $r")
+    graft.core.Caches.releaseAll()
+  }
 }

@@ -387,4 +387,18 @@ class EventsStreamSpec extends SparkSuite {
       assert(n == distinct)
     } finally q.stop()
   }
+
+  test("sessionize timer guard: only the recorded timer's firing may " +
+      "clear the registration record") {
+    // The e2e paths can't force Spark to deliver a stale (deleted)
+    // timer, so the guard's decision is pure and pinned here: clearing
+    // on a mismatched firing would orphan the successor registration
+    // (emitAndArm deletes the recorded timer before re-arming) and the
+    // key would never flush on the timer path again.
+    assert(SessionizeProcessor.firedTimerIsOurs(Some(100L), 100L))
+    assert(!SessionizeProcessor.firedTimerIsOurs(Some(200L), 100L),
+      "a stale firing must not clear the live registration")
+    assert(!SessionizeProcessor.firedTimerIsOurs(None, 100L),
+      "a firing with no live registration must be a no-op")
+  }
 }
