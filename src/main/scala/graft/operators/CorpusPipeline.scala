@@ -519,13 +519,29 @@ object CorpusPipeline {
       emb(vecIdCol) === col("__sid"), "left_semi")
     SemanticStore.buildFrom(spark, emb, survEmb, vecIdCol, vecCol,
       SemK, SemIters, SemTau, st.sem)
+    val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
+      spark.table(st.benchGramsRel)))
     writeBatch(spark, st.base, "base",
-      q.select(col(idCol).as("doc_id"),
-        TextFunctions.fingerprint(col(textCol)).as("fingerprint"),
-        col("toks")),
-      packPartial(cleanOf(spark, surv3, idCol, textCol, st, "base"),
+      metaWithFlag(q, contam, idCol, textCol),
+      packPartial(cleanOf(spark, surv3, idCol, contam, st, "base"),
         idCol, 0L))
   }
+
+  /** Full-path `doc_meta` rows: fingerprint + toks as the base pipeline,
+    * PLUS the per-document `contaminated` verdict. Decontamination is
+    * against a FIXED benchmark, so the flag is a FINAL per-doc fact —
+    * persisting it for every quality survivor (not just packed ones) is
+    * what lets a takedown re-derive the survivor set without ever
+    * re-reading text ([[deleteFull]]). */
+  private def metaWithFlag(q: DataFrame, contam: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    q.select(col(idCol).as("doc_id"),
+        TextFunctions.fingerprint(col(textCol)).as("fingerprint"),
+        col("toks"))
+      .join(contam.select(col(idCol).as("doc_id"))
+          .withColumn("__c", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("contaminated", col("__c").isNotNull).drop("__c")
 
   /** INCREMENTAL full-recipe append: one new batch (ids strictly greater
     * than all stored ids) through all seven stages against the persisted
@@ -548,29 +564,135 @@ object CorpusPipeline {
       emb(vecIdCol) === col("__sid"), "left_semi")
     SemanticStore.append(spark, survEmb, vecIdCol, vecCol, st.sem,
       batchId)
+    val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
+      spark.table(st.benchGramsRel)))
     val offset = spark.table(st.base.shardsRel)
       .filter(col("batch_id") =!= batchId)
       .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
     writeBatch(spark, st.base, batchId,
-      q.select(col(idCol).as("doc_id"), col("fingerprint"), col("toks")),
-      packPartial(cleanOf(spark, surv3, idCol, textCol, st, batchId),
+      metaWithFlag(q.drop("fingerprint"), contam, idCol, textCol),
+      packPartial(cleanOf(spark, surv3, idCol, contam, st, batchId),
         idCol, offset))
   }
 
   /** Stages 4–5 of the incremental pass: near-dup survivors minus this
-    * batch's persisted `keep = false` semantic verdicts, minus
-    * benchmark-gram hits against the persisted gram table. */
+    * batch's persisted `keep = false` semantic verdicts, minus the
+    * batch's benchmark-gram hits (`contam` — computed once per batch,
+    * persisted into `doc_meta` as the final per-doc flag). */
   private def cleanOf(spark: SparkSession, surv3: DataFrame,
-      idCol: String, textCol: String, st: FullState,
+      idCol: String, contam: DataFrame, st: FullState,
       batchId: String): DataFrame = {
     val semDropped = spark.table(st.sem.vectorsRel)
       .filter(col("batch_id") === batchId && !col("keep"))
       .select(col("vid"))
     val surv4 = surv3.join(semDropped, surv3(idCol) === col("vid"),
       "left_anti")
-    surv4.join(
-      contaminatedIds(surv4, idCol, textCol,
-        spark.table(st.benchGramsRel)).withColumnRenamed(idCol, "__cid"),
+    surv4.join(contam.withColumnRenamed(idCol, "__cid"),
       surv4(idCol) === col("__cid"), "left_anti")
+  }
+
+  /** Cascading takedown through the FULL-recipe state — [[delete]]
+    * extended across all seven tables. The two stages [[delete]] lacks:
+    *
+    *  - SEMANTIC verdict repair WITH RESURRECTION RE-INGEST: removing
+    *    the family repairs its clusters' verdicts (d15), but a document
+    *    the near-dup repair RESURRECTED was never semantically ingested
+    *    — it re-enters the store mid-history ([[SemanticStore.repair]]:
+    *    assigned row-locally against the frozen codebook, its original
+    *    batch partition rewritten, and the predecessor pass re-run over
+    *    every cluster it or a victim touches, so it both receives a
+    *    verdict and drops the successors it always would have);
+    *  - DECONTAMINATION verdicts come FROM `doc_meta` (persisted per
+    *    quality survivor at append time — final facts against the fixed
+    *    benchmark), so no text is ever re-read here either.
+    *
+    * Post-delete the whole seven-table state is indistinguishable from
+    * a build over the corpus minus the family under the same frozen
+    * codebook (gate p11). Idempotent. Caller passes the embedding
+    * frame (`emb`) — the pipeline's external input, needed only for
+    * resurrected documents' vectors. */
+  def deleteFull(spark: SparkSession, st: FullState, victims: DataFrame,
+      emb: DataFrame, vecIdCol: String, vecCol: String)
+      : (Long, Seq[String], Seq[String]) = {
+    val meta = spark.table(st.base.metaRel)
+    val vicFps = meta
+      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("fingerprint")).distinct()
+    // localCheckpoint, NOT a registry cache: the family frame derives
+    // from doc_meta, and the meta rewrite below INVALIDATES any cache
+    // over it — a lazily re-evaluated family would recompute over the
+    // post-delete table and silently come up empty exactly when the
+    // semantic repair consumes it (caught by p11 at sf0.1: the family's
+    // vectors stayed in the store as predecessors and kept dropping the
+    // doc their takedown should have resurrected).
+    val family = meta
+      .join(vicFps, Seq("fingerprint"), "left_semi")
+      .select(col("doc_id")).localCheckpoint()
+    val nFamily = family.count()
+    if (nFamily == 0) return (0L, Nil, Nil)
+    val minChanged = family.agg(min(col("doc_id"))).head.getLong(0)
+    val affected = meta.groupBy(col("batch_id").cast("string").as("b"))
+      .agg(max(col("doc_id")).as("mx"))
+      .filter(col("mx") >= minChanged)
+      .select(col("b")).collect().map(_.getString(0)).sorted.toIndexedSeq
+    StoreRetention.deleteDocs(spark, st.base.dedup, family)
+    StoreRetention.deleteRows(spark, st.base.metaRel, family,
+      (t, v) => t("doc_id") === v("doc_id"))
+    // Repaired stage-3 survivors, from state alone (fingerprints, the
+    // pair graph, the persisted contaminated flags — never text).
+    val meta2 = spark.table(st.base.metaRel)
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val kept = meta2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("toks"), col("batch_id"),
+        col("contaminated"))
+    val surv3 = Caches.persist(kept.join(
+      DedupStore.allPairs(spark, st.base.dedup).select(col("doc_b")),
+      kept("doc_id") === col("doc_b"), "left_anti"))
+    // Semantic repair: the family leaves; stage-3 resurrections that
+    // have embeddings re-enter their original batch partitions.
+    val storeVids = spark.table(st.sem.vectorsRel).select(col("vid"))
+    val resurrected = surv3.select(col("doc_id"), col("batch_id"))
+      .join(storeVids, col("doc_id") === col("vid"), "left_anti")
+    val insRows = emb.join(
+        resurrected.select(col("doc_id").as("__rid"), col("batch_id")),
+        emb(vecIdCol) === col("__rid"))
+      .drop("__rid")
+    val inserts = SemanticStore.assignedRows(spark, st.sem, insRows,
+      vecIdCol, vecCol)
+    SemanticStore.repair(spark, st.sem, family.select(col("doc_id")),
+      Some(inserts), "doc_id", "vid")
+    val semDropped = spark.table(st.sem.vectorsRel)
+      .filter(!col("keep")).select(col("vid"))
+    val surv5 = surv3
+      .join(semDropped, surv3("doc_id") === col("vid"), "left_anti")
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("toks"), col("batch_id"))
+    // Re-pack from the earliest change onward (the [[delete]] shape).
+    val offset = spark.table(st.base.shardsRel)
+      .filter(!col("batch_id").isin(affected: _*))
+      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
+    val partials = Packing.packAssignments(
+        surv5.filter(col("batch_id").isin(affected: _*)),
+        "doc_id", "toks", SeqLen)
+      .withColumn("pack_id",
+        floor((lit(offset) + col("cum_tokens") - col("toks")) / SeqLen))
+      .groupBy(col("pack_id"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+        col("first_doc"), col("last_doc"), col("batch_id"))
+      .localCheckpoint()
+    val rewritten = partials.select(col("batch_id").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (rewritten.nonEmpty)
+      mat.materializeIncremental(spark, st.base.shardsRel, partials,
+        Seq("batch_id"))
+    val emptied = affected.filterNot(rewritten)
+    emptied.foreach(p =>
+      mat.dropPartition(spark, st.base.shardsRel, "batch_id", p))
+    (nFamily, affected, emptied)
   }
 }

@@ -354,6 +354,45 @@ object PipelineQueries extends QueryPack {
     // Oracle: the one-shot pipeline over the corpus minus the family —
     // the store must be indistinguishable from one that never ingested
     // the family.
+    // Cascading takedown through the FULL recipe's seven-table state
+    // ([[CorpusPipeline.deleteFull]]): everything p10 does, plus the
+    // two stages it lacks — SEMANTIC verdict repair with RESURRECTION
+    // RE-INGEST (a doc whose only near-dup predecessor was a victim
+    // resurrects at stage 3 and must then join the semantic stage
+    // mid-history: assigned against the frozen codebook, its original
+    // batch partition rewritten, every cluster it or a victim touches
+    // re-evaluated) and decontam verdicts read from the persisted
+    // per-doc flags in doc_meta. No text is ever re-read. Oracle: the
+    // full recipe over the corpus minus the victims' exact-content
+    // family, codebook still trained on the ORIGINAL history slice
+    // (frozen learned statistics — the d15 policy).
+    Q("p11_full_delete",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val bench = docs.filter(col("doc_id") % 5 === 0)
+        val cEmb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0)
+        val cut = corpus.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+        val st = CorpusPipeline.FullState("full_pipeline_del")
+        CorpusPipeline.buildHistoryFull(s,
+          corpus.filter(col("doc_id") <= cut),
+          cEmb.filter(col("vec_id") <= cut), bench,
+          "doc_id", "text", "vec_id", "embedding", st)
+        CorpusPipeline.appendBatchFull(s,
+          corpus.filter(col("doc_id") > cut),
+          cEmb.filter(col("vec_id") > cut),
+          "doc_id", "text", "vec_id", "embedding", st, "b1")
+        CorpusPipeline.deleteFull(s, st,
+          corpus.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+          cEmb, "vec_id", "embedding")
+        CorpusPipeline.readManifest(s, st.base).orderBy(col("pack_id"))
+      },
+      Some(fullRecipeOracle(
+        """vec_id % 5 <> 0 AND vec_id <= (SELECT MAX(doc_id) * 4 // 5
+          |    FROM documents WHERE doc_id % 5 <> 0)""".stripMargin,
+        famPred = "doc_id % 10 = 7"))),
+
     Q("p10_pipeline_delete",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -425,27 +464,36 @@ object PipelineQueries extends QueryPack {
 
   /** The full recipe's CTE chain: k-means training (`trainPred` slice)
     * and corpus-wide assignment ([[VectorQueries.kmeansCtes]]), then the
-    * p01 document stages restricted to the doc_id%5<>0 corpus, then the
-    * semantic predecessor drops among pipeline survivors, then the
-    * benchmark-gram decontamination, ending at `clean(doc_id, toks)`
-    * and the packing prefix sum `c`. */
-  private def fullRecipeCtes(trainPred: String): String = {
+    * p01 document stages restricted to the doc_id%5<>0 corpus — with an
+    * optional TAKEDOWN (`famPred` selects the victims; their whole
+    * exact-content family among quality survivors leaves the pipeline,
+    * the p10/p11 semantics) — then the semantic predecessor drops among
+    * pipeline survivors, then the benchmark-gram decontamination,
+    * ending at `clean(doc_id, toks)` and the packing prefix sum `c`. */
+  private def fullRecipeCtes(trainPred: String,
+      famPred: String = "FALSE"): String = {
     val gram8 = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
     s"""${VectorQueries.kmeansCtes(CorpusPipeline.SemK,
          CorpusPipeline.SemIters, trainPred)},
        |qw AS (
        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents WHERE doc_id % 5 <> 0),
-       |q AS (
-       |  SELECT doc_id, text, CAST(len(w) AS BIGINT) AS toks
+       |q0 AS (
+       |  SELECT doc_id, text, CAST(len(w) AS BIGINT) AS toks,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
        |  FROM qw
        |  WHERE len(w) BETWEEN 50 AND 100000
        |    AND ROUND(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
        |          / len(w), 6) > 0.8),
+       |fam AS (
+       |  SELECT doc_id FROM q0
+       |  WHERE fp IN (SELECT fp FROM q0 WHERE ($famPred))),
+       |q AS (
+       |  SELECT doc_id, text, toks, fp FROM q0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM fam)),
        |ex AS (
-       |  SELECT doc_id, text, toks, ROW_NUMBER() OVER (
-       |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-       |    ORDER BY doc_id) AS rn
+       |  SELECT doc_id, toks, ROW_NUMBER() OVER (
+       |    PARTITION BY fp ORDER BY doc_id) AS rn
        |  FROM q),
        |kept AS (SELECT doc_id, toks FROM ex WHERE rn = 1),
        |sh AS (
@@ -503,8 +551,9 @@ object PipelineQueries extends QueryPack {
        |  FROM clean)""".stripMargin
   }
 
-  private def fullRecipeOracle(trainPred: String): String =
-    s"""${fullRecipeCtes(trainPred)}
+  private def fullRecipeOracle(trainPred: String,
+      famPred: String = "FALSE"): String =
+    s"""${fullRecipeCtes(trainPred, famPred)}
        |SELECT (cum - toks) // ${CorpusPipeline.SeqLen} AS pack_id,
        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

@@ -171,19 +171,54 @@ object SemanticStore {
     *                never literals)
     */
   def delete(spark: SparkSession, store: SemanticStore,
-      victims: DataFrame): (Seq[String], Seq[String]) = {
+      victims: DataFrame): (Seq[String], Seq[String]) =
+    repair(spark, store, victims, None, "vec_id", "vec_id")
+
+  /** Generalized cluster-scoped REPAIR — the takedown verb plus its
+    * mirror image: `inserts` (optional `(idCol, cid?, …)` rows with
+    * `v`/`nrm`/`batch_id` pre-assigned by the caller against the frozen
+    * codebook) join the store MID-HISTORY. The composed pipeline needs
+    * this because a takedown can RESURRECT a document at an earlier
+    * dedup stage (its only near-dup predecessor was the victim), and
+    * that document's vector must then participate in the semantic
+    * stage as the predecessor it always would have been — so the
+    * predecessor pass re-runs over every cluster any removed OR
+    * inserted vector touches, and exactly those clusters' partitions
+    * rewrite. Unaffected clusters keep their stored verdicts (their
+    * membership did not change, so the verdicts are still the one-shot
+    * answer). Inserted rows commit into their ORIGINAL batch partition
+    * (they carry `batch_id`) — post-repair the store is
+    * indistinguishable from one that ingested the repaired survivor
+    * set from the start. */
+  private[operators] def repair(spark: SparkSession, store: SemanticStore,
+      victims: DataFrame, inserts: Option[DataFrame], idCol: String,
+      insIdCol: String): (Seq[String], Seq[String]) = {
     val threshold = storedTau(spark, store)
     val t = spark.table(store.vectorsRel)
-    val vic = victims.select(col("vec_id").as("vid"))
-    val cids = t.join(vic, "vid").select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    val vic = victims.select(col(idCol).as("vid"))
+    val ins = inserts.map(df => Caches.persist(
+      df.select(col(insIdCol).as("vid"), col("cid"), col("v"),
+        col("nrm"), col("batch_id"))))
+    val insCids = ins.map(_.select(col("cid")).distinct()
+        .collect().map(_.getInt(0)).toSeq).getOrElse(Nil)
+    val cids = (t.join(vic, "vid").select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq ++ insCids)
+      .distinct.sorted.toIndexedSeq
     if (cids.isEmpty) return (Nil, Nil)
     val scoped = t.filter(col("cid").isin(cids: _*))
-    val parts = scoped.select(col("batch_id").cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
-    val surv = Caches.persist(scoped.join(vic, Seq("vid"), "left_anti")
+    val insParts = ins.map(_.select(col("batch_id").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+    val parts = (scoped.select(col("batch_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq ++ insParts)
+      .distinct.sorted.toIndexedSeq
+    val kept0 = scoped.join(vic, Seq("vid"), "left_anti")
       .select(col("cid"), col("vid"), col("v"), col("nrm"),
-        col("batch_id")))
+        col("batch_id").cast("string").as("batch_id"))
+    val surv = Caches.persist(ins match {
+      case Some(i) => kept0.union(i.select(col("cid"), col("vid"),
+        col("v"), col("nrm"), col("batch_id").cast("string")))
+      case None => kept0
+    })
     val pred = surv.select(col("cid"), col("vid").as("pvid"),
       col("v").as("pv"), col("nrm").as("pn"))
     val dropped = surv.join(pred, "cid")
@@ -217,6 +252,20 @@ object SemanticStore {
     * build). */
   def storedTau(spark: SparkSession, store: SemanticStore): Double =
     spark.table(store.codebookRel).select(col("tau")).head().getDouble(0)
+
+  /** Rows assigned against the FROZEN codebook for a [[repair]] insert:
+    * `(vid, cid, v, nrm, batch_id)` from `(idCol, vecCol, batch_id)`
+    * input. Row-local (inline-literal centroids) plus one id equi-join
+    * to re-attach the batch tag the normalization projection drops. */
+  private[operators] def assignedRows(spark: SparkSession,
+      store: SemanticStore, rows: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cb = loadCodebook(spark, store)
+    Similarity.assignClusters(
+        Similarity.normalized(rows, idCol, vecCol), cb)
+      .select(col("vid"), col("cid"), col("v"), col("nrm"))
+      .join(rows.select(col(idCol).as("vid"), col("batch_id")), "vid")
+  }
 
   /** The frozen codebook in cid order — k rows, the one bounded collect
     * an ingest needs (centroids ride inline in the assignment

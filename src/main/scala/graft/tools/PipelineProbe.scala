@@ -87,6 +87,59 @@ object PipelineProbe {
       s""""append_4pct_sec":$smallS,"append_16pct_sec":$largeS,""" +
       s""""rebuild_full_sec":$rebuildS,"one_shot_count_sec":$fullS,""" +
       s""""incremental_packs":$merged,"one_shot_packs":$oneShot}""")
+
+    // ---- FULL recipe (p07/p08): the seven-table state — five base
+    // tables plus the frozen-codebook semantic store and the persisted
+    // benchmark gram table. Same question, two more stages: does the
+    // append still track the batch once semantic assignment (row-local
+    // vs frozen centroids + cluster-scoped store probe) and decontam
+    // (equi-join against a FIXED gram table) join the per-increment
+    // path?
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val emb = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 =!= 0)
+    val fMax = corpus.agg(max(col("doc_id"))).head.getLong(0)
+    val f80 = fMax * 4 / 5
+    val f84 = fMax * 21 / 25
+    var fBuildS, fSmallS, fLargeS, fRebuildS = Double.MaxValue
+    var fMerged = 0L
+    (1 to 2).foreach { pass =>
+      val st = CorpusPipeline.FullState(s"full_probe_$pass")
+      def slice(lo: Long, hi: Long) =
+        (corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          emb.filter(col("vec_id") > lo && col("vec_id") <= hi))
+      val (_, b) = time {
+        CorpusPipeline.buildHistoryFull(spark,
+          corpus.filter(col("doc_id") <= f80),
+          emb.filter(col("vec_id") <= f80), bench,
+          "doc_id", "text", "vec_id", "embedding", st)
+      }
+      Caches.releaseAll()
+      val (dS, eS) = slice(f80, f84)
+      val (_, sm) = time { CorpusPipeline.appendBatchFull(spark, dS, eS,
+        "doc_id", "text", "vec_id", "embedding", st, "b_small") }
+      Caches.releaseAll()
+      val (dL, eL) = slice(f84, fMax)
+      val (_, lg) = time { CorpusPipeline.appendBatchFull(spark, dL, eL,
+        "doc_id", "text", "vec_id", "embedding", st, "b_large") }
+      Caches.releaseAll()
+      val st2 = CorpusPipeline.FullState(s"full_probe_rebuild_$pass")
+      val (_, rb) = time {
+        CorpusPipeline.buildHistoryFull(spark, corpus, emb, bench,
+          "doc_id", "text", "vec_id", "embedding", st2)
+      }
+      Caches.releaseAll()
+      fMerged = CorpusPipeline.readManifest(spark, st.base).count()
+      fBuildS = math.min(fBuildS, b); fSmallS = math.min(fSmallS, sm)
+      fLargeS = math.min(fLargeS, lg); fRebuildS = math.min(fRebuildS, rb)
+      CorpusPipeline.resetFull(spark, st)
+      CorpusPipeline.resetFull(spark, st2)
+    }
+    println(s"""{"probe":"full_recipe_pipeline","sf_dir":"$dir",""" +
+      s""""build_80pct_sec":$fBuildS,""" +
+      s""""append_4pct_sec":$fSmallS,"append_16pct_sec":$fLargeS,""" +
+      s""""rebuild_full_sec":$fRebuildS,"packs":$fMerged}""")
     spark.stop()
   }
 }

@@ -202,6 +202,68 @@ class CorpusPipelineSpec extends SparkSuite {
     CorpusPipeline.reset(spark, st)
   }
 
+  test("full-recipe delete: a resurrected doc re-enters the semantic " +
+      "stage and drops the successor it always would have") {
+    import spark.implicits._
+    // The chain p11's oracle covers in aggregate, pinned doc by doc:
+    //   100 near-dup-drops 101 (text);   100's embedding ORTHOGONAL
+    //   101's embedding ~ 102's (cos ~ 0.99 >= tau)
+    // Pre-delete: 101 never reaches the semantic stage, 102 keeps.
+    // Delete 100: 101 resurrects at stage 3, re-ingests into the frozen
+    // store MID-HISTORY, and as 102's predecessor drops it — the
+    // one-shot answer over the corpus minus the victim.
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"alpha${seed}x$i").mkString(" ")
+    val base = words(1, 60)
+    val nearDup = words(1, 58) + " omega one two"
+    val docs = Seq(
+      (100L, base), (101L, nearDup), (102L, words(3, 55)),
+      (103L, words(5, 55)), (104L, words(7, 70)), (105L, words(9, 52)))
+      .toDF("doc_id", "text")
+    def e(hot: Int, soft: Int = -1): Seq[Float] =
+      (0 until 8).map(d => if (d == hot) 1.0f
+        else if (d == soft) 0.1f else 0.0f)
+    // 101 and 102 share one embedding: with 6 vectors under SemK = 10
+    // every vector seeds its own centroid, so only EQUAL vectors (tie
+    // to the lower centroid index) can share a cluster — which is all
+    // the predecessor chain needs (cos = 1 >= tau).
+    val emb = Seq(
+      (100L, e(0)), (101L, e(1, 2)), (102L, e(1, 2)),
+      (103L, e(4)), (104L, e(5)), (105L, e(6)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((9000L, words(99, 60))).toDF("doc_id", "text")
+    val st = CorpusPipeline.FullState("full_del_spec")
+    CorpusPipeline.buildHistoryFull(spark,
+      docs.filter(col("doc_id") <= 103), emb.filter(col("vec_id") <= 103),
+      bench, "doc_id", "text", "vec_id", "embedding", st)
+    CorpusPipeline.appendBatchFull(spark,
+      docs.filter(col("doc_id") > 103), emb.filter(col("vec_id") > 103),
+      "doc_id", "text", "vec_id", "embedding", st, "b1")
+    def keeps() = SemanticStore.keeps(spark, st.sem, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val pre = keeps()
+    assert(!pre.contains(101L), "101 is a near-dup drop pre-delete")
+    assert(pre(102L), "102 keeps pre-delete (100 is orthogonal)")
+    val (n, _, _) = CorpusPipeline.deleteFull(spark, st,
+      Seq(100L).toDF("doc_id"), emb, "vec_id", "embedding")
+    assert(n == 1)
+    val post = keeps()
+    assert(!post.contains(100L), "the victim leaves the store")
+    assert(post(101L),
+      "the resurrected doc re-enters the store and keeps")
+    assert(!post(102L),
+      "the resurrected predecessor drops its semantic successor")
+    // Manifest = the one-shot over {101, 103, 104, 105}.
+    val m = CorpusPipeline.readManifest(spark, st.base)
+      .agg(sum(col("n_docs")), sum(col("pack_tokens"))).head()
+    assert(m.getLong(0) == 4, s"4 final survivors, got ${m.getLong(0)}")
+    assert(m.getLong(1) == 61 + 55 + 70 + 52) // 101's 61 toks included
+    // Replay is a no-op.
+    assert(CorpusPipeline.deleteFull(spark, st, Seq(100L).toDF("doc_id"),
+      emb, "vec_id", "embedding") == ((0L, Nil, Nil)))
+    CorpusPipeline.resetFull(spark, st)
+  }
+
   // ---- Full-recipe (p07/p08) contracts ------------------------------
 
   private def emb: DataFrame =
