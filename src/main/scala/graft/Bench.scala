@@ -107,12 +107,32 @@ object Bench {
     write(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json"))
     // Only a driver-shaped run (no local output override) claims the
     // round slot — a local probe must never pollute BENCH_r*.json.
+    // The round number must be RERUN-STABLE (a rerun or crash-recovery
+    // pass within one round must overwrite its own slot, not claim the
+    // next round's): SPARK_GRAFT_ROUND wins if the driver exports it;
+    // otherwise the judge's VERDICT.md header ("Round N", written once
+    // per round boundary) gives N+1 for the whole of the current round;
+    // max(BENCH_r*)+1 is the last-resort guess (correct for the first
+    // run of a round, the failure mode the other two sources fix).
     if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val roundRe = "BENCH_r(\\d+)\\.json".r
-      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => roundRe.findFirstMatchIn(f.getName)
-          .map(_.group(1).toInt))
-      if (prev.nonEmpty) write(f"BENCH_r${prev.max + 1}%02d.json")
+      val fromEnv = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      def fromVerdict: Option[Int] =
+        scala.util.Try {
+          val src = scala.io.Source.fromFile("VERDICT.md")
+          try "Round (\\d+)".r.findFirstMatchIn(
+            src.getLines().take(3).mkString("\n"))
+            .map(_.group(1).toInt + 1)
+          finally src.close()
+        }.toOption.flatten
+      def fromFiles: Option[Int] =
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => roundRe.findFirstMatchIn(f.getName)
+            .map(_.group(1).toInt))
+          .maxOption.map(_ + 1)
+      fromEnv.orElse(fromVerdict).orElse(fromFiles)
+        .foreach(r => write(f"BENCH_r$r%02d.json"))
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","runs":$passes,"n_queries":${results.size},""" +

@@ -9,7 +9,7 @@ import graft.operators.TpchProject
   * --target dev'` path (setup/task.sql:1-6, SURVEY EP3).
   *
   * Usage:
-  *   run     [--project tpch|tastybytes|dir:PATH] [--select EXPR]
+  *   run     [--project tpch|tastybytes|corpus|dir:PATH] [--select EXPR]
   *           [--exclude EXPR] [--state MANIFEST] [--target dev|prod]
   *           [--dir PATH] [--threads N] [--materializer catalog|path]
   *           [--warehouse PATH] [--full-refresh true] [--fail-fast true]
@@ -46,7 +46,9 @@ import graft.operators.TpchProject
   *
   * Projects: `tpch` (driver-testdata demo, SQL tier loaded from
   * models/tpch), `tastybytes` (the full reference port over deterministic
-  * fixtures, SQL tier from models/tastybytes), or `dir:PATH` — any
+  * fixtures, SQL tier from models/tastybytes), `corpus` (the composed
+  * pretraining recipe as two code marts — [[graft.operators
+  * .CorpusProject]]), or `dir:PATH` — any
   * directory of `*.sql` model files (dbt's model-paths layout,
   * ProjectLoader), bound to the `tpch` testdata source registry from
   * `--dir`; a deployment supplies its own SourceDef registry the same way
@@ -91,6 +93,7 @@ object EngineCli {
     }
     val project0 = opts.getOrElse("project", "tpch") match {
       case "tastybytes" => graft.tastybytes.TastyBytesProject.project
+      case "corpus" => graft.operators.CorpusProject.project(dir)
       case p if p.startsWith("dir:") =>
         ProjectLoader.load(p.stripPrefix("dir:"), TpchProject.sources(dir))
       case _ => TpchProject.project(dir)

@@ -146,12 +146,20 @@ object Bpe {
                 pairsOf(s).foreach { p =>
                   counts.update(p, counts(p) - cnts(wi)); touched += p
                 }
-                // Left-to-right, non-overlapping — String.replace's scan.
+                // Left-to-right scan with String.replace's SEPARATOR
+                // semantics: a match consumes `␟a␟b␟` including the
+                // TRAILING separator, so the symbol immediately after a
+                // merge has no leading separator and can never start
+                // the next match — emit it unmerged before resuming.
+                // ([a,a,a,a] → [aa,a,a], not the symbol-level [aa,aa];
+                // the distributed path, segmented() and the DuckDB
+                // oracles all share this scan.)
                 val out = mutable.ArrayBuffer.empty[String]
                 var i = 0
                 while (i < s.length) {
                   if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
                     out += ab; i += 2
+                    if (i < s.length) { out += s(i); i += 1 }
                   } else { out += s(i); i += 1 }
                 }
                 syms(wi) = out.toArray

@@ -290,9 +290,13 @@ object CorpusPipeline {
     val vicFps = meta
       .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("fingerprint")).distinct()
-    val family = Caches.persist(meta
+    // localCheckpoint, NOT a registry cache: the family frame derives
+    // from doc_meta, and the meta rewrite below invalidates any cache
+    // over it — a lazily re-evaluated family would recompute against
+    // the half-rewritten table (the bug [[deleteFull]] hit at sf0.1).
+    val family = meta
       .join(vicFps, Seq("fingerprint"), "left_semi")
-      .select(col("doc_id")))
+      .select(col("doc_id")).localCheckpoint()
     val nFamily = family.count()
     if (nFamily == 0) return (0L, Nil, Nil)
     val minChanged = family.agg(min(col("doc_id"))).head.getLong(0)
@@ -379,7 +383,14 @@ object CorpusPipeline {
   // one equi-join — batch-proportional by construction.
   // --------------------------------------------------------------------
 
-  val SemK = 10
+  // The semantic stage's k is NOT a constant: it follows the
+  // [[SemanticStore.autoK]] policy (k = |training pool| / target
+  // cluster size), computed from whatever embedding pool the build is
+  // handed — the production default the SemanticProbe argued for (a
+  // fixed k lets clusters, and the quadratic within-cluster search,
+  // grow linearly with the corpus; k ∝ N holds per-cluster work
+  // constant). Both entry points and every gate oracle replay the
+  // policy from COUNT(*), so there is no hand-tuned k to drift.
   val SemIters = 3
   val SemTau = 0.45
   val DecontamN = 8
@@ -457,7 +468,7 @@ object CorpusPipeline {
     val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, Threshold)
     val surv3 = Caches.persist(dropNearDups(kept, idCol, pairs))
     val (codebook, _) = Similarity.kmeansFit(emb, vecIdCol, vecCol,
-      SemK, SemIters, trackObjective = false)
+      SemanticStore.autoK(emb.count()), SemIters, trackObjective = false)
     val surv4 = Caches.persist(semanticSurvivors(surv3, idCol, emb,
       vecIdCol, vecCol, codebook))
     val surv5 = surv4.join(
@@ -517,8 +528,8 @@ object CorpusPipeline {
     // see the semantic-stage policy note above.
     val survEmb = emb.join(surv3.select(col(idCol).as("__sid")),
       emb(vecIdCol) === col("__sid"), "left_semi")
-    SemanticStore.buildFrom(spark, emb, survEmb, vecIdCol, vecCol,
-      SemK, SemIters, SemTau, st.sem)
+    SemanticStore.buildFromAuto(spark, emb, survEmb, vecIdCol, vecCol,
+      SemIters, SemTau, st.sem)
     val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
       spark.table(st.benchGramsRel)))
     writeBatch(spark, st.base, "base",

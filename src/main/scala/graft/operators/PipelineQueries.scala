@@ -393,6 +393,20 @@ object PipelineQueries extends QueryPack {
           |    FROM documents WHERE doc_id % 5 <> 0)""".stripMargin,
         famPred = "doc_id % 10 = 7"))),
 
+    // The capstone AS AN ENGINE MODEL ([[CorpusProject]]): the same
+    // full-recipe manifest as p07, but produced by `run --project
+    // corpus --select +corpus_manifest` — source registry → staging
+    // views → DfModel build → atomic table sink → catalog read-back.
+    // One oracle (p07's full recompute) covers both surfaces, pinning
+    // that the model tier adds orchestration, never semantics.
+    Q("p12_recipe_model",
+      (s, dir) => {
+        val r = CorpusProject.runner(dir)
+        r.run(s, select = Some("+corpus_manifest"))
+        r.table(s, "corpus_manifest").orderBy(col("pack_id"))
+      },
+      Some(fullRecipeOracle("vec_id % 5 <> 0"))),
+
     Q("p10_pipeline_delete",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -463,9 +477,12 @@ object PipelineQueries extends QueryPack {
   )
 
   /** The full recipe's CTE chain: k-means training (`trainPred` slice)
-    * and corpus-wide assignment ([[VectorQueries.kmeansCtes]]), then the
-    * p01 document stages restricted to the doc_id%5<>0 corpus — with an
-    * optional TAKEDOWN (`famPred` selects the victims; their whole
+    * and corpus-wide assignment ([[VectorQueries.kmeansCtesK]] — the
+    * cluster count replays the [[SemanticStore.autoK]] policy from the
+    * training pool's COUNT(*), the d19 pattern, so the oracle verifies
+    * the POLICY as well as the clustering), then the p01 document
+    * stages restricted to the doc_id%5<>0 corpus — with an optional
+    * TAKEDOWN (`famPred` selects the victims; their whole
     * exact-content family among quality survivors leaves the pipeline,
     * the p10/p11 semantics) — then the semantic predecessor drops among
     * pipeline survivors, then the benchmark-gram decontamination,
@@ -473,7 +490,9 @@ object PipelineQueries extends QueryPack {
   private def fullRecipeCtes(trainPred: String,
       famPred: String = "FALSE"): String = {
     val gram8 = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
-    s"""${VectorQueries.kmeansCtes(CorpusPipeline.SemK,
+    s"""${VectorQueries.kmeansCtesK(
+         s"(SELECT GREATEST(1, COUNT(*) // ${
+           SemanticStore.TargetClusterSize}) FROM nh)",
          CorpusPipeline.SemIters, trainPred)},
        |qw AS (
        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -81,6 +81,17 @@ object SemanticStore {
     build(spark, history, idCol, vecCol, autoK(history.count()), iters,
       threshold, store, batchId)
 
+  /** [[buildFrom]] with k chosen by [[autoK]] from the TRAINING pool —
+    * the corpus-pipeline default ([[CorpusPipeline.buildHistoryFull]]):
+    * the policy sizes k off the pool the centroids learn from, not the
+    * (smaller) survivor set being ingested. */
+  def buildFromAuto(spark: SparkSession, train: DataFrame,
+      ingest: DataFrame, idCol: String, vecCol: String, iters: Int,
+      threshold: Double, store: SemanticStore,
+      batchId: String = "base"): Unit =
+    buildFrom(spark, train, ingest, idCol, vecCol, autoK(train.count()),
+      iters, threshold, store, batchId)
+
   private def mat = new CatalogMaterializer
 
   /** Drop both store tables — a fresh start for gates/specs. */

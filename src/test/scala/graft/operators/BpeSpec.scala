@@ -84,13 +84,31 @@ class BpeSpec extends SparkSuite {
   }
 
   test("local trainer handles overlap, exhaustion, and stale index rows") {
-    // "aaaa": merge 1 = (a,a) -> [aa, aa]; merge 2 = (aa,aa) -> [aaaa];
-    // then exhaustion (single-symbol words have no pairs). The second
-    // merge exercises the stale-hosts path: the (a,a) index still lists
-    // the word, but the live symbols no longer contain that pair.
+    // "aaaa" under the shared separator-consuming replace scan:
+    // merge 1 = (a,a) -> [aa, a, a] (the match consumes the trailing
+    // separator, so the third `a` cannot start a match); merge 2 = (a,a)
+    // AGAIN (ties (a,a) < (aa,a)) -> [aa, aa]; merge 3 = (aa,aa) ->
+    // [aaaa]; then exhaustion (single-symbol words have no pairs). The
+    // repeats exercise the stale-hosts path AND re-selection of a pair
+    // that survived its own merge.
     val docs = Seq("aaaa aaaa b").toDF("text")
     assert(Bpe.trainMerges(docs, "text", 10) ==
-      Seq(("a", "a"), ("aa", "aa")))
+      Seq(("a", "a"), ("a", "a"), ("aa", "aa")))
+  }
+
+  test("run-heavy words: local == distributed == segmented replay") {
+    // The regression the separator semantics exist to prevent: a run of
+    // >= 4 identical symbols is where symbol-level merging ([aa, aa])
+    // and String.replace's separator-consuming scan ([aa, a, a])
+    // diverge. All three consumers — the local trainer, the distributed
+    // per-merge loop, and merge application — must agree.
+    val docs = Seq("aaaa aaaa b", "aaa ab").toDF("text")
+    val local = Bpe.trainMerges(docs, "text", 6)
+    val dist = Bpe.trainMergesDistributed(docs, "text", 6)
+    assert(local == dist, s"local $local\nvs distributed $dist")
+    // Segmenting the training word with the trained table reproduces
+    // the trainer's final working form: fully merged to one symbol.
+    assert(seg("aaaa", local) == s"${S}aaaa$S")
   }
 
   test("training is deterministic across repeated runs") {

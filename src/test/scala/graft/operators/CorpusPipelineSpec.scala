@@ -223,10 +223,11 @@ class CorpusPipelineSpec extends SparkSuite {
     def e(hot: Int, soft: Int = -1): Seq[Float] =
       (0 until 8).map(d => if (d == hot) 1.0f
         else if (d == soft) 0.1f else 0.0f)
-    // 101 and 102 share one embedding: with 6 vectors under SemK = 10
-    // every vector seeds its own centroid, so only EQUAL vectors (tie
-    // to the lower centroid index) can share a cluster — which is all
-    // the predecessor chain needs (cos = 1 >= tau).
+    // 101 and 102 share one embedding: under the autoK policy this tiny
+    // pool trains k = 1, so ALL vectors share the single cluster — and
+    // the only pair with cosine >= tau is the EQUAL pair (every other
+    // vector is hot on a distinct dimension, cos = 0), which is all the
+    // predecessor chain needs (cos = 1 >= tau).
     val emb = Seq(
       (100L, e(0)), (101L, e(1, 2)), (102L, e(1, 2)),
       (103L, e(4)), (104L, e(5)), (105L, e(6)))
@@ -319,6 +320,26 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(SemanticStore.keeps(spark, st.sem, "vec_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
       == firstKeeps)
+    CorpusPipeline.resetFull(spark, st)
+  }
+
+  test("the full recipe trains the autoK-policy k, not a hand-tuned " +
+      "constant") {
+    // The production default: buildHistoryFull sizes the codebook from
+    // the training pool it is handed (k = |pool| / target cluster
+    // size), so a 10x corpus trains ~10x clusters and per-cluster
+    // quadratic search work stays bounded. The persisted codebook's
+    // row count is the proof the policy — not a constant — ran.
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val pool = emb.filter(col("vec_id") % 5 =!= 0)
+    val st = CorpusPipeline.FullState("full_autok_spec")
+    CorpusPipeline.buildHistoryFull(spark, corpus, pool, bench,
+      "doc_id", "text", "vec_id", "embedding", st)
+    val k = spark.table(st.sem.codebookRel).count()
+    assert(k == SemanticStore.autoK(pool.count()),
+      s"codebook has $k centroids; policy says " +
+        s"${SemanticStore.autoK(pool.count())}")
     CorpusPipeline.resetFull(spark, st)
   }
 

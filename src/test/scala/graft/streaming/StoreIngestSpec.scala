@@ -145,6 +145,85 @@ class StoreIngestSpec extends SparkSuite {
     graft.operators.CorpusPipeline.reset(spark, st)
   }
 
+  test("streamed FULL-recipe ingest: seven-table state equals one-shot " +
+      "append") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    // The capstone's streamed twin: appendBatchFull driven from
+    // foreachBatch over a log source, micro-batch id = store batch id
+    // (the at-least-once replay window and the partition-per-batch
+    // idempotency line up exactly, as for the five-table pipeline
+    // above). Embeddings are looked up per micro-batch from the
+    // embedding-service table — appendBatchFull's internal survivor
+    // semi-join restricts them to the batch, so passing the full frame
+    // is the production shape, not a shortcut.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val cEmb = emb.filter(col("vec_id") % 5 =!= 0)
+    val cut = 399L
+    def build(name: String): CorpusPipeline.FullState = {
+      val st = CorpusPipeline.FullState(name)
+      CorpusPipeline.buildHistoryFull(spark,
+        corpus.filter(col("doc_id") <= cut),
+        cEmb.filter(col("vec_id") <= cut), bench,
+        "doc_id", "text", "vec_id", "embedding", st)
+      st
+    }
+    val st = build("stream_full")
+    val arriving = corpus.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    val input = MemoryStream[DocRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        CorpusPipeline.appendBatchFull(spark, b, cEmb, "doc_id", "text",
+          "vec_id", "embedding", st, s"s$id")
+      }
+      .outputMode("append").start()
+    try {
+      arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // Reference: the same build plus ONE combined append (batch slicing
+    // is already pinned invisible by CorpusPipelineSpec; p08's oracle
+    // pins this state against the full recompute).
+    val ref = build("stream_full_ref")
+    CorpusPipeline.appendBatchFull(spark,
+      corpus.filter(col("doc_id") > cut),
+      cEmb.filter(col("vec_id") > cut),
+      "doc_id", "text", "vec_id", "embedding", ref, "b1")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+        col("first_doc"), col("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def keepsOf(st: CorpusPipeline.FullState) =
+      SemanticStore.keeps(spark, st.sem, "vec_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    val streamed = rowsOf(CorpusPipeline.readManifest(spark, st.base))
+    assert(streamed.nonEmpty)
+    assert(streamed == rowsOf(CorpusPipeline.readManifest(spark,
+      ref.base)))
+    assert(keepsOf(st) == keepsOf(ref))
+    // doc_meta accumulates identically (modulo batch labels).
+    def metaOf(s: CorpusPipeline.FullState) =
+      spark.table(s.base.metaRel)
+        .select(col("doc_id"), col("fingerprint"), col("toks"),
+          col("contaminated"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(metaOf(st) == metaOf(ref))
+    CorpusPipeline.resetFull(spark, st)
+    CorpusPipeline.resetFull(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
+
   test("streamed semantic ingest: persisted verdicts equal one-shot") {
     import spark.implicits._
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
