@@ -78,7 +78,65 @@ object CorpusPipeline {
   final case class State(schemaName: String) {
     val metaRel = s"$schemaName.doc_meta"
     val shardsRel = s"$schemaName.shards"
+    val fencesRel = s"$schemaName.pack_fences"
     val dedup: DedupStore = DedupStore(schemaName)
+  }
+
+  // ---- Epoch fences: bounding the takedown re-pack term. --------------
+  //
+  // Without fences, packing is one corpus-long prefix sum, so a takedown
+  // must re-pack everything past the earliest removed document — correct,
+  // but at 100 TB an early victim re-packs ~the whole corpus
+  // (SCALEPROBE.md round-12 depth curve). A FENCE pins the pack offset:
+  // [[fence]] records `(epoch+1, ceil(cursor / SeqLen) * SeqLen)` as
+  // COMMITTED STATE, and every later batch packs from that offset
+  // regardless of what history before the fence later gains or loses.
+  // The price is ≤ SeqLen-1 virtual padding tokens per fence (the
+  // epoch's last pack ends short) and the gain is the takedown bound: a
+  // delete re-packs only the epochs that actually contain changed
+  // documents — epochs after a purely-local change keep their shard
+  // partials BYTE-identical because their start offset is pinned.
+  //
+  // Semantics contract: the accumulated manifest equals the one-shot
+  // pipeline packed with the SAME fence schedule (gate p13 replays the
+  // fence arithmetic in SQL); after a takedown it equals the one-shot
+  // over the surviving corpus packed with the ORIGINALLY COMMITTED
+  // offsets (gate p14 — fences are state, not a function of content,
+  // which is exactly what makes them a bound).
+
+  /** Committed fences in epoch order; epoch 0 (offset 0) is implicit. */
+  private def fenceRows(spark: SparkSession, st: State): Seq[(Int, Long)] =
+    if (!mat.relationExists(spark, st.fencesRel)) Nil
+    else spark.table(st.fencesRel).orderBy(col("epoch"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+
+  /** The live epoch and its committed starting offset. */
+  private def currentFence(spark: SparkSession, st: State): (Int, Long) =
+    fenceRows(spark, st).lastOption.getOrElse((0, 0L))
+
+  /** Tokens already packed in `epoch`, excluding a replayed batch. */
+  private def epochTokens(spark: SparkSession, st: State, epoch: Int,
+      exclude: Option[String]): Long =
+    if (!mat.relationExists(spark, st.shardsRel)) 0L
+    else spark.table(st.shardsRel)
+      .filter(col("epoch") === epoch &&
+        exclude.map(b => col("batch_id") =!= b).getOrElse(lit(true)))
+      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
+
+  /** Declare an epoch fence after the batches appended so far: the next
+    * batch packs from `ceil(cursor / SeqLen) * SeqLen`, permanently.
+    * Returns the committed offset. A production build fences on a
+    * schedule (say every N batches); the schedule is the caller's
+    * retention policy, not engine policy. */
+  def fence(spark: SparkSession, st: State): Long = {
+    val (e, off) = currentFence(spark, st)
+    val cursor = off + epochTokens(spark, st, e, exclude = None)
+    val next = ((cursor + SeqLen - 1) / SeqLen) * SeqLen
+    import spark.implicits._
+    mat.materializeTable(spark, st.fencesRel,
+      (fenceRows(spark, st) :+ ((e + 1, next)))
+        .toDF("epoch", "fence_offset"))
+    next
   }
 
   /** Stage 1: quality survivors as (idCol, textCol, toks). The
@@ -162,7 +220,8 @@ object CorpusPipeline {
   /** Drop all pipeline state — gates/specs start fresh. */
   def reset(spark: SparkSession, st: State): Unit = {
     DedupStore.reset(spark, st.dedup)
-    Seq(st.metaRel, st.shardsRel).foreach(mat.dropRelation(spark, _))
+    Seq(st.metaRel, st.shardsRel, st.fencesRel)
+      .foreach(mat.dropRelation(spark, _))
   }
 
   /** INCREMENTAL bootstrap: run the one-shot stages over the historical
@@ -179,7 +238,7 @@ object CorpusPipeline {
     DedupStore.build(spark, kept, idCol, textCol, Threshold, st.dedup)
     val surv = dropNearDups(kept, idCol,
       DedupStore.allPairs(spark, st.dedup))
-    writeBatch(spark, st, "base",
+    writeBatch(spark, st, "base", epoch = 0,
       q.select(col(idCol).as("doc_id"),
         TextFunctions.fingerprint(col(textCol)).as("fingerprint"),
         col("toks")),
@@ -200,13 +259,15 @@ object CorpusPipeline {
     val newPairs = DedupStore.appendBatch(spark, kept, idCol, textCol,
       Threshold, st.dedup, batchId)
     val surv = dropNearDups(kept, idCol, newPairs)
-    // Packing continues from the token total already sharded — one
-    // scalar aggregate over the (pack-count-sized) manifest, excluding
-    // a half-written replay of this same batch.
-    val offset = spark.table(st.shardsRel)
-      .filter(col("batch_id") =!= batchId)
-      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
-    writeBatch(spark, st, batchId,
+    // Packing continues from the LIVE EPOCH's committed fence offset
+    // plus the tokens that epoch has already sharded — one scalar
+    // aggregate over the (pack-count-sized) manifest, excluding a
+    // half-written replay of this same batch. With no fences declared
+    // this is epoch 0 from offset 0: the un-fenced semantics exactly.
+    val (epoch, fenceOff) = currentFence(spark, st)
+    val offset = fenceOff +
+      epochTokens(spark, st, epoch, exclude = Some(batchId))
+    writeBatch(spark, st, batchId, epoch,
       q.select(col(idCol).as("doc_id"), col("fingerprint"), col("toks")),
       packPartial(surv, idCol, offset))
   }
@@ -241,8 +302,12 @@ object CorpusPipeline {
         max(col("last_doc")).as("last_doc"))
 
   private def writeBatch(spark: SparkSession, st: State, batchId: String,
-      meta: DataFrame, shardPartial: DataFrame): Unit = {
+      epoch: Int, meta: DataFrame, shardPartial: DataFrame): Unit = {
+    // Both tables carry the batch's epoch: meta is the batch→epoch map
+    // a takedown scopes its re-pack with, shards feed the per-epoch
+    // offset aggregate.
     def tag(df: DataFrame) = df.withColumn("batch_id", lit(batchId))
+      .withColumn("epoch", lit(epoch))
     Seq(st.metaRel -> meta, st.shardsRel -> shardPartial).foreach {
       case (rel, df) =>
         mat.dropPartition(spark, rel, "batch_id", batchId)
@@ -296,59 +361,122 @@ object CorpusPipeline {
     // the half-rewritten table (the bug [[deleteFull]] hit at sf0.1).
     val family = meta
       .join(vicFps, Seq("fingerprint"), "left_semi")
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id"), col("epoch")).localCheckpoint()
     val nFamily = family.count()
     if (nFamily == 0) return (0L, Nil, Nil)
-    val minChanged = family.agg(min(col("doc_id"))).head.getLong(0)
-    // Shard partitions needing a re-pack: any batch holding a doc id ≥
-    // the earliest family member (computed BEFORE the meta rewrite — a
-    // batch whose only late doc WAS the victim still owns stale partial
-    // rows). Batches wholly before it are untouched by construction.
-    val affected = meta.groupBy(col("batch_id").cast("string").as("b"))
-      .agg(max(col("doc_id")).as("mx"))
-      .filter(col("mx") >= minChanged)
-      .select(col("b")).collect().map(_.getString(0)).sorted.toIndexedSeq
-    StoreRetention.deleteDocs(spark, st.dedup, family)
+    // Pre-delete snapshots the repack needs: per-batch stats (a batch
+    // whose only late doc WAS the victim still owns stale partial rows)
+    // and the pre-delete packed set (to detect resurrections).
+    val batchStats = preDeleteBatchStats(spark, meta)
+    val survOld = packedSet(meta,
+      DedupStore.allPairs(spark, st.dedup)).localCheckpoint()
+    StoreRetention.deleteDocs(spark, st.dedup,
+      family.select(col("doc_id")))
     StoreRetention.deleteRows(spark, st.metaRel, family,
       (t, v) => t("doc_id") === v("doc_id"))
     // Survivor flags from the repaired state — fingerprints and the pair
     // graph, never text. One column-pruned scan of each.
-    val meta2 = spark.table(st.metaRel)
+    val surv = Caches.persist(packedSet(spark.table(st.metaRel),
+      DedupStore.allPairs(spark, st.dedup)))
+    val (affected, emptied) = repackChanged(spark, st, batchStats, surv,
+      changedDocs(family, survOld, surv))
+    (nFamily, affected, emptied)
+  }
+
+  /** The packed survivor set derivable from state alone: min-id winner
+    * per fingerprint, minus every `doc_b` of the persisted pair graph —
+    * `(doc_id, toks, batch_id, epoch)`. */
+  private def packedSet(meta: DataFrame, pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val kept = meta2.withColumn("__rn", row_number().over(w))
+    val kept = meta.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("toks"), col("batch_id"))
-    val surv = kept.join(
-      DedupStore.allPairs(spark, st.dedup).select(col("doc_b")),
+      .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"))
+    kept.join(pairs.select(col("doc_b")),
       kept("doc_id") === col("doc_b"), "left_anti")
-    val offset = spark.table(st.shardsRel)
-      .filter(!col("batch_id").isin(affected: _*))
-      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
-    val partials = Packing.packAssignments(
-        surv.filter(col("batch_id").isin(affected: _*)),
-        "doc_id", "toks", SeqLen)
-      .withColumn("pack_id",
-        floor((lit(offset) + col("cum_tokens") - col("toks")) / SeqLen))
-      .groupBy(col("pack_id"), col("batch_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).cast("long").as("pack_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
-        col("first_doc"), col("last_doc"), col("batch_id"))
-      // The overwrite replaces partitions whose offset scalar this plan
-      // already consumed; lineage is truncated to the affected batches'
-      // recomputed rows (bounded by the takedown's spread).
-      .localCheckpoint()
+  }
+
+  /** Per-batch (id, epoch, max doc) BEFORE any state rewrite — one
+    * bounded collect (one row per batch). */
+  private def preDeleteBatchStats(spark: SparkSession,
+      meta: DataFrame): Seq[(String, Int, Long)] =
+    meta.groupBy(col("batch_id").cast("string").as("b"), col("epoch"))
+      .agg(max(col("doc_id")).as("mx")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toIndexedSeq
+
+  /** Documents whose PACKED membership changed under a takedown —
+    * `(doc_id, epoch)`: the family itself plus the symmetric difference
+    * of the pre/post packed sets (resurrections, and in the full recipe
+    * also semantic-cascade drops of a resurrected predecessor's
+    * successors). Per-epoch minima of this frame bound the re-pack. */
+  private def changedDocs(family: DataFrame, survOld: DataFrame,
+      survNew: DataFrame): DataFrame = {
+    def ids(df: DataFrame) = df.select(col("doc_id"), col("epoch"))
+    ids(family)
+      .unionAll(ids(survNew.join(survOld.select(col("doc_id").as("__o")),
+        survNew("doc_id") === col("__o"), "left_anti")))
+      .unionAll(ids(survOld.join(survNew.select(col("doc_id").as("__n")),
+        survOld("doc_id") === col("__n"), "left_anti")))
+  }
+
+  /** EPOCH-SCOPED re-pack after a takedown: within each epoch holding a
+    * changed document, re-pack that epoch's batches from the epoch's
+    * earliest change onward, starting at the epoch's COMMITTED fence
+    * offset plus its untouched batches' tokens; epochs with no changes
+    * — including epochs AFTER a changed one — keep their shard partials
+    * byte-for-byte, because their start offset is pinned state, not a
+    * function of earlier content. With no fences there is one epoch and
+    * this is exactly the re-pack-to-end-of-history semantics. Returns
+    * (affected, emptied) batch partitions. */
+  private def repackChanged(spark: SparkSession, st: State,
+      batchStats: Seq[(String, Int, Long)], surv: DataFrame,
+      changed: DataFrame): (Seq[String], Seq[String]) = {
+    val fences = (Map(0 -> 0L) ++ fenceRows(spark, st).toMap)
+    // One row per epoch — a bounded collect.
+    val minChanged = changed.groupBy(col("epoch"))
+      .agg(min(col("doc_id")).as("mn")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val affectedByEpoch: Seq[(Int, Seq[String])] = batchStats
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (e, rows) =>
+        minChanged.get(e).map(mn =>
+          e -> rows.filter(_._3 >= mn).map(_._1).sorted.toIndexedSeq)
+      }
+      .filter(_._2.nonEmpty)
+    if (affectedByEpoch.isEmpty) return (Nil, Nil)
+    val partialsByEpoch = affectedByEpoch.map { case (e, batches) =>
+      val offset = fences.getOrElse(e, 0L) + spark.table(st.shardsRel)
+        .filter(col("epoch") === e && !col("batch_id").isin(batches: _*))
+        .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
+      Packing.packAssignments(
+          surv.filter(col("epoch") === e &&
+              col("batch_id").isin(batches: _*))
+            .select(col("doc_id"), col("toks"), col("batch_id")),
+          "doc_id", "toks", SeqLen)
+        .withColumn("pack_id",
+          floor((lit(offset) + col("cum_tokens") - col("toks")) / SeqLen))
+        .groupBy(col("pack_id"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+          col("first_doc"), col("last_doc"), col("batch_id"),
+          lit(e).as("epoch"))
+    }
+    // The overwrite replaces partitions whose offset scalars this plan
+    // already consumed; lineage is truncated to the affected batches'
+    // recomputed rows (bounded by the takedown's spread).
+    val partials = partialsByEpoch.reduce(_ unionAll _).localCheckpoint()
     val rewritten = partials.select(col("batch_id").cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     if (rewritten.nonEmpty)
       mat.materializeIncremental(spark, st.shardsRel, partials,
         Seq("batch_id"))
+    val affected = affectedByEpoch.flatMap(_._2).sorted.toIndexedSeq
     val emptied = affected.filterNot(rewritten)
     emptied.foreach(p =>
       mat.dropPartition(spark, st.shardsRel, "batch_id", p))
-    (nFamily, affected, emptied)
+    (affected, emptied)
   }
 
   // --------------------------------------------------------------------
@@ -532,7 +660,7 @@ object CorpusPipeline {
       SemIters, SemTau, st.sem)
     val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
       spark.table(st.benchGramsRel)))
-    writeBatch(spark, st.base, "base",
+    writeBatch(spark, st.base, "base", epoch = 0,
       metaWithFlag(q, contam, idCol, textCol),
       packPartial(cleanOf(spark, surv3, idCol, contam, st, "base"),
         idCol, 0L))
@@ -577,10 +705,12 @@ object CorpusPipeline {
       batchId)
     val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
       spark.table(st.benchGramsRel)))
-    val offset = spark.table(st.base.shardsRel)
-      .filter(col("batch_id") =!= batchId)
-      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
-    writeBatch(spark, st.base, batchId,
+    // Epoch-aware offset — the base pipeline's fence semantics apply to
+    // the full recipe unchanged ([[fence]] on `st.base`).
+    val (epoch, fenceOff) = currentFence(spark, st.base)
+    val offset = fenceOff +
+      epochTokens(spark, st.base, epoch, exclude = Some(batchId))
+    writeBatch(spark, st.base, batchId, epoch,
       metaWithFlag(q.drop("fingerprint"), contam, idCol, textCol),
       packPartial(cleanOf(spark, surv3, idCol, contam, st, batchId),
         idCol, offset))
@@ -638,15 +768,18 @@ object CorpusPipeline {
     // doc their takedown should have resurrected).
     val family = meta
       .join(vicFps, Seq("fingerprint"), "left_semi")
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id"), col("epoch")).localCheckpoint()
     val nFamily = family.count()
     if (nFamily == 0) return (0L, Nil, Nil)
-    val minChanged = family.agg(min(col("doc_id"))).head.getLong(0)
-    val affected = meta.groupBy(col("batch_id").cast("string").as("b"))
-      .agg(max(col("doc_id")).as("mx"))
-      .filter(col("mx") >= minChanged)
-      .select(col("b")).collect().map(_.getString(0)).sorted.toIndexedSeq
-    StoreRetention.deleteDocs(spark, st.base.dedup, family)
+    // Pre-delete snapshots: per-batch stats and the PACKED set under
+    // the pre-delete verdicts (to compute the changed-document frame —
+    // in the full recipe changes are NOT monotone: a resurrected
+    // predecessor can DROP its semantic successors, so the symmetric
+    // difference, not just resurrections, scopes the re-pack).
+    val batchStats = preDeleteBatchStats(spark, meta)
+    val survOld = packedFullSet(spark, st, meta).localCheckpoint()
+    StoreRetention.deleteDocs(spark, st.base.dedup,
+      family.select(col("doc_id")))
     StoreRetention.deleteRows(spark, st.base.metaRel, family,
       (t, v) => t("doc_id") === v("doc_id"))
     // Repaired stage-3 survivors, from state alone (fingerprints, the
@@ -655,7 +788,7 @@ object CorpusPipeline {
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
     val kept = meta2.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("toks"), col("batch_id"),
+      .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"),
         col("contaminated"))
     val surv3 = Caches.persist(kept.join(
       DedupStore.allPairs(spark, st.base.dedup).select(col("doc_b")),
@@ -675,35 +808,38 @@ object CorpusPipeline {
       Some(inserts), "doc_id", "vid")
     val semDropped = spark.table(st.sem.vectorsRel)
       .filter(!col("keep")).select(col("vid"))
-    val surv5 = surv3
+    val surv5 = Caches.persist(surv3
       .join(semDropped, surv3("doc_id") === col("vid"), "left_anti")
       .filter(!col("contaminated"))
-      .select(col("doc_id"), col("toks"), col("batch_id"))
-    // Re-pack from the earliest change onward (the [[delete]] shape).
-    val offset = spark.table(st.base.shardsRel)
-      .filter(!col("batch_id").isin(affected: _*))
-      .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
-    val partials = Packing.packAssignments(
-        surv5.filter(col("batch_id").isin(affected: _*)),
-        "doc_id", "toks", SeqLen)
-      .withColumn("pack_id",
-        floor((lit(offset) + col("cum_tokens") - col("toks")) / SeqLen))
-      .groupBy(col("pack_id"), col("batch_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).cast("long").as("pack_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
-        col("first_doc"), col("last_doc"), col("batch_id"))
-      .localCheckpoint()
-    val rewritten = partials.select(col("batch_id").cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
-    if (rewritten.nonEmpty)
-      mat.materializeIncremental(spark, st.base.shardsRel, partials,
-        Seq("batch_id"))
-    val emptied = affected.filterNot(rewritten)
-    emptied.foreach(p =>
-      mat.dropPartition(spark, st.base.shardsRel, "batch_id", p))
+      .select(col("doc_id"), col("toks"), col("batch_id"),
+        col("epoch")))
+    // Epoch-scoped re-pack (the [[repackChanged]] bound: epochs with no
+    // changed documents keep their shard partials byte-for-byte).
+    val (affected, emptied) = repackChanged(spark, st.base, batchStats,
+      surv5, changedDocs(family, survOld, surv5))
     (nFamily, affected, emptied)
+  }
+
+  /** The FINAL packed set (all six stages) derivable from persisted
+    * state: fingerprint winners minus pair-graph drops minus `keep =
+    * false` semantic verdicts minus persisted `contaminated` flags —
+    * `(doc_id, toks, batch_id, epoch)`. Uses whatever verdicts the
+    * store currently holds (callers snapshot it pre-repair via
+    * localCheckpoint when they need the before-state). */
+  private def packedFullSet(spark: SparkSession, st: FullState,
+      meta: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val kept = meta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"),
+        col("contaminated"))
+    val s3 = kept.join(
+      DedupStore.allPairs(spark, st.base.dedup).select(col("doc_b")),
+      kept("doc_id") === col("doc_b"), "left_anti")
+    val semDropped = spark.table(st.sem.vectorsRel)
+      .filter(!col("keep")).select(col("vid"))
+    s3.join(semDropped, s3("doc_id") === col("vid"), "left_anti")
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"))
   }
 }

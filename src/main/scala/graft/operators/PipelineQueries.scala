@@ -407,6 +407,60 @@ object PipelineQueries extends QueryPack {
       },
       Some(fullRecipeOracle("vec_id % 5 <> 0"))),
 
+    // EPOCH-FENCED packing ([[CorpusPipeline.fence]]): commit the pack
+    // offset to the next SeqLen multiple at two declared fences, so
+    // later batches pack from PINNED offsets. The oracle replays the
+    // fence arithmetic — per-segment prefix sums with each segment's
+    // committed ceil-offset — in closed form (each fence offset is a
+    // scalar of the PREVIOUS segments' totals, so the recurrence
+    // unrolls into chained scalar subqueries).
+    Q("p13_fenced_pipeline",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+        val st = CorpusPipeline.State("fenced_pipe")
+        CorpusPipeline.buildHistory(s, docs.filter(col("doc_id") <= c1),
+          "doc_id", "text", st)
+        CorpusPipeline.fence(s, st)
+        CorpusPipeline.appendBatch(s,
+          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+          "doc_id", "text", st, "b1")
+        CorpusPipeline.fence(s, st)
+        CorpusPipeline.appendBatch(s, docs.filter(col("doc_id") > c2),
+          "doc_id", "text", st, "b2")
+        CorpusPipeline.readManifest(s, st).orderBy(col("pack_id"))
+      },
+      Some(fencedOracle("FALSE"))),
+
+    // The fence's whole POINT — a takedown bounded by epoch: fences are
+    // COMMITTED STATE, so the post-delete manifest packs the surviving
+    // corpus against the ORIGINAL fence offsets (computed from the
+    // pre-delete corpus totals), and epochs without changed documents
+    // keep their shard partials byte-for-byte (spec-pinned; here the
+    // oracle proves the offset semantics — the `o` chain computes
+    // fences over the FULL corpus, the main chain packs the survivors).
+    Q("p14_fenced_delete",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+        val st = CorpusPipeline.State("fenced_del")
+        CorpusPipeline.buildHistory(s, docs.filter(col("doc_id") <= c1),
+          "doc_id", "text", st)
+        CorpusPipeline.fence(s, st)
+        CorpusPipeline.appendBatch(s,
+          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+          "doc_id", "text", st, "b1")
+        CorpusPipeline.fence(s, st)
+        CorpusPipeline.appendBatch(s, docs.filter(col("doc_id") > c2),
+          "doc_id", "text", st, "b2")
+        CorpusPipeline.delete(s, st,
+          docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+        CorpusPipeline.readManifest(s, st).orderBy(col("pack_id"))
+      },
+      Some(fencedOracle("doc_id % 10 = 7"))),
+
     Q("p10_pipeline_delete",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -577,4 +631,105 @@ object PipelineQueries extends QueryPack {
        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  /** The p10 document chain (quality → family takedown → exact →
+    * brute-force near-dup → survivors) with suffixed CTE names, so two
+    * differently-parameterized chains can share one query (p14 needs
+    * the full corpus's chain for the committed fence offsets AND the
+    * post-delete chain for the packed rows). Ends at
+    * `surv$sfx(doc_id, toks)`; expects `qw`/`q0` in scope. */
+  private def survChainCtes(sfx: String, famPred: String): String =
+    s"""fam$sfx AS (
+       |  SELECT doc_id FROM q0
+       |  WHERE fp IN (SELECT fp FROM q0 WHERE ($famPred))),
+       |q$sfx AS (
+       |  SELECT doc_id, text, toks, fp FROM q0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM fam$sfx)),
+       |ex$sfx AS (
+       |  SELECT doc_id, toks, ROW_NUMBER() OVER (
+       |    PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM q$sfx),
+       |kept$sfx AS (SELECT doc_id, toks FROM ex$sfx WHERE rn = 1),
+       |sh$sfx AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+       |  FROM kept$sfx JOIN qw USING (doc_id)
+       |  WHERE len(w) >= 3),
+       |sizes$sfx AS (SELECT doc_id, len(shingles) n_sh FROM sh$sfx),
+       |exn$sfx AS (SELECT doc_id, unnest(shingles) shingle FROM sh$sfx),
+       |inter$sfx AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+       |  FROM exn$sfx a JOIN exn$sfx b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |drops$sfx AS (
+       |  SELECT DISTINCT doc_b FROM inter$sfx
+       |  JOIN sizes$sfx sa ON doc_a = sa.doc_id
+       |  JOIN sizes$sfx sb ON doc_b = sb.doc_id
+       |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+       |    >= ${CorpusPipeline.Threshold}),
+       |surv$sfx AS (
+       |  SELECT doc_id, toks FROM kept$sfx
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM drops$sfx))"""
+      .stripMargin
+
+  /** Oracle for the epoch-fenced gates: two fences at doc-id cuts 3/5
+    * and 4/5 of the max id. Fence offsets are the COMMITTED values —
+    * ceil-rounded running totals of the ORIGINAL corpus's survivors
+    * (`survo` when a takedown removed documents afterwards) — and the
+    * packed rows are the current survivors, each segment prefix-summed
+    * from its pinned offset. The per-fence recurrence o_{j+1} =
+    * ceil((o_j + t_j) / L) * L unrolls into chained scalar CTEs. */
+  private def fencedOracle(famPred: String): String = {
+    val L = CorpusPipeline.SeqLen
+    val cut1 = "(SELECT MAX(doc_id) * 3 // 5 FROM documents)"
+    val cut2 = "(SELECT MAX(doc_id) * 4 // 5 FROM documents)"
+    val chains =
+      if (famPred == "FALSE") survChainCtes("", "FALSE")
+      else survChainCtes("o", "FALSE") + ",\n" +
+        survChainCtes("", famPred)
+    val orig = if (famPred == "FALSE") "surv" else "survo"
+    val head =
+      """WITH qw AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |q0 AS (
+        |  SELECT doc_id, text, CAST(len(w) AS BIGINT) AS toks,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS fp
+        |  FROM qw
+        |  WHERE len(w) BETWEEN 50 AND 100000
+        |    AND ROUND(len(list_filter(w,
+        |          t -> regexp_matches(t, '[A-Za-z]')))
+        |          / len(w), 6) > 0.8)""".stripMargin
+    val tail =
+      s"""sego AS (SELECT doc_id, toks,
+         |  CASE WHEN doc_id <= $cut1 THEN 0
+         |       WHEN doc_id <= $cut2 THEN 1 ELSE 2 END AS sg
+         |  FROM $orig),
+         |t0 AS (SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) v
+         |  FROM sego WHERE sg = 0),
+         |o1 AS (SELECT CAST((((SELECT v FROM t0) + ${L - 1}) // $L)
+         |    * $L AS BIGINT) v),
+         |t1 AS (SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) v
+         |  FROM sego WHERE sg = 1),
+         |o2 AS (SELECT CAST(((((SELECT v FROM o1) + (SELECT v FROM t1))
+         |    + ${L - 1}) // $L) * $L AS BIGINT) v),
+         |seg AS (SELECT doc_id, toks,
+         |  CASE WHEN doc_id <= $cut1 THEN 0
+         |       WHEN doc_id <= $cut2 THEN 1 ELSE 2 END AS sg
+         |  FROM surv),
+         |c AS (SELECT doc_id, toks, sg,
+         |  CAST(SUM(toks) OVER (PARTITION BY sg ORDER BY doc_id)
+         |    AS BIGINT) AS cum
+         |  FROM seg)
+         |SELECT (CASE sg WHEN 0 THEN 0 WHEN 1 THEN (SELECT v FROM o1)
+         |    ELSE (SELECT v FROM o2) END + cum - toks) // $L AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+    s"$head,\n$chains,\n$tail"
+  }
 }

@@ -21,6 +21,12 @@ import graft.operators.CorpusPipeline
 object PipelineProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Optional 2nd arg K: run the FULL-RECIPE section over a K×
+    // word-salted replica corpus ([[ProbeCorpus.salted]]) so appended
+    // batches carry real survivors through stages 3-6 (ReplicateSf's
+    // exact replicas die at the exact-dedup stage and the later
+    // stages see empty batches — the round-10 caveat).
+    val k = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,8 +101,9 @@ object PipelineProbe {
     // vs frozen centroids + cluster-scoped store probe) and decontam
     // (equi-join against a FIXED gram table) join the per-increment
     // path?
-    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val fDocs = if (k <= 1) docs else ProbeCorpus.salted(docs, k)
+    val corpus = fDocs.filter(col("doc_id") % 5 =!= 0)
+    val bench = fDocs.filter(col("doc_id") % 5 === 0)
     val emb = Tables(spark, dir, "embeddings")
       .filter(col("vec_id") % 5 =!= 0)
     val fMax = corpus.agg(max(col("doc_id"))).head.getLong(0)
@@ -136,7 +143,7 @@ object PipelineProbe {
       CorpusPipeline.resetFull(spark, st)
       CorpusPipeline.resetFull(spark, st2)
     }
-    println(s"""{"probe":"full_recipe_pipeline","sf_dir":"$dir",""" +
+    println(s"""{"probe":"full_recipe_pipeline","sf_dir":"$dir","k":$k,""" +
       s""""build_80pct_sec":$fBuildS,""" +
       s""""append_4pct_sec":$fSmallS,"append_16pct_sec":$fLargeS,""" +
       s""""rebuild_full_sec":$fRebuildS,"packs":$fMerged}""")

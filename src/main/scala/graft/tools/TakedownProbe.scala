@@ -33,6 +33,20 @@ import graft.operators.CorpusPipeline
 object TakedownProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Optional 2nd arg K: probe a K× WORD-SALTED replica corpus
+    // ([[ProbeCorpus.salted]]) instead of the raw directory.
+    // ReplicateSf's exact replicas are degenerate here — every
+    // replica of a victim is exact-content family, so min(family) is
+    // always in replica 0 and "depth" stops varying; the salted
+    // corpus keeps replicas distinct at every dedup tier, so the
+    // depth curve measures what it claims to.
+    val k = args.lift(1).map(_.toInt).getOrElse(1)
+    // Optional 3rd arg: declare an epoch fence every N appends
+    // ([[CorpusPipeline.fence]]) — the bounded-takedown configuration.
+    // With fences, the delete must re-pack only the epochs holding
+    // changed documents; affected_batches at any depth is bounded by
+    // one epoch's batch count instead of corpus-past-victim.
+    val fenceEvery = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +58,8 @@ object TakedownProbe {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val docs = Tables(spark, dir, "documents")
+    val docs0 = Tables(spark, dir, "documents")
+    val docs = if (k <= 1) docs0 else ProbeCorpus.salted(docs0, k)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val bench = docs.filter(col("doc_id") % 5 === 0)
     val emb = Tables(spark, dir, "embeddings")
@@ -64,6 +79,8 @@ object TakedownProbe {
         val lo = c50 + i * step
         val hi = math.min(c50 + (i + 1) * step, maxId)
         if (lo < hi) {
+          if (fenceEvery > 0 && i % fenceEvery == 0)
+            CorpusPipeline.fence(spark, st.base)
           CorpusPipeline.appendBatchFull(spark,
             corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
             emb.filter(col("vec_id") > lo && col("vec_id") <= hi),
@@ -89,7 +106,8 @@ object TakedownProbe {
           Seq(victim).toDF("doc_id"), emb, "vec_id", "embedding")
       }
       Caches.releaseAll()
-      println(s"""{"probe":"takedown_depth","sf_dir":"$dir",""" +
+      println(s"""{"probe":"takedown_depth","sf_dir":"$dir","k":$k,""" +
+        s""""fence_every":$fenceEvery,""" +
         s""""depth_pct":${(depth * 100).toInt},"victim":$victim,""" +
         s""""family":$nFam,"shard_batches":$nBatches,""" +
         s""""affected_batches":${affected.size},""" +

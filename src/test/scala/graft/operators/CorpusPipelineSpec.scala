@@ -202,6 +202,47 @@ class CorpusPipelineSpec extends SparkSuite {
     CorpusPipeline.reset(spark, st)
   }
 
+  test("epoch fences bound a takedown: epochs without changed docs " +
+      "keep their shard partials byte-for-byte") {
+    import spark.implicits._
+    // craftedDocs' whole evidence chain (family {100, 102}, resurrected
+    // 101) lives in the bootstrap; docs 103/104 arrive AFTER a fence.
+    // Without fences the delete would re-pack b1 too (its pack offsets
+    // depend on epoch-0 content); the committed fence pins b1's start,
+    // so the delete must not touch it — affected stays epoch-0-only and
+    // b1's partial rows survive byte-identically.
+    val st = CorpusPipeline.State("fence_bound_spec")
+    CorpusPipeline.buildHistory(spark,
+      craftedDocs.filter(col("doc_id") <= 102), "doc_id", "text", st)
+    val committed = CorpusPipeline.fence(spark, st)
+    // Pre-delete epoch 0 packs 60 tokens (only doc 100 survives of
+    // {100, 101, 102}) -> the fence commits the next SeqLen multiple.
+    assert(committed == CorpusPipeline.SeqLen)
+    CorpusPipeline.appendBatch(spark,
+      craftedDocs.filter(col("doc_id") > 102), "doc_id", "text", st, "b1")
+    def b1Rows() = spark.table(st.shardsRel)
+      .filter(col("batch_id") === "b1")
+      .collect().map(_.toString).sorted.toSeq
+    val before = b1Rows()
+    assert(before.nonEmpty)
+    val (n, affected, _) = CorpusPipeline.delete(spark, st,
+      Seq(100L).toDF("doc_id"))
+    assert(n == 2)
+    assert(affected == Seq("base"),
+      s"only the bootstrap epoch may re-pack: $affected")
+    assert(b1Rows() == before, "the fenced epoch's partials must " +
+      "survive the takedown byte-for-byte")
+    // The repaired manifest: 101 resurrects into epoch 0 (pack 0 from
+    // offset 0), b1's docs keep their committed epoch-1 offsets.
+    val m = CorpusPipeline.readManifest(spark, st)
+      .orderBy(col("pack_id")).collect()
+    assert(m.head.getLong(0) == 0L &&
+      m.head.getAs[Long]("first_doc") == 101L)
+    assert(m.tail.forall(_.getLong(0) >=
+      committed / CorpusPipeline.SeqLen))
+    CorpusPipeline.reset(spark, st)
+  }
+
   test("full-recipe delete: a resurrected doc re-enters the semantic " +
       "stage and drops the successor it always would have") {
     import spark.implicits._
