@@ -243,6 +243,51 @@ class CorpusPipelineSpec extends SparkSuite {
     CorpusPipeline.reset(spark, st)
   }
 
+  test("cross-epoch resurrection: a victim in epoch 0 re-packs the " +
+      "epoch-1 batch holding its resurrected near-dup") {
+    import spark.implicits._
+    // The multi-epoch repack path p14 doesn't isolate (its victims
+    // spread across every epoch): family wholly in epoch 0, but the
+    // victim's only near-dup successor lives BEHIND the fence in epoch
+    // 1 — deleting the victim resurrects it there, so BOTH epochs
+    // re-pack, each from its own committed offset, while the unrelated
+    // epoch-1 content keeps its pack ids.
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"beta${seed}x$i").mkString(" ")
+    val base = words(1, 60)
+    val nearDup = words(1, 58) + " omega one two"
+    val hist = Seq((100L, base), (101L, words(7, 55)))
+      .toDF("doc_id", "text")
+    val late = Seq((200L, nearDup), (201L, words(9, 70)))
+      .toDF("doc_id", "text")
+    val st = CorpusPipeline.State("fence_xepoch_spec")
+    CorpusPipeline.buildHistory(spark, hist, "doc_id", "text", st)
+    val committed = CorpusPipeline.fence(spark, st)
+    CorpusPipeline.appendBatch(spark, late, "doc_id", "text", st, "b1")
+    // Pre-delete: 200 is a near-dup of 100 and absent from the packs.
+    val preDocs = spark.table(st.shardsRel)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(preDocs == 3, s"expected survivors {100,101,201}: $preDocs")
+    val (n, affected, _) = CorpusPipeline.delete(spark, st,
+      Seq(100L).toDF("doc_id"))
+    assert(n == 1)
+    assert(affected.toSet == Set("base", "b1"),
+      s"both epochs hold changes (family + resurrection): $affected")
+    val m = CorpusPipeline.readManifest(spark, st)
+      .orderBy(col("pack_id"), col("first_doc")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc"), r.getAs[Long]("pack_tokens")))
+    // Epoch 0 packs only 101 from offset 0; epoch 1 packs the
+    // RESURRECTED 200 and the untouched 201 from the committed fence.
+    assert(m.exists { case (p, f, l, t) =>
+      p == 0L && f == 101L && l == 101L && t == 55L }, m.mkString(","))
+    assert(m.exists { case (p, f, _, _) =>
+      p == committed / CorpusPipeline.SeqLen && f == 200L },
+      m.mkString(","))
+    assert(m.map(_._4).sum == 55L + 61L + 70L)
+    CorpusPipeline.reset(spark, st)
+  }
+
   test("full-recipe delete: a resurrected doc re-enters the semantic " +
       "stage and drops the successor it always would have") {
     import spark.implicits._
