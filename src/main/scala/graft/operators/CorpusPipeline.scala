@@ -217,6 +217,46 @@ object CorpusPipeline {
         ceil(col("total_tokens").cast("double") / SeqLen).cast("long"))
   }
 
+  /** TOKENIZED shard materialization (gate p15) — the step between the
+    * pack MANIFEST and what a training loader actually consumes:
+    * quality survivors are segmented with a TRAINED merge table
+    * ([[Bpe.segmented]] — the map-only merge-literal replace chain over
+    * the scan, no join, no shuffle), packed by their LEARNED-tokenIZER
+    * counts (not whitespace counts — the difference decides which
+    * documents share a training sequence), and each pack emits a
+    * CONTENT FINGERPRINT: md5 of its documents' segmented forms
+    * concatenated in doc order. The fingerprint is bit-stable across
+    * engines (the separator form is deterministic), so the oracle
+    * replays training + segmentation + packing + hash, and a loader
+    * can verify a shard against the manifest before training on it.
+    *
+    * 100 TB shape: segmentation is map-only; the pack is the standard
+    * two-phase prefix sum; the per-pack aggregate collects only ONE
+    * sequence's worth of content (~SeqLen tokens) per group — bounded
+    * by construction, never corpus-sized. */
+  def tokenizedShards(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val q = qualitySurvivors(docs, idCol, textCol)
+    val withSeg = q.select(col(idCol),
+        Bpe.segmented(q, textCol, merges).as("rep"))
+      .withColumn("btoks", Bpe.tokenCountOf(col("rep")).cast("long"))
+    Packing.packAssignments(withSeg, idCol, "btoks", SeqLen)
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("btoks")) / SeqLen))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("btoks")).cast("long").as("pack_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        // Deterministic pack content: sort the (id, rep) pairs — a
+        // shuffled collect_list has no order — then hash the
+        // concatenation in doc order.
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"),
+            col("rep").as("r")))),
+          s => s.getField("r")), "")).as("content_md5"))
+  }
+
   /** Drop all pipeline state — gates/specs start fresh. */
   def reset(spark: SparkSession, st: State): Unit = {
     DedupStore.reset(spark, st.dedup)

@@ -461,6 +461,23 @@ object PipelineQueries extends QueryPack {
       },
       Some(fencedOracle("doc_id % 10 = 7"))),
 
+    // TOKENIZED shard materialization ([[CorpusPipeline
+    // .tokenizedShards]]): the manifest-to-training-loader step — pack
+    // quality survivors by their LEARNED-BPE token counts (8 trained
+    // merges; whitespace counts decide nothing here) and fingerprint
+    // each pack's concatenated segmented content. The oracle replays
+    // tokenizer training (t18's unrolled Lloyd-style CTE chain),
+    // segmentation, quality, the packing prefix sum, and the ordered
+    // per-pack md5 — a trainer-side shard check, verified end to end.
+    Q("p15_tokenized_shards",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", 8)
+        CorpusPipeline.tokenizedShards(docs, "doc_id", "text", merges)
+          .orderBy(col("pack_id"))
+      },
+      Some(tokenizedShardsOracle(8))),
+
     Q("p10_pipeline_delete",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -673,6 +690,43 @@ object PipelineQueries extends QueryPack {
        |  SELECT doc_id, toks FROM kept$sfx
        |  WHERE doc_id NOT IN (SELECT doc_b FROM drops$sfx))"""
       .stripMargin
+
+  /** The p15 oracle: BPE training (t18's unrolled CTEs over the FULL
+    * corpus vocabulary), the merge-literal replace chain applied to
+    * quality survivors, the packing prefix sum over LEARNED token
+    * counts, and the ordered per-pack content md5. */
+  private def tokenizedShardsOracle(n: Int): String = {
+    val S = graft.operators.Bpe.Sep
+    val L = CorpusPipeline.SeqLen
+    s"""WITH ${TextQueries.bpeTrainCtes(n)},
+       |qd AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, text FROM qd
+       |  WHERE len(w) BETWEEN 50 AND 100000
+       |    AND ROUND(len(list_filter(w,
+       |          t -> regexp_matches(t, '[A-Za-z]')))
+       |          / len(w), 6) > 0.8),
+       |seg AS (
+       |  SELECT doc_id, ${TextQueries.bpeAppliedExpr(n)} AS rep
+       |  FROM q),
+       |tk AS (
+       |  SELECT doc_id, rep,
+       |    CAST(len(list_filter(string_split(trim(rep, '$S'), '$S'),
+       |      s -> s <> ' ')) AS BIGINT) AS btoks
+       |  FROM seg),
+       |c AS (
+       |  SELECT doc_id, rep, btoks,
+       |    CAST(SUM(btoks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM tk)
+       |SELECT (cum - btoks) // $L AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(btoks) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  md5(string_agg(rep, '' ORDER BY doc_id)) AS content_md5
+       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+  }
 
   /** Oracle for the epoch-fenced gates: two fences at doc-id cuts 3/5
     * and 4/5 of the max id. Fence offsets are the COMMITTED values —

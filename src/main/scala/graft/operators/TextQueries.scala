@@ -775,6 +775,25 @@ object TextQueries extends QueryPack {
     * merges. */
   private def bpeOracle(n: Int, trainPred: String = "TRUE"): String = {
     val S = graft.operators.Bpe.Sep
+    s"""WITH ${bpeTrainCtes(n, trainPred)},
+       |seg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN NULL
+       |         ELSE ${bpeAppliedExpr(n)} END AS rep
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN rep IS NULL THEN 0
+       |       ELSE len(list_filter(string_split(trim(rep, '$S'), '$S'),
+       |                            s -> s <> ' ')) END AS bpe_tokens,
+       |  md5(rep) AS seg_md5
+       |FROM seg ORDER BY doc_id""".stripMargin
+  }
+
+  /** The unrolled-training half of [[bpeOracle]] — `v0 … b$n` CTE text
+    * (no WITH keyword), shared with the p15 tokenized-shards oracle. */
+  private[operators] def bpeTrainCtes(n: Int,
+      trainPred: String = "TRUE"): String = {
+    val S = graft.operators.Bpe.Sep
     val ctes = new StringBuilder(
       s"""v0 AS MATERIALIZED (
          |  SELECT word, COUNT(*) AS cnt,
@@ -804,7 +823,15 @@ object TextQueries extends QueryPack {
            |      (SELECT b FROM b$i) || '$S', '$S$S')) AS rep
            |  FROM v${i - 1})""".stripMargin)
     }
-    val applied = (1 to n).foldLeft(
+    ctes.toString
+  }
+
+  /** The application half of [[bpeOracle]] — the merge-literal replace
+    * chain over `text`, as a SQL expression referencing `b1 … b$n`.
+    * Shared with the p15 tokenized-shards oracle. */
+  private[operators] def bpeAppliedExpr(n: Int): String = {
+    val S = graft.operators.Bpe.Sep
+    (1 to n).foldLeft(
       s"'$S' || array_to_string(string_split(" +
         s"regexp_replace(trim(text), '\\s+', ' ', 'g'), ''), '$S') || '$S'") {
       (acc, i) =>
@@ -814,17 +841,5 @@ object TextQueries extends QueryPack {
            |  COALESCE('$S' || (SELECT a FROM b$i) ||
            |    (SELECT b FROM b$i) || '$S', '$S$S'))""".stripMargin
     }
-    s"""WITH ${ctes.toString},
-       |seg AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN NULL
-       |         ELSE $applied END AS rep
-       |  FROM documents)
-       |SELECT doc_id,
-       |  CASE WHEN rep IS NULL THEN 0
-       |       ELSE len(list_filter(string_split(trim(rep, '$S'), '$S'),
-       |                            s -> s <> ' ')) END AS bpe_tokens,
-       |  md5(rep) AS seg_md5
-       |FROM seg ORDER BY doc_id""".stripMargin
   }
 }
