@@ -243,6 +243,33 @@ class CorpusPipelineSpec extends SparkSuite {
     CorpusPipeline.reset(spark, st)
   }
 
+  test("replaying a batch after a fence is idempotent (crash between " +
+      "fence commit and append)") {
+    import org.apache.spark.sql.functions.max
+    // The at-least-once window a foreachBatch driver hits: the fence
+    // committed, the first append attempt died mid-write, the batch
+    // replays. The replay must overwrite exactly its own partition and
+    // pack from the SAME fence offset (the epoch filter excludes the
+    // half-written partition from the offset aggregate).
+    val st = CorpusPipeline.State("fence_replay_spec")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= 299), "doc_id", "text", st)
+    CorpusPipeline.fence(spark, st)
+    val batch = docs.filter(col("doc_id") > 299)
+    CorpusPipeline.appendBatch(spark, batch, "doc_id", "text", st, "b1")
+    val first = rowsOf(CorpusPipeline.readManifest(spark, st))
+    CorpusPipeline.appendBatch(spark, batch, "doc_id", "text", st, "b1")
+    assert(rowsOf(CorpusPipeline.readManifest(spark, st)) == first)
+    // And a second fence after the replay commits a strictly larger
+    // offset (the epoch really accumulated the batch exactly once).
+    val off2 = CorpusPipeline.fence(spark, st)
+    val lastPack = spark.table(st.shardsRel)
+      .agg(max(col("pack_id"))).head.getLong(0)
+    assert(off2 / CorpusPipeline.SeqLen > lastPack,
+      s"second fence $off2 must clear the last pack $lastPack")
+    CorpusPipeline.reset(spark, st)
+  }
+
   test("cross-epoch resurrection: a victim in epoch 0 re-packs the " +
       "epoch-1 batch holding its resurrected near-dup") {
     import spark.implicits._

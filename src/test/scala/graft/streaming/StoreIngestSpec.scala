@@ -224,6 +224,60 @@ class StoreIngestSpec extends SparkSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("a fence declared MID-STREAM equals the batch build with the " +
+      "same fence position") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    // The production shape: a retention cron declares an epoch fence
+    // between two micro-batches of a live ingest. The fence must land
+    // exactly as if the batch pipeline had fenced at the same point —
+    // micro-batch slicing within an epoch stays invisible.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cut = 299L
+    val st = CorpusPipeline.State("stream_fence")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= cut), "doc_id", "text", st)
+    val arriving = docs.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+    val (firstChunk, rest) = arriving.splitAt(arriving.size / 3)
+    val input = MemoryStream[DocRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        CorpusPipeline.appendBatch(spark, b, "doc_id", "text", st,
+          s"s$id")
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(firstChunk); q.processAllAvailable()
+      CorpusPipeline.fence(spark, st) // the retention cron fires
+      rest.grouped(math.max(1, rest.size / 2 + 1)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val ref = CorpusPipeline.State("stream_fence_ref")
+    CorpusPipeline.buildHistory(spark,
+      docs.filter(col("doc_id") <= cut), "doc_id", "text", ref)
+    val fenceAt = firstChunk.last.doc_id
+    CorpusPipeline.appendBatch(spark,
+      docs.filter(col("doc_id") > cut && col("doc_id") <= fenceAt),
+      "doc_id", "text", ref, "b0")
+    CorpusPipeline.fence(spark, ref)
+    CorpusPipeline.appendBatch(spark,
+      docs.filter(col("doc_id") > fenceAt), "doc_id", "text", ref, "b1")
+    def rowsOf(st: CorpusPipeline.State) =
+      CorpusPipeline.readManifest(spark, st)
+        .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+          col("first_doc"), col("last_doc"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rowsOf(st).nonEmpty)
+    assert(rowsOf(st) == rowsOf(ref))
+    CorpusPipeline.reset(spark, st)
+    CorpusPipeline.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
+
   test("streamed semantic ingest: persisted verdicts equal one-shot") {
     import spark.implicits._
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
