@@ -466,27 +466,99 @@ object CorpusPipeline {
     * byte-for-byte, because their start offset is pinned state, not a
     * function of earlier content. With no fences there is one epoch and
     * this is exactly the re-pack-to-end-of-history semantics. Returns
-    * (affected, emptied) batch partitions. */
+    * (affected, emptied) batch partitions.
+    *
+    * OVERFLOW (the re-fence policy): a closed epoch's committed
+    * headroom (its successor fence minus its pre-takedown cursor) is
+    * < [[SeqLen]] by construction, so a takedown that RESURRECTS more
+    * tokens than it removes can push the re-packed epoch past its
+    * successor's committed offset — and without intervention its packs
+    * would reuse pack_ids owned by the next epoch, which
+    * [[readManifest]] would silently merge into packs spanning
+    * non-adjacent document runs. The policy: walk epochs in order
+    * carrying `newFence(e+1) = max(committedFence(e+1),
+    * ceil(endCursor(e) / SeqLen) * SeqLen)`. A bumped fence shifts its
+    * epoch's start, so that epoch re-packs wholesale and the recurrence
+    * cascades — until an epoch whose committed fence already clears the
+    * shifted cursor (slack created by earlier shrinking takedowns)
+    * absorbs it, after which every later epoch keeps its partials
+    * byte-for-byte. Bumped fences are COMMITTED back to the fences
+    * table (they are the new pinned schedule); in the common
+    * no-overflow case the schedule — and therefore p13/p14's
+    * originally-committed-offsets contract — is untouched. The honest
+    * cost of an overflow is the re-pack of the cascade span, exactly
+    * the un-fenced cost over that span and no more. */
   private def repackChanged(spark: SparkSession, st: State,
       batchStats: Seq[(String, Int, Long)], surv: DataFrame,
       changed: DataFrame): (Seq[String], Seq[String]) = {
-    val fences = (Map(0 -> 0L) ++ fenceRows(spark, st).toMap)
+    val fences0 = (Map(0 -> 0L) ++ fenceRows(spark, st).toMap)
     // One row per epoch — a bounded collect.
     val minChanged = changed.groupBy(col("epoch"))
       .agg(min(col("doc_id")).as("mn")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val affectedByEpoch: Seq[(Int, Seq[String])] = batchStats
-      .groupBy(_._2).toSeq.sortBy(_._1)
-      .flatMap { case (e, rows) =>
-        minChanged.get(e).map(mn =>
-          e -> rows.filter(_._3 >= mn).map(_._1).sorted.toIndexedSeq)
+    if (minChanged.isEmpty) return (Nil, Nil)
+    // Committed shard totals and post-repair survivor totals per
+    // (epoch, batch) — two bounded collects (one row per batch), the
+    // inputs of the fence-headroom walk below.
+    val shardToks: Map[(Int, String), Long] = spark.table(st.shardsRel)
+      .groupBy(col("epoch"), col("batch_id").cast("string").as("b"))
+      .agg(sum(col("pack_tokens")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val survToks: Map[(Int, String), Long] = surv
+      .groupBy(col("epoch"), col("batch_id").cast("string").as("b"))
+      .agg(sum(col("toks")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byEpoch: Map[Int, Seq[(String, Long)]] = batchStats
+      .groupBy(_._2).view.mapValues(_.map(r => (r._1, r._3)).toSeq).toMap
+    val maxEpoch = (fences0.keySet ++ byEpoch.keySet).max
+    val newFences = scala.collection.mutable.Map(fences0.toSeq: _*)
+    // Walk epochs ascending: pick each epoch's affected batches (all of
+    // them when its start shifted, the changed suffix otherwise), its
+    // re-pack offset, and its end cursor — which decides whether the
+    // next committed fence holds or bumps.
+    val plan = Seq.newBuilder[(Int, Seq[String], Long)]
+    for (e <- 0 to maxEpoch) {
+      val startNew = newFences.getOrElse(e, 0L)
+      val shifted = startNew != fences0.getOrElse(e, 0L)
+      val batches = byEpoch.getOrElse(e, Nil)
+      val affected: Seq[String] =
+        if (shifted) batches.map(_._1).sorted
+        else minChanged.get(e) match {
+          case Some(mn) =>
+            batches.filter(_._2 >= mn).map(_._1).sorted
+          case None => Nil
+        }
+      val endCursor =
+        if (affected.isEmpty) startNew +
+          batches.map(b => shardToks.getOrElse((e, b._1), 0L)).sum
+        else {
+          val keep = affected.toSet
+          val offset = startNew + batches.map(_._1).filterNot(keep)
+            .map(b => shardToks.getOrElse((e, b), 0L)).sum
+          plan += ((e, affected, offset))
+          offset + affected.map(b => survToks.getOrElse((e, b), 0L)).sum
+        }
+      fences0.get(e + 1).foreach { committed =>
+        val next = ((endCursor + SeqLen - 1) / SeqLen) * SeqLen
+        newFences(e + 1) = math.max(committed, next)
+        // The invariant the overflow hazard violated, now structural:
+        // a closed epoch's final cursor never crosses its successor's
+        // (possibly re-committed) fence, so no pack_id is ever owned by
+        // two epochs and readManifest merges only true boundary packs.
+        require(endCursor <= newFences(e + 1),
+          s"epoch $e cursor $endCursor crosses fence ${newFences(e + 1)}")
       }
-      .filter(_._2.nonEmpty)
+    }
+    val affectedByEpoch = plan.result()
     if (affectedByEpoch.isEmpty) return (Nil, Nil)
-    val partialsByEpoch = affectedByEpoch.map { case (e, batches) =>
-      val offset = fences.getOrElse(e, 0L) + spark.table(st.shardsRel)
-        .filter(col("epoch") === e && !col("batch_id").isin(batches: _*))
-        .agg(coalesce(sum(col("pack_tokens")), lit(0L))).head.getLong(0)
+    if ((1 to maxEpoch).exists(e =>
+        fences0.get(e).exists(_ != newFences(e)))) {
+      import spark.implicits._
+      mat.materializeTable(spark, st.fencesRel,
+        fences0.keySet.filter(_ >= 1).toSeq.sorted
+          .map(e => (e, newFences(e))).toDF("epoch", "fence_offset"))
+    }
+    val partialsByEpoch = affectedByEpoch.map { case (e, batches, offset) =>
       Packing.packAssignments(
           surv.filter(col("epoch") === e &&
               col("batch_id").isin(batches: _*))

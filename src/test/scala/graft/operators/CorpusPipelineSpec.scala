@@ -315,6 +315,86 @@ class CorpusPipelineSpec extends SparkSuite {
     CorpusPipeline.reset(spark, st)
   }
 
+  test("takedown overflow re-fences forward: a resurrection larger " +
+      "than the removed family bumps the successor fence, cascades " +
+      "until absorbed, and untouched later epochs keep their partials") {
+    import spark.implicits._
+    // The latent wrong-answer path: a closed epoch's fence headroom is
+    // < SeqLen by construction (here exactly 3 tokens), so resurrecting
+    // a near-dup with MORE tokens than the removed family pushes the
+    // re-packed epoch past its committed fence — without the re-fence
+    // policy its packs would reuse epoch-1's pack_ids and readManifest
+    // would silently merge non-adjacent document runs.
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"gamma${seed}x$i").mkString(" ")
+    val base = words(1, 60)
+    // 64 words sharing base's 60 as a prefix: trigram jaccard 58/62 =
+    // 0.935 — a near-dup of 100 with FOUR more tokens.
+    val bigger = base + " " + words(2, 4)
+    val epoch0 = Seq((100L, base), (101L, bigger), (102L, words(5, 1985)))
+      .toDF("doc_id", "text")
+    val b1 = Seq((200L, words(7, 2100)), (201L, words(9, 52)))
+      .toDF("doc_id", "text")
+    val b2 = Seq((300L, words(11, 66))).toDF("doc_id", "text")
+    val st = CorpusPipeline.State("fence_overflow_spec")
+    CorpusPipeline.buildHistory(spark, epoch0, "doc_id", "text", st)
+    // Epoch 0 survivors {100: 60, 102: 1985} = 2045 tokens -> the fence
+    // commits 2048, leaving 3 tokens of headroom.
+    assert(CorpusPipeline.fence(spark, st) == 2048L)
+    CorpusPipeline.appendBatch(spark, b1, "doc_id", "text", st, "b1")
+    // Epoch 1 holds 2152 tokens (cursor 4200) -> fence commits 6144.
+    assert(CorpusPipeline.fence(spark, st) == 6144L)
+    CorpusPipeline.appendBatch(spark, b2, "doc_id", "text", st, "b2")
+    def b2Rows() = spark.table(st.shardsRel)
+      .filter(col("batch_id") === "b2")
+      .collect().map(_.toString).sorted.toSeq
+    def fences() = spark.table(st.fencesRel).orderBy(col("epoch"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // Takedown A shrinks epoch 1 (2152 -> 52 tokens), creating the
+    // >= SeqLen slack under fence 2 that lets takedown B's bump absorb.
+    val (nA, affA, _) = CorpusPipeline.delete(spark, st,
+      Seq(200L).toDF("doc_id"))
+    assert(nA == 1 && affA == Seq("b1"))
+    assert(fences() == Seq((1, 2048L), (2, 6144L)),
+      "a shrinking takedown never moves a fence")
+    val b2Before = b2Rows()
+    // Takedown B: removing 100 (60 toks) resurrects 101 (64 toks) —
+    // epoch 0's cursor lands at 2049, one token past its fence.
+    val (nB, affB, _) = CorpusPipeline.delete(spark, st,
+      Seq(100L).toDF("doc_id"))
+    assert(nB == 1)
+    // Epoch 0 re-packs (the change), epoch 1 re-packs (its start
+    // shifted 2048 -> 4096), epoch 2 absorbs (6144 already clears the
+    // shifted epoch-1 cursor 4148) and keeps its partials byte-for-byte.
+    assert(affB.toSet == Set("base", "b1"), s"cascade span: $affB")
+    assert(b2Rows() == b2Before,
+      "the absorbing epoch's partials must survive byte-for-byte")
+    assert(fences() == Seq((1, 4096L), (2, 6144L)),
+      "the overflowed fence re-commits; the absorbing fence holds")
+    val m = CorpusPipeline.readManifest(spark, st)
+      .orderBy(col("pack_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toSeq
+    // No pack_id is owned by two epochs: epoch 0 fills pack 0 (2049
+    // tokens — a legal boundary-straddling pack), epoch 1 packs from
+    // the RE-committed 4096, epoch 2 from its original 6144.
+    assert(m == Seq(
+      (0L, 2L, 2049L, 101L, 102L),
+      (2L, 1L, 52L, 201L, 201L),
+      (3L, 1L, 66L, 300L, 300L)), m.mkString(", "))
+    // The live epoch continues from the re-committed schedule: a later
+    // append merges into epoch 2's boundary pack, never epoch 1's range.
+    CorpusPipeline.appendBatch(spark,
+      Seq((400L, words(13, 60))).toDF("doc_id", "text"),
+      "doc_id", "text", st, "b3")
+    val tail = CorpusPipeline.readManifest(spark, st)
+      .filter(col("pack_id") === 3L).collect().head
+    assert(tail.getAs[Long]("n_docs") == 2 &&
+      tail.getAs[Long]("pack_tokens") == 126 &&
+      tail.getAs[Long]("last_doc") == 400L)
+    CorpusPipeline.reset(spark, st)
+  }
+
   test("full-recipe delete: a resurrected doc re-enters the semantic " +
       "stage and drops the successor it always would have") {
     import spark.implicits._
