@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The BENCH_r{N} round slot this run belongs to — pure so the
+    * precedence is spec-pinned (BenchRoundSpec). A rerun within one
+    * round must resolve the SAME slot, including the round-boundary
+    * bench run that fires after the judge writes the closing round's
+    * verdict. Precedence:
+    *
+    *  1. SPARK_GRAFT_ROUND — driver-exported, authoritative;
+    *  2. PROGRESS.jsonl's LAST entry's "round" — the driver appends
+    *     entries throughout a round and starts the next round's entries
+    *     only after the boundary, so at the boundary bench run the last
+    *     entry still names the CLOSING round;
+    *  3. VERDICT.md "Round N" header + 1 — correct mid-round, but at
+    *     the boundary the header already names the closing round, so
+    *     +1 claims the NEXT round's slot (the BENCH_r14-early
+    *     recurrence flagged in rounds 12 and 13 — which is why
+    *     PROGRESS outranks it);
+    *  4. max(BENCH_r*) + 1 — first run in a fresh repo only.
+    */
+  private[graft] def resolveRound(env: Option[String],
+      progressLines: Seq[String], verdictHead: Option[String],
+      fileNames: Seq[String]): Option[Int] = {
+    val fromEnv = env.flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+    val progressRe = "\"round\"\\s*:\\s*(\\d+)".r
+    val fromProgress = progressLines.lastOption
+      .flatMap(l => progressRe.findFirstMatchIn(l).map(_.group(1).toInt))
+    val fromVerdict = verdictHead
+      .flatMap(h => "Round (\\d+)".r.findFirstMatchIn(h)
+        .map(_.group(1).toInt + 1))
+    val roundRe = "BENCH_r(\\d+)\\.json".r
+    val fromFiles = fileNames
+      .flatMap(f => roundRe.findFirstMatchIn(f).map(_.group(1).toInt))
+      .maxOption.map(_ + 1)
+    fromEnv.orElse(fromProgress).orElse(fromVerdict).orElse(fromFiles)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional regex arg filters the benched queries for local iteration
@@ -115,23 +151,21 @@ object Bench {
     // max(BENCH_r*)+1 is the last-resort guess (correct for the first
     // run of a round, the failure mode the other two sources fix).
     if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
-      val roundRe = "BENCH_r(\\d+)\\.json".r
-      val fromEnv = sys.env.get("SPARK_GRAFT_ROUND")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-      def fromVerdict: Option[Int] =
+      def progressLines: Seq[String] =
+        scala.util.Try {
+          val src = scala.io.Source.fromFile("PROGRESS.jsonl")
+          try src.getLines().toIndexedSeq finally src.close()
+        }.getOrElse(Nil)
+      def verdictHead: Option[String] =
         scala.util.Try {
           val src = scala.io.Source.fromFile("VERDICT.md")
-          try "Round (\\d+)".r.findFirstMatchIn(
-            src.getLines().take(3).mkString("\n"))
-            .map(_.group(1).toInt + 1)
-          finally src.close()
-        }.toOption.flatten
-      def fromFiles: Option[Int] =
+          try src.getLines().take(3).mkString("\n") finally src.close()
+        }.toOption
+      def benchFiles: Seq[String] =
         Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => roundRe.findFirstMatchIn(f.getName)
-            .map(_.group(1).toInt))
-          .maxOption.map(_ + 1)
-      fromEnv.orElse(fromVerdict).orElse(fromFiles)
+          .map(_.getName)
+      resolveRound(sys.env.get("SPARK_GRAFT_ROUND"), progressLines,
+          verdictHead, benchFiles)
         .foreach(r => write(f"BENCH_r$r%02d.json"))
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +

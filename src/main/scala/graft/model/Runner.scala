@@ -1752,8 +1752,8 @@ final class Runner(
         // `String.valueOf(null)` would make a NULL output look identical
         // to the literal string 'null' in an expected fixture.
         .map(r => cols.indices.map(i =>
-          Option(r.get(i)).map(String.valueOf).getOrElse(" NULL")))
-        .map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+          Option(r.get(i)).map(String.valueOf).getOrElse("\u0000NULL")))
+        .map(_.toSeq).toSeq.sortBy(_.mkString("\u0000"))
     }
     val rows = project.unitTests.map { ut =>
       val sm = byName.getOrElse(ut.model, throw new NoSuchElementException(

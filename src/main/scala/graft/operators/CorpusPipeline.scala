@@ -127,7 +127,19 @@ object CorpusPipeline {
     * batch packs from `ceil(cursor / SeqLen) * SeqLen`, permanently.
     * Returns the committed offset. A production build fences on a
     * schedule (say every N batches); the schedule is the caller's
-    * retention policy, not engine policy. */
+    * retention policy, not engine policy.
+    *
+    * PRECONDITION — no in-flight batch: the cursor sums EVERY shard
+    * partial in the live epoch (`exclude = None` — unlike a replaying
+    * append, a fence has no batch of its own to exclude), so it must
+    * only run when the last append either fully committed or will be
+    * replayed BEFORE the fence. Fencing between a crashed append and
+    * its replay freezes an offset over rows the replay then moves past
+    * the fence (the replay packs from the new epoch), leaving a
+    * permanent phantom gap in the committed schedule. A foreachBatch
+    * driver gets this ordering for free: fence and append run on one
+    * sequential control path ([[streaming]]'s ingest pattern), never
+    * concurrently. */
   def fence(spark: SparkSession, st: State): Long = {
     val (e, off) = currentFence(spark, st)
     val cursor = off + epochTokens(spark, st, e, exclude = None)

@@ -75,9 +75,18 @@ object CorpusProject {
     modelsDir, sources(dir),
     codeModels = Seq(corpusManifest, corpusFunnel))
 
+  private val runnerSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Every runner gets its OWN materializer root — pid + a per-JVM
+    * sequence — because concurrent JVMs (a spec run and a gate run on
+    * the same box) sharing one fixed path would corrupt each other's
+    * marts mid-build. All call sites build and read through a single
+    * Runner instance, so nothing ever needs to rediscover a prior
+    * run's root. */
   def runner(dir: String): Runner =
     new Runner(project(dir), Target.dev,
       new PathMaterializer(
         sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          "/graft_corpus_marts"))
+          s"/graft_corpus_marts_${ProcessHandle.current().pid()}" +
+          s"_${runnerSeq.incrementAndGet()}"))
 }
