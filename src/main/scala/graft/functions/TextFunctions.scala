@@ -26,6 +26,61 @@ object TextFunctions {
     * dedup profile). */
   def wordShingles(c: Column, n: Int): Column = Hashing.wordShingles(c, n)
 
+  // ---- Model-based quality scoring (t21) -----------------------------
+  //
+  // The fastText-supervised shape every published pretraining recipe's
+  // quality-classifier stage uses (CCNet/LLaMA-style "looks like a
+  // reference corpus" filtering): hashed lexical features → linear
+  // dot → sigmoid. The FEATURE PLUMBING is the real thing — lowercased
+  // word unigrams + bigrams, the hashing trick (a feature's weight is a
+  // pure function of its hash, no vocabulary table to ship), a per-doc
+  // mean-weight logit — while the frozen WEIGHTS are a deterministic
+  // md5-derived surrogate (integer in [-1000, 1000] per feature), which
+  // keeps the whole stage exactly replayable in the DuckDB oracle;
+  // swapping in a published model's weights is swapping
+  // [[featureWeight]] for a lookup, nothing else moves. All arithmetic
+  // up to the threshold decision is INTEGER (weights sum in a long;
+  // keep compares logit_num against Threshold·n cross-multiplied), so
+  // engines cannot drift. Map-only at any scale: the logit fuses into
+  // the scan projection; no shuffle, no vocabulary broadcast.
+
+  /** Per-feature integer weight in [-1000, 1000]: the first 8 md5 hex
+    * chars as an integer, mod 2001, recentred. Both operands of `%` are
+    * non-negative, so Spark and DuckDB agree on the remainder. */
+  def featureWeight(f: Column): Column =
+    conv(substring(md5(f), 1, 8), 16, 10).cast("long") % 2001 - 1000
+
+  /** The classifier's feature set: "u:"-prefixed lowercased unigrams
+    * plus "b:"-prefixed lowercased bigrams (underscore-joined). Never
+    * empty — all-whitespace text tokenizes to one empty-string token,
+    * which maps to the single feature "u:". */
+  def classifierFeatures(c: Column): Column = {
+    val w = tokens(c)
+    val uni = transform(w, x => concat(lit("u:"), lower(x)))
+    val bi = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(lit("b:"), lower(a), lit("_"), lower(b)))
+    concat(uni, bi)
+  }
+
+  /** The UNNORMALIZED logit: Σ featureWeight over the doc's features —
+    * a long, exact by construction. The mean-weight score is
+    * `logit_num / (n_features · 1000)`; thresholds compare
+    * cross-multiplied integers instead ([[classifierKeep]]). */
+  def classifierLogitNum(c: Column): Column =
+    aggregate(classifierFeatures(c), lit(0L),
+      (acc, f) => acc + featureWeight(f))
+
+  /** Keep threshold on the mean feature weight, in milli-units:
+    * keep ⟺ score > -0.15 ⟺ logit_num > -150 · n_features. Drops the
+    * bottom ~8% of the fixture corpus — the published recipes' "remove
+    * the clearly-junk tail" operating point. */
+  val ClassifierThresholdMilli = -150
+
+  /** Integer-exact keep decision for precomputed (logit_num, n). */
+  def classifierKeep(logitNum: Column, n: Column): Column =
+    logitNum > lit(ClassifierThresholdMilli) * n
+
   /** Occurrences of `needle` in `padded` via the replace-count identity —
     * exact integer math, portable to any SQL dialect. */
   private def occurrences(padded: Column, needle: String): Column =

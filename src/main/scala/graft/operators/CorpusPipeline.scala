@@ -153,17 +153,26 @@ object CorpusPipeline {
 
   /** Stage 1: quality survivors as (idCol, textCol, toks). The
     * alphabetic fraction rounds to 6dp BEFORE thresholding (t12's
-    * cross-engine equality trick). */
+    * cross-engine equality trick). With `modelQuality` the MODEL-BASED
+    * classifier stage (t21 — hashed-feature linear scorer,
+    * [[TextFunctions.classifierKeep]]) conjoins the heuristic gate: the
+    * industry-standard two-tier quality stage (cheap heuristics + a
+    * learned scorer), still row-local integer arithmetic fused into the
+    * same scan. */
   def qualitySurvivors(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, modelQuality: Boolean = false): DataFrame = {
     val words = TextFunctions.tokens(col(textCol))
     val nWords = TextFunctions.tokenCount(col(textCol)).cast("long")
     val alpha = round(
       when(nWords === 0, 0.0).otherwise(
         size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
           nWords), 6)
-    docs.select(col(idCol), col(textCol), nWords.as("toks"))
+    val base = docs.select(col(idCol), col(textCol), nWords.as("toks"))
       .filter(col("toks").between(50L, 100000L) && alpha > 0.8)
+    if (!modelQuality) base
+    else base.filter(TextFunctions.classifierKeep(
+      TextFunctions.classifierLogitNum(col(textCol)),
+      size(TextFunctions.classifierFeatures(col(textCol))).cast("long")))
   }
 
   /** Stage 2 (one-shot): exact-dedup survivors of a quality frame. */
@@ -713,9 +722,11 @@ object CorpusPipeline {
     * share one definition. */
   private[operators] def fullSurvivors(docs: DataFrame, emb: DataFrame,
       bench: DataFrame, idCol: String, textCol: String,
-      vecIdCol: String, vecCol: String)
+      vecIdCol: String, vecCol: String,
+      modelQuality: Boolean = false)
       : (DataFrame, Seq[DataFrame]) = {
-    val q = Caches.persist(qualitySurvivors(docs, idCol, textCol))
+    val q = Caches.persist(
+      qualitySurvivors(docs, idCol, textCol, modelQuality))
     val kept = Caches.persist(exactSurvivors(q, idCol, textCol))
     val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, Threshold)
     val surv3 = Caches.persist(dropNearDups(kept, idCol, pairs))
@@ -734,9 +745,9 @@ object CorpusPipeline {
     * manifest of the fully-cleaned corpus out. */
   def fullManifest(docs: DataFrame, emb: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, vecIdCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, modelQuality: Boolean = false): DataFrame = {
     val (surv, _) = fullSurvivors(docs, emb, bench, idCol, textCol,
-      vecIdCol, vecCol)
+      vecIdCol, vecCol, modelQuality)
     packPartial(surv, idCol, 0L)
   }
 

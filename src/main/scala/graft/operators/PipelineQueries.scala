@@ -478,6 +478,30 @@ object PipelineQueries extends QueryPack {
       },
       Some(tokenizedShardsOracle(8))),
 
+    // The full recipe WITH the model-based quality stage (t21's
+    // fastText-style classifier conjoined onto the heuristic quality
+    // gate — [[CorpusPipeline.qualitySurvivors]]'s `modelQuality` arm):
+    // the industry-standard two-tier quality stage composed through all
+    // six downstream stages. The oracle is p07's full recompute with
+    // the classifier's integer cross-multiplied threshold added to the
+    // quality CTE — every dropped document cascades identically through
+    // exact dedup, near-dup, semantic, decontam, and packing in both
+    // engines.
+    Q("p17_classified_recipe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        CorpusPipeline.fullManifest(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            Tables(s, dir, "embeddings")
+              .filter(col("vec_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", "vec_id", "embedding",
+            modelQuality = true)
+          .orderBy(col("pack_id"))
+      },
+      Some(fullRecipeOracle("vec_id % 5 <> 0",
+        qualityExtra = classifierPredSql))),
+
     Q("p10_pipeline_delete",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -558,8 +582,22 @@ object PipelineQueries extends QueryPack {
     * the p10/p11 semantics) — then the semantic predecessor drops among
     * pipeline survivors, then the benchmark-gram decontamination,
     * ending at `clean(doc_id, toks)` and the packing prefix sum `c`. */
+  /** DuckDB replay of the t21 classifier keep over q0's token array
+    * `w`: quality survivors have len(w) ≥ 50, so the feature count is
+    * exactly 2·len(w) − 1 (unigrams + bigrams) and the cross-multiplied
+    * integer threshold needs no separate length CTE. */
+  private def classifierPredSql: String =
+    s"""AND CAST(list_sum(list_transform(
+       |      list_transform(w, x -> 'u:' || lower(x)) ||
+       |      list_transform(range(1, len(w)),
+       |        i -> 'b:' || lower(w[i]) || '_' || lower(w[i+1])),
+       |      f -> (CAST(('0x' || substr(md5(f),1,8)) AS BIGINT) % 2001)
+       |        - 1000)) AS BIGINT)
+       |    > ${graft.functions.TextFunctions.ClassifierThresholdMilli}
+       |      * (2 * len(w) - 1)""".stripMargin
+
   private def fullRecipeCtes(trainPred: String,
-      famPred: String = "FALSE"): String = {
+      famPred: String = "FALSE", qualityExtra: String = ""): String = {
     val gram8 = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
     s"""${VectorQueries.kmeansCtesK(
          s"(SELECT GREATEST(1, COUNT(*) // ${
@@ -574,7 +612,8 @@ object PipelineQueries extends QueryPack {
        |  FROM qw
        |  WHERE len(w) BETWEEN 50 AND 100000
        |    AND ROUND(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
-       |          / len(w), 6) > 0.8),
+       |          / len(w), 6) > 0.8
+       |    $qualityExtra),
        |fam AS (
        |  SELECT doc_id FROM q0
        |  WHERE fp IN (SELECT fp FROM q0 WHERE ($famPred))),
@@ -642,8 +681,8 @@ object PipelineQueries extends QueryPack {
   }
 
   private def fullRecipeOracle(trainPred: String,
-      famPred: String = "FALSE"): String =
-    s"""${fullRecipeCtes(trainPred, famPred)}
+      famPred: String = "FALSE", qualityExtra: String = ""): String =
+    s"""${fullRecipeCtes(trainPred, famPred, qualityExtra)}
        |SELECT (cum - toks) // ${CorpusPipeline.SeqLen} AS pack_id,
        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

@@ -755,7 +755,56 @@ object TextQueries extends QueryPack {
              |  ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
              |    / COUNT(*), 6) AS novel_frac
              |FROM g JOIN f USING (gram)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // MODEL-BASED quality scoring ([[classifierLogitNum]])
+    // — the fastText-supervised stage of published pretraining recipes
+    // (CCNet/LLaMA-style), next to the heuristic tiers (t12 Gopher, t14
+    // entropy, t16 rare-word): hashed lexical features (lowercased
+    // unigrams + bigrams), a frozen md5-derived integer weight per
+    // feature, a per-doc mean-weight logit, and the keep decision at
+    // score > -0.15 — all integer arithmetic through the threshold
+    // (cross-multiplied, never a float compare), the score/probability
+    // reported at the repo's 6dp cross-engine contract. Map-only: the
+    // whole stage fuses into the scan projection — no shuffle, no
+    // vocabulary broadcast, the 100 TB cost is the scan itself.
+    Q("t21_model_quality",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = size(classifierFeatures(col("text")))
+          .cast("long")
+        docs.select(col("doc_id"), n.as("n_features"),
+            classifierLogitNum(col("text")).as("logit_num"))
+          .withColumn("score",
+            round(col("logit_num") / (col("n_features") * 1000.0), 6))
+          .withColumn("prob",
+            round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6))
+          .withColumn("keep", classifierKeep(
+            col("logit_num"), col("n_features")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id,
+              |    list_transform(w, x -> 'u:' || lower(x)) ||
+              |    list_transform(range(1, len(w)),
+              |      i -> 'b:' || lower(w[i]) || '_' || lower(w[i+1])) AS fs
+              |  FROM t),
+              |sc AS (
+              |  SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_features,
+              |    CAST(list_sum(list_transform(fs, f ->
+              |      (CAST(('0x' || substr(md5(f),1,8)) AS BIGINT) % 2001)
+              |        - 1000)) AS BIGINT) AS logit_num
+              |  FROM f)
+              |SELECT doc_id, n_features, logit_num,
+              |  ROUND(logit_num / (n_features * 1000.0), 6) AS score,
+              |  ROUND(1 / (1 + exp(-ROUND(logit_num
+              |    / (n_features * 1000.0), 6))), 6) AS prob,
+              |  logit_num > ${ClassifierThresholdMilli}
+              |    * n_features AS keep
+              |FROM sc ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
