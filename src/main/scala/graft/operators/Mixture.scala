@@ -61,6 +61,56 @@ object Mixture {
         (col("cum_before") < quotaOf(col("__total"))).as("keep"))
   }
 
+  /** TEMPERATURE (α-weighted) mixture — the published multi-source
+    * recipe shape ([[sample]] with the quota vector DERIVED instead of
+    * hand-fixed): per-source quotas wᵢ ∝ nᵢ^α with α = ½, normalized to
+    * a caller-set token budget. α < 1 flattens the source distribution
+    * (the XLM-R/mT5 temperature-sampling recipe): small sources are
+    * upsampled relative to their share, dominant crawls capped — the
+    * standard fix for a long-tailed source histogram.
+    *
+    * α = ½ is computed EXACTLY: wᵢ = isqrt(nᵢ) via floor(sqrt) plus a
+    * one-step Newton correction (`(s+1)² ≤ n → s+1; s² > n → s−1`), so
+    * engines can never disagree on a boundary ulp. The keep decision is
+    * the integer cross-multiply `(cum_before + 1) · Σw ≤ T · wᵢ` — the
+    * per-source quota `⌊T·wᵢ / Σw⌋` never materializes, so there is no
+    * decimal division to mis-round (both products ride decimal(38,0):
+    * exact past any 100 TB corpus). Same keep semantics as [[sample]]:
+    * exclusive running total strictly under the quota, crossing
+    * document included.
+    *
+    * Scale shape: [[sample]]'s exactly — the keyed two-phase prefix
+    * sum, one corpus-total scalar, one |sources|-row broadcast (now
+    * carrying the isqrt weights), one Σw scalar; all else row-local.
+    * Returns `(id, source, n_tokens, cum_before, w_alpha, keep)`.
+    *
+    * @param targetOf total token budget, from the corpus-wide token
+    *                 total — integer arithmetic only
+    */
+  def alphaSample(docs: DataFrame, sourceCol: String, idCol: String,
+      tokens: Column, targetOf: Column => Column): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol),
+      tokens.cast("long").as("n_tokens"),
+      struct(md5(col(idCol).cast("string")), col(idCol)).as("__ord"))
+    val cum = Packing.keyedCumSum(base, sourceCol, "__ord", "n_tokens")
+    val total = cum.agg(sum(col("n_tokens")).as("__total"))
+    val s0 = floor(sqrt(col("__s").cast("double"))).cast("long")
+    val isqrt = when((s0 + 1) * (s0 + 1) <= col("__s"), s0 + 1)
+      .when(s0 * s0 > col("__s"), s0 - 1).otherwise(s0)
+    val perSource = cum.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__s"))
+      .withColumn("w_alpha", isqrt).drop("__s")
+    val sumW = perSource.agg(sum(col("w_alpha")).as("__sumw"))
+    cum.crossJoin(broadcast(total))
+      .join(broadcast(perSource), sourceCol)
+      .crossJoin(broadcast(sumW))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("cum_before"), col("w_alpha"),
+        ((col("cum_before") + 1).cast("decimal(38,0)") * col("__sumw")
+          <= targetOf(col("__total")).cast("decimal(38,0)")
+            * col("w_alpha")).as("keep"))
+  }
+
   /** EPOCHED mixture — the upsampling half [[sample]] can't express: a
     * target weight may exceed a source's own token count, in which case
     * the source REPEATS (Wikipedia-for-3-epochs in every published

@@ -214,6 +214,67 @@ object PipelineQueries extends QueryPack {
               |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
               |FROM g GROUP BY 1 ORDER BY pack_id""".stripMargin)),
 
+    // TEMPERATURE mixture ([[Mixture.alphaSample]]): per-source quotas
+    // DERIVED from the α = ½ policy (w_i = isqrt(source tokens),
+    // normalized to half the corpus's tokens) instead of hand-fixed
+    // weights — the XLM-R/mT5 temperature-sampling recipe. The whole
+    // policy is integer-exact (Newton-corrected isqrt; the quota never
+    // materializes — keep is the cross-multiplied
+    // (cum_before+1)·Σw ≤ T·w_i), so the oracle replays it to the bit.
+    Q("p16_alpha_mixture",
+      (s, dir) => Mixture.alphaSample(
+          Tables(s, dir, "documents"), "source", "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")),
+          total => floor(total / 2).cast("long"))
+        .orderBy(col("doc_id")),
+      Some(alphaMixtureOracle(
+        """SELECT c.doc_id, c.source, c.n_tokens, c.cum_before,
+          |  w.w_alpha,
+          |  CAST(c.cum_before + 1 AS HUGEINT) * sumw
+          |    <= CAST(total // 2 AS HUGEINT) * w.w_alpha AS keep
+          |FROM c JOIN w USING (source), tot, sw
+          |ORDER BY doc_id""".stripMargin))),
+
+    // α-mixture → pack composition (the p05 shape over the DERIVED
+    // quotas): the temperature-kept documents packed into fixed-length
+    // training sequences in doc_id order. Three integer-exact stages
+    // chain — isqrt policy, keyed quota prefix sum, global packing
+    // prefix sum — with no window and no cartesian between them.
+    Q("p18_alpha_pack",
+      (s, dir) => {
+        val kept = Mixture.alphaSample(
+            Tables(s, dir, "documents"), "source", "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            total => floor(total / 2).cast("long"))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("n_tokens"))
+        Packing.packAssignments(kept, "doc_id", "n_tokens",
+            CorpusPipeline.SeqLen)
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("pack_id"))
+      },
+      Some(alphaMixtureOracle(
+        s""", kept AS (
+           |  SELECT c.doc_id, c.n_tokens
+           |  FROM c JOIN w USING (source), tot, sw
+           |  WHERE CAST(c.cum_before + 1 AS HUGEINT) * sumw
+           |    <= CAST(total // 2 AS HUGEINT) * w.w_alpha),
+           |g AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM kept)
+           |SELECT (cum - n_tokens) // ${CorpusPipeline.SeqLen}
+           |    AS pack_id,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM g GROUP BY 1 ORDER BY pack_id""".stripMargin))),
+
     // EPOCHED mixture ([[Mixture.epochedSample]]): the upsampling half
     // of mixture construction — targets of 2x the corpus's tokens
     // weighted (I+1)/210 push high-index sources past their own token
@@ -582,6 +643,37 @@ object PipelineQueries extends QueryPack {
     * the p10/p11 semantics) — then the semantic predecessor drops among
     * pipeline survivors, then the benchmark-gram decontamination,
     * ending at `clean(doc_id, toks)` and the packing prefix sum `c`. */
+  /** Shared CTE chain for the α = ½ temperature-mixture gates: token
+    * counts `t`, corpus total `tot`, per-source totals `ps`, the
+    * Newton-corrected isqrt weights `w`, their sum `sw`, and the
+    * per-source deterministic-shuffle prefix sum `c` — the caller
+    * appends the final SELECT (per-doc keeps for p16, the packed
+    * manifest for p18). */
+  private def alphaMixtureOracle(tail: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST(CASE
+       |      WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |    END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT SUM(n_tokens) AS total FROM t),
+       |ps AS (SELECT source, SUM(n_tokens) AS s FROM t GROUP BY source),
+       |w AS (
+       |  SELECT source,
+       |    CASE WHEN (s0+1)*(s0+1) <= s THEN s0+1
+       |         WHEN s0*s0 > s THEN s0-1 ELSE s0 END AS w_alpha
+       |  FROM (SELECT source, s, CAST(floor(sqrt(s)) AS BIGINT) AS s0
+       |        FROM ps)),
+       |sw AS (SELECT SUM(w_alpha) AS sumw FROM w),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+       |      AS cum_before
+       |  FROM t)
+       |$tail""".stripMargin
+
   /** DuckDB replay of the t21 classifier keep over q0's token array
     * `w`: quality survivors have len(w) ≥ 50, so the feature count is
     * exactly 2·len(w) − 1 (unigrams + bigrams) and the cross-multiplied

@@ -32,6 +32,32 @@ class MixtureSpec extends SparkSuite {
       "no negative epochs may ever be emitted")
   }
 
+  test("alphaSample: α = ½ flattens — a 100× source gets ~10× the " +
+      "quota, and the isqrt weights are exact at perfect-square edges") {
+    import spark.implicits._
+    // big: 10000 one-token docs; small: 100 one-token docs. Proportional
+    // sampling would give big 100× small's quota; α = ½ gives
+    // w = isqrt(10000) = 100 vs isqrt(100) = 10 — exactly 10×. Budget
+    // 1010 tokens → quotas 918 (big) and 91 (small): small keeps ~91%
+    // of itself, big ~9% — the upsampling the recipe exists for.
+    val docs = ((1 to 10000).map(i => (i.toLong, "big")) ++
+      (20001 to 20100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val out = Mixture.alphaSample(docs, "source", "doc_id", lit(1),
+        _ => lit(1010L))
+      .groupBy(col("source"))
+      .agg(max(col("w_alpha")).as("w"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("big")._1 == 100L && out("small")._1 == 10L)
+    // keep ⟺ (cum+1)·110 ≤ 1010·w: big ⌊1010·100/110⌋ = 918,
+    // small ⌊1010·10/110⌋ = 91 — exact, crossing doc included by the
+    // strict-< exclusive-total rule (here quotas land on doc bounds).
+    assert(out("big")._2 == 918L, out.toString)
+    assert(out("small")._2 == 91L, out.toString)
+  }
+
   test("epochedSample: negative target emits nothing and breaks nothing") {
     val out = Mixture.epochedSample(corpus, "source", "doc_id",
       col("toks"), _ => lit(-5L))
