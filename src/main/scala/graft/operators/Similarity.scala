@@ -558,6 +558,51 @@ object Similarity {
       seeds(j).slice(sp * subDim, (sp + 1) * subDim).toSeq), subDim)
   }
 
+  /** TRAINED PQ sub-codebooks: per-subspace Lloyd refinement of the
+    * seeded centers, under the SAME assignment rule the encoder uses
+    * ([[pqCode]]'s 6dp-rounded-dot argmax with ties to the lower code)
+    * — so training optimizes exactly the quantizer that will encode,
+    * and the whole loop keeps [[kmeansFit]]'s determinism contract:
+    * fixed first-N seeding, a rounded-double argmax against literal
+    * centers, exact DECIMAL(38,18) per-(subspace, code, dim) sums cast
+    * to double before ONE division, empty codes keeping their previous
+    * center. The v19 oracle unrolls it in SQL like v17/v18 unroll the
+    * coarse training.
+    *
+    * Scale shape: each iteration is `subspaces` row-local encode
+    * columns over one cached corpus scan (codebooks inline as
+    * literals — zero shuffle) plus one grouped aggregate whose result
+    * is subspaces × nCodes × subDim rows — a bounded driver collect
+    * (4 × 16 × 16 = 1024 doubles at the defaults), paid per iteration
+    * at build time and frozen thereafter. */
+  private[operators] def trainedPqCenters(corpus: DataFrame,
+      subspaces: Int, nCodes: Int, iters: Int)
+      : (Array[Array[Seq[Double]]], Int) = {
+    val cached = Caches.persist(corpus.select(col("v")))
+    var (centers, subDim) = pqCenters(corpus, subspaces, nCodes)
+    for (_ <- 0 until iters) {
+      val melted = (0 until subspaces).map(sp =>
+        cached.select(lit(sp).as("sp"),
+          pqCode(col("v"), sp, centers, subDim).as("j"),
+          posexplode(pqSub(col("v"), sp, subDim)).as(Seq("dim", "x"))))
+        .reduce(_ unionAll _)
+      val means = melted.groupBy(col("sp"), col("j"), col("dim"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      val next = Array.tabulate(subspaces, nCodes)((sp, j) =>
+        centers(sp)(j))
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((sp, j), rows) =>
+          val m = new Array[Double](subDim)
+          rows.foreach(r => m(r.getInt(2)) = r.getDouble(3))
+          next(sp)(j) = m.toSeq
+      }
+      centers = next
+    }
+    (centers, subDim)
+  }
+
   private def pqSub(c: Column, sp: Int, subDim: Int): Column =
     slice(c, sp * subDim + 1, subDim)
 
@@ -624,15 +669,16 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       subspaces: Int = 4, nCodes: Int = 16,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0, pqTrainIters: Int = 0): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
     // Both codebooks seed from the same first-N prefix — ONE sort-limit
     // collect serves coarse buckets and PQ centers (two identical driver
-    // jobs otherwise, since nlist == nCodes by default). With
-    // `trainIters > 0` the COARSE codebook refines by k-means; PQ
-    // sub-codebooks stay seeded (training them is a separate knob —
-    // sub-codebook k-means runs per subspace and buys reconstruction
-    // accuracy, not bucket recall).
+    // jobs otherwise, since nlist == nCodes by default). The two
+    // training knobs are independent: `trainIters > 0` refines the
+    // COARSE codebook by spherical k-means (bucket recall);
+    // `pqTrainIters > 0` refines the PQ SUB-codebooks by per-subspace
+    // Lloyd under the encoder's own assignment rule (reconstruction
+    // accuracy — [[trainedPqCenters]], the v19 gate).
     val prefix = corpus.orderBy(col("vid"))
       .limit(math.max(nlist, nCodes))
       .select(col("vid"), col("v"), col("nrm")).collect()
@@ -642,7 +688,9 @@ object Similarity {
         trainedIvfCodebook(emb, idCol, vecCol, nlist, trainIters)
       else prefix.take(nlist)
     val (centers, subDim) =
-      pqCentersFromSeeds(prefix.take(nCodes).map(_._2), subspaces)
+      if (pqTrainIters > 0)
+        trainedPqCenters(corpus, subspaces, nCodes, pqTrainIters)
+      else pqCentersFromSeeds(prefix.take(nCodes).map(_._2), subspaces)
     // One corpus scan emits bucket AND codes; v/nrm are dropped — the
     // scored candidates carry only (cid, vid, c0..c{sp}), the PQ point.
     val encoded = nearestBuckets(corpus, coarse, 1)
@@ -790,6 +838,10 @@ object Similarity {
       .unionByName(one("ivfpq", ivfPqTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("ivfpq_trained",
         ivfPqTopK(emb, queries, idCol, vecCol, k, trainIters = 3)))
+      // PQ-sub-codebook training isolated (coarse stays seeded): the
+      // reconstruction-accuracy knob's own telemetry row (v19's point).
+      .unionByName(one("ivfpq_pqtrained",
+        ivfPqTopK(emb, queries, idCol, vecCol, k, pqTrainIters = 3)))
       .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("pq", pqTopK(emb, queries, idCol, vecCol, k)))
   }

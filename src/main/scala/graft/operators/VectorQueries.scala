@@ -22,17 +22,20 @@ object VectorQueries extends QueryPack {
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
       |""".stripMargin + PqAdcBody
 
-  /** [[PqAdcCtes]] minus its `e`/`n` prelude — composable after any CTE
-    * chain that already defines them with the same shape (v18 appends
-    * this to [[kmeansCtes]], whose `e`/`n` are identical). */
-  private val PqAdcBody: String =
+  /** The seeded sub-codebooks alone (`seed` → `pcb`): the PQ family's
+    * default; the v19 trained path swaps in [[pqTrainedCodebookCtes]]
+    * and reuses [[PqEncodeAdc]] verbatim. */
+  private val PqSeedCodebook: String =
     """seed AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 j, v
       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
       |pcb AS (
       |  SELECT sp, j, list_slice(v, sp * 16 + 1, sp * 16 + 16) c
-      |  FROM seed, (SELECT unnest(range(0, 4)) sp)),
-      |enc0 AS (
+      |  FROM seed, (SELECT unnest(range(0, 4)) sp))""".stripMargin
+
+  /** Deterministic encode + ADC over whatever `pcb` is in scope. */
+  private val PqEncodeAdc: String =
+    """enc0 AS (
       |  SELECT e.vec_id, pcb.sp, pcb.j,
       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.sp ORDER BY
       |      ROUND(list_dot_product(
@@ -62,12 +65,58 @@ object VectorQueries extends QueryPack {
       |  JOIN pcb cb3 ON cb3.sp = 3 AND cb3.j = p.c3
       |  WHERE p.vec_id <> q.qid)""".stripMargin
 
+  /** [[PqAdcCtes]] minus its `e`/`n` prelude — composable after any CTE
+    * chain that already defines them with the same shape (v18 appends
+    * this to [[kmeansCtes]], whose `e`/`n` are identical). */
+  private val PqAdcBody: String = PqSeedCodebook + ",\n" + PqEncodeAdc
+
+  /** Unrolled per-subspace Lloyd training of the sub-codebooks (the
+    * [[Similarity.trainedPqCenters]] loop in SQL, v19): each iteration
+    * encodes every vector under the previous codebooks with the SAME
+    * 6dp-rounded-dot argmax the encoder uses, then updates each
+    * (subspace, code, dim) mean as an exact DECIMAL(38,18) sum cast to
+    * double before one division, empty codes keeping their previous
+    * center — ending in a `pcb` the downstream [[PqEncodeAdc]] consumes
+    * unchanged. */
+  private def pqTrainedCodebookCtes(iters: Int): String = {
+    def enc(i: Int) =
+      s"""penc$i AS (
+         |  SELECT vec_id, sp, j FROM (
+         |    SELECT e.vec_id, p.sp, p.j,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, p.sp ORDER BY
+         |        ROUND(list_dot_product(
+         |          list_slice(e.v, p.sp * 16 + 1, p.sp * 16 + 16),
+         |          p.c), 6) DESC, p.j) rnk
+         |    FROM e, pcb${i - 1} p) WHERE rnk = 1)""".stripMargin
+    def update(i: Int) =
+      s"""pm$i AS (
+         |  SELECT sp, j, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) m
+         |  FROM (
+         |    SELECT p.sp, p.j,
+         |      generate_subscripts(
+         |        list_slice(e.v, p.sp*16+1, p.sp*16+16), 1) dim,
+         |      unnest(list_slice(e.v, p.sp*16+1, p.sp*16+16)) x
+         |    FROM penc$i p JOIN e USING (vec_id))
+         |  GROUP BY sp, j, dim),
+         |pu$i AS (SELECT sp, j, list(m ORDER BY dim) c FROM pm$i
+         |  GROUP BY sp, j),
+         |pcb$i AS (
+         |  SELECT p.sp, p.j, COALESCE(u.c, p.c) c
+         |  FROM pcb${i - 1} p
+         |  LEFT JOIN pu$i u ON u.sp = p.sp AND u.j = p.j)""".stripMargin
+    val steps = (1 to iters).map(i => enc(i) + ",\n" + update(i))
+    s"""${PqSeedCodebook.replace("pcb AS (", "pcb0 AS (")},
+       |${steps.mkString(",\n")},
+       |pcb AS (SELECT sp, j, c FROM pcb$iters)""".stripMargin
+  }
+
   /** Full IVF-PQ oracle (coarse buckets + probes over [[PqAdcCtes]]'
     * ADC scores) — shared by v11 (one-shot in-query index) and v14
     * (persisted index built incrementally): the two engines' paths are
     * pinned to ONE recompute, so equality between them is transitive
     * through the oracle. */
-  private val IvfPqOracle: String = PqAdcCtes + """,
+  private val IvfCoarseTail: String = """,
     |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
     |  ORDER BY vec_id LIMIT 16),
     |casg AS (
@@ -99,6 +148,18 @@ object VectorQueries extends QueryPack {
     |  FROM scored)
     |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
     |ORDER BY qid, rn""".stripMargin
+
+  private val IvfPqOracle: String = PqAdcCtes + IvfCoarseTail
+
+  /** The v19 oracle: the IVF-PQ recompute with the sub-codebooks
+    * TRAINED (3 unrolled per-subspace Lloyd steps) instead of seeded;
+    * coarse buckets stay seeded, isolating the PQ-training delta. */
+  private lazy val TrainedPqOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+      |""".stripMargin +
+      pqTrainedCodebookCtes(3) + ",\n" + PqEncodeAdc + IvfCoarseTail
 
   def queries: Seq[Q] = Seq(
     Q("v01_cosine_topk",
@@ -583,6 +644,26 @@ object VectorQueries extends QueryPack {
               |  FROM scored)
               |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
               |ORDER BY qid, rn""".stripMargin)),
+
+    // TRAINED PQ sub-codebooks ([[Similarity.ivfPqTopK]] with
+    // pqTrainIters > 0): the last seeded learned component gets its
+    // training pass — per-subspace Lloyd under the encoder's OWN
+    // assignment rule (6dp-rounded-dot argmax, ties to the lower code),
+    // exact-decimal mean updates, empty codes keeping their previous
+    // center — the kmeansFit determinism contract applied to the PQ
+    // tier, so the oracle unrolls the training loop and replays encode,
+    // ADC, buckets, and ranking exactly. Coarse buckets stay SEEDED
+    // here, isolating the sub-codebook-training delta against v11;
+    // v07's telemetry carries the matching `ivfpq_pqtrained` recall arm.
+    Q("v19_ann_pq_trained",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, pqTrainIters = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(TrainedPqOracle)),
 
     // Spherical k-means training (5 Lloyd iterations, deterministic by
     // construction — see Similarity.kmeansFit) + final cluster census.

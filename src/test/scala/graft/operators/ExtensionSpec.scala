@@ -97,8 +97,8 @@ class ExtensionSpec extends SparkSuite {
       .orderBy(col("method")).collect()
     val r1 = report()
     assert(r1.map(_.getString(0)).toSeq ==
-      Seq("int8", "ivf", "ivf_trained", "ivfpq", "ivfpq_trained",
-        "lsh", "pq"))
+      Seq("int8", "ivf", "ivf_trained", "ivfpq", "ivfpq_pqtrained",
+        "ivfpq_trained", "lsh", "pq"))
     assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
       .columns.toSeq ==
       Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
@@ -115,7 +115,7 @@ class ExtensionSpec extends SparkSuite {
       // stacks bucket pruning ON TOP of that coarse scoring, so it can
       // only lose further candidates vs plain PQ.
       val floor = r.getString(0) match {
-        case "ivfpq" | "ivfpq_trained" => 0.15
+        case "ivfpq" | "ivfpq_trained" | "ivfpq_pqtrained" => 0.15
         case "pq" => 0.2
         case _ => 0.5
       }
