@@ -772,7 +772,7 @@ object PipelineQueries extends QueryPack {
        |  FROM clean)""".stripMargin
   }
 
-  private def fullRecipeOracle(trainPred: String,
+  private[graft] def fullRecipeOracle(trainPred: String,
       famPred: String = "FALSE", qualityExtra: String = ""): String =
     s"""${fullRecipeCtes(trainPred, famPred, qualityExtra)}
        |SELECT (cum - toks) // ${CorpusPipeline.SeqLen} AS pack_id,

@@ -3,9 +3,14 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.core.{Q, QueryPack}
+import graft.core.{Q, QueryPack, Tables}
+import graft.operators.CorpusPipeline
+
+/** One document on the st10 ingest log. */
+final case class ArrivingDoc(doc_id: Long, text: String)
 
 /** Driver-gated Structured Streaming queries: each runs a real streaming
   * query (file source → stateful transform → memory sink) to completion
@@ -370,6 +375,53 @@ object StreamingQueries extends QueryPack {
              |  COUNT(*) AS n_events,
              |  CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
              |FROM s GROUP BY user_id, sess_id
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // STREAMED full-recipe ingest ([[CorpusPipeline.appendBatchFull]]
+    // driven from foreachBatch over an offset-based stream): p08's
+    // lifecycle with the append side arriving as THREE id-ordered
+    // micro-batches — micro-batch id = store batch id, so the
+    // at-least-once replay window lines up with the seven-table state's
+    // partition-per-batch idempotency. MemoryStream is the offset-based
+    // DSv2 path a Kafka topic feeds (LogSourceSpec), and chunked
+    // `addData` + `processAllAvailable` pins the id-ordering contract a
+    // crawl log delivers for free. Oracle: p08's full recompute — the
+    // streamed accumulation must be indistinguishable from the one-shot
+    // pass over the union, training still restricted to the history
+    // slice (the frozen-codebook contract).
+    Q("st10_stream_full_recipe",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val bench = docs.filter(col("doc_id") % 5 === 0)
+        val cEmb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0)
+        val cut = corpus.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+        val st = CorpusPipeline.FullState("stream_full_gate")
+        CorpusPipeline.buildHistoryFull(s,
+          corpus.filter(col("doc_id") <= cut),
+          cEmb.filter(col("vec_id") <= cut), bench,
+          "doc_id", "text", "vec_id", "embedding", st)
+        val arriving = corpus.filter(col("doc_id") > cut)
+          .select(col("doc_id"), col("text")).as[ArrivingDoc]
+          .collect().sortBy(_.doc_id).toSeq
+        val input = MemoryStream[ArrivingDoc](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            CorpusPipeline.appendBatchFull(s, b, cEmb, "doc_id", "text",
+              "vec_id", "embedding", st, s"s$id")
+          }
+          .outputMode("append").start()
+        try {
+          arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach {
+            c => input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        CorpusPipeline.readManifest(s, st.base).orderBy(col("pack_id"))
+      },
+      Some(graft.operators.PipelineQueries.fullRecipeOracle(
+        """vec_id % 5 <> 0 AND vec_id <= (SELECT MAX(doc_id) * 4 // 5
+          |    FROM documents WHERE doc_id % 5 <> 0)""".stripMargin)))
   )
 }
