@@ -199,6 +199,35 @@ sealed trait Model {
     * breaking schema change can never reach the relation downstream
     * consumers contract on. Empty = unenforced (dbt's default). */
   def contract: Seq[ColumnContract] = Nil
+
+  /** dbt MODEL VERSIONS (m18): a versioned model is one member of a
+    * family — its name MUST be `<base>_v<version>` (the file-level
+    * stand-in for schema.yml `versions:`, matching dbt's default
+    * `defined_in` file naming and database identifiers). An unpinned
+    * `ref('<base>')` resolves to the family's latest version;
+    * `ref('<base>', v=N)` pins member N. */
+  def version: Option[Int] = None
+
+  /** dbt `latest_version`: pins which family member unpinned refs get.
+    * Declarable on any member (all declarations must agree); default =
+    * the family's highest version — dbt's default. Letting it sit BELOW
+    * the highest version is the prerelease pattern (v2 exists, v1 still
+    * canonical). */
+  def latestVersion: Option[Int] = None
+
+  /** dbt `deprecation_date` (ISO date): once passed, every model whose
+    * ref resolves to this version gets a deprecation warning through
+    * the DAG ([[Runner.versionWarnings]]). */
+  def deprecationDate: Option[String] = None
+
+  /** The family base name, when versioned: `name` minus the mandatory
+    * `_v<version>` suffix. */
+  final def versionBase: Option[String] = version.map { v =>
+    val suffix = s"_v$v"
+    require(name.endsWith(suffix) && name.length > suffix.length,
+      s"versioned model '$name' (version=$v) must be named <base>$suffix")
+    name.dropRight(suffix.length)
+  }
 }
 
 /** One column of a model contract: `dataType` is Spark SQL DDL
@@ -223,7 +252,10 @@ final case class SqlModel(
     override val tags: Seq[String] = Nil,
     override val contract: Seq[ColumnContract] = Nil,
     override val eventTime: Option[String] = None,
-    override val description: String = "") extends Model {
+    override val description: String = "",
+    override val version: Option[Int] = None,
+    override val latestVersion: Option[Int] = None,
+    override val deprecationDate: Option[String] = None) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }

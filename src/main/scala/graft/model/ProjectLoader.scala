@@ -135,7 +135,8 @@ object ProjectLoader {
         "invalidate_hard_deletes", "on_schema_change", "cluster_by",
         "pre_hook", "post_hook", "tags", "contract",
         "incremental_strategy", "event_time", "batch_size", "lookback",
-        "begin", "description")
+        "begin", "description", "version", "latest_version",
+        "deprecation_date")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -250,6 +251,21 @@ object ProjectLoader {
       // event_time doubles as the microbatch config and the input-side
       // declaration (dbt semantics: any model may declare one).
       eventTime = str("event_time"),
-      description = str("description").getOrElse(""))
+      description = str("description").getOrElse(""),
+      // dbt model versions (m18): version marks a family member (the
+      // file name must be <base>_v<version>.sql — validated by
+      // Model.versionBase); latest_version/deprecation_date only make
+      // sense on a member.
+      version = str("version").map(_.toInt),
+      latestVersion = {
+        require(str("latest_version").isEmpty || str("version").nonEmpty,
+          s"$where: latest_version requires version")
+        str("latest_version").map(_.toInt)
+      },
+      deprecationDate = {
+        require(str("deprecation_date").isEmpty || str("version").nonEmpty,
+          s"$where: deprecation_date requires version")
+        str("deprecation_date")
+      })
   }
 }

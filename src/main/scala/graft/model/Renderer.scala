@@ -21,7 +21,19 @@ import scala.util.matching.Regex
   * compile-time "Required var not found" error.
   */
 object Renderer {
-  private val RefR: Regex = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
+  // `ref('m')` or the version-pinned `ref('m', v=N)` / `ref('m',
+  // version=N)` (dbt model versions, m18): a pinned ref canonicalizes
+  // to the versioned model's own name `m_vN` — the name versioned model
+  // files carry — so everything downstream (deps, relations, ephemeral
+  // closure) sees ordinary model names; the UNPINNED ref to a versioned
+  // family keeps the base name and the Runner resolves it to
+  // latest_version.
+  private val RefR: Regex =
+    ("""\{\{\s*ref\(\s*'([^']+)'""" +
+      """(?:\s*,\s*(?:v|version)\s*=\s*(\d+))?\s*\)\s*\}\}""").r
+
+  private def refName(name: String, ver: Option[String]): String =
+    ver.map(v => s"${name}_v$v").getOrElse(name)
   private val SrcR: Regex =
     """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
   private val ThisR: Regex = """\{\{\s*this\s*\}\}""".r
@@ -38,7 +50,8 @@ object Renderer {
       """\s*,\s*"([^"]+)"\s*,\s*"([^"]+)"\s*\)\s*\}\}""").r
 
   def refsIn(sql: String): Seq[String] =
-    RefR.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+    RefR.findAllMatchIn(sql)
+      .map(m => refName(m.group(1), Option(m.group(2)))).toSeq.distinct
 
   def sourcesIn(sql: String): Seq[(String, String)] =
     SrcR.findAllMatchIn(sql).map(m => (m.group(1), m.group(2))).toSeq.distinct
@@ -68,7 +81,8 @@ object Renderer {
           s"WHERE date_$part < CAST(${m.group(3)} AS DATE))")
     })
     val withRefs = RefR.replaceAllIn(withSpine,
-      m => Regex.quoteReplacement(ref(m.group(1))))
+      m => Regex.quoteReplacement(ref(refName(m.group(1),
+        Option(m.group(2))))))
     val withSrcs = SrcR.replaceAllIn(withRefs,
       m => Regex.quoteReplacement(source(m.group(1), m.group(2))))
     val rel = thisRelation.getOrElse("")

@@ -814,16 +814,69 @@ final class Runner(
   /** Effective var bindings for every render in this invocation. */
   private val effectiveVars: Map[String, String] = project.vars ++ vars
 
-  private val byName: Map[String, Model] =
-    project.models.map(m => m.name -> m).toMap
+  // ---- dbt model versions (m18) --------------------------------------
+  // A family = models sharing a versionBase; the base name itself
+  // becomes an ALIAS in byName pointing at the latest member, so every
+  // ref-resolution site (render, deps, ephemeral closure, microbatch
+  // bounds, code-model refs) transparently resolves unpinned refs.
+  // Pinned refs (`ref('m', v=N)`) canonicalize to the member's own name
+  // `m_vN` in the Renderer and need no alias.
+  private val versionFamilies: Map[String, Seq[Model]] = project.models
+    .flatMap(m => m.versionBase.map(_ -> m))
+    .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
-  /** node -> upstream model deps (source deps are not DAG nodes). */
-  val deps: Map[String, Seq[String]] = project.models.map { m =>
-    m.refs.foreach { r =>
-      require(byName.contains(r), s"model ${m.name} refs unknown model: $r")
+  private val latestOf: Map[String, Int] = versionFamilies.map {
+    case (base, members) =>
+      val versions = members.flatMap(_.version)
+      require(versions.distinct.size == versions.size,
+        s"versioned model $base: duplicate versions ${versions.sorted}")
+      val declared = members.flatMap(_.latestVersion).distinct
+      require(declared.size <= 1,
+        s"versioned model $base: conflicting latest_version $declared")
+      val latest = declared.headOption.getOrElse(versions.max)
+      require(versions.contains(latest),
+        s"versioned model $base: latest_version $latest has no member")
+      base -> latest
+  }
+
+  private val byName: Map[String, Model] = {
+    val named = project.models.map(m => m.name -> m).toMap
+    val aliases = versionFamilies.map { case (base, members) =>
+      require(!named.contains(base),
+        s"versioned model family $base collides with model '$base'")
+      base -> members.find(_.version.contains(latestOf(base))).get
     }
-    m.name -> m.refs
+    named ++ aliases
+  }
+
+  /** node -> upstream model deps (source deps are not DAG nodes).
+    * Version-family aliases canonicalize to the latest member's own
+    * name, so DAG nodes are always real models. */
+  val deps: Map[String, Seq[String]] = project.models.map { m =>
+    m.name -> m.refs.map { r =>
+      require(byName.contains(r), s"model ${m.name} refs unknown model: $r")
+      byName(r).name
+    }.distinct
   }.toMap
+
+  /** Deprecation warnings through the DAG (dbt model versions): one per
+    * (consumer, ref) whose resolution lands on a version whose
+    * `deprecation_date` has passed — both pinned refs to a deprecated
+    * member and unpinned refs to a family whose LATEST is deprecated.
+    * ISO-date strings compare lexicographically, so no date parsing. */
+  lazy val versionWarnings: Seq[String] = {
+    val today = java.time.LocalDate.now().toString
+    project.models.flatMap { m =>
+      m.refs.flatMap { r =>
+        val resolved = byName(r)
+        resolved.deprecationDate.collect {
+          case d if d <= today =>
+            s"model ${m.name} refs deprecated version " +
+              s"${resolved.name} (deprecation_date $d)"
+        }
+      }
+    }.distinct.sorted
+  }
 
   project.exposures.foreach(e => e.dependsOn.foreach { d =>
     require(byName.contains(d),
@@ -1276,6 +1329,8 @@ final class Runner(
         * state), already-running nodes drain. Without it, independent
         * branches keep building (the default). */
       failFast: Boolean = false): Seq[NodeResult] = {
+    versionWarnings.foreach(w =>
+      System.err.println(s"[deprecation] $w"))
     registerSources(spark)
     val selected = Dag.resolve(select, exclude, deps, selectionAtom(state))
     manifestPath.foreach(writeManifest)

@@ -958,6 +958,60 @@ object EngineQueries extends QueryPack {
              |FROM orders WHERE o_totalprice > 100000
              |GROUP BY 1 ORDER BY priority""".stripMargin)),
 
+    // ---- dbt MODEL VERSIONS (m18): a two-member family
+    // (nation_dim_v1 deprecated since 2024-06-01, nation_dim_v2 the
+    // declared latest) with one consumer per resolution mode — the
+    // unpinned {{ ref('nation_dim') }} must land on v2, the pinned
+    // {{ ref('nation_dim', v=1) }} on v1. The gate pins the DATA of
+    // both resolutions (v2 upper-cases the name, v1 does not), the DAG
+    // edges each consumer acquired, and the deprecation warning the
+    // pinned ref raised — all statically replayable by the oracle.
+    Q("m18_model_versions",
+      (spark, dir) => {
+        val v1 = SqlModel("nation_dim_v1",
+          """SELECT n_nationkey AS nation_id, n_name AS nation
+            |FROM {{ source('tpch', 'nation') }}""".stripMargin,
+          Materialization.Table, version = Some(1),
+          deprecationDate = Some("2024-06-01"))
+        val v2 = SqlModel("nation_dim_v2",
+          """SELECT n_nationkey AS nation_id, upper(n_name) AS nation
+            |FROM {{ source('tpch', 'nation') }}""".stripMargin,
+          Materialization.Table, version = Some(2),
+          latestVersion = Some(2))
+        val latestUser = SqlModel("nation_latest",
+          "SELECT nation_id, nation FROM {{ ref('nation_dim') }}",
+          Materialization.Table)
+        val pinnedUser = SqlModel("nation_pinned",
+          "SELECT nation_id, nation AS nation_v1 " +
+            "FROM {{ ref('nation_dim', v=1) }}",
+          Materialization.Table)
+        val r = new Runner(
+          Project(TpchProject.sources(dir),
+            Seq(v1, v2, latestUser, pinnedUser)),
+          Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_mver").toString))
+        r.run(spark)
+        r.table(spark, "nation_latest")
+          .join(r.table(spark, "nation_pinned"), "nation_id")
+          .withColumn("latest_dep",
+            lit(r.deps("nation_latest").mkString(",")))
+          .withColumn("pinned_dep",
+            lit(r.deps("nation_pinned").mkString(",")))
+          .withColumn("n_warnings",
+            lit(r.versionWarnings.size).cast("long"))
+          .withColumn("warning", lit(r.versionWarnings.mkString("; ")))
+          .orderBy(col("nation_id"))
+      },
+      Some("""SELECT n_nationkey AS nation_id, upper(n_name) AS nation,
+             | n_name AS nation_v1,
+             | 'nation_dim_v2' AS latest_dep,
+             | 'nation_dim_v1' AS pinned_dep,
+             | CAST(1 AS BIGINT) AS n_warnings,
+             | 'model nation_pinned refs deprecated version nation_dim_v1 (deprecation_date 2024-06-01)'
+             |   AS warning
+             |FROM nation ORDER BY nation_id""".stripMargin)),
+
     // ---- Contract surface (dbt `contract: enforced`): two contracted
     // marts over the same SELECT — one whose declared columns/types match
     // the built frame exactly (must materialize), one declaring a drifted
