@@ -804,7 +804,87 @@ object TextQueries extends QueryPack {
               |    / (n_features * 1000.0), 6))), 6) AS prob,
               |  logit_num > ${ClassifierThresholdMilli}
               |    * n_features AS keep
-              |FROM sc ORDER BY doc_id""".stripMargin))
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + host grouping ([[TextFunctions
+    // .urlCanonicalize]]): the crawl-side normalization before URL-level
+    // dedup — lowercase scheme/host, default ports stripped, tracking
+    // params dropped, query keys sorted, fragments removed — over a
+    // deterministically messy synthetic URL per document (the corpus
+    // tables carry no URL column; both engines derive the same one from
+    // doc_id). `domain` is the registrable-domain heuristic (last two
+    // host labels) and `n_in_domain` the host-group census that
+    // composes with the d06 containment tier at domain level — the
+    // per-domain aggregate rides a broadcast join, not a window.
+    Q("t22_url_canonical",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val idStr = col("doc_id").cast("string")
+        val url = when(col("doc_id") % 3 === 0,
+            concat(lit("HTTP://WWW.Example.COM:80/A/"), idStr,
+              lit("?utm_source=x&b=2&a=1#frag")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://CDN.Example.com:443/media/"), idStr,
+              lit("?id="), idStr, lit("&gclid=g123")))
+          .otherwise(
+            lit("https://Blog.Sample.ORG:8443/posts" +
+              "?z=9&a=1&utm_campaign=c&fbclid=f"))
+        val canon = docs.select(col("doc_id"), url.as("url"))
+          .withColumn("canon_url",
+            urlCanonicalize(col("url")))
+          .withColumn("host", urlHost(col("url")))
+          .withColumn("domain", urlDomain(col("url")))
+        val perDomain = canon.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_in_domain"))
+        canon.join(broadcast(perDomain), "domain")
+          .select(col("doc_id"), col("url"), col("canon_url"),
+            col("host"), col("domain"), col("n_in_domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/A/'
+             |      || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+             |    WHEN 1 THEN 'https://CDN.Example.com:443/media/'
+             |      || CAST(doc_id AS VARCHAR) || '?id='
+             |      || CAST(doc_id AS VARCHAR) || '&gclid=g123'
+             |    ELSE 'https://Blog.Sample.ORG:8443/posts'
+             |      || '?z=9&a=1&utm_campaign=c&fbclid=f'
+             |    END AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+             |    regexp_extract(url,
+             |      '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+             |  FROM u),
+             |c AS (
+             |  SELECT doc_id, url, scheme,
+             |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+             |    regexp_extract(auth, ':([0-9]+)$', 1) AS port, path,
+             |    array_to_string(list_sort(list_filter(
+             |      string_split(qs, '&'),
+             |      x -> x <> '' AND NOT regexp_matches(x,
+             |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qc
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, url,
+             |    scheme || '://' || host ||
+             |    CASE WHEN port <> '' AND NOT (
+             |        (scheme = 'http' AND port = '80')
+             |        OR (scheme = 'https' AND port = '443'))
+             |      THEN ':' || port ELSE '' END ||
+             |    path || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+             |      AS canon_url,
+             |    host,
+             |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+             |  FROM c)
+             |SELECT doc_id, url, canon_url, host, domain,
+             |  COUNT(*) OVER (PARTITION BY domain) AS n_in_domain
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
