@@ -198,4 +198,34 @@ class PlanAuditSpec extends SparkSuite {
       "p06 degraded to a cartesian join")
     assert(e.contains("Generate"), "p06 lost its row-local epoch explode")
   }
+
+  test("alpha mixture derives quotas without a window or a sort-merge " +
+      "join: prefix sum + broadcast-only attaches") {
+    // The α = ½ policy adds two scalar/|sources|-row attaches (corpus
+    // total, isqrt weights, Σw) on top of p04's keyed prefix sum —
+    // all must ride broadcasts; a SortMergeJoin here would shuffle the
+    // corpus once per attach at 100 TB.
+    val p = plan("p16_alpha_mixture")
+    assert(!p.contains("Window"), s"p16 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"quota attaches must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("model-based quality scoring fuses into one scan: the only " +
+      "shuffle is the gate's final sort") {
+    // t21's whole feature-hash → weight-sum → score chain is row-local
+    // built-ins; any extra Exchange means the classifier stopped being
+    // free at scan time.
+    assert(exchanges(plan("t21_model_quality")) == 1)
+  }
+
+  test("URL canonicalization is row-local; the domain census is the " +
+      "only aggregation shuffle and rejoins by broadcast") {
+    val p = plan("t22_url_canonical")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-domain census must rejoin via broadcast:\n$p")
+    assert(!p.contains("Window"), s"t22 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
