@@ -228,6 +228,19 @@ sealed trait Model {
       s"versioned model '$name' (version=$v) must be named <base>$suffix")
     name.dropRight(suffix.length)
   }
+
+  /** dbt `group` (m19): the ownership group this model belongs to.
+    * Groups scope `access: private` — selection exposes them via the
+    * `group:NAME` atom. */
+  def group: Option[String] = None
+
+  /** dbt `access` (m19): `private` (ref-able only from the same group),
+    * `protected` (the default — ref-able within this project), or
+    * `public` (ref-able anywhere, the cross-project contract surface;
+    * within one project it behaves like protected). Enforced at Runner
+    * construction — a violating ref fails the parse, dbt's semantics,
+    * so an access break can never reach execution. */
+  def access: Option[String] = None
 }
 
 /** One column of a model contract: `dataType` is Spark SQL DDL
@@ -255,7 +268,9 @@ final case class SqlModel(
     override val description: String = "",
     override val version: Option[Int] = None,
     override val latestVersion: Option[Int] = None,
-    override val deprecationDate: Option[String] = None) extends Model {
+    override val deprecationDate: Option[String] = None,
+    override val group: Option[String] = None,
+    override val access: Option[String] = None) extends Model {
   lazy val refs: Seq[String] = Renderer.refsIn(sql)
   lazy val sources: Seq[(String, String)] = Renderer.sourcesIn(sql)
 }

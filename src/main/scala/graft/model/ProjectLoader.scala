@@ -136,7 +136,7 @@ object ProjectLoader {
         "pre_hook", "post_hook", "tags", "contract",
         "incremental_strategy", "event_time", "batch_size", "lookback",
         "begin", "description", "version", "latest_version",
-        "deprecation_date")
+        "deprecation_date", "group", "access")
     require(unknown.isEmpty, s"$where: unsupported config keys: " +
       unknown.mkString(", "))
 
@@ -266,6 +266,14 @@ object ProjectLoader {
         require(str("deprecation_date").isEmpty || str("version").nonEmpty,
           s"$where: deprecation_date requires version")
         str("deprecation_date")
+      },
+      // dbt groups + access (m19): access values are the dbt triple;
+      // a typo must not silently default to protected.
+      group = str("group"),
+      access = str("access").map { a =>
+        require(Set("private", "protected", "public")(a),
+          s"$where: access must be private|protected|public, got '$a'")
+        a
       })
   }
 }

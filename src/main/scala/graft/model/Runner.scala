@@ -859,6 +859,21 @@ final class Runner(
     }.distinct
   }.toMap
 
+  // dbt `access` enforcement (m19), at parse time like dbt: a ref to a
+  // PRIVATE model from outside its group fails the whole invocation
+  // before any node runs. `protected` (the default) and `public` are
+  // both ref-able within a single project — the protected/public
+  // distinction only bites across projects, which this engine's one-
+  // project invocations cannot express (adjudicated in COVERAGE.md).
+  project.models.foreach { m =>
+    m.refs.map(byName).foreach { t =>
+      require(!t.access.contains("private") || t.group == m.group,
+        s"model ${m.name} cannot ref private model ${t.name}: " +
+          s"${t.name} is private to group '${t.group.getOrElse("")}' " +
+          s"and ${m.name} is in group '${m.group.getOrElse("")}'")
+    }
+  }
+
   /** Deprecation warnings through the DAG (dbt model versions): one per
     * (consumer, ref) whose resolution lands on a version whose
     * `deprecation_date` has passed — both pinned refs to a deprecated
@@ -1951,6 +1966,7 @@ final class Runner(
 
   /** Non-name selection atoms: `tag:NAME` (dbt tags — every model
     * carrying the tag; an unknown tag selects nothing, dbt's behavior),
+    * `group:NAME` (dbt groups — every model owned by the group),
     * `source:NAME[.TABLE]` (models reading that source directly — so
     * `source:tpch+` rebuilds everything a refreshed feed touches),
     * `exposure:NAME` (the exposure's direct parent models — so
@@ -1964,6 +1980,11 @@ final class Runner(
       if (atom.startsWith("tag:")) {
         val tag = atom.stripPrefix("tag:")
         Some(project.models.filter(_.tags.contains(tag)).map(_.name).toSet)
+      } else if (atom.startsWith("group:")) {
+        // dbt `group:NAME` selector: every model owned by the group;
+        // an unknown group selects nothing (tag semantics).
+        val g = atom.stripPrefix("group:")
+        Some(project.models.filter(_.group.contains(g)).map(_.name).toSet)
       } else if (atom.startsWith("source:")) {
         val key = atom.stripPrefix("source:")
         val hit: ((String, String)) => Boolean = key.split("\\.", 2) match {

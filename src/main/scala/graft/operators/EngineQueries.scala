@@ -1012,6 +1012,51 @@ object EngineQueries extends QueryPack {
              |   AS warning
              |FROM nation ORDER BY nation_id""".stripMargin)),
 
+    // ---- dbt GROUPS + ACCESS (m19): a private model is ref-able only
+    // from its own group, enforced at PARSE time (a violating project
+    // fails before any node runs — dbt's semantics); `group:NAME` joins
+    // the selection algebra like tag:. The gate builds the legal
+    // same-group consumer, pins the `group:core+` selection set, and
+    // pins the exact parse error a cross-group consumer raises — all
+    // statically replayable.
+    Q("m19_groups_access",
+      (spark, dir) => {
+        val core = SqlModel("core_nation",
+          """SELECT n_nationkey AS nation_id, n_name AS nation
+            |FROM {{ source('tpch', 'nation') }}""".stripMargin,
+          Materialization.Table, group = Some("core"),
+          access = Some("private"))
+        val sameGroup = SqlModel("core_brief",
+          "SELECT nation_id, upper(nation) AS nation " +
+            "FROM {{ ref('core_nation') }}",
+          Materialization.Table, group = Some("core"))
+        def project(extra: Seq[SqlModel]) = Project(
+          TpchProject.sources(dir), Seq(core, sameGroup) ++ extra)
+        def runner(extra: Seq[SqlModel] = Nil) = new Runner(
+          project(extra), Target.dev,
+          new PathMaterializer(java.nio.file.Files
+            .createTempDirectory("graft_groups").toString))
+        val r = runner()
+        val results = r.run(spark, select = Some("group:core+"))
+        val selected = results.map(_.name).sorted.mkString(",")
+        // The cross-group ref must fail the PARSE, not a node.
+        val outsider = SqlModel("marketing_brief",
+          "SELECT * FROM {{ ref('core_nation') }}",
+          group = Some("marketing"))
+        val denied =
+          try { runner(Seq(outsider)); "no error" }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.replace("requirement failed: ", "") }
+        r.table(spark, "core_brief")
+          .withColumn("selected", lit(selected))
+          .withColumn("denied", lit(denied))
+          .orderBy(col("nation_id"))
+      },
+      Some("""SELECT n_nationkey AS nation_id, upper(n_name) AS nation,
+             | 'core_brief,core_nation' AS selected,
+             | 'model marketing_brief cannot ref private model core_nation: core_nation is private to group ''core'' and marketing_brief is in group ''marketing''' AS denied
+             |FROM nation ORDER BY nation_id""".stripMargin)),
+
     // ---- Contract surface (dbt `contract: enforced`): two contracted
     // marts over the same SELECT — one whose declared columns/types match
     // the built frame exactly (must materialize), one declaring a drifted
