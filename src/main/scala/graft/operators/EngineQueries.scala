@@ -112,10 +112,18 @@ object TpchProject {
   def project(dir: String): Project = ProjectLoader.load(
     modelsDir, sources(dir), codeModels = Seq(salesByRegion), tests = tests)
 
+  /** Root is pid-suffixed (CorpusProject's isolation story): two JVMs
+    * (a spec run and a gate run, or two Verify invocations at different
+    * scale factors) sharing one fixed path corrupt each other's marts —
+    * observed as a gate mart holding BOTH runs' rows. Within a JVM the
+    * root stays stable, so gates that build and re-read marts across
+    * separate Runner instances keep working. */
+  private[operators] val martRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_marts_${ProcessHandle.current().pid()}"
+
   def runner(dir: String): Runner =
-    new Runner(project(dir), Target.dev,
-      new PathMaterializer(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_marts"))
+    new Runner(project(dir), Target.dev, new PathMaterializer(martRoot))
 }
 
 /** Engine-driven queries for the driver gate: each runs the DAG (selected
@@ -630,9 +638,7 @@ object EngineQueries extends QueryPack {
     Q("m05_custom_schema_target",
       (spark, dir) => {
         val r = new Runner(TpchProject.project(dir), Target.prod,
-          new PathMaterializer(
-            sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-              "/graft_marts_prod"))
+          new PathMaterializer(s"${TpchProject.martRoot}_prod"))
         r.run(spark, select = Some("+nation_brief"))
         r.table(spark, "nation_brief")
           .withColumn("relation",

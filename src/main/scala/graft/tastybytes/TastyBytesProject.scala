@@ -168,8 +168,14 @@ object TastyBytesProject {
     fileModels.values.toSeq.sortBy(_.name) ++ Seq(salesMetricsByLocation),
     tests)
 
+  /** Pid-suffixed for the same reason as TpchProject.martRoot:
+    * concurrent JVMs sharing one fixed root corrupt each other's
+    * marts; within a JVM the root stays stable across Runner
+    * instances. */
+  private val martRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_tb_marts_${ProcessHandle.current().pid()}"
+
   def runner(target: Target = Target.dev): Runner =
-    new Runner(project, target,
-      new PathMaterializer(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_tb_marts"))
+    new Runner(project, target, new PathMaterializer(martRoot))
 }
