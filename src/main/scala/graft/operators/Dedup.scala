@@ -547,6 +547,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))
   }
 
+  /** Duplicate-SPAN removal (substring-level dedup at word granularity) —
+    * the ExactSubstr recipe of "Deduplicating Training Data Makes
+    * Language Models Better" re-expressed as relational algebra instead
+    * of a suffix array: documents are not dropped, repeated SPANS are,
+    * keeping only the corpus-FIRST occurrence of every duplicated
+    * k-gram window (first = lexicographic min (doc_id, start), so
+    * within-document self-repetition is removed too, unlike the
+    * score-only t17/t20 signals that motivate this operator).
+    *
+    * Rule: token position p of doc d is removed iff some k-gram window
+    * covering p (start ∈ [p-k+1, p]) occurs elsewhere in the corpus
+    * EARLIER in (doc_id, start) order. Runs of ≥ k duplicated tokens
+    * vanish; shorter accidental overlaps survive (no full k-window is
+    * duplicated), exactly the suffix-array semantics at k granularity.
+    *
+    * Shuffle economics at 100 TB: the document text NEVER shuffles —
+    *  1. gram starts are emitted map-side as (md5(gram), doc, start):
+    *     16-byte keys, the t20/d09 inverted-index shape;
+    *  2. one shuffle on the gram hash finds each gram's first owner
+    *     (partial-aggregated min, so hot grams — boilerplate — combine
+    *     map-side instead of skewing a sort);
+    *  3. duplicate starts explode ×k to covered positions and aggregate
+    *     to ONE positions-set row per doc (bounded by doc length — the
+    *     per-doc collect bound this repo states at every collect site);
+    *  4. reconstruction is a row-local array filter over the doc's own
+    *     token array joined with that set — pure projection, no window,
+    *     no per-token shuffle.
+    * Output: (doc_id, n_tokens, n_removed, kept_md5) — the rewritten
+    * text is hashed, not carried, so the gate's result stays narrow.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val toks = docs.select(col(idCol).as("doc_id"), words.as("w"))
+    // gram starts, 1-based: i ∈ [1, n-k+1]; sequence() must be guarded
+    // (Spark's sequence(1, 0) steps DOWNWARD rather than yielding empty).
+    val grams = toks
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("w"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gh"))
+    val firstDoc = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("fd"))
+      .withColumnRenamed("gh", "gh1")
+    val first = grams
+      .join(firstDoc, col("gh") === col("gh1") && col("doc_id") === col("fd"))
+      .groupBy(col("gh1"), col("fd")).agg(min(col("i")).as("fs"))
+      .withColumnRenamed("gh1", "gh2")
+    val dupStarts = grams.join(first, col("gh") === col("gh2"))
+      .filter(!(col("doc_id") === col("fd") && col("i") === col("fs")))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("ps"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(col("w"), (_, idx) =>
+            !array_contains(coalesce(col("ps"),
+              array().cast("array<int>")), idx + 1)),
+          " ")).as("kept_md5"))
+  }
+
   /** The raw banded + 1-bit-multiprobe candidate stream over (doc_id,
     * sig) rows: 8 8-bit bands; the probe side replicates each band key 9×
     * (the key plus its 8 one-bit flips) and joins the un-probed side, so

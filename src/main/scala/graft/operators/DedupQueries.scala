@@ -551,7 +551,48 @@ object DedupQueries extends QueryPack {
               |    AS BIGINT) AS n_within,
               |  CAST(COALESCE(SUM(CASE WHEN ca <> cb THEN 1 END), 0)
               |    AS BIGINT) AS n_cross
-              |FROM pairs""".stripMargin))
+              |FROM pairs""".stripMargin)),
+
+    // Duplicate-SPAN removal ([[Dedup.spanDedup]] — the ExactSubstr
+    // recipe at word-5-gram granularity): repeated spans are CUT, docs
+    // survive, only the corpus-first occurrence of each duplicated
+    // window stays. The oracle replays the whole rule — gram index,
+    // two-step (doc, start) first-occurrence, ×k coverage union,
+    // ordered reconstruction — and both engines hash the rewritten
+    // text, so a single token kept or cut differently flips the row.
+    Q("d20_span_dedup",
+      (s, dir) => Dedup
+        .spanDedup(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id")),
+      Some(raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i, md5(array_to_string(w[i:i+4], ' ')) gh
+             |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+             |  WHERE len(w) >= 5),
+             |fdoc AS (SELECT gh, MIN(doc_id) fd FROM g GROUP BY gh),
+             |f AS (SELECT g.gh, fdoc.fd, MIN(g.i) fs
+             |      FROM g JOIN fdoc ON g.gh = fdoc.gh AND g.doc_id = fdoc.fd
+             |      GROUP BY g.gh, fdoc.fd),
+             |dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gh)
+             |        WHERE NOT (g.doc_id = f.fd AND g.i = f.fs)),
+             |cov AS (SELECT DISTINCT doc_id, i + o AS p
+             |        FROM dup, UNNEST(range(0, 5)) AS u(o)),
+             |cova AS (SELECT doc_id, list(p) ps, COUNT(*) nr
+             |         FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(c.nr, 0) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(array_to_string(
+             |    list_transform(
+             |      list_filter(range(1, len(t.w) + 1),
+             |        p -> NOT list_contains(
+             |          COALESCE(c.ps, CAST([] AS BIGINT[])), p)),
+             |      p -> t.w[p]), ' '), '')) AS kept_md5
+             |FROM toks t LEFT JOIN cova c USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** Shared d13/d14/d15 oracle tail: predecessor drops within the final

@@ -25,6 +25,37 @@ class ExtensionSpec extends SparkSuite {
       Seq((0, 0), (0, 0), (1, 0), (2, 0), (3, 1), (3, 1)))
   }
 
+  test("span dedup: first occurrence kept, later spans cut, short docs safe") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // shares the 5-gram "alpha..epsilon" with doc 1 → loses those 5 words
+      (2L, "pre1 pre2 alpha beta gamma delta epsilon post1"),
+      // exact duplicate of doc 1 → fully removed
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "too short here"),                      // < k tokens: untouched
+      (5L, ""),                                    // empty: n_tokens 0
+      // within-doc repetition: only the first "r1..r5" run survives
+      (6L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def h(s: String): String = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) == ((8L, 0L, h("alpha beta gamma delta epsilon zeta eta theta"))))
+    assert(out(2L) == ((8L, 5L, h("pre1 pre2 post1"))))
+    assert(out(3L) == ((8L, 8L, h(""))))
+    assert(out(4L) == ((3L, 0L, h("too short here"))))
+    assert(out(5L) == ((0L, 0L, h(""))))
+    assert(out(6L) == ((15L, 10L, h("r1 r2 r3 r4 r5"))))
+    // plan shape: no Window, no cartesian — the text never rides a shuffle
+    val plan = Dedup.spanDedup(corpus, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "span dedup must not use a window")
+    assert(!plan.contains("Cartesian"), "span dedup must not go all-pairs")
+  }
+
   test("simhash: identical text ⇒ identical signature; near-identical ⇒ close") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again"),
@@ -97,8 +128,8 @@ class ExtensionSpec extends SparkSuite {
       .orderBy(col("method")).collect()
     val r1 = report()
     assert(r1.map(_.getString(0)).toSeq ==
-      Seq("int8", "ivf", "ivf_trained", "ivfpq", "ivfpq_pqtrained",
-        "ivfpq_trained", "lsh", "pq"))
+      Seq("binary", "binary_rerank", "int8", "ivf", "ivf_trained",
+        "ivfpq", "ivfpq_pqtrained", "ivfpq_trained", "lsh", "pq"))
     assert(Similarity.recallReport(emb, queries, "vec_id", "embedding", 5)
       .columns.toSeq ==
       Seq("method", "k", "n_queries", "n_exact", "hits", "recall_at_k"))
@@ -116,6 +147,10 @@ class ExtensionSpec extends SparkSuite {
       // only lose further candidates vs plain PQ.
       val floor = r.getString(0) match {
         case "ivfpq" | "ivfpq_trained" | "ivfpq_pqtrained" => 0.15
+        // 1-bit Hamming is the coarsest metric on the ladder; its
+        // re-ranked form recovers most of what the nomination kept.
+        case "binary" => 0.1
+        case "binary_rerank" => 0.3
         case "pq" => 0.2
         case _ => 0.5
       }
@@ -123,6 +158,12 @@ class ExtensionSpec extends SparkSuite {
         s"${r.getString(0)} recall $recall outside [$floor, 1]")
       assert(r.getLong(4) <= r.getLong(3))
     }
+    // Structural: the exact re-rank can only PROMOTE true positives the
+    // Hamming scan nominated (binary's top-k is a prefix of the same
+    // nomination order), so the two-stage arm dominates the raw one.
+    val byMethod = r1.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(byMethod("binary_rerank") >= byMethod("binary"),
+      s"re-rank below raw binary: $byMethod")
   }
 
   test("trained IVF beats seeded IVF where seeding fails: a clustered " +
