@@ -275,6 +275,51 @@ object PipelineQueries extends QueryPack {
            |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            |FROM g GROUP BY 1 ORDER BY pack_id""".stripMargin))),
 
+    // CLUSTER-BALANCED mixture: the DoReMi/cluster-curriculum shape —
+    // when documents carry no source metadata, the mixture's domains
+    // come from the corpus ITSELF: spherical k-means over the embedding
+    // table (d13's deterministic codebook, trained in-plan) labels each
+    // embedded document with its cluster, and the α = ½ temperature
+    // policy ([[Mixture.alphaSample]]) flattens the cluster histogram —
+    // big topic clusters capped, tail topics upsampled. Composition is
+    // entirely declarative: the k-means CTEs splice ahead of the
+    // mixture CTEs in the oracle exactly as the codebook literal
+    // splices into the Spark plan (row-local assignment, zero extra
+    // shuffle beyond the mixture's own keyed prefix sum — the 100 TB
+    // cost is one doc↔cluster equi-join on doc_id).
+    Q("p19_cluster_mixture",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val (codebook, _) = Similarity.kmeansFit(
+          emb, "vec_id", "embedding", k = 10, iters = 3,
+          trackObjective = false)
+        val asg = Similarity
+          .assignClusters(
+            Similarity.normalized(emb, "vec_id", "embedding"), codebook)
+          .select(col("vid").as("doc_id"),
+            concat(lit("c"), col("cid")).as("cluster"))
+        Mixture.alphaSample(
+            Tables(s, dir, "documents").join(asg, "doc_id"),
+            "cluster", "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            total => floor(total / 2).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(alphaMixtureOracleOver(
+        s"""${VectorQueries.kmeansCtes(k = 10, iters = 3)},
+           |t AS (
+           |  SELECT d.doc_id, 'c' || a.cid AS source, CAST(CASE
+           |      WHEN length(trim(d.text)) = 0 THEN 0
+           |      ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+           |    END AS BIGINT) AS n_tokens
+           |  FROM documents d JOIN asg4 a ON d.doc_id = a.vid)""".stripMargin,
+        """SELECT c.doc_id, c.source AS cluster, c.n_tokens,
+          |  c.cum_before, w.w_alpha,
+          |  CAST(c.cum_before + 1 AS HUGEINT) * sumw
+          |    <= CAST(total // 2 AS HUGEINT) * w.w_alpha AS keep
+          |FROM c JOIN w USING (source), tot, sw
+          |ORDER BY doc_id""".stripMargin))),
+
     // EPOCHED mixture ([[Mixture.epochedSample]]): the upsampling half
     // of mixture construction — targets of 2x the corpus's tokens
     // weighted (I+1)/210 push high-index sources past their own token
@@ -650,12 +695,20 @@ object PipelineQueries extends QueryPack {
     * appends the final SELECT (per-doc keeps for p16, the packed
     * manifest for p18). */
   private def alphaMixtureOracle(tail: String): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, source, CAST(CASE
-       |      WHEN length(trim(text)) = 0 THEN 0
-       |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-       |    END AS BIGINT) AS n_tokens
-       |  FROM documents),
+    alphaMixtureOracleOver(
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(CASE
+        |      WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |    END AS BIGINT) AS n_tokens
+        |  FROM documents)""".stripMargin, tail)
+
+  /** [[alphaMixtureOracle]] with the labeled-document CTE supplied by
+    * the caller — `prelude` must end with a CTE named `t` exposing
+    * (doc_id, source, n_tokens); p19 routes the k-means cluster CTEs
+    * through here. */
+  private def alphaMixtureOracleOver(prelude: String, tail: String): String =
+    s"""$prelude,
        |tot AS (SELECT SUM(n_tokens) AS total FROM t),
        |ps AS (SELECT source, SUM(n_tokens) AS s FROM t GROUP BY source),
        |w AS (
