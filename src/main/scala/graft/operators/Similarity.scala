@@ -779,9 +779,34 @@ object Similarity {
     * rounded-cosine/nid tiebreak), so the fused pipeline keeps an exact
     * cross-engine oracle (v12). */
   def rerankTopK(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, candidates: Int = 25): DataFrame = {
-    val cand = pqTopK(emb, queries, idCol, vecCol, candidates)
-      .select(col("qid"), col("nid"))
+      vecCol: String, k: Int, candidates: Int = 25): DataFrame =
+    exactRerankOver(
+      pqTopK(emb, queries, idCol, vecCol, candidates)
+        .select(col("qid"), col("nid")),
+      emb, queries, idCol, vecCol, k)
+
+  /** Binary two-stage retrieval — [[binarySignTopK]]'s 64×-compressed
+    * Hamming scan nominates the candidates, [[rerankTopK]]'s exact
+    * cosine pass ranks them: the binary-quantization serving pattern
+    * (an 8-byte-per-vector first pass over the whole corpus, floats
+    * touched only for |queries|·candidates rows). Both stages are
+    * deterministic (integer Hamming + nid tiebreak, rounded cosine), so
+    * the fused pipeline keeps an exact cross-engine oracle (v20). */
+  def binaryRerankTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int = 25): DataFrame =
+    exactRerankOver(
+      binarySignTopK(emb, queries, idCol, vecCol, candidates)
+        .select(col("qid"), col("nid")),
+      emb, queries, idCol, vecCol, k)
+
+  /** The exact re-rank stage shared by [[rerankTopK]] and
+    * [[binaryRerankTopK]]: the nominated (qid, nid) list is tiny
+    * (queries × candidates), so it BROADCASTS into the corpus join —
+    * the corpus never shuffles to fetch raw vectors; the only shuffle
+    * is the final per-query top-k window. */
+  private def exactRerankOver(cand: DataFrame, emb: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val corpus = normalized(emb, idCol, vecCol)
     val q = normalized(queries, idCol, vecCol)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -844,5 +869,14 @@ object Similarity {
         ivfPqTopK(emb, queries, idCol, vecCol, k, pqTrainIters = 3)))
       .unionByName(one("lsh", lshTopK(emb, queries, idCol, vecCol, k)))
       .unionByName(one("pq", pqTopK(emb, queries, idCol, vecCol, k)))
+      // The binary ladder rung and its re-ranked serving form (v20):
+      // the paired rows are the case FOR the two-stage pattern — the
+      // exact re-rank can only promote true positives the Hamming scan
+      // nominated, so binary_rerank ≥ binary holds structurally
+      // (asserted by ExtensionSpec).
+      .unionByName(one("binary",
+        binarySignTopK(emb, queries, idCol, vecCol, k)))
+      .unionByName(one("binary_rerank",
+        binaryRerankTopK(emb, queries, idCol, vecCol, k)))
   }
 }

@@ -452,6 +452,53 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // Binary two-stage retrieval (Similarity.binaryRerankTopK): the
+    // 1-bit sign index (v13's 64×-compressed Hamming scan) nominates 25
+    // candidates per query, the exact cosine re-rank (v12's stage)
+    // finishes — the binary-quantization serving pattern: the corpus
+    // pass touches 8 bytes per vector, floats only touch
+    // |queries|·candidates rows. Oracle = v13's dimension-wise sign
+    // CTEs capped at candidate depth feeding v12's re-rank tail.
+    Q("v20_binary_rerank",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.binaryRerankTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, candidates = 25)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm
+             |  FROM e),
+             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id nid,
+             |    len(list_filter(range(1, 65),
+             |      i -> (q.qv[CAST(i AS INT)] > 0.0)
+             |        <> (c.v[CAST(i AS INT)] > 0.0))) AS hamming
+             |  FROM q, e c WHERE c.vec_id <> q.qid),
+             |cand AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT qid, nid,
+             |      ROW_NUMBER() OVER (PARTITION BY qid
+             |        ORDER BY hamming, nid) crn
+             |    FROM scored) WHERE crn <= 25),
+             |rr AS (
+             |  SELECT c.qid, c.nid,
+             |    ROUND(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm), 6)
+             |      AS sim
+             |  FROM cand c
+             |  JOIN n nq ON nq.vec_id = c.qid
+             |  JOIN n nc ON nc.vec_id = c.nid),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nid) rn
+             |  FROM rr)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // IVF + PQ composed (Similarity.ivfPqTopK) — the production ANN
     // layout: coarse buckets prune the scan, PQ codes shrink the index.
     // Both stages are the deterministic v04/v10 constructions, so the
