@@ -884,7 +884,73 @@ object TextQueries extends QueryPack {
              |  FROM c)
              |SELECT doc_id, url, canon_url, host, domain,
              |  COUNT(*) OVER (PARTITION BY domain) AS n_in_domain
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM SURPRISAL scoring — the perplexity-filter tier of
+    // published recipes (CCNet trains KenLM and keeps the middle of the
+    // perplexity distribution; the unigram LM is that stage's exactly
+    // replayable core): p(w) = tf(w)/N over the corpus itself, per-doc
+    // score = mean −ln p(w). Boilerplate-heavy docs score LOW (their
+    // words are corpus-frequent), gibberish scores HIGH — the
+    // distribution's two cut tails. Float discipline: each term is
+    // ln(N/tf) ROUNDED AT 12dp then summed as DECIMAL(28,12) — exact,
+    // order-independent — and only the final mean divides as double
+    // (rounded 6dp, the repo's cross-engine contract); a 1-ulp ln()
+    // divergence between engines sits 3 decimal orders below the 12dp
+    // cut. Scale shape: one vocabulary-sized tf aggregate (map-side
+    // combined), one token→tf equi-join (t16's df shape), one per-doc
+    // aggregate; no windows, no broadcast of the vocabulary.
+    Q("t23_unigram_surprisal",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        val tf = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val n = tf.agg(sum(col("cnt")).cast("double").as("n_total"))
+        val perDoc = toks.join(tf, "word")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            round(log(col("n_total") / col("cnt")), 12)
+              .cast("decimal(28,12)").as("s"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("s")).cast("double") / count(lit(1)), 6)
+              .as("surprisal"))
+        docs.select(col("doc_id")).distinct()
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+          .withColumn("band",
+            when(col("surprisal") < 7.0, "low")
+              .when(col("surprisal") > 8.0, "high")
+              .otherwise("mid"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) word
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT word, COUNT(*) cnt FROM toks GROUP BY word),
+             |nt AS (SELECT CAST(SUM(cnt) AS DOUBLE) n_total FROM tf),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(ROUND(ln(n_total / cnt), 12) AS DECIMAL(28,12)) s
+             |  FROM toks JOIN tf USING (word), nt),
+             |d AS (
+             |  SELECT doc_id, COUNT(*) n_tokens,
+             |    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  COALESCE(d.surprisal, 0.0) AS surprisal,
+             |  CASE WHEN COALESCE(d.surprisal, 0.0) < 7.0 THEN 'low'
+             |       WHEN COALESCE(d.surprisal, 0.0) > 8.0 THEN 'high'
+             |       ELSE 'mid' END AS band
+             |FROM (SELECT DISTINCT doc_id FROM documents) t
+             |LEFT JOIN d USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
