@@ -90,6 +90,68 @@ object Multimodal {
         rows.grouped(batchSize).flatMap(decodeImageBatch))
   }
 
+  final case class ImageHash(doc_id: Long, dhash_bits: String)
+
+  /** Perceptual difference-hash over DECODED pixels — the image tier's
+    * analog of d01's content fingerprint: the first band is pooled onto
+    * an 8×8 block-SUM grid (integer-exact — sums, not means, so no
+    * division can round differently anywhere) and bit (y,x) says
+    * whether block (y,x) outweighs its right neighbor (wrapping), the
+    * classic dHash gradient signature that survives re-encoding and
+    * resolution changes. Emitted y-major as a 64-char '0'/'1' STRING
+    * rather than a packed long: bit 63 would need 2^63, which an
+    * overflow-checked SQL engine cannot form, and only the signature's
+    * VALUE must match cross-engine, not its representation. Dims must
+    * divide 8×8 (a lossy resample would need an interpolation contract;
+    * a shape mismatch fails loudly instead). */
+  private def dhashBatch(batch: Seq[(Long, Array[Byte])]): Seq[ImageHash] =
+    batch.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"payload of doc $id is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w % 8 == 0 && h % 8 == 0,
+        s"dhash needs dims divisible by 8, got ${w}x$h for doc $id")
+      val (bw, bh) = (w / 8, h / 8)
+      val raster = img.getRaster
+      val sums = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sums(y / bh)(x / bw) += raster.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      val bits = new StringBuilder(64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          bits.append(if (sums(by)(bx) > sums(by)((bx + 1) % 8)) '1'
+            else '0')
+          bx += 1
+        }
+        by += 1
+      }
+      ImageHash(id, bits.toString)
+    }
+
+  /** docs(idCol, payloadCol: binary image) → (doc_id, dhash_bits), the
+    * micro-batched real-codec shape of [[decodeImages]]. Downstream
+    * this is a 64-bit key: exact perceptual dedup is one hash shuffle
+    * (the d01 shape, see the mm08 gate); near-dup at hamming ≤ t bands
+    * the string 8×8-chars like SimHash — no pairwise scan either way. */
+  def imageDhash(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.grouped(batchSize).flatMap(dhashBatch))
+  }
+
   /** Deterministic PNG payload for doc `id`: TYPE_BYTE_GRAY `w`×`h` with
     * pixel(x,y) = (31·id + 7x + 13y) mod 256. PNG is lossless, so the
     * decoded dimensions and luma sum are exact integer arithmetic that a

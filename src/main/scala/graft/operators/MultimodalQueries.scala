@@ -245,6 +245,56 @@ object MultimodalQueries extends QueryPack {
              |  FROM d, xs, ys WHERE xi < w AND yi < h)
              |SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
              |  COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS luma_sum
-             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Perceptual image dedup ([[Multimodal.imageDhash]] + d01's
+    // canonical keep): payloads are REAL PNGs (mm05's synthesized
+    // corpus, content keyed on doc_id // 4 so every 4 docs share an
+    // image), decoded through the real javax.imageio codec in the
+    // batched mapPartitions shape, block-dHashed, and deduped on the
+    // signature — one hash shuffle, first doc per hash kept. The
+    // oracle never touches a codec: PNG is lossless, so it replays the
+    // pixel FORMULA through block sums, the wrap-around gradient bits,
+    // and the same keep window.
+    Q("mm08_image_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 128)
+          .as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.syntheticPng(id / 4, w = 16, h = 16))))
+          .toDF("doc_id", "payload")
+        val hashed = Multimodal.imageDhash(payloads, "doc_id", "payload")
+          .toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash_bits")).orderBy(col("doc_id"))
+        hashed.withColumn("kept", row_number().over(w) === 1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 4 AS gid FROM documents
+             |  WHERE doc_id < 128),
+             |b AS (SELECT unnest(range(0, 8)) i),
+             |o AS (SELECT unnest(range(0, 2)) k),
+             |s AS (
+             |  SELECT doc_id, gid, byy.i AS yy, bxx.i AS xx,
+             |    SUM((31 * gid + 7 * (2 * bxx.i + dx.k)
+             |       + 13 * (2 * byy.i + dy.k)) % 256) AS bs
+             |  FROM d, b byy, b bxx, o dx, o dy
+             |  GROUP BY doc_id, gid, byy.i, bxx.i),
+             |nxt AS (
+             |  SELECT a.doc_id, a.yy, a.xx, a.bs, n.bs AS bs2
+             |  FROM s a JOIN s n ON a.doc_id = n.doc_id AND a.yy = n.yy
+             |    AND n.xx = (a.xx + 1) % 8),
+             |bits AS (
+             |  SELECT doc_id,
+             |    string_agg(CASE WHEN bs > bs2 THEN '1' ELSE '0' END, ''
+             |      ORDER BY yy, xx) AS dhash_bits
+             |  FROM nxt GROUP BY doc_id)
+             |SELECT doc_id, dhash_bits,
+             |  ROW_NUMBER() OVER (PARTITION BY dhash_bits
+             |    ORDER BY doc_id) = 1 AS kept
+             |FROM bits ORDER BY doc_id""".stripMargin))
   )
 }
