@@ -320,6 +320,64 @@ object PipelineQueries extends QueryPack {
           |FROM c JOIN w USING (source), tot, sw
           |ORDER BY doc_id""".stripMargin))),
 
+    // Span-dedup → pack composition: d20's rewritten corpus fed to the
+    // training loader — duplicated spans are cut from each document
+    // (only corpus-first occurrences survive), the REMAINING token
+    // counts pack into fixed-length sequences, fully-duplicated
+    // documents vanish. The substring-dedup paper's pipeline position,
+    // as two chained gated tiers: the gram-hash inverted index feeding
+    // the global packing prefix sum, no window, no cartesian.
+    Q("p20_span_pack",
+      (s, dir) => {
+        val cleaned = Dedup
+          .spanDedup(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
+          .select(col("doc_id"),
+            (col("n_tokens") - col("n_removed")).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        Packing.packAssignments(cleaned, "doc_id", "n_tokens",
+            CorpusPipeline.SeqLen)
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("pack_id"))
+      },
+      Some(raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i, md5(array_to_string(w[i:i+4], ' ')) gh
+             |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+             |  WHERE len(w) >= 5),
+             |fdoc AS (SELECT gh, MIN(doc_id) fd FROM g GROUP BY gh),
+             |f AS (SELECT g.gh, fdoc.fd, MIN(g.i) fs
+             |      FROM g JOIN fdoc ON g.gh = fdoc.gh AND g.doc_id = fdoc.fd
+             |      GROUP BY g.gh, fdoc.fd),
+             |dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gh)
+             |        WHERE NOT (g.doc_id = f.fd AND g.i = f.fs)),
+             |cov AS (SELECT DISTINCT doc_id, i + o AS p
+             |        FROM dup, UNNEST(range(0, 5)) AS u(o)),
+             |cova AS (SELECT doc_id, COUNT(*) nr FROM cov GROUP BY doc_id),
+             |kept AS (
+             |  SELECT t.doc_id,
+             |    CAST(len(t.w) - COALESCE(c.nr, 0) AS BIGINT) AS n_tokens
+             |  FROM toks t LEFT JOIN cova c USING (doc_id)
+             |  WHERE len(t.w) - COALESCE(c.nr, 0) > 0),
+             |gp AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM kept)
+             |SELECT (cum - n_tokens) // ${CorpusPipeline.SeqLen}
+             |    AS pack_id,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM gp GROUP BY 1 ORDER BY pack_id""".stripMargin)),
+
     // EPOCHED mixture ([[Mixture.epochedSample]]): the upsampling half
     // of mixture construction — targets of 2x the corpus's tokens
     // weighted (I+1)/210 push high-index sources past their own token
