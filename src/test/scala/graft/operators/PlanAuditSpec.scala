@@ -228,4 +228,52 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), s"t22 must not window:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("span dedup: inverted-index equi-joins only, coverage aggregated " +
+      "per doc, no window, no cartesian") {
+    // The document text must never ride a shuffle: gram hashes and
+    // positions do. A Window here would serialize the rebuild; a
+    // cartesian would mean the gram join degraded to all-pairs.
+    val p = plan("d20_span_dedup")
+    assert(!p.contains("Window"), s"d20 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"d20 gram join degraded to a nested loop:\n$p")
+  }
+
+  test("cluster mixture: row-local assignment + broadcast attaches on " +
+      "top of the keyed prefix sum") {
+    // p19 = p16 with the source label computed row-locally from the
+    // inlined codebook; the only non-broadcast joins are the
+    // doc↔cluster equi-join and the prefix sum's own machinery.
+    val p = plan("p19_cluster_mixture")
+    assert(!p.contains("Window"), s"p19 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("binary re-rank: Hamming scan broadcasts queries, nominated " +
+      "candidates broadcast into the fetch join") {
+    val p = plan("v20_binary_rerank")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate fetch must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("unigram surprisal: tf aggregate + token equi-join, no window, " +
+      "corpus total attached by broadcast") {
+    val p = plan("t23_unigram_surprisal")
+    assert(!p.contains("Window"), s"t23 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("image dhash dedup decodes map-side: one hash shuffle for the " +
+      "keep window plus the gate sort") {
+    // The decode lives in mapPartitions; everything after is one
+    // signature-keyed exchange (the d01 shape) and the output sort.
+    val p = plan("mm08_image_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(exchanges(p) <= 3,
+      s"mm08 grew unexpected shuffles (decode must stay map-side):\n$p")
+  }
 }
