@@ -579,27 +579,54 @@ object Dedup {
     */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
+    val toks = spanTokens(docs, idCol, textCol)
+    val grams = spanGramStarts(toks, k)
+    val dupStarts = grams.join(spanFirstOccurrences(grams), col("gh") === col("gh2"))
+      .filter(!(col("doc_id") === col("fd") && col("i") === col("fs")))
+    spanRewrite(toks, dupStarts, k)
+  }
+
+  /** (doc_id, w: token array) with empty text as an EMPTY array (a bare
+    * split of "" yields [""]). */
+  private[operators] def spanTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val words = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(split(trim(col(textCol)), "\\s+"))
-    val toks = docs.select(col(idCol).as("doc_id"), words.as("w"))
-    // gram starts, 1-based: i ∈ [1, n-k+1]; sequence() must be guarded
-    // (Spark's sequence(1, 0) steps DOWNWARD rather than yielding empty).
-    val grams = toks
+    docs.select(col(idCol).as("doc_id"), words.as("w"))
+  }
+
+  /** (doc_id, i, gh): every k-gram window's 1-based start with its
+    * md5 — 16 bytes ride the shuffle, never the gram string. The
+    * sequence() is guarded: Spark's sequence(1, 0) steps DOWNWARD
+    * rather than yielding empty. */
+  private[operators] def spanGramStarts(toks: DataFrame,
+      k: Int): DataFrame =
+    toks
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("w")) - (k - 1)),
           i => md5(concat_ws(" ", slice(col("w"), i, lit(k)))))))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gh"))
+
+  /** Each gram's lexicographically-first (doc, start) as
+    * (gh2, fd, fs) — two partial-aggregated mins, so hot (boilerplate)
+    * grams combine map-side instead of skewing a sort. */
+  private[operators] def spanFirstOccurrences(grams: DataFrame): DataFrame = {
     val firstDoc = grams.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("fd"))
       .withColumnRenamed("gh", "gh1")
-    val first = grams
+    grams
       .join(firstDoc, col("gh") === col("gh1") && col("doc_id") === col("fd"))
       .groupBy(col("gh1"), col("fd")).agg(min(col("i")).as("fs"))
       .withColumnRenamed("gh1", "gh2")
-    val dupStarts = grams.join(first, col("gh") === col("gh2"))
-      .filter(!(col("doc_id") === col("fd") && col("i") === col("fs")))
+  }
+
+  /** Coverage union + row-local reconstruction over duplicate gram
+    * starts (doc_id, i): positions explode ×k into ONE set row per doc
+    * (bounded by doc length), the text itself never shuffles. */
+  private[operators] def spanRewrite(toks: DataFrame, dupStarts: DataFrame,
+      k: Int): DataFrame = {
     val covered = dupStarts
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("p"))

@@ -592,6 +592,63 @@ object DedupQueries extends QueryPack {
              |          COALESCE(c.ps, CAST([] AS BIGINT[])), p)),
              |      p -> t.w[p]), ' '), '')) AS kept_md5
              |FROM toks t LEFT JOIN cova c USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // INCREMENTAL span dedup ([[SpanStore]] — the d10/d14/t19 store
+    // lifecycle for the substring tier): history's distinct gram hashes
+    // persist partition-per-batch; each arriving batch rewrites ONLY
+    // itself — a gram start is duplicate iff the hash exists in the
+    // store or an earlier (doc_id, start) within the batch owns it.
+    // First-occurrence is prefix-stable under id-ordered batches, so
+    // history documents never rewrite and the oracle is d20's one-shot
+    // pass over the UNION, restricted to the batch documents: the
+    // increments must be indistinguishable from never having split the
+    // corpus.
+    Q("d21_incremental_span_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val top = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (c1, c2) = (top * 3 / 5, top * 4 / 5)
+        val store = SpanStore("span_store")
+        SpanStore.build(s, docs.filter(col("doc_id") <= c1),
+          "doc_id", "text", k = 5, store)
+        val b1 = SpanStore.appendBatch(s,
+          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+          "doc_id", "text", k = 5, store, "b1")
+        val b2 = SpanStore.appendBatch(s,
+          docs.filter(col("doc_id") > c2),
+          "doc_id", "text", k = 5, store, "b2")
+        b1.unionByName(b2).orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i, md5(array_to_string(w[i:i+4], ' ')) gh
+             |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+             |  WHERE len(w) >= 5),
+             |fdoc AS (SELECT gh, MIN(doc_id) fd FROM g GROUP BY gh),
+             |f AS (SELECT g.gh, fdoc.fd, MIN(g.i) fs
+             |      FROM g JOIN fdoc ON g.gh = fdoc.gh AND g.doc_id = fdoc.fd
+             |      GROUP BY g.gh, fdoc.fd),
+             |dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gh)
+             |        WHERE NOT (g.doc_id = f.fd AND g.i = f.fs)),
+             |cov AS (SELECT DISTINCT doc_id, i + o AS p
+             |        FROM dup, UNNEST(range(0, 5)) AS u(o)),
+             |cova AS (SELECT doc_id, list(p) ps, COUNT(*) nr
+             |         FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(c.nr, 0) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(array_to_string(
+             |    list_transform(
+             |      list_filter(range(1, len(t.w) + 1),
+             |        p -> NOT list_contains(
+             |          COALESCE(c.ps, CAST([] AS BIGINT[])), p)),
+             |      p -> t.w[p]), ' '), '')) AS kept_md5
+             |FROM toks t LEFT JOIN cova c USING (doc_id)
+             |WHERE t.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
              |ORDER BY t.doc_id""".stripMargin))
   )
 
