@@ -321,4 +321,49 @@ class StoreIngestSpec extends SparkSuite {
     SemanticStore.reset(spark, ref)
     graft.core.Caches.releaseAll()
   }
+
+  test("streamed span-dedup ingest: per-batch rewrites equal one-shot") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val store = graft.operators.SpanStore("stream_span")
+    // History on the first 60% of the id range; the rest streams in id
+    // order (the first-occurrence rule's prefix-stability contract —
+    // same ordering a crawl log delivers).
+    val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+    graft.operators.SpanStore.build(spark,
+      docs.filter(col("doc_id") <= cut), "doc_id", "text", k = 5, store)
+    val arriving = docs.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val input = MemoryStream[DocRow](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rw = graft.operators.SpanStore.appendBatch(spark, b,
+          "doc_id", "text", k = 5, store, s"s$id")
+        collected ++= rw.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        (): Unit
+      }
+      .outputMode("append").start()
+    try {
+      arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val oneShot = graft.operators.Dedup
+      .spanDedup(docs, "doc_id", "text", k = 5)
+      .filter(col("doc_id") > cut).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(collected.nonEmpty && collected.exists(_._3 > 0),
+      "stream should contain spans duplicated against history")
+    assert(collected.sortBy(_._1).toSeq == oneShot)
+    graft.operators.SpanStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
 }
