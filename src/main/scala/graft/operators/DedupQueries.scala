@@ -649,6 +649,67 @@ object DedupQueries extends QueryPack {
              |      p -> t.w[p]), ' '), '')) AS kept_md5
              |FROM toks t LEFT JOIN cova c USING (doc_id)
              |WHERE t.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Span-store TAKEDOWN ([[SpanStore.delete]] + [[SpanStore
+    // .rewriteFrom]] — the d12/d15 right-to-be-forgotten story for the
+    // substring tier): victims' gram occurrences leave the store
+    // partition-scoped, and first-OWNERSHIP repairs itself — a span
+    // whose only earlier copy lived in a victim RESURRECTS in its next
+    // owner, because verdicts derive from the surviving occurrence
+    // rows, not from stale existence flags. The rewrite of the
+    // survivors must equal the one-shot pass over a corpus that never
+    // contained the victims (oracle = d20's SQL with the victim slice
+    // filtered out at the source).
+    Q("d22_span_takedown",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val top = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val cut = top * 3 / 5
+        val store = SpanStore("span_takedown")
+        SpanStore.build(s, docs.filter(col("doc_id") <= cut),
+          "doc_id", "text", k = 5, store)
+        SpanStore.appendBatch(s, docs.filter(col("doc_id") > cut),
+          "doc_id", "text", k = 5, store, "b1")
+          .count() // materialize b1's rewrite before mutating the store
+        val victims = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"))
+        SpanStore.delete(s, store, victims)
+        SpanStore.rewriteFrom(s,
+          docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text",
+          k = 5, store)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH survivors AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+             |toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END w
+             |  FROM survivors),
+             |g AS (
+             |  SELECT doc_id, i, md5(array_to_string(w[i:i+4], ' ')) gh
+             |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+             |  WHERE len(w) >= 5),
+             |fdoc AS (SELECT gh, MIN(doc_id) fd FROM g GROUP BY gh),
+             |f AS (SELECT g.gh, fdoc.fd, MIN(g.i) fs
+             |      FROM g JOIN fdoc ON g.gh = fdoc.gh AND g.doc_id = fdoc.fd
+             |      GROUP BY g.gh, fdoc.fd),
+             |dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gh)
+             |        WHERE NOT (g.doc_id = f.fd AND g.i = f.fs)),
+             |cov AS (SELECT DISTINCT doc_id, i + o AS p
+             |        FROM dup, UNNEST(range(0, 5)) AS u(o)),
+             |cova AS (SELECT doc_id, list(p) ps, COUNT(*) nr
+             |         FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(c.nr, 0) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(array_to_string(
+             |    list_transform(
+             |      list_filter(range(1, len(t.w) + 1),
+             |        p -> NOT list_contains(
+             |          COALESCE(c.ps, CAST([] AS BIGINT[])), p)),
+             |      p -> t.w[p]), ' '), '')) AS kept_md5
+             |FROM toks t LEFT JOIN cova c USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin))
   )
 

@@ -62,4 +62,37 @@ class SpanStoreSpec extends SparkSuite {
     assert(spark.table(store.gramsRel).count() == gramsBefore)
     SpanStore.reset(spark, store)
   }
+
+  test("span takedown: victims leave partition-scoped, spans resurrect " +
+      "in their next owner, delete is idempotent") {
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "unique history words only here now")).toDF("doc_id", "text")
+    val batch = Seq(
+      // duplicate of history's span — cut while doc 1 lives
+      (10L, "pre alpha beta gamma delta epsilon post"),
+      (11L, "novel one two three four five six")).toDF("doc_id", "text")
+    val store = SpanStore("span_takedown_spec")
+    SpanStore.build(spark, history, "doc_id", "text", k = 5, store)
+    SpanStore.appendBatch(spark, batch, "doc_id", "text", k = 5, store,
+      "b1").count()
+
+    val survivors = history.filter(col("doc_id") =!= 1L)
+      .unionByName(batch)
+    val victims = Seq(1L).toDF("doc_id")
+    val stats = SpanStore.delete(spark, store, victims)
+    assert(stats.rowsDeleted == 2L, s"doc 1 owns two gram starts: $stats")
+    val after = rows(SpanStore.rewriteFrom(spark, survivors, "doc_id",
+      "text", k = 5, store))
+    // Doc 10's span had ONE earlier owner — the victim. It must come
+    // back whole: stale existence flags would keep it cut forever.
+    assert(after == rows(Dedup.spanDedup(survivors, "doc_id", "text", 5)))
+    assert(after.find(_._1 == 10L).get._3 == 0L,
+      s"victim-owned span failed to resurrect in doc 10: $after")
+    // Idempotent: the same victim set finds nothing to touch.
+    assert(SpanStore.delete(spark, store, victims).rowsDeleted == 0L)
+    assert(rows(SpanStore.rewriteFrom(spark, survivors, "doc_id",
+      "text", k = 5, store)) == after)
+    SpanStore.reset(spark, store)
+  }
 }
