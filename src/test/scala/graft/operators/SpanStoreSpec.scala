@@ -63,6 +63,24 @@ class SpanStoreSpec extends SparkSuite {
     SpanStore.reset(spark, store)
   }
 
+  test("increment plan reads history off the store's parquet, never " +
+      "re-hashing history text") {
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "pre alpha beta gamma delta epsilon post"))
+      .toDF("doc_id", "text")
+    val store = SpanStore("span_plan_spec")
+    SpanStore.build(spark, history, "doc_id", "text", k = 5, store)
+    val plan = SpanStore.appendBatch(spark, batch, "doc_id", "text",
+        k = 5, store, "b1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("span_grams"),
+      s"increment must probe the persisted gram table:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+    SpanStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
+
   test("span takedown: victims leave partition-scoped, spans resurrect " +
       "in their next owner, delete is idempotent") {
     val history = Seq(
