@@ -446,17 +446,18 @@ object Similarity {
     * exactly like a (csim DESC, cid ASC) ranking, then sliced to `n`.
     * Zero shuffle and (for n = 1) zero row expansion. */
   private[operators] def nearestBuckets(points: DataFrame,
-      codebook: Array[(Long, Array[Double], Double)], n: Int): DataFrame = {
+      codebook: Array[(Long, Array[Double], Double)], n: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     val entries = codebook.map { case (cid, cv, cn) =>
       struct(
         (-sim(col("v"), col("nrm"), lit(cv), lit(cn))).as("neg"),
         lit(cid).as("cid"))
     }
+    val carried = Seq("vid", "v", "nrm") ++ extra
     points
       .withColumn("cid_top", slice(array_sort(array(entries.toIndexedSeq: _*)), 1, n))
-      .select(col("vid"), col("v"), col("nrm"),
-        explode(col("cid_top")).as("cc"))
-      .select(col("vid"), col("v"), col("nrm"), col("cc.cid").as("cid"))
+      .select(carried.map(col) :+ explode(col("cid_top")).as("cc"): _*)
+      .select(carried.map(col) :+ col("cc.cid").as("cid"): _*)
   }
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
@@ -477,6 +478,42 @@ object Similarity {
     val scored = bucketed.join(broadcast(probes), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("nid"),
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** FILTERED ANN — IVF search under a per-query metadata predicate
+    * (here: corpus `metaCol` must equal the query's), the standard
+    * "filtered vector search" shape (e.g. tenant- or language-scoped
+    * retrieval over a shared index). The filter is applied INSIDE the
+    * probe join — post-bucket pre-filtering — so the index stays one
+    * shared structure (no per-predicate index forks) and the scan cost
+    * stays candidate-driven: nprobe buckets per query, filtered rows
+    * never score. Same zero-shuffle row-local bucket assignment as
+    * [[ivfTopK]] (codebook inlined as literals, the metadata column
+    * riding along via `extra`); queries broadcast; the only shuffle is
+    * the per-query top-k window. Deterministic construction → exact
+    * cross-engine oracle (v21). */
+  def filteredIvfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, metaCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    def withMeta(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("vid"), v.as("v"), col(metaCol).as("meta"))
+      .withColumn("nrm", sqrt(Hashing.dotProduct(col("v"), col("v"))))
+    val codebook = ivfCodebook(normalized(emb, idCol, vecCol), nlist)
+    val bucketed = nearestBuckets(withMeta(emb), codebook, 1,
+      extra = Seq("meta"))
+    val probes = nearestBuckets(withMeta(queries), codebook, nprobe,
+        extra = Seq("meta"))
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("meta").as("qmeta"), col("cid"))
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid") && col("meta") === col("qmeta"))
+      .select(col("qid"), col("meta").as("label"), col("vid").as("nid"),
         sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))

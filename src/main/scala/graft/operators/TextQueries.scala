@@ -950,7 +950,101 @@ object TextQueries extends QueryPack {
              |       ELSE 'mid' END AS band
              |FROM (SELECT DISTINCT doc_id FROM documents) t
              |LEFT JOIN d USING (doc_id)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // BM25 top-k RETRIEVAL — the ranking stage of retrieval-augmented
+    // curation (and of every lexical-search decontam pass): Okapi BM25
+    // with k1=1.2, b=0.75 over whitespace tokens. The query set is
+    // derived from the corpus itself — terms ranked 11..20 by global
+    // occurrence (past the stopword head, still high-df enough that
+    // every query has a full candidate list) — so the gate needs no
+    // external query table and stays deterministic. Scale shape: the
+    // postings list (tf) is built once (one shuffle); the 10-term query
+    // list arrives via TakeOrdered(20) + a 20-row window and is
+    // BROADCAST into the postings join, so scoring is candidate-driven
+    // (only the 10 terms' postings survive — never corpus²); per-doc
+    // length joins on doc_id (one shuffle, candidate-sized left side);
+    // the final top-5 window partitions by term (10 partitions). Float
+    // discipline: idf and the saturation term are computed as ONE
+    // identically-parenthesized double expression on both engines —
+    // `idf * ((tf*2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)))` —
+    // then rounded at 6dp with ties broken on doc_id.
+    Q("t24_bm25_topk",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val term = tf.groupBy(col("token"))
+          .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
+        // top-20 by corpus count via distributed TakeOrdered; the rank
+        // window then runs over just those 20 rows.
+        val w0 = Window.orderBy(col("cnt").desc, col("token"))
+        val qterms = term.orderBy(col("cnt").desc, col("token")).limit(20)
+          .withColumn("r", row_number().over(w0))
+          .filter(col("r") > 10)
+          .select(col("token"), col("df"))
+        val stats = dl.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val w = Window.partitionBy(col("token"))
+          .orderBy(col("score").desc, col("doc_id"))
+        tf.join(broadcast(qterms), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+              + 1.0))
+          .withColumn("score",
+            round(col("idf") * ((col("tf") * 2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(1.0) - 0.75 + lit(0.75) * col("dl")
+                  / col("avgdl")))), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("token"), col("rk"), col("doc_id"), col("tf"),
+            col("score"))
+          .orderBy(col("token"), col("rk"))
+      },
+      Some(raw"""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE length(trim(text)) > 0),
+             |toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM d),
+             |tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             |term AS (
+             |  SELECT token, SUM(tf) AS cnt, COUNT(*) AS df
+             |  FROM tf GROUP BY 1),
+             |q AS (
+             |  SELECT token, df FROM (
+             |    SELECT token, df,
+             |      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r
+             |    FROM term) WHERE r > 10 AND r <= 20),
+             |st AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+             |  FROM dl),
+             |sc AS (
+             |  SELECT tf.token, tf.doc_id, tf.tf,
+             |    ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+             |      ((tf.tf * 2.2) /
+             |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))),
+             |      6) AS score
+             |  FROM tf JOIN q USING (token) JOIN dl USING (doc_id), st),
+             |r AS (
+             |  SELECT token, doc_id, tf, score,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY token ORDER BY score DESC, doc_id) AS rk
+             |  FROM sc)
+             |SELECT token, rk, doc_id, CAST(tf AS BIGINT) AS tf, score
+             |FROM r WHERE rk <= 5 ORDER BY token, rk""".stripMargin))
   )
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the

@@ -499,6 +499,59 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // FILTERED ANN (Similarity.filteredIvfTopK) — vector search under a
+    // per-query metadata predicate (corpus label = query label): the
+    // tenant-/language-scoped retrieval shape every production vector
+    // store exposes. One SHARED IVF index serves all predicates — the
+    // filter applies inside the probe join (post-bucket pre-filter), so
+    // filtered rows are pruned before scoring and the index is never
+    // forked per predicate. Construction is v04's deterministic IVF with
+    // the label riding the row-local bucket assignment → exact oracle.
+    Q("v21_ann_filtered",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.filteredIvfTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            "label", k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, label, v,
+             |    sqrt(list_dot_product(v, v)) nrm FROM e),
+             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+             |  ORDER BY vec_id LIMIT 16),
+             |casg AS (
+             |  SELECT n.vec_id vid, n.label, n.v, n.nrm, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb),
+             |bucketed AS (
+             |  SELECT vid, label, v, nrm, cid FROM casg WHERE rnk = 1),
+             |qasg AS (
+             |  SELECT n.vec_id qid, n.label qlabel, n.v qv, n.nrm qn,
+             |    cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb WHERE n.vec_id < 5),
+             |probes AS (
+             |  SELECT qid, qlabel, qv, qn, cid FROM qasg WHERE rnk <= 4),
+             |scored AS (
+             |  SELECT p.qid, p.qlabel AS label, b.vid nid,
+             |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+             |  FROM bucketed b JOIN probes p USING (cid)
+             |  WHERE b.vid <> p.qid AND b.label = p.qlabel),
+             |ranked AS (
+             |  SELECT qid, label, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nid) rn
+             |  FROM scored)
+             |SELECT qid, label, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
     // IVF + PQ composed (Similarity.ivfPqTopK) — the production ANN
     // layout: coarse buckets prune the scan, PQ codes shrink the index.
     // Both stages are the deterministic v04/v10 constructions, so the

@@ -422,6 +422,80 @@ object StreamingQueries extends QueryPack {
       },
       Some(graft.operators.PipelineQueries.fullRecipeOracle(
         """vec_id % 5 <> 0 AND vec_id <= (SELECT MAX(doc_id) * 4 // 5
-          |    FROM documents WHERE doc_id % 5 <> 0)""".stripMargin)))
+          |    FROM documents WHERE doc_id % 5 <> 0)""".stripMargin))),
+
+    // STREAMED span-store ingest ([[graft.operators.SpanStore
+    // .appendBatch]] from foreachBatch over an offset-based stream) —
+    // d21's incremental substring dedup driven by the streaming
+    // runtime: history on the first 60% of the id range, the remainder
+    // arriving as id-ordered micro-batches (micro-batch id = store
+    // batch id, so at-least-once replay lands in the same partition).
+    // Each batch's rewrite appends to a parquet sink INSIDE its epoch —
+    // the rewrite plan is pinned to the call-time history snapshot, and
+    // sinking per epoch is what a production ingest does anyway.
+    // Oracle: d21's one-shot recompute over the whole corpus restricted
+    // to the streamed slice — streamed accumulation must be
+    // indistinguishable from the batch pass.
+    Q("st11_stream_span_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+        val store = graft.operators.SpanStore("stream_span_gate")
+        graft.operators.SpanStore.build(s,
+          docs.filter(col("doc_id") <= cut), "doc_id", "text", k = 5,
+          store)
+        // Bounded driver collect: the streamed slice (40% of documents
+        // at gate SF) — the MemoryStream feed, not an operator step; on
+        // a cluster this is the log source itself.
+        val arriving = docs.filter(col("doc_id") > cut)
+          .select(col("doc_id"), col("text")).as[ArrivingDoc]
+          .collect().sortBy(_.doc_id).toSeq
+        val sink = Files.createTempDirectory("graft_st11_sink").toString
+        val input = MemoryStream[ArrivingDoc](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.SpanStore.appendBatch(s, b, "doc_id", "text",
+                k = 5, store, s"s$id")
+              .write.mode("append").parquet(sink)
+          }
+          .outputMode("append").start()
+        try {
+          arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach {
+            c => input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(sink).orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i, md5(array_to_string(w[i:i+4], ' ')) gh
+             |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+             |  WHERE len(w) >= 5),
+             |fdoc AS (SELECT gh, MIN(doc_id) fd FROM g GROUP BY gh),
+             |f AS (SELECT g.gh, fdoc.fd, MIN(g.i) fs
+             |      FROM g JOIN fdoc ON g.gh = fdoc.gh AND g.doc_id = fdoc.fd
+             |      GROUP BY g.gh, fdoc.fd),
+             |dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gh)
+             |        WHERE NOT (g.doc_id = f.fd AND g.i = f.fs)),
+             |cov AS (SELECT DISTINCT doc_id, i + o AS p
+             |        FROM dup, UNNEST(range(0, 5)) AS u(o)),
+             |cova AS (SELECT doc_id, list(p) ps, COUNT(*) nr
+             |         FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(c.nr, 0) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(array_to_string(
+             |    list_transform(
+             |      list_filter(range(1, len(t.w) + 1),
+             |        p -> NOT list_contains(
+             |          COALESCE(c.ps, CAST([] AS BIGINT[])), p)),
+             |      p -> t.w[p]), ' '), '')) AS kept_md5
+             |FROM toks t LEFT JOIN cova c USING (doc_id)
+             |WHERE t.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
+             |ORDER BY t.doc_id""".stripMargin))
   )
 }

@@ -240,6 +240,38 @@ class ExtensionSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("filtered ANN: neighbors share the query's label; with full " +
+      "probing it equals per-label brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.filteredIvfTopK(emb, queries, "vec_id",
+        "embedding", "label", k = 5)
+      .select("qid", "label", "nid").collect()
+    assert(out.nonEmpty)
+    val qLabel = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getInt(1) == qLabel(r.getLong(0)),
+        s"neighbor ${r.getLong(2)} violates the label predicate")
+    }
+    // nprobe = nlist ⇒ every bucket probed ⇒ the filter is the only
+    // pruning: result must EQUAL brute force over the label-restricted
+    // corpus, query by query (5 queries — bounded loop).
+    val full = Similarity.filteredIvfTopK(emb, queries, "vec_id",
+        "embedding", "label", k = 5, nlist = 16, nprobe = 16)
+      .select("qid", "nid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = qLabel.toSeq.flatMap { case (qid, lbl) =>
+      Similarity.bruteForceTopK(
+          emb.filter(col("label") === lbl),
+          queries.filter(col("vec_id") === qid),
+          "vec_id", "embedding", k = 5)
+        .select("qid", "nid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(full == exact,
+      "full-probe filtered ANN must equal per-label brute force")
+  }
+
   test("IVF-PQ: ADC scores agree with plain PQ, ranking is deterministic") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity

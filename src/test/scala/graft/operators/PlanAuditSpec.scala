@@ -276,4 +276,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges(p) <= 3,
       s"mm08 grew unexpected shuffles (decode must stay map-side):\n$p")
   }
+
+  test("BM25: query terms broadcast into the postings join — scoring is " +
+      "candidate-driven, never corpus x corpus") {
+    val p = plan("t24_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 10-term query list must broadcast into the postings join")
+    assert(!p.contains("CartesianProduct"))
+    // The corpus-stats singleton rides a single-row broadcast (the t08
+    // shape); everything else is equi-joins and keyed aggregates.
+  }
+
+  test("filtered ANN: bucket assignment stays row-local, probes " +
+      "broadcast, the metadata filter prunes before scoring") {
+    val p = plan("v21_ann_filtered")
+    assert(p.contains("BroadcastExchange"), "probe side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // Label rides the row-local assignment — no join-back of metadata
+    // by vid; the only non-broadcast Exchanges are the per-query top-k
+    // window's shuffle and the gate's final sort.
+    assert(exchanges(p) <= 2,
+      s"filtered-ANN corpus pass must not shuffle:\n$p")
+    // The equality filter must sit in the join condition/filter, not
+    // explode into a per-label index fork.
+    assert(p.contains("meta"), "metadata column must ride the assignment")
+  }
 }
