@@ -380,6 +380,63 @@ object Dedup {
       valueCols = Seq("jaccard"), withinValues = Seq(lit(1.0).as("jaccard")))
   }
 
+  /** Fuzzy dedup with EDIT-DISTANCE verification — the two-stage shape
+    * of production fuzzy dedup where the verifier must be
+    * token-order-aware (jaccard over shingle SETS cannot distinguish a
+    * reordered document from a near-identical one): MinHash-LSH banding
+    * nominates candidates, then exact Levenshtein over the full text
+    * confirms, keeping pairs with `100·dist ≤ maxDistPct·max(len)` —
+    * the normalized-edit-distance cut as an INTEGER cross-multiply (no
+    * decimal division in threshold logic; see p16). Candidates expand
+    * through exact-duplicate clusters BEFORE verification, so every
+    * emitted pair carries its true text-level distance (the collapse
+    * keys on shingle sets, which do not pin token order — trusting it
+    * for distances would fabricate zeros). Scale shape: banding is the
+    * d03 equi-join on (band, bucket) over cluster representatives —
+    * never corpus²; verification cost is O(candidates · len²), the
+    * priced-in stage-2 of every published fuzzy-dedup recipe. Both
+    * engines implement unit-cost Levenshtein, so the verdict is
+    * exactly oracle-checkable (d23). */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDistPct: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingled(docs, idCol, textCol)
+    val groups = clusters(sh)
+    val reps = groups.select(col("doc_id"), col("shingles"))
+    val banded = bandedBuckets(reps, numHashes, bands)
+    val repCand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .distinct()
+    val memA = groups.select(col("doc_id").as("ra"),
+      explode(col("members")).as("doc_a"))
+    val memB = groups.select(col("doc_id").as("rb"),
+      explode(col("members")).as("doc_b"))
+    val cross = repCand.join(memA, "ra").join(memB, "rb")
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val cand = cross.union(within).distinct()
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .filter(col("edit_dist") * 100 <= col("max_len") * maxDistPct)
+  }
+
   /** Cross-corpus contamination: near-duplicate pairs BETWEEN two
     * corpora — the train/test-leakage check every training-data pipeline
     * runs before a model ships (a benchmark document that near-dups a

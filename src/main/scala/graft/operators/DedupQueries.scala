@@ -710,7 +710,37 @@ object DedupQueries extends QueryPack {
              |          COALESCE(c.ps, CAST([] AS BIGINT[])), p)),
              |      p -> t.w[p]), ' '), '')) AS kept_md5
              |FROM toks t LEFT JOIN cova c USING (doc_id)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // EDIT-DISTANCE-verified fuzzy dedup ([[Dedup.editVerifiedPairs]]):
+    // LSH-nominated candidates confirmed by exact Levenshtein at
+    // normalized distance ≤ 0.20 (integer cross-multiply). The oracle
+    // is the exact all-pairs recompute — equality holds by the d03
+    // recall argument (pairs inside the 0.20 cut share most of their
+    // text, so their shingle jaccard sits far above the banding
+    // threshold and every such pair collides in ≥1 band; the planted
+    // near-dups measure ≤ 0.07 normalized, the nearest unrelated pair
+    // > 0.3). The universe is shingle-able docs (≥ 3 tokens) on both
+    // sides — the corpus floor is 10 tokens, the predicate just pins
+    // the semantics.
+    Q("d23_edit_verified_pairs",
+      (s, dir) => Dedup
+        .editVerifiedPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          maxDistPct = 20)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(raw"""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+             |    AND length(trim(text)) > 0),
+             |p AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+             |    levenshtein(a.text, b.text) ed,
+             |    greatest(length(a.text), length(b.text)) ml
+             |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, CAST(ed AS BIGINT) AS edit_dist,
+             |  CAST(ml AS BIGINT) AS max_len
+             |FROM p WHERE ed * 100 <= ml * 20
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** Shared d13/d14/d15 oracle tail: predecessor drops within the final

@@ -277,6 +277,14 @@ class PlanAuditSpec extends SparkSuite {
       s"mm08 grew unexpected shuffles (decode must stay map-side):\n$p")
   }
 
+  test("edit-verified fuzzy dedup: candidates come from the banded " +
+      "equi-join, never an all-pairs product") {
+    val p = plan("d23_edit_verified_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d23 candidates must be the (band,bucket) equi-join:\n$p")
+  }
+
   test("BM25: query terms broadcast into the postings join — scoring is " +
       "candidate-driven, never corpus x corpus") {
     val p = plan("t24_bm25_topk")
