@@ -521,6 +521,35 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** RANGE (radius) search — every corpus neighbor with cosine ≥ `tau`
+    * per query, the "all matches above a floor" retrieval verb top-k
+    * cannot express (recall sweeps, near-dup audits, dense-candidate
+    * harvesting all want the full ≥ τ set, not the best k). IVF shape:
+    * same zero-shuffle row-local bucket assignment as [[ivfTopK]],
+    * queries broadcast into the nprobe probe join — and since the
+    * output is a FILTER, not a ranking, there is NO per-query window:
+    * the whole operator is scan → broadcast-join → filter, the cheapest
+    * plan in the tier (a (qid, nid) pair can reach the filter only once
+    * because each corpus row lives in exactly one bucket). Every step
+    * deterministic (seeded codebook, 6dp-rounded sims) → exact oracle
+    * (v22). */
+  def ivfRangeSearch(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, tau: Double, nlist: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    val corpus = normalized(emb, idCol, vecCol)
+    val codebook = ivfCodebook(corpus, nlist)
+    val bucketed = nearestBuckets(corpus, codebook, 1)
+    val probes = nearestBuckets(normalized(queries, idCol, vecCol),
+        codebook, nprobe)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    bucketed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+      .filter(col("sim") >= lit(tau))
+  }
+
   /** Int8 scalar quantization — the standard ANN memory layout (4× under
     * float32, 8× under double; at 100 TB of embeddings the index either
     * quantizes or doesn't fit): symmetric per-vector max-abs scaling,

@@ -552,6 +552,48 @@ object VectorQueries extends QueryPack {
              |SELECT qid, label, nid, sim, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
+    // RANGE (radius) search (Similarity.ivfRangeSearch) — all corpus
+    // neighbors with cosine ≥ 0.15 per query, the "every match above a
+    // floor" verb top-k cannot express (near-dup audits and candidate
+    // harvesting want the full set). v04's deterministic IVF probes
+    // feed a plain FILTER — no per-query ranking window anywhere in the
+    // plan, the cheapest operator in the tier. Exact oracle replays
+    // assignment → probes → threshold.
+    Q("v22_range_search",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfRangeSearch(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            tau = 0.15)
+          .orderBy(col("qid"), col("nid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+             |  ORDER BY vec_id LIMIT 16),
+             |casg AS (
+             |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb),
+             |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+             |qasg AS (
+             |  SELECT n.vec_id qid, n.v qv, n.nrm qn, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb WHERE n.vec_id < 5),
+             |probes AS (SELECT qid, qv, qn, cid FROM qasg WHERE rnk <= 4),
+             |scored AS (
+             |  SELECT p.qid, b.vid nid,
+             |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+             |  FROM bucketed b JOIN probes p USING (cid)
+             |  WHERE b.vid <> p.qid)
+             |SELECT qid, nid, sim FROM scored WHERE sim >= 0.15
+             |ORDER BY qid, nid""".stripMargin)),
+
     // IVF + PQ composed (Similarity.ivfPqTopK) — the production ANN
     // layout: coarse buckets prune the scan, PQ codes shrink the index.
     // Both stages are the deterministic v04/v10 constructions, so the

@@ -272,6 +272,29 @@ class ExtensionSpec extends SparkSuite {
       "full-probe filtered ANN must equal per-label brute force")
   }
 
+  test("range search: every emitted pair clears the floor; with full " +
+      "probing it equals the brute-force threshold set") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.ivfRangeSearch(emb, queries, "vec_id",
+        "embedding", tau = 0.15).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) >= 0.15,
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}) below the floor"))
+    // nprobe = nlist ⇒ every bucket probed ⇒ the IVF pruning is void:
+    // the result must EQUAL the brute-force ≥ τ set.
+    val full = Similarity.ivfRangeSearch(emb, queries, "vec_id",
+        "embedding", tau = 0.15, nlist = 16, nprobe = 16)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = Int.MaxValue)
+      .filter(col("sim") >= 0.15)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact,
+      "full-probe range search must equal the brute-force threshold set")
+  }
+
   test("IVF-PQ: ADC scores agree with plain PQ, ranking is deterministic") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity

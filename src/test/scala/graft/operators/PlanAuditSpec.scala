@@ -285,6 +285,18 @@ class PlanAuditSpec extends SparkSuite {
       s"d23 candidates must be the (band,bucket) equi-join:\n$p")
   }
 
+  test("range search: no ranking window anywhere — the plan is scan, " +
+      "broadcast probe join, filter") {
+    val p = plan("v22_range_search")
+    assert(!p.contains("Window"),
+      s"v22 is a filter, not a ranking — no window belongs in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"v22 must stay the probed bucket equi-join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"v22 probes must broadcast so the corpus never shuffles:\n$p")
+  }
+
   test("BM25: query terms broadcast into the postings join — scoring is " +
       "candidate-driven, never corpus x corpus") {
     val p = plan("t24_bm25_topk")
