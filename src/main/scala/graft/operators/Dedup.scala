@@ -437,6 +437,47 @@ object Dedup {
       .filter(col("edit_dist") * 100 <= col("max_len") * maxDistPct)
   }
 
+  /** Two-stage web dedup — URL level, then content level: the order
+    * every crawl pipeline runs them (CCNet/RefinedWeb dedupe by
+    * canonical URL first because it needs no text at all, then
+    * content-dedupe the URL survivors, because distinct URLs routinely
+    * serve the same page). Stage 1 groups on
+    * [[TextFunctions.urlCanonicalize]] of `urlCol` and keeps the
+    * minimum id; stage 2 is the prefix-stable NEAR-dup predecessor
+    * rule over the survivors only (drop X iff some earlier survivor Y
+    * has shingle jaccard ≥ `threshold` — p02's append-safe rule, via
+    * [[jaccardPairs]]' banded candidates). Emits one verdict row per
+    * document: `kept` / `url_dup` / `content_dup`, with the surviving
+    * canonical document id (the URL-stage keeper, or the minimum
+    * qualifying predecessor). Scale shape: stage 1 is one hash shuffle
+    * on the canonical-URL string with the text column untouched; stage
+    * 2 runs d02's candidate-driven machinery on the already-URL-deduped
+    * remainder — each stage shrinks the next one's input, the reason
+    * pipelines order them this way (d24). */
+  def urlContentDedup(docs: DataFrame, idCol: String, urlCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.urlCanonicalize(col(urlCol)).as("canon_url"),
+      col(textCol).as("text"))
+    val urlKeep = base.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("url_keep"))
+    val staged = base.join(urlKeep, "canon_url")
+    val survivors = staged.filter(col("doc_id") === col("url_keep"))
+    val pred = jaccardPairs(survivors, "doc_id", "text", threshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("pred"))
+    val urlDups = staged.filter(col("doc_id") =!= col("url_keep"))
+      .select(col("doc_id"), col("canon_url"),
+        lit("url_dup").as("verdict"),
+        col("url_keep").as("canonical_doc"))
+    val survivorVerdicts = survivors.join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canon_url"),
+        when(col("pred").isNotNull, lit("content_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("pred"), col("doc_id")).as("canonical_doc"))
+    urlDups.union(survivorVerdicts)
+  }
+
   /** Cross-corpus contamination: near-duplicate pairs BETWEEN two
     * corpora — the train/test-leakage check every training-data pipeline
     * runs before a model ships (a benchmark document that near-dups a

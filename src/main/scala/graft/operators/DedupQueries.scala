@@ -740,7 +740,112 @@ object DedupQueries extends QueryPack {
              |SELECT doc_a, doc_b, CAST(ed AS BIGINT) AS edit_dist,
              |  CAST(ml AS BIGINT) AS max_len
              |FROM p WHERE ed * 100 <= ml * 20
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Two-stage WEB dedup ([[Dedup.urlContentDedup]]): canonical-URL
+    // keep first (needs no text), prefix-stable NEAR-dup keep over the
+    // URL survivors second — the crawl-pipeline order, each stage
+    // shrinking the next one's input. URLs are t22's deterministically
+    // messy synthetic derivation (the corpus carries no URL column;
+    // both engines derive the same one), so stage 1 collapses the
+    // whole doc_id%3=2 residue class onto one survivor and stage 2
+    // catches the corpus's planted jaccard near-dups among the rest.
+    // The oracle reuses t22's canonicalization CTE chain and d02's
+    // shingle-jaccard CTEs — hand-simplifying either here would
+    // silently fork the gates' semantics.
+    Q("d24_url_content_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val idStr = col("doc_id").cast("string")
+        val url = when(col("doc_id") % 3 === 0,
+            concat(lit("HTTP://WWW.Example.COM:80/A/"), idStr,
+              lit("?utm_source=x&b=2&a=1#frag")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://CDN.Example.com:443/media/"), idStr,
+              lit("?id="), idStr, lit("&gclid=g123")))
+          .otherwise(
+            lit("https://Blog.Sample.ORG:8443/posts" +
+              "?z=9&a=1&utm_campaign=c&fbclid=f"))
+        Dedup.urlContentDedup(
+            docs.withColumn("url", url), "doc_id", "url", "text",
+            Threshold)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/A/'
+             |      || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+             |    WHEN 1 THEN 'https://CDN.Example.com:443/media/'
+             |      || CAST(doc_id AS VARCHAR) || '?id='
+             |      || CAST(doc_id AS VARCHAR) || '&gclid=g123'
+             |    ELSE 'https://Blog.Sample.ORG:8443/posts'
+             |      || '?z=9&a=1&utm_campaign=c&fbclid=f'
+             |    END AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, text,
+             |    lower(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+             |    regexp_extract(url,
+             |      '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+             |  FROM u),
+             |c AS (
+             |  SELECT doc_id, text, scheme,
+             |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+             |    regexp_extract(auth, ':([0-9]+)$', 1) AS port, path,
+             |    array_to_string(list_sort(list_filter(
+             |      string_split(qs, '&'),
+             |      x -> x <> '' AND NOT regexp_matches(x,
+             |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qc
+             |  FROM p),
+             |f AS (
+             |  SELECT doc_id, text,
+             |    scheme || '://' || host ||
+             |    CASE WHEN port <> '' AND NOT (
+             |        (scheme = 'http' AND port = '80')
+             |        OR (scheme = 'https' AND port = '443'))
+             |      THEN ':' || port ELSE '' END ||
+             |    path || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+             |      AS canon_url
+             |  FROM c),
+             |uk AS (SELECT canon_url, min(doc_id) AS url_keep
+             |  FROM f GROUP BY 1),
+             |st AS (SELECT f.doc_id, f.canon_url, f.text, uk.url_keep
+             |  FROM f JOIN uk USING (canon_url)),
+             |toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+             |  FROM st WHERE doc_id = url_keep
+             |    AND length(trim(text)) > 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(w)-1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shingles
+             |  FROM toks WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, len(shingles) n_sh FROM sh),
+             |ex AS (SELECT doc_id, unnest(shingles) shingle FROM sh),
+             |inter AS (
+             |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_common
+             |  FROM ex a JOIN ex b
+             |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT doc_b AS doc_id, min(doc_a) AS pred
+             |  FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id
+             |  JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+             |  GROUP BY 1)
+             |SELECT st.doc_id, st.canon_url,
+             |  CASE WHEN st.doc_id <> st.url_keep THEN 'url_dup'
+             |    WHEN pred.pred IS NOT NULL THEN 'content_dup'
+             |    ELSE 'kept' END AS verdict,
+             |  CAST(CASE WHEN st.doc_id <> st.url_keep THEN st.url_keep
+             |    ELSE COALESCE(pred.pred, st.doc_id) END AS BIGINT)
+             |    AS canonical_doc
+             |FROM st LEFT JOIN pred USING (doc_id)
+             |ORDER BY st.doc_id""".stripMargin))
   )
 
   /** Shared d13/d14/d15 oracle tail: predecessor drops within the final

@@ -285,6 +285,14 @@ class PlanAuditSpec extends SparkSuite {
       s"d23 candidates must be the (band,bucket) equi-join:\n$p")
   }
 
+  test("two-stage web dedup: near-dup candidates stay banded — no " +
+      "all-pairs product anywhere in the composed plan") {
+    val p = plan("d24_url_content_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d24 stage-2 candidates must be the banded equi-join:\n$p")
+  }
+
   test("range search: no ranking window anywhere — the plan is scan, " +
       "broadcast probe join, filter") {
     val p = plan("v22_range_search")
