@@ -149,7 +149,8 @@ object VectorQueries extends QueryPack {
     |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
     |ORDER BY qid, rn""".stripMargin
 
-  private val IvfPqOracle: String = PqAdcCtes + IvfCoarseTail
+  /** Shared by v11/v14/v15 here and st12's streamed serving twin. */
+  private[graft] val IvfPqOracle: String = PqAdcCtes + IvfCoarseTail
 
   /** The v19 oracle: the IVF-PQ recompute with the sub-codebooks
     * TRAINED (3 unrolled per-subspace Lloyd steps) instead of seeded;

@@ -12,6 +12,9 @@ import graft.operators.CorpusPipeline
 /** One document on the st10 ingest log. */
 final case class ArrivingDoc(doc_id: Long, text: String)
 
+/** One query vector on the st12 serving stream. */
+final case class QueryVec(vec_id: Long, embedding: Seq[Double])
+
 /** Driver-gated Structured Streaming queries: each runs a real streaming
   * query (file source → stateful transform → memory sink) to completion
   * with `Trigger.AvailableNow`, then returns the sink table — so the
@@ -496,6 +499,47 @@ object StreamingQueries extends QueryPack {
              |      p -> t.w[p]), ' '), '')) AS kept_md5
              |FROM toks t LEFT JOIN cova c USING (doc_id)
              |WHERE t.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Streamed ANN SERVING off the persisted index — the online half
+    // of the v14 lifecycle: the IVF-PQ index is built ONCE (static,
+    // frozen codebook), then queries arrive as a stream and every
+    // micro-batch probes the same persisted codes via foreachBatch,
+    // results accumulating in the serving sink. Per-query top-k is
+    // independent across queries, so the streamed accumulation must
+    // equal the one-shot probe over all queries — v11/v14's exact
+    // IvfPqOracle verbatim. On a cluster this is the query-log →
+    // retrieval topology: index partitions stay put, only the (tiny)
+    // query batches move.
+    Q("st12_stream_ann_serving",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val index = graft.operators.VectorIndex("stream_ann_gate")
+        graft.operators.VectorIndex.build(s, emb, "vec_id", "embedding",
+          index)
+        // Bounded driver collect: the 5-query serving feed — the
+        // MemoryStream input, not an operator step.
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .as[QueryVec].collect().sortBy(_.vec_id).toSeq
+        val sink = Files.createTempDirectory("graft_st12_sink").toString
+        val input = MemoryStream[QueryVec](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.operators.VectorIndex.topK(s, b, "vec_id", "embedding",
+                index, k = 5)
+              .write.mode("append").parquet(sink)
+          }
+          .outputMode("append").start()
+        try {
+          queries.grouped(2).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(sink).orderBy(col("qid"), col("rn"))
+      },
+      Some(graft.operators.VectorQueries.IvfPqOracle))
   )
 }
