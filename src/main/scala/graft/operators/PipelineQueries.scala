@@ -732,7 +732,74 @@ object PipelineQueries extends QueryPack {
               |  COUNT(*) AS n_docs,
               |  CAST(SUM(toks) AS BIGINT) AS pack_tokens,
               |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-              |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin))
+              |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin)),
+
+    // Deterministic TRAINING-ORDER shuffle — the last manifest step
+    // before the loader: packed sequences must reach training in
+    // pseudo-random order (id order bakes corpus layout into the
+    // curriculum), every shard an unbiased sample, and the whole
+    // permutation REPRODUCIBLE (the "data order is part of the run
+    // config" discipline). Each pack hashes to a shard
+    // (md5 prefix mod 8 — no global count needed, map-only) and takes
+    // its within-shard position from the hash order via
+    // [[Packing.keyedCumSum]] — the two-phase keyed prefix sum, so
+    // there is NO per-shard ranking window: at 100 TB a shard's
+    // billions of packs would otherwise sort in one task. Oracle
+    // replays the packing prefix sum, the hash sharding, and the
+    // hash-order positions exactly.
+    Q("p21_shard_shuffle",
+      (s, dir) => {
+        val kept = Tables(s, dir, "documents")
+          .select(col("doc_id"), graft.functions.TextFunctions
+            .tokenCount(col("text")).as("n_tokens"))
+        val packs = Packing.packAssignments(kept, "doc_id", "n_tokens",
+            CorpusPipeline.SeqLen)
+          .groupBy(col("pack_id"))
+          .agg(sum(col("n_tokens")).cast("long").as("pack_tokens"))
+        val hashed = packs
+          .withColumn("h", md5(col("pack_id").cast("string")))
+          .withColumn("shard",
+            pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+              lit(8L)))
+          .withColumn("shard_str", col("shard").cast("string"))
+          .withColumn("ord",
+            concat(col("h"), lit("-"), col("pack_id").cast("string")))
+          .withColumn("one", lit(1L))
+        Packing.keyedCumSum(hashed, "shard_str", "ord", "one")
+          .select(col("pack_id"), col("shard"),
+            col("cum_before").as("shard_pos"), col("pack_tokens"))
+          .orderBy(col("shard"), col("shard_pos"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, CAST(CASE
+              |      WHEN length(trim(text)) = 0 THEN 0
+              |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              |    END AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM t),
+              |pk AS (
+              |  SELECT (cum - n_tokens) // ${CorpusPipeline.SeqLen}
+              |      AS pack_id,
+              |    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+              |  FROM g GROUP BY 1),
+              |h AS (
+              |  SELECT pack_id, pack_tokens,
+              |    md5(CAST(pack_id AS VARCHAR)) AS h
+              |  FROM pk),
+              |sh AS (
+              |  SELECT pack_id, pack_tokens, h,
+              |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+              |  FROM h)
+              |SELECT pack_id, shard,
+              |  ROW_NUMBER() OVER (PARTITION BY shard
+              |    ORDER BY h || '-' || CAST(pack_id AS VARCHAR)) - 1
+              |    AS shard_pos,
+              |  pack_tokens
+              |FROM sh ORDER BY shard, shard_pos""".stripMargin))
   )
 
   /** The full recipe's CTE chain: k-means training (`trainPred` slice)

@@ -285,6 +285,13 @@ class PlanAuditSpec extends SparkSuite {
       s"d23 candidates must be the (band,bucket) equi-join:\n$p")
   }
 
+  test("shard shuffle: within-shard positions come from the keyed " +
+      "prefix sum — no per-shard ranking window") {
+    val p = plan("p21_shard_shuffle")
+    assert(!p.contains("Window"),
+      s"p21 positions must be the two-phase prefix sum, not a window:\n$p")
+  }
+
   test("two-stage web dedup: near-dup candidates stay banded — no " +
       "all-pairs product anywhere in the composed plan") {
     val p = plan("d24_url_content_dedup")
