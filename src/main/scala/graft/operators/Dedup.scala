@@ -430,8 +430,19 @@ object Dedup {
         "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")),
         "doc_b")
+      // Length-gap lower bound: edit distance ≥ |len(a) − len(b)|, so a
+      // pair whose gap already exceeds the cut can never pass — prune
+      // it BEFORE the O(len²) DP. Pure pruning (the final filter would
+      // reject these pairs anyway), so the oracle is unaffected.
+      .filter(abs(length(col("ta")) - length(col("tb"))) * 100 <=
+        greatest(length(col("ta")), length(col("tb"))) * maxDistPct)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        // Byte-equal texts short-circuit the O(len²) DP — on a
+        // dup-heavy corpus most within-cluster candidates are exact
+        // copies, and the guard is one codegen'd comparison.
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast("long"))
+          .as("edit_dist"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
           .as("max_len"))
       .filter(col("edit_dist") * 100 <= col("max_len") * maxDistPct)

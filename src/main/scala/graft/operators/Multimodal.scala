@@ -152,6 +152,81 @@ object Multimodal {
       .mapPartitions(rows => rows.grouped(batchSize).flatMap(dhashBatch))
   }
 
+  final case class Thumbnail(doc_id: Long, thumb_w: Int, thumb_h: Int,
+      luma_sum: Long, thumb_px: String)
+
+  /** Real-codec THUMBNAIL roundtrip — decode, integer block-mean
+    * downsample, RE-ENCODE through the same codec, decode the encoded
+    * bytes back: the resize-and-store stage of an image pipeline, with
+    * the emitted pixels read from the re-encoded artifact so the
+    * ENCODER sits on the verified path (a writer bug that perturbs one
+    * sample flips the row). Block mean is floor(sum / (b·b)) — integer
+    * division, no float resampling contract to pin. PNG is lossless,
+    * so a SQL oracle replays the whole thing from the synthetic pixel
+    * formula. Map-only: batched [[mapPartitions]] like every codec
+    * step (Catalyst has no expression that runs an image codec), no
+    * shuffle anywhere. */
+  def thumbnailRoundtrip(docs: DataFrame, idCol: String,
+      payloadCol: String, block: Int, batchSize: Int = 64)
+      : Dataset[Thumbnail] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"payload of doc $id is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w % block == 0 && h % block == 0,
+          s"thumbnail needs dims divisible by $block, got ${w}x$h")
+        val (tw, th) = (w / block, h / block)
+        val raster = img.getRaster
+        val thumb = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val traster = thumb.getRaster
+        var ty = 0
+        while (ty < th) {
+          var tx = 0
+          while (tx < tw) {
+            var s = 0L
+            var dy = 0
+            while (dy < block) {
+              var dx = 0
+              while (dx < block) {
+                s += raster.getSample(tx * block + dx, ty * block + dy, 0)
+                dx += 1
+              }
+              dy += 1
+            }
+            traster.setSample(tx, ty, 0, (s / (block * block)).toInt)
+            tx += 1
+          }
+          ty += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(thumb, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val braster = back.getRaster
+        val px = new StringBuilder
+        var sum = 0L
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val v = braster.getSample(x, y, 0)
+            sum += v
+            if (px.nonEmpty) px.append(',')
+            px.append(v)
+            x += 1
+          }
+          y += 1
+        }
+        Thumbnail(id, back.getWidth, back.getHeight, sum, px.toString)
+      }))
+  }
+
   /** Deterministic PNG payload for doc `id`: TYPE_BYTE_GRAY `w`×`h` with
     * pixel(x,y) = (31·id + 7x + 13y) mod 256. PNG is lossless, so the
     * decoded dimensions and luma sum are exact integer arithmetic that a

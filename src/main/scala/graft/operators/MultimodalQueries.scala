@@ -295,6 +295,45 @@ object MultimodalQueries extends QueryPack {
              |SELECT doc_id, dhash_bits,
              |  ROW_NUMBER() OVER (PARTITION BY dhash_bits
              |    ORDER BY doc_id) = 1 AS kept
-             |FROM bits ORDER BY doc_id""".stripMargin))
+             |FROM bits ORDER BY doc_id""".stripMargin)),
+
+    // Real-codec THUMBNAIL roundtrip ([[Multimodal.thumbnailRoundtrip]]):
+    // decode 16×16 PNGs, 4×4 integer block-mean downsample, RE-ENCODE
+    // through javax.imageio, decode the encoded bytes back and emit the
+    // pixels read from the re-encoded artifact — the resize-and-store
+    // stage with the ENCODER on the verified path (mm05/mm08 verify
+    // decode; a writer bug flips this row). Block mean is floor
+    // division, so the lossless roundtrip keeps exact integer
+    // arithmetic and the oracle replays pixels → block means → sums
+    // from the synthetic formula with no image library.
+    Q("mm09_thumbnail_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 96)
+          .as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.syntheticPng(id, w = 16, h = 16))))
+          .toDF("doc_id", "payload")
+        Multimodal.thumbnailRoundtrip(payloads, "doc_id", "payload",
+            block = 4)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id FROM documents WHERE doc_id < 96),
+             |b AS (SELECT unnest(range(0, 4)) i),
+             |o AS (SELECT unnest(range(0, 4)) k),
+             |tp AS (
+             |  SELECT doc_id, byy.i AS ty, bxx.i AS tx,
+             |    SUM((31 * doc_id + 7 * (4 * bxx.i + dx.k)
+             |       + 13 * (4 * byy.i + dy.k)) % 256) // 16 AS v
+             |  FROM d, b byy, b bxx, o dx, o dy
+             |  GROUP BY doc_id, byy.i, bxx.i)
+             |SELECT doc_id, CAST(4 AS INT) AS thumb_w,
+             |  CAST(4 AS INT) AS thumb_h,
+             |  CAST(SUM(v) AS BIGINT) AS luma_sum,
+             |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY ty, tx)
+             |    AS thumb_px
+             |FROM tp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
