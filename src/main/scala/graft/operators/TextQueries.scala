@@ -952,6 +952,81 @@ object TextQueries extends QueryPack {
              |LEFT JOIN d USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // Bigram-LM CONDITIONAL surprisal — t23's unigram LM, one order up:
+    // p(w₂|w₁) = tf(w₁w₂) / tf(w₁·) with the prefix count as the
+    // normalizer (so Σ_w₂ p = 1 exactly), per-doc score = mean
+    // −ln p over the doc's bigram OCCURRENCES. The conditioning
+    // collapses the corpus's boilerplate (predictable continuations
+    // score near 0) far harder than the unigram model — the actual
+    // reason perplexity filters train n-gram LMs, not word histograms.
+    // Same float discipline as t23: each ln term ROUNDED at 12dp, then
+    // summed as DECIMAL(28,12) — exact, order-independent — with only
+    // the final mean dividing as double at the 6dp contract. Scale
+    // shape: one bigram-vocabulary-sized aggregate + its prefix
+    // marginal + two occurrence→count equi-joins + one per-doc
+    // aggregate; no windows, text exploded once.
+    Q("t25_bigram_surprisal",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bi = docs.filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(trim(col("text")), "\\s+").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w)-2), " +
+              "i -> struct(w[i] as w1, w[i+1] as w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"),
+            col("b.w2").as("w2"))
+        val tf2 = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt2"))
+        val tf1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+        val perDoc = bi.join(tf2, Seq("w1", "w2")).join(tf1, Seq("w1"))
+          .select(col("doc_id"),
+            round(log(col("cnt1").cast("double") / col("cnt2")), 12)
+              .cast("decimal(28,12)").as("s"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("s")).cast("double") / count(lit(1)), 6)
+              .as("surprisal"))
+        docs.select(col("doc_id")).distinct()
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+          .withColumn("band",
+            when(col("surprisal") < 3.37, "low")
+              .when(col("surprisal") > 3.40, "high")
+              .otherwise("mid"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |bi AS (
+             |  SELECT doc_id, w[i] w1, w[i+1] w2
+             |  FROM t, UNNEST(range(1, len(w))) AS u(i)
+             |  WHERE len(w) >= 2),
+             |tf2 AS (SELECT w1, w2, COUNT(*) cnt2 FROM bi GROUP BY 1, 2),
+             |tf1 AS (SELECT w1, COUNT(*) cnt1 FROM bi GROUP BY 1),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(ROUND(ln(CAST(cnt1 AS DOUBLE) / cnt2), 12)
+             |      AS DECIMAL(28,12)) s
+             |  FROM bi JOIN tf2 USING (w1, w2) JOIN tf1 USING (w1)),
+             |d AS (
+             |  SELECT doc_id, COUNT(*) n_bigrams,
+             |    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT t2.doc_id,
+             |  CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  COALESCE(d.surprisal, 0.0) AS surprisal,
+             |  CASE WHEN COALESCE(d.surprisal, 0.0) < 3.37 THEN 'low'
+             |       WHEN COALESCE(d.surprisal, 0.0) > 3.40 THEN 'high'
+             |       ELSE 'mid' END AS band
+             |FROM (SELECT DISTINCT doc_id FROM documents) t2
+             |LEFT JOIN d USING (doc_id)
+             |ORDER BY t2.doc_id""".stripMargin)),
+
     // BM25 top-k RETRIEVAL — the ranking stage of retrieval-augmented
     // curation (and of every lexical-search decontam pass): Okapi BM25
     // with k1=1.2, b=0.75 over whitespace tokens. The query set is
