@@ -550,6 +550,35 @@ object Similarity {
       .filter(col("sim") >= lit(tau))
   }
 
+  /** k-NN GRAPH construction — every corpus vector's approximate top-k
+    * neighbors, the precursor of graph clustering, SemDeDup-style
+    * analysis, and diversity sampling. Structurally DIFFERENT from
+    * query ANN ([[ivfTopK]]): the "query" side IS the corpus, so
+    * nothing broadcasts — both sides take the zero-shuffle row-local
+    * bucket assignment and meet in a SHUFFLE equi-join on the bucket
+    * id, i.e. the corpus is co-located by bucket and each bucket
+    * resolves its own neighborhood (candidates = Σ_b |b|·probes(b),
+    * d13's complexity argument; a hot bucket is AQE's skew-join case).
+    * Deterministic construction (seeded codebook, 6dp sims, nid ties)
+    * → exact oracle (v23). */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = normalized(emb, idCol, vecCol)
+    val codebook = ivfCodebook(corpus, nlist)
+    val bucketed = nearestBuckets(corpus, codebook, 1)
+    val probes = nearestBuckets(corpus, codebook, nprobe)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    val scored = bucketed.join(probes, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Int8 scalar quantization — the standard ANN memory layout (4× under
     * float32, 8× under double; at 100 TB of embeddings the index either
     * quantizes or doesn't fit): symmetric per-vector max-abs scaling,

@@ -595,6 +595,46 @@ object VectorQueries extends QueryPack {
              |SELECT qid, nid, sim FROM scored WHERE sim >= 0.15
              |ORDER BY qid, nid""".stripMargin)),
 
+    // k-NN GRAPH (Similarity.knnGraph) — every vector's approximate
+    // top-3 neighbors: the query side IS the corpus, so nothing
+    // broadcasts — both sides bucket row-locally and meet in a shuffle
+    // equi-join on the bucket id (corpus co-located by bucket, each
+    // bucket resolving its own neighborhood). The graph-construction
+    // shape behind clustering/SemDeDup/diversity sampling. Exact
+    // oracle = v04's CTEs with the query restriction lifted.
+    Q("v23_knn_graph",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+             |  ORDER BY vec_id LIMIT 16),
+             |casg AS (
+             |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb),
+             |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+             |probes AS (SELECT vid qid, v qv, nrm qn, cid
+             |  FROM casg WHERE rnk <= 4),
+             |scored AS (
+             |  SELECT p.qid, b.vid nid,
+             |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+             |  FROM bucketed b JOIN probes p USING (cid)
+             |  WHERE b.vid <> p.qid),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nid) rn
+             |  FROM scored)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 3
+             |ORDER BY qid, rn""".stripMargin)),
+
     // IVF + PQ composed (Similarity.ivfPqTopK) — the production ANN
     // layout: coarse buckets prune the scan, PQ codes shrink the index.
     // Both stages are the deterministic v04/v10 constructions, so the

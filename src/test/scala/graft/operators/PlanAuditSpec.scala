@@ -285,6 +285,14 @@ class PlanAuditSpec extends SparkSuite {
       s"d23 candidates must be the (band,bucket) equi-join:\n$p")
   }
 
+  test("knn graph: corpus meets corpus only in the bucket equi-join — " +
+      "no broadcast of a corpus-sized side, no all-pairs product") {
+    val p = plan("v23_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"v23 must stay the bucketed self-join:\n$p")
+  }
+
   test("shard shuffle: within-shard positions come from the keyed " +
       "prefix sum — no per-shard ranking window") {
     val p = plan("p21_shard_shuffle")
