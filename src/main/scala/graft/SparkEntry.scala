@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Q, QueryPack}
-import graft.operators.{DedupQueries, EngineQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.operators.{DedupQueries, EngineQueries, GraphQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries, EngineQueries, TextQueries, DedupQueries,
-    VectorQueries, MultimodalQueries, StreamingQueries, PipelineQueries)
+    VectorQueries, MultimodalQueries, StreamingQueries, PipelineQueries,
+    GraphQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, QueryPack, Tables}
+
+/** Gates for the link-graph tier ([[Graph]]): centrality over a
+  * deterministic synthetic link graph on the documents table (the
+  * corpus carries no link column; both engines derive the same 3
+  * out-links per document from doc_id, self-loops dropped — ids are
+  * contiguous 0..N−1, so the modulo lands on real nodes at every SF).
+  */
+object GraphQueries extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // PageRank ([[Graph.pageRank]]) — 3 synchronous rounds at damping
+    // 0.85 from the uniform vector, the crawl-prioritization signal.
+    // Exact oracle: the iteration UNROLLS in chained CTEs (the v06
+    // k-means pattern) under the t23 float discipline — 12dp-rounded
+    // per-edge contributions summed as exact decimals, IEEE-identical
+    // scalar updates — so a trained/iterated operator still
+    // hash-matches to the bit.
+    Q("g01_pagerank",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs.select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.pageRank(docs, edges, iters = 3)
+          .select(col("id").as("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |nn AS (SELECT COUNT(*) n FROM d),
+             |e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id src,
+             |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+             |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+             |  WHERE dst <> src),
+             |od AS (SELECT src, COUNT(*) outdeg FROM e GROUP BY 1),
+             |r0 AS (SELECT doc_id id, ROUND(1.0 / nn.n, 12) r
+             |  FROM d, nn),
+             |c1 AS (
+             |  SELECT e.dst, CAST(ROUND(r0.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r0 ON e.src = r0.id JOIN od USING (src)),
+             |s1 AS (SELECT dst, SUM(c) s FROM c1 GROUP BY 1),
+             |r1 AS (
+             |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+             |    COALESCE(CAST(s1.s AS DOUBLE), 0.0), 12) r
+             |  FROM (SELECT doc_id, n FROM d, nn) dn
+             |  LEFT JOIN s1 ON dn.doc_id = s1.dst),
+             |c2 AS (
+             |  SELECT e.dst, CAST(ROUND(r1.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r1 ON e.src = r1.id JOIN od USING (src)),
+             |s2 AS (SELECT dst, SUM(c) s FROM c2 GROUP BY 1),
+             |r2 AS (
+             |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+             |    COALESCE(CAST(s2.s AS DOUBLE), 0.0), 12) r
+             |  FROM (SELECT doc_id, n FROM d, nn) dn
+             |  LEFT JOIN s2 ON dn.doc_id = s2.dst),
+             |c3 AS (
+             |  SELECT e.dst, CAST(ROUND(r2.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r2 ON e.src = r2.id JOIN od USING (src)),
+             |s3 AS (SELECT dst, SUM(c) s FROM c3 GROUP BY 1),
+             |r3 AS (
+             |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+             |    COALESCE(CAST(s3.s AS DOUBLE), 0.0), 12) r
+             |  FROM (SELECT doc_id, n FROM d, nn) dn
+             |  LEFT JOIN s3 ON dn.doc_id = s3.dst)
+             |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
+             |FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // Two-hop reach ([[Graph.twoHopReach]]) — |{v : dist ≤ 2}| per
+    // node over the same synthetic link graph: one middle-vertex
+    // equi-join + distinct on the (src, node) PAIR before counting
+    // (path multiplicity dedups away — the state stays pair-set-sized).
+    Q("g02_two_hop_reach",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs.select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.twoHopReach(edges, docs)
+          .select(col("id").as("doc_id"), col("reach2"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |nn AS (SELECT COUNT(*) n FROM d),
+             |e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id src,
+             |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+             |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+             |  WHERE dst <> src),
+             |two AS (
+             |  SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+             |reach AS (
+             |  SELECT src, COUNT(*) reach2 FROM (
+             |    SELECT DISTINCT src, dst FROM (
+             |      SELECT src, dst FROM e
+             |      UNION ALL SELECT src, dst FROM two)
+             |    WHERE src <> dst)
+             |  GROUP BY src)
+             |SELECT d.doc_id, CAST(COALESCE(r.reach2, 0) AS BIGINT)
+             |  AS reach2
+             |FROM d LEFT JOIN reach r ON d.doc_id = r.src
+             |ORDER BY d.doc_id""".stripMargin))
+  )
+}
