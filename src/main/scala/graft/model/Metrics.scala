@@ -1,0 +1,87 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** dbt semantic layer (MetricFlow's core surface): METRICS defined once
+  * against a model, queried by name with governed dimensions — the
+  * "one revenue number everywhere" discipline. A metric pins its anchor
+  * model, its aggregation, and the ONLY dimensions it may be sliced by;
+  * a query outside that set is a compile error, not a wrong number.
+  *
+  * Reference analogue: the reference project exposes its marts raw and
+  * leaves metric consistency to each dashboard; this layer is the dbt
+  * surface (`metrics:` YAML → MetricFlow) that replaces that.
+  *
+  * Scale: a metric query compiles to one groupBy over the materialized
+  * anchor mart — Catalyst sees a plain aggregate (partial map-side
+  * combine, one shuffle on the dimension key); the layer adds
+  * governance, never plan overhead. Decimal discipline for ratio
+  * metrics: numerator/denominator SUM as exact decimals, one double
+  * division at the 6dp output contract (RelationalQueries.dsumStr).
+  */
+final case class Metric(
+    name: String,
+    /** Anchor model (a materialized mart in the project DAG). */
+    model: String,
+    /** "sum" | "count" | "ratio". */
+    agg: String,
+    /** Measure column for sum. */
+    measure: Option[String] = None,
+    /** Ratio: Σ numerator / Σ denominator (denominator None → row
+      * count, i.e. a per-row average). */
+    numerator: Option[String] = None,
+    denominator: Option[String] = None,
+    /** The governed dimension set — queries may group ONLY by these. */
+    dimensions: Seq[String] = Nil,
+    /** Time dimension eligible for grain truncation. */
+    timeDimension: Option[String] = None,
+    description: String = "") {
+  require(Set("sum", "count", "ratio")(agg), s"unknown agg '$agg'")
+  require(agg != "sum" || measure.nonEmpty, "sum metric needs a measure")
+  require(agg != "ratio" || numerator.nonEmpty,
+    "ratio metric needs a numerator")
+}
+
+object Metrics {
+
+  /** Query `metricName` from the runner's project grouped by `groupBy`
+    * (⊆ the metric's governed dimensions), optionally truncating the
+    * metric's time dimension to `grain` ("month", "day", …) as an
+    * extra output column `<timeCol>_<grain>`. The anchor model must be
+    * materialized (run the DAG first). Sum metrics keep their exact
+    * decimal type; ratio metrics emit a 6dp double. */
+  def query(spark: SparkSession, runner: Runner, metricName: String,
+      groupBy: Seq[String], grain: Option[String] = None): DataFrame = {
+    val metric = runner.project.metrics.find(_.name == metricName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown metric '$metricName' — project defines " +
+          runner.project.metrics.map(_.name).mkString("[", ", ", "]")))
+    val bad = groupBy.filterNot(metric.dimensions.contains)
+    require(bad.isEmpty,
+      s"metric '$metricName' is not sliceable by ${bad.mkString(", ")} " +
+        s"— governed dimensions: ${metric.dimensions.mkString(", ")}")
+    require(grain.isEmpty || metric.timeDimension.nonEmpty,
+      s"metric '$metricName' declares no time dimension")
+    val base = runner.table(spark, metric.model)
+    val dims = groupBy.map(col) ++ grain.map { g =>
+      val t = metric.timeDimension.get
+      date_trunc(g, col(t)).cast("date").as(s"${t}_$g")
+    }
+    val agged = metric.agg match {
+      case "sum" =>
+        base.groupBy(dims: _*)
+          .agg(sum(col(metric.measure.get)).as(metric.name))
+      case "count" =>
+        base.groupBy(dims: _*).agg(count(lit(1)).as(metric.name))
+      case "ratio" =>
+        val den = metric.denominator
+          .map(d => sum(col(d)).cast("double"))
+          .getOrElse(count(lit(1)).cast("double"))
+        base.groupBy(dims: _*)
+          .agg(round(sum(col(metric.numerator.get)).cast("double") / den,
+            6).as(metric.name))
+    }
+    agged
+  }
+}

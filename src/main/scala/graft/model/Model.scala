@@ -377,9 +377,15 @@ final case class Project(
     /** dbt 1.8 unit tests — model-logic fixtures (see [[UnitTest]]). */
     unitTests: Seq[UnitTest] = Nil,
     /** dbt exposures — downstream consumers (see [[Exposure]]). */
-    exposures: Seq[Exposure] = Nil) {
+    exposures: Seq[Exposure] = Nil,
+    /** dbt semantic-layer metrics (see [[Metric]]/[[Metrics]]). */
+    metrics: Seq[Metric] = Nil) {
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
+  require(metrics.map(_.name).distinct.size == metrics.size,
+    "duplicate metric names")
+  metrics.foreach(m => require(models.exists(_.name == m.model),
+    s"metric '${m.name}' anchors unknown model '${m.model}'"))
   def model(name: String): Model =
     models.find(_.name == name)
       .getOrElse(throw new NoSuchElementException(s"model not found: $name"))

@@ -1063,6 +1063,66 @@ object EngineQueries extends QueryPack {
              | 'model marketing_brief cannot ref private model core_nation: core_nation is private to group ''core'' and marketing_brief is in group ''marketing''' AS denied
              |FROM nation ORDER BY nation_id""".stripMargin)),
 
+    // ---- Semantic layer (dbt metrics / MetricFlow): metrics defined
+    // ONCE on the project — anchor mart, aggregation, governed dimension
+    // set — and queried by name ([[graft.model.Metrics.query]]); an
+    // off-governance dimension is a compile error surfaced in the gate
+    // (the m19 denial pattern), not a silently different number. Two
+    // metric queries over the m02 mart join into one result: a sum
+    // metric at month grain (decimal-exact, VARCHAR-serialized per the
+    // m01 discipline) and a ratio metric (exact decimal sums, one 6dp
+    // double division).
+    Q("m20_metric_queries",
+      (spark, dir) => {
+        val revenue = Metric("revenue", "order_lines_enriched", "sum",
+          measure = Some("net_price"),
+          dimensions = Seq("region", "priority"),
+          timeDimension = Some("order_date"))
+        val avgNet = Metric("avg_net_price", "order_lines_enriched",
+          "ratio", numerator = Some("net_price"),
+          dimensions = Seq("region", "priority"),
+          timeDimension = Some("order_date"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_metrics").toString
+        val r = new Runner(
+          TpchProject.project(dir).copy(metrics = Seq(revenue, avgNet)),
+          Target.dev, new PathMaterializer(base))
+        r.run(spark, select = Some("+order_lines_enriched"))
+        val rev = Metrics.query(spark, r, "revenue", Seq("region"),
+          grain = Some("month"))
+        val avg = Metrics.query(spark, r, "avg_net_price", Seq("region"),
+          grain = Some("month"))
+        val denied =
+          try {
+            Metrics.query(spark, r, "revenue", Seq("customer_name"))
+            "no error"
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.replace("requirement failed: ", "") }
+        rev.join(avg, Seq("region", "order_date_month"))
+          .withColumn("revenue", col("revenue").cast("string"))
+          .withColumn("denied", lit(denied))
+          .orderBy(col("region"), col("order_date_month"))
+      },
+      Some("""WITH ol AS (
+             |  SELECT r_name AS region, o_orderdate AS order_date,
+             |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS VARCHAR) AS DECIMAL(18,4)) AS net_price
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  LEFT JOIN customer ON o_custkey = c_custkey
+             |  LEFT JOIN nation ON c_nationkey = n_nationkey
+             |  LEFT JOIN region ON n_regionkey = r_regionkey)
+             |SELECT region,
+             |  CAST(date_trunc('month', order_date) AS DATE)
+             |    AS order_date_month,
+             |  CAST(SUM(net_price) AS VARCHAR) AS revenue,
+             |  ROUND(CAST(SUM(net_price) AS DOUBLE) / COUNT(*), 6)
+             |    AS avg_net_price,
+             |  'metric ''revenue'' is not sliceable by customer_name — governed dimensions: region, priority'
+             |    AS denied
+             |FROM ol GROUP BY 1, 2
+             |ORDER BY region, order_date_month""".stripMargin)),
+
     // ---- Contract surface (dbt `contract: enforced`): two contracted
     // marts over the same SELECT — one whose declared columns/types match
     // the built frame exactly (must materialize), one declaring a drifted

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Invariants of the link-graph tier that the g01/g02 hash oracles
+  * check only pointwise: probability-mass conservation, the rank
+  * floor, and reach bounds — the properties a PageRank implementation
+  * silently loses first (dangling leakage, a dropped damping term, a
+  * path-multiplicity blowup).
+  */
+class GraphSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val n = 60L
+  private def nodes = spark.range(n).select(col("id"))
+  // The gate's synthetic 3-out-link graph, small enough to reason about.
+  private def edges = nodes.select(col("id").as("src"),
+      explode(array((0 to 2).map(j =>
+        (col("id") * (7 + j) + lit(13 * j)) % n): _*)).as("dst"))
+    .filter(col("dst") =!= col("src"))
+
+  test("pageRank: mass conserves (no dangling nodes, sum ≈ 1) and " +
+      "every rank clears the damping floor") {
+    val r = Graph.pageRank(nodes, edges, iters = 3).collect()
+    assert(r.length == n)
+    val total = r.map(_.getDouble(1)).sum
+    // Conservation up to the 6dp OUTPUT rounding (±5e-7 per node) plus
+    // the 12dp per-step rounding — n·5e-7 is the dominant term.
+    assert(math.abs(total - 1.0) < n * 5e-7 + 1e-9,
+      s"rank mass drifted: $total")
+    val floor = 0.15 / n
+    r.foreach(row => assert(row.getDouble(1) >= floor - 1e-9,
+      s"node ${row.getLong(0)} fell below the damping floor"))
+  }
+
+  test("pageRank: a node with more in-links outranks the floor-only " +
+      "case — the signal actually moves") {
+    val r = Graph.pageRank(nodes, edges, iters = 3)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val zeroIn = nodes.collect().map(_.getLong(0))
+      .filter(id => !indeg.contains(id))
+    // Nodes nobody links to sit exactly at the floor after round 1 and
+    // stay there; any linked node must strictly beat them.
+    if (zeroIn.nonEmpty) {
+      val floorRank = r(zeroIn.head)
+      val maxIn = indeg.maxBy(_._2)._1
+      assert(r(maxIn) > floorRank,
+        "the most-linked node must outrank an unlinked one")
+    }
+  }
+
+  test("twoHopReach: bounded by out-degree fan (≤ 3 + 9) and by n−1, " +
+      "and zero only for isolated sources") {
+    val reach = Graph.twoHopReach(edges, nodes).collect()
+    assert(reach.length == n)
+    reach.foreach { row =>
+      val v = row.getLong(1)
+      assert(v <= math.min(n - 1, 12),
+        s"node ${row.getLong(0)} reach $v exceeds the fan bound")
+      assert(v >= 1, "every node has out-links in this graph")
+    }
+  }
+}
