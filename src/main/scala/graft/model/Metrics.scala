@@ -37,10 +37,13 @@ final case class Metric(
     /** Time dimension eligible for grain truncation. */
     timeDimension: Option[String] = None,
     description: String = "") {
-  require(Set("sum", "count", "ratio")(agg), s"unknown agg '$agg'")
+  require(Set("sum", "count", "ratio", "derived")(agg),
+    s"unknown agg '$agg'")
   require(agg != "sum" || measure.nonEmpty, "sum metric needs a measure")
   require(agg != "ratio" || numerator.nonEmpty,
     "ratio metric needs a numerator")
+  require(agg != "derived" || (numerator.nonEmpty && denominator.nonEmpty),
+    "derived metric needs numerator and denominator METRIC names")
 }
 
 object Metrics {
@@ -61,8 +64,26 @@ object Metrics {
     require(bad.isEmpty,
       s"metric '$metricName' is not sliceable by ${bad.mkString(", ")} " +
         s"— governed dimensions: ${metric.dimensions.mkString(", ")}")
-    require(grain.isEmpty || metric.timeDimension.nonEmpty,
+    require(grain.isEmpty || metric.agg == "derived" ||
+      metric.timeDimension.nonEmpty,
       s"metric '$metricName' declares no time dimension")
+    // DERIVED metric (MetricFlow `type: derived`): a ratio of two other
+    // METRICS — each resolves through its own governance and anchor,
+    // the results join on the requested slice, one 6dp division. The
+    // numerator/denominator fields carry metric names, not columns.
+    if (metric.agg == "derived") {
+      val num = query(spark, runner, metric.numerator.get, groupBy, grain)
+      val den = query(spark, runner, metric.denominator.get, groupBy,
+        grain)
+      val keys = num.columns.filterNot(_ == metric.numerator.get).toSeq
+      val joined =
+        if (keys.isEmpty) num.crossJoin(den)
+        else num.join(den, keys)
+      return joined.select(keys.map(col) :+
+        round(col(metric.numerator.get).cast("double") /
+          col(metric.denominator.get).cast("double"), 6)
+          .as(metric.name): _*)
+    }
     val base = runner.table(spark, metric.model)
     val dims = groupBy.map(col) ++ grain.map { g =>
       val t = metric.timeDimension.get

@@ -386,6 +386,11 @@ final case class Project(
     "duplicate metric names")
   metrics.foreach(m => require(models.exists(_.name == m.model),
     s"metric '${m.name}' anchors unknown model '${m.model}'"))
+  metrics.filter(_.agg == "derived").foreach { m =>
+    Seq(m.numerator, m.denominator).flatten.foreach(ref =>
+      require(metrics.exists(_.name == ref),
+        s"derived metric '${m.name}' references unknown metric '$ref'"))
+  }
   def model(name: String): Model =
     models.find(_.name == name)
       .getOrElse(throw new NoSuchElementException(s"model not found: $name"))

@@ -1123,6 +1123,63 @@ object EngineQueries extends QueryPack {
              |FROM ol GROUP BY 1, 2
              |ORDER BY region, order_date_month""".stripMargin)),
 
+    // ---- Derived metrics (MetricFlow `type: derived`): a metric
+    // DEFINED AS a ratio of two other metrics — each side resolves
+    // through its own governance and anchor, the results join on the
+    // requested slice, one 6dp division. The definition layer validates
+    // metric references at project construction (the denial column);
+    // the composed number must equal the direct computation — the
+    // "metrics compose without changing the math" contract.
+    Q("m21_derived_metric",
+      (spark, dir) => {
+        val revenue = Metric("revenue", "order_lines_enriched", "sum",
+          measure = Some("net_price"), dimensions = Seq("region"),
+          timeDimension = Some("order_date"))
+        val lines = Metric("line_count", "order_lines_enriched", "count",
+          dimensions = Seq("region"),
+          timeDimension = Some("order_date"))
+        val rpl = Metric("revenue_per_line", "order_lines_enriched",
+          "derived", numerator = Some("revenue"),
+          denominator = Some("line_count"),
+          dimensions = Seq("region"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_m21").toString
+        val r = new Runner(
+          TpchProject.project(dir)
+            .copy(metrics = Seq(revenue, lines, rpl)),
+          Target.dev, new PathMaterializer(base))
+        r.run(spark, select = Some("+order_lines_enriched"))
+        val out = Metrics.query(spark, r, "revenue_per_line",
+          Seq("region"), grain = Some("month"))
+        val denied =
+          try {
+            TpchProject.project(dir).copy(metrics = Seq(revenue,
+              rpl.copy(denominator = Some("no_such_metric"))))
+            "no error"
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.replace("requirement failed: ", "") }
+        out.withColumn("denied", lit(denied))
+          .orderBy(col("region"), col("order_date_month"))
+      },
+      Some("""WITH ol AS (
+             |  SELECT r_name AS region, o_orderdate AS order_date,
+             |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS VARCHAR) AS DECIMAL(18,4)) AS net_price
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  LEFT JOIN customer ON o_custkey = c_custkey
+             |  LEFT JOIN nation ON c_nationkey = n_nationkey
+             |  LEFT JOIN region ON n_regionkey = r_regionkey)
+             |SELECT region,
+             |  CAST(date_trunc('month', order_date) AS DATE)
+             |    AS order_date_month,
+             |  ROUND(CAST(SUM(net_price) AS DOUBLE) / COUNT(*), 6)
+             |    AS revenue_per_line,
+             |  'derived metric ''revenue_per_line'' references unknown metric ''no_such_metric'''
+             |    AS denied
+             |FROM ol GROUP BY 1, 2
+             |ORDER BY region, order_date_month""".stripMargin)),
+
     // ---- Contract surface (dbt `contract: enforced`): two contracted
     // marts over the same SELECT — one whose declared columns/types match
     // the built frame exactly (must materialize), one declaring a drifted

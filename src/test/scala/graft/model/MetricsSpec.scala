@@ -55,6 +55,30 @@ class MetricsSpec extends SparkSuite {
     }
   }
 
+  test("derived metric: composes two metrics without changing the " +
+      "math, and unknown references fail at project construction") {
+    val lines = Metric("line_count", "order_lines_enriched", "count",
+      dimensions = Seq("region"))
+    val rpl = Metric("rpl", "order_lines_enriched", "derived",
+      numerator = Some("revenue"), denominator = Some("line_count"),
+      dimensions = Seq("region"))
+    val r = runnerWith(revenue.copy(dimensions = Seq("region")), lines,
+      rpl)
+    r.run(spark, select = Some("+order_lines_enriched"))
+    val derived = Metrics.query(spark, r, "rpl", Seq("region"))
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    val direct = r.table(spark, "order_lines_enriched")
+      .groupBy(col("region"))
+      .agg(round(sum(col("net_price")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("v"))
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(derived == direct,
+      "derived composition must equal the direct ratio")
+    intercept[IllegalArgumentException] {
+      runnerWith(revenue, rpl.copy(numerator = Some("ghost")))
+    }
+  }
+
   test("query: sum metric equals the direct aggregate over the mart, " +
       "ungrouped and grained") {
     val r = runnerWith(revenue)
