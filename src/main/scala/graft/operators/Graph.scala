@@ -56,6 +56,46 @@ object Graph {
     r.select(col("id"), round(col("r"), 6).as("pagerank"))
   }
 
+  /** Connected components over an undirected view of `edges` — the
+    * d05 min-label propagation generalized to an arbitrary edge list
+    * (d05 runs it on the near-dup pair graph; this runs it on any link
+    * graph). Each round is one edge⋈label join + a min aggregate,
+    * lineage truncated per round ([[Checkpoints.truncate]] — a plain
+    * cache re-plans the whole upstream tree every round); rounds are
+    * bounded by component DIAMETER, so callers hand this operator
+    * low-diameter graphs (stars, banded-dup graphs) — a long-chain
+    * graph wants the pointer-jumping variant, a different operator.
+    * Isolated nodes label themselves via the final left join and never
+    * enter a propagation round. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 15): DataFrame = {
+    val und = Checkpoints.truncate(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
+    var labels = Checkpoints.truncate(
+      und.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = und.join(labels, und("a") === labels("id"))
+        .select(col("b").as("id"), col("label"))
+      val next = Checkpoints.truncate(
+        labels.select(col("id"), col("label")).union(viaEdges)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("component"))
+  }
+
   /** Two-hop reach: |{v : dist(u,v) ≤ 2, v ≠ u}| per node — the
     * influence/coverage measure behind seed selection and crawl
     * frontier scoring. One edge self-join on the middle vertex, a

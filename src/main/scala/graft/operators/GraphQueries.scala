@@ -114,6 +114,40 @@ object GraphQueries extends QueryPack {
              |SELECT d.doc_id, CAST(COALESCE(r.reach2, 0) AS BIGINT)
              |  AS reach2
              |FROM d LEFT JOIN reach r ON d.doc_id = r.src
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Connected components ([[Graph.connectedComponents]]) — d05's
+    // min-label propagation generalized to an arbitrary link graph.
+    // The gate graph is block-STARS (docs link to their 16-block head
+    // unless doc_id % 4 = 0): many components, diameter 2, plus
+    // isolated singletons that must label themselves — while the
+    // oracle stays the fully generic recursive-CTE closure, so the
+    // OPERATOR is proven, not the graph's shape.
+    Q("g03_connected_components",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val edges = docs
+          .filter(col("id") % 4 =!= 0)
+          .select(col("id").as("src"),
+            (col("id") - (col("id") % 16)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.connectedComponents(docs, edges)
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+             |e0 AS (
+             |  SELECT doc_id src, doc_id - (doc_id % 16) AS dst
+             |  FROM d WHERE doc_id % 4 <> 0),
+             |e AS (
+             |  SELECT src a, dst b FROM e0 WHERE src <> dst
+             |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM d
+             |  UNION
+             |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+             |SELECT id AS doc_id, MIN(r) AS component
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -53,6 +53,21 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents: star members label to the block head, " +
+      "isolated nodes to themselves") {
+    val edges = nodes.filter(col("id") % 4 =!= 0)
+      .select(col("id").as("src"), (col("id") - (col("id") % 16)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val out = Graph.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until n).foreach { id =>
+      val expected =
+        if (id % 4 != 0 || id % 16 == 0) id - id % 16 else id
+      assert(out(id) == expected,
+        s"node $id: got ${out(id)}, expected $expected")
+    }
+  }
+
   test("twoHopReach: bounded by out-degree fan (≤ 3 + 9) and by n−1, " +
       "and zero only for isolated sources") {
     val reach = Graph.twoHopReach(edges, nodes).collect()
