@@ -761,6 +761,63 @@ object Dedup {
     * PRE-verification — callers filter/distinct/verify. Package-visible
     * so the scale/volume probes in `graft.tools` measure EXACTLY this
     * join rather than drifting hand copies of it. */
+  /** Bloom-filter membership dedup — the Dolma recipe (Soldaini et al.
+    * 2024 run exact URL/paragraph dedup through a Bloom filter): an
+    * arriving batch asks "have I seen this document before?" against a
+    * FIXED-SIZE bit array instead of the corpus-sized fingerprint set.
+    * The point at 100 TB is the state bound: the filter is `m` bits
+    * REGARDLESS of corpus size (here the bit array is the ≤ m-row
+    * distinct-position frame — semantically identical, and it
+    * broadcasts), where d10's exact store grows with the corpus. The
+    * price is false positives at the textbook rate
+    * `(1 − e^(−k·n/m))^k`, and this operator prices them honestly the
+    * d16/v07 way: an exact-membership arm rides along and every row
+    * reports `false_positive = bloom_dup ∧ ¬exact_dup` — the telemetry
+    * that sizes `m` for a target FP budget.
+    *
+    * Plan shape: the batch side NEVER shuffles — the k = 3 positions
+    * are row-local md5-derived columns and membership is k broadcast
+    * left joins against the bit frame (no explode, no per-doc
+    * aggregate); only the exact telemetry arm pays a fingerprint join,
+    * exactly the cost the filter exists to amortize away. Everything is
+    * md5-deterministic, so a probabilistic data structure still has an
+    * exact DuckDB oracle. */
+  def bloomMembership(history: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      m: Int = 16384, k: Int = 3): DataFrame = {
+    require(k >= 1 && m >= 2, s"degenerate bloom geometry m=$m k=$k")
+    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    def pos(j: Int) =
+      pmod(conv(substring(md5(concat(lit(j.toString), col("fp"))), 1, 8),
+        16, 10).cast("long"), lit(m.toLong))
+    val histFp = Caches.persist(fps(history))
+    // The bit array: distinct set positions, ≤ m rows by construction —
+    // the corpus-size-independent state that makes this operator.
+    val bits = histFp
+      .select(explode(array((0 until k).map(pos): _*)).as("pos"))
+      .distinct()
+    var probed = fps(batch)
+      .select(col("doc_id") +: col("fp") +:
+        (0 until k).map(j => pos(j).as(s"p$j")): _*)
+    for (j <- 0 until k)
+      probed = probed.join(
+        broadcast(bits.select(col("pos").as(s"p$j"),
+          lit(1).as(s"hit$j"))),
+        Seq(s"p$j"), "left")
+    val verdict = probed.select(col("doc_id"), col("fp"),
+      (0 until k).map(j => col(s"hit$j").isNotNull)
+        .reduce(_ && _).as("bloom_dup"))
+    // Exact telemetry arm: the fingerprint join the filter replaces —
+    // priced separately so the gate reports the filter's real FP count.
+    val exact = histFp.select(col("fp")).distinct()
+      .withColumn("e1", lit(1))
+    verdict.join(exact, Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_dup"),
+        col("e1").isNotNull.as("exact_dup"),
+        (col("bloom_dup") && col("e1").isNull).as("false_positive"))
+  }
+
   private[graft] def bandedSimhashCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),

@@ -14,7 +14,7 @@ import graft.core.{Q, QueryPack, Tables}
   */
 object DedupQueries extends QueryPack {
 
-  private val Threshold = 0.6
+  private[graft] val Threshold = 0.6
 
   private val jaccardOracle: String =
     s"""WITH toks AS (
@@ -345,8 +345,7 @@ object DedupQueries extends QueryPack {
           docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
         DedupStore.allPairs(s, store).orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(jaccardOracle.replace("WHERE length(trim(text)) > 0",
-        "WHERE length(trim(text)) > 0 AND doc_id % 10 <> 7"))),
+      Some(jaccardOracleExcluding("doc_id % 10 = 7"))),
 
     // SEMANTIC dedup ([[Similarity.semanticDedup]] — the SemDeDup
     // recipe): near-duplicate removal in EMBEDDING space, where
@@ -845,8 +844,67 @@ object DedupQueries extends QueryPack {
              |    ELSE COALESCE(pred.pred, st.doc_id) END AS BIGINT)
              |    AS canonical_doc
              |FROM st LEFT JOIN pred USING (doc_id)
-             |ORDER BY st.doc_id""".stripMargin))
+             |ORDER BY st.doc_id""".stripMargin)),
+
+    // Bloom-filter membership dedup ([[Dedup.bloomMembership]] — the
+    // Dolma recipe): the arriving half of the corpus asks "seen
+    // before?" against a FIXED m=16384-bit filter built from the other
+    // half, with the exact-membership arm riding along so every row
+    // prices the filter's false positives (`false_positive =
+    // bloom_dup ∧ ¬exact_dup` — the telemetry that sizes m). The batch
+    // side never shuffles: k=3 positions are row-local md5 columns and
+    // membership is 3 broadcast joins against the ≤ m-row bit frame —
+    // corpus-size-INDEPENDENT state, the reason this beats d10's exact
+    // store when only a yes/no verdict is needed. All-md5 determinism
+    // ⇒ a probabilistic structure with an exact oracle.
+    Q("d25_bloom_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.bloomMembership(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ',
+             |    'g')))) AS fp
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |hb AS (
+             |  SELECT DISTINCT CAST(('0x' || substr(
+             |      md5(CAST(j.k AS VARCHAR) || fp), 1, 8)) AS BIGINT)
+             |    % 16384 AS pos
+             |  FROM h, (SELECT unnest(range(0, 3)) k) j),
+             |hf AS (SELECT DISTINCT fp FROM h),
+             |b AS (
+             |  SELECT doc_id, md5(lower(trim(regexp_replace(text,
+             |    '\s+', ' ', 'g')))) AS fp
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |bp AS (
+             |  SELECT doc_id, CAST(('0x' || substr(
+             |      md5(CAST(j.k AS VARCHAR) || fp), 1, 8)) AS BIGINT)
+             |    % 16384 AS pos
+             |  FROM b, (SELECT unnest(range(0, 3)) k) j),
+             |pr AS (
+             |  SELECT bp.doc_id, COUNT(hb.pos) = 3 AS bloom_dup
+             |  FROM bp LEFT JOIN hb ON bp.pos = hb.pos
+             |  GROUP BY bp.doc_id)
+             |SELECT b.doc_id, pr.bloom_dup,
+             |  hf.fp IS NOT NULL AS exact_dup,
+             |  pr.bloom_dup AND hf.fp IS NULL AS false_positive
+             |FROM b
+             |JOIN pr ON b.doc_id = pr.doc_id
+             |LEFT JOIN hf ON b.fp = hf.fp
+             |ORDER BY b.doc_id""".stripMargin))
   )
+
+  /** d02's exact-jaccard oracle restricted to takedown survivors —
+    * `victimPred` names the deleted rows. Shared with the streamed
+    * takedown gate (st13) so the batch (d12) and streamed delete paths
+    * verify against ONE oracle text instead of drifting copies. */
+  private[graft] def jaccardOracleExcluding(victimPred: String): String =
+    jaccardOracle.replace("WHERE length(trim(text)) > 0",
+      s"WHERE length(trim(text)) > 0 AND NOT ($victimPred)")
 
   /** Shared d13/d14/d15 oracle tail: predecessor drops within the final
     * assignment pass (`asg4` = iters+1 at the gates' iters=3) filtered

@@ -56,6 +56,51 @@ object Graph {
     r.select(col("id"), round(col("r"), 6).as("pagerank"))
   }
 
+  /** Personalized PageRank — the TrustRank shape (Gyöngyi et al.,
+    * VLDB 2004): the teleport distribution concentrates on a trusted
+    * SEED set instead of the uniform vector, so rank flows outward from
+    * the seeds and pages far from every seed decay geometrically — the
+    * crawl-side trust / spam-demotion prior (seed = manually vetted
+    * hosts; a low trust score on a high-PageRank host is the spam
+    * signature). Same message-passing round, lineage truncation, and
+    * float discipline as [[pageRank]]; the only changes are the start
+    * vector (uniform over seeds) and the teleport term
+    * `(1−d)·[id ∈ S]/|S|`, and seed membership rides the rank frame as
+    * a boolean column — no extra join inside the loop, identical
+    * per-round cost. `seeds(id)` must be a subset of `nodes(id)`. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    // Bounded driver scalar: the seed count (one long), the same move
+    // as pageRank's vertex count / the oracle's COUNT(*) subquery.
+    val sCount = seeds.count().toDouble
+    val tagged = nodes.join(seeds.withColumn("is_seed", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    var r = tagged.select(col("id"), col("is_seed"),
+      round(when(col("is_seed"), lit(1.0) / lit(sCount))
+        .otherwise(lit(0.0)), 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          round(col("r") / col("outdeg").cast("double"), 12)
+            .cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = Checkpoints.truncate(
+        tagged.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"), col("is_seed"),
+            round(when(col("is_seed"), lit(0.15) / lit(sCount))
+                .otherwise(lit(0.0)) +
+              lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)),
+              12).as("r")))
+    }
+    r.select(col("id"), round(col("r"), 6).as("trustrank"))
+  }
+
   /** Connected components over an undirected view of `edges` — the
     * d05 min-label propagation generalized to an arbitrary edge list
     * (d05 runs it on the near-dup pair graph; this runs it on any link

@@ -116,6 +116,81 @@ object GraphQueries extends QueryPack {
              |FROM d LEFT JOIN reach r ON d.doc_id = r.src
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Personalized PageRank / TrustRank ([[Graph
+    // .personalizedPageRank]]) — teleport concentrated on a trusted
+    // seed set (the 16-block heads), 3 rounds at damping 0.85 from the
+    // uniform-over-seeds vector: the crawl-side trust / spam-demotion
+    // prior. Exact oracle: g01's unrolled-CTE chain with the teleport
+    // term swapped for `CASE WHEN seed THEN 0.15/|S| ELSE 0 END` —
+    // same 12dp-rounded decimal-summed contributions, so the
+    // seed-personalized variant hash-matches to the bit too.
+    Q("g04_trustrank",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs.select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        val seeds = docs.filter(col("id") % 16 === 0)
+        Graph.personalizedPageRank(docs, edges, seeds, iters = 3)
+          .select(col("id").as("doc_id"), col("trustrank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |nn AS (SELECT COUNT(*) n FROM d),
+             |ss AS (SELECT COUNT(*) s FROM d WHERE doc_id % 16 = 0),
+             |e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id src,
+             |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+             |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+             |  WHERE dst <> src),
+             |od AS (SELECT src, COUNT(*) outdeg FROM e GROUP BY 1),
+             |r0 AS (SELECT doc_id id,
+             |    ROUND(CASE WHEN doc_id % 16 = 0 THEN 1.0 / ss.s
+             |      ELSE 0.0 END, 12) r
+             |  FROM d, ss),
+             |c1 AS (
+             |  SELECT e.dst, CAST(ROUND(r0.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r0 ON e.src = r0.id JOIN od USING (src)),
+             |s1 AS (SELECT dst, SUM(c) s FROM c1 GROUP BY 1),
+             |r1 AS (
+             |  SELECT dn.doc_id id,
+             |    ROUND(CASE WHEN dn.doc_id % 16 = 0 THEN 0.15 / dn.s
+             |      ELSE 0.0 END + 0.85 *
+             |      COALESCE(CAST(s1.s AS DOUBLE), 0.0), 12) r
+             |  FROM (SELECT doc_id, s FROM d, ss) dn
+             |  LEFT JOIN s1 ON dn.doc_id = s1.dst),
+             |c2 AS (
+             |  SELECT e.dst, CAST(ROUND(r1.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r1 ON e.src = r1.id JOIN od USING (src)),
+             |s2 AS (SELECT dst, SUM(c) s FROM c2 GROUP BY 1),
+             |r2 AS (
+             |  SELECT dn.doc_id id,
+             |    ROUND(CASE WHEN dn.doc_id % 16 = 0 THEN 0.15 / dn.s
+             |      ELSE 0.0 END + 0.85 *
+             |      COALESCE(CAST(s2.s AS DOUBLE), 0.0), 12) r
+             |  FROM (SELECT doc_id, s FROM d, ss) dn
+             |  LEFT JOIN s2 ON dn.doc_id = s2.dst),
+             |c3 AS (
+             |  SELECT e.dst, CAST(ROUND(r2.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r2 ON e.src = r2.id JOIN od USING (src)),
+             |s3 AS (SELECT dst, SUM(c) s FROM c3 GROUP BY 1),
+             |r3 AS (
+             |  SELECT dn.doc_id id,
+             |    ROUND(CASE WHEN dn.doc_id % 16 = 0 THEN 0.15 / dn.s
+             |      ELSE 0.0 END + 0.85 *
+             |      COALESCE(CAST(s3.s AS DOUBLE), 0.0), 12) r
+             |  FROM (SELECT doc_id, s FROM d, ss) dn
+             |  LEFT JOIN s3 ON dn.doc_id = s3.dst)
+             |SELECT id AS doc_id, ROUND(r, 6) AS trustrank
+             |FROM r3 ORDER BY doc_id""".stripMargin)),
+
     // Connected components ([[Graph.connectedComponents]]) — d05's
     // min-label propagation generalized to an arbitrary link graph.
     // The gate graph is block-STARS (docs link to their 16-block head

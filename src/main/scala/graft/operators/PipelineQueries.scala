@@ -799,7 +799,92 @@ object PipelineQueries extends QueryPack {
               |    ORDER BY h || '-' || CAST(pack_id AS VARCHAR)) - 1
               |    AS shard_pos,
               |  pack_tokens
-              |FROM sh ORDER BY shard, shard_pos""".stripMargin))
+              |FROM sh ORDER BY shard, shard_pos""".stripMargin)),
+
+    // CURRICULUM packing — the quality-annealed training order
+    // (MiniCPM's decay-phase upweighting, Llama-3's annealing mix:
+    // finish training on the highest-quality slice): t21's classifier
+    // splits the KEPT corpus into three quality phases by integer
+    // thresholds on the mean feature weight (≤0, ≤0.15, >0.15 — the
+    // cross-multiplied `logit_num ≤ 150·n_features` discipline, no
+    // division anywhere in the banding), and each phase packs
+    // SEPARATELY via [[Packing.keyedCumSum]] with the phase as the
+    // key — so the training order is (phase, pack_id) and the anneal
+    // slice is exactly the phase-2 tail. No ranking window anywhere
+    // (the p21 argument: a phase's billions of packs would otherwise
+    // sort in one task); the classifier fuses into the scan
+    // projection, the prefix sum adds one range Exchange. Oracle
+    // replays classifier → banding → per-phase windowed prefix sum.
+    Q("p22_curriculum_pack",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val docs = Tables(s, dir, "documents")
+        val scored = docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          size(TextFunctions.classifierFeatures(col("text")))
+            .cast("long").as("n_features"),
+          TextFunctions.classifierLogitNum(col("text")).as("logit_num"))
+        val kept = scored
+          .filter(TextFunctions.classifierKeep(
+            col("logit_num"), col("n_features")))
+          .withColumn("phase",
+            when(col("logit_num") <= 0, lit(0L))
+              .when(col("logit_num") <= lit(150L) * col("n_features"),
+                lit(1L))
+              .otherwise(lit(2L)))
+          .withColumn("phase_str", col("phase").cast("string"))
+          .select(col("doc_id"), col("n_tokens"), col("phase"),
+            col("phase_str"))
+        Packing.keyedCumSum(kept, "phase_str", "doc_id", "n_tokens")
+          .withColumn("pack_id",
+            expr(s"cum_before div ${CorpusPipeline.SeqLen}"))
+          .groupBy(col("phase"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("phase"), col("pack_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              |    END AS BIGINT) AS n_tokens,
+              |    regexp_split_to_array(trim(text), '\\s+') w
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, n_tokens,
+              |    list_transform(w, x -> 'u:' || lower(x)) ||
+              |    list_transform(range(1, len(w)),
+              |      i -> 'b:' || lower(w[i]) || '_' || lower(w[i+1]))
+              |      AS fs
+              |  FROM t),
+              |sc AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(len(fs) AS BIGINT) AS n_features,
+              |    CAST(list_sum(list_transform(fs, f ->
+              |      (CAST(('0x' || substr(md5(f),1,8)) AS BIGINT) % 2001)
+              |        - 1000)) AS BIGINT) AS logit_num
+              |  FROM f),
+              |k AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(CASE WHEN logit_num <= 0 THEN 0
+              |      WHEN logit_num <= 150 * n_features THEN 1
+              |      ELSE 2 END AS BIGINT) AS phase
+              |  FROM sc WHERE logit_num > -150 * n_features),
+              |g AS (
+              |  SELECT phase, doc_id, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY phase
+              |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              |      AS BIGINT) AS cum
+              |  FROM k)
+              |SELECT phase,
+              |  (cum - n_tokens) // ${CorpusPipeline.SeqLen} AS pack_id,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              |FROM g GROUP BY 1, 2
+              |ORDER BY phase, pack_id""".stripMargin))
   )
 
   /** The full recipe's CTE chain: k-means training (`trainPred` slice)

@@ -15,6 +15,9 @@ final case class ArrivingDoc(doc_id: Long, text: String)
 /** One query vector on the st12 serving stream. */
 final case class QueryVec(vec_id: Long, embedding: Seq[Double])
 
+/** One takedown request on the st13 removal feed. */
+final case class TakedownReq(doc_id: Long)
+
 /** Driver-gated Structured Streaming queries: each runs a real streaming
   * query (file source → stateful transform → memory sink) to completion
   * with `Trigger.AvailableNow`, then returns the sink table — so the
@@ -511,6 +514,57 @@ object StreamingQueries extends QueryPack {
     // IvfPqOracle verbatim. On a cluster this is the query-log →
     // retrieval topology: index partitions stay put, only the (tiny)
     // query batches move.
+    // STREAMED takedown ([[graft.operators.StoreRetention.deleteDocs]]
+    // from foreachBatch) — the removal FEED as a stream: production
+    // takedown queues (DMCA, GDPR, opt-outs) are exactly this topology,
+    // requests arriving continuously and each micro-batch driving a
+    // partition-scoped delete against the persisted dedup store. With
+    // st10/st11 (ingest) and st12 (serving) this closes the streamed
+    // store lifecycle. deleteDocs is idempotent and micro-batches are
+    // disjoint id sets, so at-least-once replay of a batch rewrites the
+    // same partitions to the same state — and the accumulated deletes
+    // must equal d12's ONE-SHOT delete of the union: the gate reads
+    // back the store's verified pairs against the same survivor oracle
+    // (shared text via [[graft.operators.DedupQueries
+    // .jaccardOracleExcluding]], so the batch and streamed delete paths
+    // cannot silently fork).
+    Q("st13_stream_takedown",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val store = graft.operators.DedupStore("stream_takedown_gate")
+        graft.operators.DedupStore.reset(s, store)
+        graft.operators.DedupStore.build(s,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          graft.operators.DedupQueries.Threshold, store)
+        graft.operators.DedupStore.appendBatch(s,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          graft.operators.DedupQueries.Threshold, store, "b1")
+        // Bounded driver collect: the takedown feed (10% of ids at gate
+        // SF) — the MemoryStream input, not an operator step; on a
+        // cluster this is the removal queue itself.
+        val victims = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id")).as[TakedownReq]
+          .collect().sortBy(_.doc_id).toSeq
+        val input = MemoryStream[TakedownReq](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.operators.StoreRetention.deleteDocs(s, store,
+              b.select(col("doc_id")))
+            ()
+          }
+          .outputMode("append").start()
+        try {
+          victims.grouped(math.max(1, victims.size / 3 + 1)).foreach {
+            c => input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.DedupStore.allPairs(s, store)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(graft.operators.DedupQueries
+        .jaccardOracleExcluding("doc_id % 10 = 7"))),
+
     Q("st12_stream_ann_serving",
       (s, dir) => {
         import s.implicits._

@@ -605,4 +605,49 @@ class ExtensionSpec extends SparkSuite {
     assert(h(2) == 2) // 'A', 'Z' in 0x40-0x5f
     assert(h(3) == 2) // 'a', 'z' in 0x60-0x7f
   }
+
+  test("bloom membership: NO false negatives ever (the structural " +
+      "bloom guarantee), false_positive is exactly bloom ∧ ¬exact, and " +
+      "whitespace-variant copies still hit via the fingerprint") {
+    val history = Seq(
+      (0L, "the quick brown fox"), (2L, "pack my box with jugs"),
+      (4L, "sphinx of black quartz")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox"),        // exact copy
+      (3L, "  pack   my box with jugs "), // whitespace variant ⇒ same fp
+      (5L, "a wholly novel document"),    // never seen
+      (7L, "")                            // empty text, still a verdict
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomMembership(history, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out.size == 4)
+    // Exact members MUST be bloom-positive — a bloom filter can lie
+    // "yes", never "no".
+    out.values.foreach { case (bloom, exact, fp) =>
+      assert(!exact || bloom, "false negative: exact member missed")
+      assert(fp == (bloom && !exact), "fp column must be bloom ∧ ¬exact")
+    }
+    assert(out(1L)._2 && out(3L)._2, "copies must be exact members")
+    assert(!out(5L)._2 && !out(7L)._2, "novel docs are not members")
+  }
+
+  test("bloom membership: the bit frame is bounded by m regardless of " +
+      "history size — the corpus-size-independent state claim") {
+    val m = 64 // tiny filter: 2× the history size forces collisions
+    val out = Dedup.bloomMembership(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", m = m, k = 3)
+    // With kn ≈ 1200 insertions into 64 bits the filter saturates: the
+    // FP arm must light up (that's the telemetry working), and still
+    // zero false negatives.
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getBoolean(2) || r.getBoolean(1),
+        s"false negative at doc ${r.getLong(0)}")
+    }
+    assert(rows.count(_.getBoolean(3)) > 0,
+      "a saturated filter must report false positives, not hide them")
+  }
 }

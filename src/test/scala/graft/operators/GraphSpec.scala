@@ -53,6 +53,32 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("personalizedPageRank: mass conserves, seeds clear the seed " +
+      "floor, and a node no seed can reach in `iters` hops scores 0") {
+    val seeds = nodes.filter(col("id") % 16 === 0)
+    val sCount = seeds.count()
+    val r = Graph.personalizedPageRank(nodes, edges, seeds, iters = 3)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r.size == n)
+    val total = r.values.sum
+    assert(math.abs(total - 1.0) < n * 5e-7 + 1e-9,
+      s"trust mass drifted: $total")
+    val floor = 0.15 / sCount
+    nodes.filter(col("id") % 16 === 0).collect().map(_.getLong(0))
+      .foreach(id => assert(r(id) >= floor - 1e-9,
+        s"seed $id fell below the teleport floor"))
+    // Unlike uniform PageRank there is NO global floor: a non-seed
+    // node with zero in-links gets neither teleport nor contributions
+    // and must score exactly 0 — the demotion semantics that make
+    // TrustRank a spam signal rather than a popularity one.
+    val linked = edges.select(col("dst")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val orphans = (0L until n)
+      .filter(id => id % 16 != 0 && !linked.contains(id))
+    orphans.foreach(id => assert(r(id) == 0.0,
+      s"unlinked non-seed $id must hold zero trust, got ${r(id)}"))
+  }
+
   test("connectedComponents: star members label to the block head, " +
       "isolated nodes to themselves") {
     val edges = nodes.filter(col("id") % 4 =!= 0)

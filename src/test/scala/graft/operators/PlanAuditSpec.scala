@@ -344,4 +344,28 @@ class PlanAuditSpec extends SparkSuite {
     // explode into a per-label index fork.
     assert(p.contains("meta"), "metadata column must ride the assignment")
   }
+
+  test("bloom dedup: membership is broadcast joins against the bit " +
+      "frame — the batch side never shuffles, no window, no cartesian") {
+    val p = plan("d25_bloom_dedup")
+    assert(p.contains("BroadcastExchange"),
+      "the ≤ m-row bit frame must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"d25 must stay broadcast membership probes:\n$p")
+  }
+
+  test("curriculum pack: per-phase positions come from the keyed " +
+      "prefix sum — no per-phase ranking window") {
+    val p = plan("p22_curriculum_pack")
+    assert(!p.contains("Window"),
+      s"p22 packing must be the two-phase prefix sum, not a window:\n$p")
+  }
+
+  test("trustrank: each round is an equi-join plus a hash aggregate — " +
+      "no cartesian, no broadcast of the rank vector as a loop join") {
+    val p = plan("g04_trustrank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"g04 rounds must stay equi-join message passing:\n$p")
+  }
 }
