@@ -46,7 +46,65 @@ final case class Metric(
     "derived metric needs numerator and denominator METRIC names")
 }
 
+/** MetricFlow saved query (dbt `saved_queries:`): a NAMED bundle of
+  * metrics × one governed slice, validated against the project at
+  * construction — the unit dbt EXPORTS schedule (a saved query
+  * materialized as a table on a cadence is how semantic-layer numbers
+  * reach BI extracts without each consumer re-deriving the slice).
+  * Every referenced metric must exist and must be sliceable by the
+  * bundle's dimensions under its OWN governance, so a saved query can
+  * never ship a number its metrics wouldn't allow interactively. */
+final case class SavedQuery(
+    name: String,
+    /** Metric names resolved against the project's `metrics:`. */
+    metrics: Seq[String],
+    /** The shared slice — must pass every member metric's governance. */
+    groupBy: Seq[String] = Nil,
+    /** Optional grain truncation of each metric's time dimension. */
+    grain: Option[String] = None,
+    description: String = "") {
+  require(metrics.nonEmpty, s"saved query '$name' lists no metrics")
+  require(metrics.distinct.size == metrics.size,
+    s"saved query '$name' lists a metric twice")
+}
+
 object Metrics {
+
+  /** Run the project's saved query `name`: each member metric resolves
+    * independently (through [[query]] — same governance, same decimal
+    * discipline), and the frames join on the slice columns, so the
+    * bundle is exactly the numbers the metrics would give one by one.
+    * Construction-time validation (see [[Project]]) has already pinned
+    * that every join key exists on every side. */
+  def runSaved(spark: SparkSession, runner: Runner, name: String)
+      : DataFrame = {
+    val sq = runner.project.savedQueries.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown saved query '$name' — project defines " +
+          runner.project.savedQueries.map(_.name)
+            .mkString("[", ", ", "]")))
+    val frames = sq.metrics.map(m =>
+      query(spark, runner, m, sq.groupBy, sq.grain))
+    frames.reduceLeft { (acc, next) =>
+      val keys = acc.columns.toSeq.intersect(
+        next.columns.filterNot(sq.metrics.contains).toSeq)
+      if (keys.isEmpty) acc.crossJoin(next) else acc.join(next, keys)
+    }
+  }
+
+  /** dbt saved-query EXPORT: materialize the bundle as a relation
+    * through the runner's own materializer (the same atomic sink the
+    * models use — on the catalog materializer that is the versioned
+    * pointer-swap path), then read it back through the engine. Returns
+    * the re-read frame so callers consume the PERSISTED artifact, not
+    * the in-session plan. */
+  def export(spark: SparkSession, runner: Runner, name: String,
+      schema: String): DataFrame = {
+    val rel = runner.materializer.tableRelation(schema, s"saved_$name")
+    runner.materializer.materializeTable(spark, rel,
+      runSaved(spark, runner, name))
+    spark.table(rel)
+  }
 
   /** Query `metricName` from the runner's project grouped by `groupBy`
     * (⊆ the metric's governed dimensions), optionally truncating the

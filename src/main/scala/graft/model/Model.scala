@@ -379,7 +379,11 @@ final case class Project(
     /** dbt exposures — downstream consumers (see [[Exposure]]). */
     exposures: Seq[Exposure] = Nil,
     /** dbt semantic-layer metrics (see [[Metric]]/[[Metrics]]). */
-    metrics: Seq[Metric] = Nil) {
+    metrics: Seq[Metric] = Nil,
+    /** MetricFlow saved queries (see [[SavedQuery]]) — validated here
+      * so an off-governance bundle is a PROJECT error, before any
+      * export could schedule it. */
+    savedQueries: Seq[SavedQuery] = Nil) {
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
   require(metrics.map(_.name).distinct.size == metrics.size,
@@ -390,6 +394,40 @@ final case class Project(
     Seq(m.numerator, m.denominator).flatten.foreach(ref =>
       require(metrics.exists(_.name == ref),
         s"derived metric '${m.name}' references unknown metric '$ref'"))
+  }
+  require(savedQueries.map(_.name).distinct.size == savedQueries.size,
+    "duplicate saved query names")
+  savedQueries.foreach { sq =>
+    // Every leaf metric a member resolves to (derived refs included)
+    // must govern the bundle's slice, and a grain needs ONE shared time
+    // dimension across the leaves — otherwise the per-metric grain
+    // columns could not join into one frame.
+    def leaves(name: String): Seq[Metric] = {
+      val m = metrics.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"saved query '${sq.name}' references unknown metric '$name'"))
+      if (m.agg == "derived")
+        Seq(m.numerator, m.denominator).flatten.flatMap(leaves)
+      else Seq(m)
+    }
+    val leafMetrics = sq.metrics.flatMap(leaves)
+    sq.metrics.foreach { name =>
+      val m = metrics.find(_.name == name).get
+      val bad = sq.groupBy.filterNot(m.dimensions.contains)
+      require(bad.isEmpty,
+        s"saved query '${sq.name}': metric '$name' is not sliceable " +
+          s"by ${bad.mkString(", ")} — governed dimensions: " +
+          m.dimensions.mkString(", "))
+    }
+    if (sq.grain.nonEmpty) {
+      val timeDims = leafMetrics.map(m => m.timeDimension.getOrElse(
+        throw new IllegalArgumentException(
+          s"saved query '${sq.name}': metric '${m.name}' declares no " +
+            "time dimension"))).distinct
+      require(timeDims.size == 1,
+        s"saved query '${sq.name}' mixes time dimensions " +
+          s"${timeDims.mkString(", ")} — a grained bundle needs one")
+    }
   }
   def model(name: String): Model =
     models.find(_.name == name)

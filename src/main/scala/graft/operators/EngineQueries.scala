@@ -1180,6 +1180,67 @@ object EngineQueries extends QueryPack {
              |FROM ol GROUP BY 1, 2
              |ORDER BY region, order_date_month""".stripMargin)),
 
+    // ---- Saved queries + exports (MetricFlow `saved_queries:`): a
+    // NAMED bundle of metrics × one governed slice, validated at
+    // PROJECT construction (an off-governance bundle is a project
+    // error before any export could schedule it), run by name, and
+    // EXPORTED — materialized through the runner's own materializer
+    // and read back through the engine, the path a scheduled BI
+    // extract takes. The bundle must equal the member metrics queried
+    // one by one (m20's numbers), which is exactly what the oracle
+    // computes directly.
+    Q("m22_saved_query",
+      (spark, dir) => {
+        val revenue = Metric("revenue", "order_lines_enriched", "sum",
+          measure = Some("net_price"),
+          dimensions = Seq("region", "priority"),
+          timeDimension = Some("order_date"))
+        val lines = Metric("line_count", "order_lines_enriched", "count",
+          dimensions = Seq("region", "priority"),
+          timeDimension = Some("order_date"))
+        val sq = SavedQuery("region_monthly",
+          metrics = Seq("revenue", "line_count"),
+          groupBy = Seq("region"), grain = Some("month"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_m22").toString
+        val r = new Runner(
+          TpchProject.project(dir).copy(
+            metrics = Seq(revenue, lines), savedQueries = Seq(sq)),
+          Target.dev, new PathMaterializer(base))
+        r.run(spark, select = Some("+order_lines_enriched"))
+        val denied =
+          try {
+            TpchProject.project(dir).copy(
+              metrics = Seq(revenue, lines),
+              savedQueries = Seq(sq.copy(name = "bad",
+                groupBy = Seq("customer_name"))))
+            "no error"
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.replace("requirement failed: ", "") }
+        Metrics.export(spark, r, "region_monthly", "exports")
+          .withColumn("revenue", col("revenue").cast("string"))
+          .withColumn("denied", lit(denied))
+          .orderBy(col("region"), col("order_date_month"))
+      },
+      Some("""WITH ol AS (
+             |  SELECT r_name AS region, o_orderdate AS order_date,
+             |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS VARCHAR) AS DECIMAL(18,4)) AS net_price
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  LEFT JOIN customer ON o_custkey = c_custkey
+             |  LEFT JOIN nation ON c_nationkey = n_nationkey
+             |  LEFT JOIN region ON n_regionkey = r_regionkey)
+             |SELECT region,
+             |  CAST(date_trunc('month', order_date) AS DATE)
+             |    AS order_date_month,
+             |  CAST(SUM(net_price) AS VARCHAR) AS revenue,
+             |  COUNT(*) AS line_count,
+             |  'saved query ''bad'': metric ''revenue'' is not sliceable by customer_name — governed dimensions: region, priority'
+             |    AS denied
+             |FROM ol GROUP BY 1, 2
+             |ORDER BY region, order_date_month""".stripMargin)),
+
     // ---- Contract surface (dbt `contract: enforced`): two contracted
     // marts over the same SELECT — one whose declared columns/types match
     // the built frame exactly (must materialize), one declaring a drifted

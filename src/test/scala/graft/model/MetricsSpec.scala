@@ -95,4 +95,70 @@ class MetricsSpec extends SparkSuite {
     assert(grained.columns.toSeq == Seq("order_date_month", "revenue"))
     assert(grained.count() > 0)
   }
+
+  test("saved query: the bundle equals the member metrics queried one " +
+      "by one, and the export round-trips through the materializer") {
+    val lines = Metric("line_count", "order_lines_enriched", "count",
+      dimensions = Seq("region"), timeDimension = Some("order_date"))
+    val sq = SavedQuery("regional", Seq("revenue", "line_count"),
+      groupBy = Seq("region"))
+    val r = new Runner(
+      TpchProject.project(dir).copy(metrics = Seq(revenue, lines),
+        savedQueries = Seq(sq)),
+      Target.dev, new PathMaterializer(java.nio.file.Files
+        .createTempDirectory("graft_sq_spec").toString))
+    r.run(spark, select = Some("+order_lines_enriched"))
+    val bundle = Metrics.runSaved(spark, r, "regional")
+    assert(bundle.columns.toSeq ==
+      Seq("region", "revenue", "line_count"))
+    val direct = Metrics.query(spark, r, "revenue", Seq("region"))
+      .join(Metrics.query(spark, r, "line_count", Seq("region")),
+        Seq("region"))
+    assert(bundle.orderBy("region").collect().toSeq ==
+      direct.orderBy("region").collect().toSeq,
+      "the bundle must be exactly the per-metric numbers")
+    val exported = Metrics.export(spark, r, "regional", "exports")
+    assert(exported.orderBy("region").collect().toSeq ==
+      bundle.orderBy("region").collect().toSeq,
+      "the export must persist the bundle faithfully")
+    assert(r.materializer.relationExists(spark,
+      r.materializer.tableRelation("exports", "saved_regional")),
+      "the export must land through the runner's materializer")
+  }
+
+  test("saved query: off-governance slice, unknown metric, duplicate " +
+      "names, and mixed grain time dimensions fail at project " +
+      "construction; unknown saved name fails at run") {
+    val lines = Metric("line_count", "order_lines_enriched", "count",
+      dimensions = Seq("region"), timeDimension = Some("ship_date"))
+    def projectWith(sqs: SavedQuery*) =
+      TpchProject.project(dir).copy(metrics = Seq(revenue, lines),
+        savedQueries = sqs)
+    intercept[IllegalArgumentException] {
+      projectWith(SavedQuery("bad", Seq("revenue"),
+        groupBy = Seq("customer_name")))
+    }
+    intercept[IllegalArgumentException] {
+      projectWith(SavedQuery("bad", Seq("ghost")))
+    }
+    intercept[IllegalArgumentException] {
+      projectWith(SavedQuery("a", Seq("revenue")),
+        SavedQuery("a", Seq("revenue")))
+    }
+    // revenue anchors order_date, line_count ship_date: a GRAINED
+    // bundle cannot join their per-metric grain columns.
+    intercept[IllegalArgumentException] {
+      projectWith(SavedQuery("bad", Seq("revenue", "line_count"),
+        groupBy = Seq("region"), grain = Some("month")))
+    }
+    // The same bundle UNGRAINED is fine — time dims only gate grains.
+    projectWith(SavedQuery("ok", Seq("revenue", "line_count"),
+      groupBy = Seq("region")))
+    val r = new Runner(projectWith(), Target.dev,
+      new PathMaterializer(java.nio.file.Files
+        .createTempDirectory("graft_sq_spec2").toString))
+    intercept[IllegalArgumentException] {
+      Metrics.runSaved(spark, r, "no_such_saved_query")
+    }
+  }
 }
