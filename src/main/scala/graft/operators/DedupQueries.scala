@@ -895,7 +895,48 @@ object DedupQueries extends QueryPack {
              |FROM b
              |JOIN pr ON b.doc_id = pr.doc_id
              |LEFT JOIN hf ON b.fp = hf.fp
-             |ORDER BY b.doc_id""".stripMargin))
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // Cross-corpus SEMANTIC contamination ([[Similarity
+    // .semanticCrossContamination]]) — d06's train/test leakage check
+    // in EMBEDDING space, where a paraphrased benchmark answer (the
+    // leak d06/d09's gram tiers structurally cannot see) still lands
+    // within cosine 0.45 of its source. Codebook trains on the TRAIN
+    // side only (the benchmark must not shape the clustering — the d14
+    // frozen-history convention), both sides assign row-locally, and
+    // candidates are the within-cluster cross join — never train×test.
+    // Oracle replays training (train-slice CTEs), assignment, and the
+    // cross pass exactly.
+    Q("d26_semantic_contamination",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.semanticCrossContamination(
+            emb.filter(col("vec_id") % 5 =!= 0),
+            emb.filter(col("vec_id") % 5 === 0),
+            "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""${VectorQueries.kmeansCtes(k = 10, iters = 3,
+                  trainPred = "vec_id % 5 <> 0")},
+             |tr AS (SELECT vid, cid, v, nrm FROM asg4
+             |  WHERE vid % 5 <> 0),
+             |te AS (SELECT vid, cid, v, nrm FROM asg4
+             |  WHERE vid % 5 = 0),
+             |hits AS (
+             |  SELECT te.vid, tr.vid AS tvid
+             |  FROM te JOIN tr ON te.cid = tr.cid
+             |  WHERE ROUND(list_dot_product(te.v, tr.v)
+             |          / (te.nrm * tr.nrm), 6) >= 0.45),
+             |hagg AS (
+             |  SELECT vid, COUNT(*) AS n_matches,
+             |    MIN(tvid) AS first_match
+             |  FROM hits GROUP BY vid)
+             |SELECT te.vid AS vec_id,
+             |  hagg.vid IS NOT NULL AS contaminated,
+             |  CAST(COALESCE(hagg.n_matches, 0) AS BIGINT) AS n_matches,
+             |  hagg.first_match
+             |FROM te LEFT JOIN hagg ON te.vid = hagg.vid
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** d02's exact-jaccard oracle restricted to takedown survivors —

@@ -334,6 +334,66 @@ object MultimodalQueries extends QueryPack {
              |  CAST(SUM(v) AS BIGINT) AS luma_sum,
              |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY ty, tx)
              |    AS thumb_px
-             |FROM tp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM tp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Walsh-Hadamard band features over the PCM frames (mm06's byte →
+    // 16-bit-sample convention, 8 samples per frame) — a REAL
+    // orthogonal transform on the oracle-verified path, the
+    // integer-butterfly workhorse of audio fingerprinting / fast
+    // signatures (a Fourier transform's coefficients are irrational,
+    // so no cross-engine bit-exactness; the WHT's are ±1 sums, EXACT
+    // in BIGINT on both engines). The 8×8 sign matrix is unrolled at
+    // GATE-BUILD time into literal ± terms — Scala generates the Spark
+    // columns and the SQL text from the same popcount rule, so the two
+    // engines cannot disagree on a sign — and the whole transform is a
+    // row-local projection fused into the scan: at 100 TB the
+    // feature-extraction pass is map-only, zero shuffle.
+    Q("mm10_pcm_wht",
+      (s, dir) => {
+        val t = col("text") // ASCII corpus: 1 char == 1 byte (mm06)
+        def sample(pos: org.apache.spark.sql.Column) =
+          (ascii(t.substr(pos + 1, lit(1))) +
+            ascii(t.substr(pos + 2, lit(1))) * 256).cast("long")
+        val nFrames = least(lit(4), floor(floor(length(t) / 2) / 8))
+          .cast("int")
+        def frameCoeffs(f: org.apache.spark.sql.Column) = {
+          val ss = (0 until 8).map(i => sample(f * 16 + i * 2))
+          val coeffs = (0 until 8).map { k =>
+            (0 until 8).map { i =>
+              if (Integer.bitCount(i & k) % 2 == 0) ss(i) else -ss(i)
+            }.reduce(_ + _)
+          }
+          concat_ws(",", coeffs.map(_.cast("string")): _*)
+        }
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), t.as("text"), nFrames.as("n_frames"))
+          .select(col("doc_id"), col("n_frames"),
+            when(col("n_frames") > 0,
+              array_join(transform(
+                sequence(lit(0), col("n_frames") - 1),
+                frameCoeffs(_)),
+                ";"))
+              .otherwise(lit("")).as("wht"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def sampleSql(i: Int) =
+          s"(ord(substring(text, CAST(f * 16 + ${i * 2} + 1 AS INT), 1))" +
+            s" + 256 * ord(substring(text," +
+            s" CAST(f * 16 + ${i * 2} + 2 AS INT), 1)))"
+        val coeffsSql = (0 until 8).map { k =>
+          val terms = (0 until 8).map { i =>
+            val sgn = if (Integer.bitCount(i & k) % 2 == 0) "+" else "-"
+            s"$sgn ${sampleSql(i)}"
+          }.mkString(" ")
+          s"CAST((0 $terms) AS VARCHAR)"
+        }.mkString(" || ',' || ")
+        s"""SELECT doc_id,
+           | CAST(LEAST(4, (length(text) // 2) // 8) AS INT) AS n_frames,
+           | array_to_string(list_transform(
+           |   range(0, LEAST(4, (length(text) // 2) // 8)), f ->
+           |     $coeffsSql), ';') AS wht
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -395,6 +395,43 @@ object Similarity {
         col("__dropped").isNull.as("keep"))
   }
 
+  /** Cross-corpus SEMANTIC contamination — d06's train/test leakage
+    * check lifted to embedding space, where a PARAPHRASED benchmark
+    * answer (the leak the gram tiers structurally cannot see) still
+    * lands within cosine `threshold` of its source. The decontamination
+    * convention matches d14: the codebook trains on the TRAIN side only
+    * (the corpus you own — the benchmark must not shape the clustering),
+    * both sides assign row-locally against the frozen centroids (zero
+    * shuffle, the inlined-literal pass), and candidates are the
+    * within-cluster CROSS join only — O(Σ|c_tr|·|c_te|), never
+    * train×test; hot clusters are AQE's skew case. Per test row:
+    * `contaminated`, the match count, and the smallest matching train
+    * id (the audit pointer). Deterministic end to end ⇒ exact oracle
+    * replays training, assignment, and the cross pass in SQL. */
+  def semanticCrossContamination(train: DataFrame, test: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val (codebook, _) =
+      kmeansFit(train, idCol, vecCol, k, iters, trackObjective = false)
+    val trAsg = assignClusters(normalized(train, idCol, vecCol), codebook)
+      .select(col("vid").as("tvid"), col("cid"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val teAsg = Caches.persist(
+      assignClusters(normalized(test, idCol, vecCol), codebook)
+        .select(col("vid"), col("cid"), col("v"), col("nrm")))
+    val hits = teAsg.join(trAsg, "cid")
+      .filter(sim(col("tv"), col("tn"), col("v"), col("nrm"))
+        >= threshold)
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("tvid")).as("first_match"))
+    teAsg.join(hits, Seq("vid"), "left")
+      .select(col("vid").as(idCol),
+        col("n_matches").isNotNull.as("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_match"))
+  }
+
   /** IVF-style approximate top-k: corpus assigned to its nearest centroid
     * (centroids = the first `nlist` vectors by id — deterministic seeding;
     * k-means refinement would slot in here), queries probe the `nprobe`

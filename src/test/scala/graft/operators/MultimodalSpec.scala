@@ -5,6 +5,8 @@ import java.io.ByteArrayOutputStream
 
 import javax.imageio.ImageIO
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 /** The real-codec path ([[Multimodal.decodeImages]], javax.imageio):
@@ -74,5 +76,31 @@ class MultimodalSpec extends SparkSuite {
       yield (31L * id + 7L * x + 13L * y) % 256).sum
     assert((d.width, d.height, d.n_pixels, d.luma_sum) ==
       ((w, h, w.toLong * h, expected)))
+  }
+
+  test("mm10's WHT is a true Hadamard transform: W0 = Σ samples and " +
+      "Parseval holds exactly (Σ W² = 8·Σ s²) on the gate output") {
+    // 16 ASCII chars = 8 samples = exactly one frame; run the GATE's
+    // own expression so the sign matrix under test is the shipped one.
+    val out = graft.SparkEntry.queries("mm10_pcm_wht")(spark,
+      "/root/testdata/sf0.001")
+    val rows = out.filter(col("n_frames") > 0).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") === r.getLong(0))
+        .head().getAs[String]("text")
+      r.getString(2).split(';').zipWithIndex.foreach { case (fr, f) =>
+        val w = fr.split(',').map(_.toLong)
+        val s = (0 until 8).map { i =>
+          val p = f * 16 + i * 2
+          text.charAt(p).toLong + 256L * text.charAt(p + 1)
+        }
+        assert(w(0) == s.sum, "W0 must be the frame sum (DC)")
+        assert(w.map(x => x * x).sum == 8L * s.map(x => x * x).sum,
+          "Parseval: the sign matrix is not orthogonal")
+      }
+    }
   }
 }
