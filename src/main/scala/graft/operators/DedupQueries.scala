@@ -386,9 +386,7 @@ object DedupQueries extends QueryPack {
           "vec_id", "embedding", store, "b1")
         SemanticStore.keeps(s, store, "vec_id").orderBy(col("vec_id"))
       },
-      Some(semanticOracle(VectorQueries.kmeansCtes(k = 10, iters = 3,
-        trainPred =
-          "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)")))),
+      Some(semanticStoreOracle)),
 
     // Semantic-store TAKEDOWN with verdict repair ([[SemanticStore
     // .delete]]): deleting a vector must also RE-EVALUATE the verdicts
@@ -938,6 +936,16 @@ object DedupQueries extends QueryPack {
              |FROM te LEFT JOIN hagg ON te.vid = hagg.vid
              |ORDER BY vec_id""".stripMargin))
   )
+
+  /** d14's oracle — k-means trained on the first 80% of the id range
+    * in SQL, the predecessor pass over everyone. Shared with the
+    * streamed semantic ingest gate (st14) so the batch and streamed
+    * append paths verify against ONE oracle text (the st13/d12
+    * discipline). */
+  private[graft] def semanticStoreOracle: String =
+    semanticOracle(VectorQueries.kmeansCtes(k = 10, iters = 3,
+      trainPred =
+        "vec_id <= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)"))
 
   /** d02's exact-jaccard oracle restricted to takedown survivors —
     * `victimPred` names the deleted rows. Shared with the streamed

@@ -18,6 +18,9 @@ final case class QueryVec(vec_id: Long, embedding: Seq[Double])
 /** One takedown request on the st13 removal feed. */
 final case class TakedownReq(doc_id: Long)
 
+/** One embedding row on the st14 semantic-ingest log. */
+final case class EmbRow(vec_id: Long, embedding: Array[Float])
+
 /** Driver-gated Structured Streaming queries: each runs a real streaming
   * query (file source → stateful transform → memory sink) to completion
   * with `Trigger.AvailableNow`, then returns the sink table — so the
@@ -564,6 +567,51 @@ object StreamingQueries extends QueryPack {
       },
       Some(graft.operators.DedupQueries
         .jaccardOracleExcluding("doc_id % 10 = 7"))),
+
+    // STREAMED semantic-store ingest ([[graft.operators.SemanticStore
+    // .append]] from foreachBatch) — d14's embedding-space dedup store
+    // driven by the streaming runtime: codebook trained ONCE on the
+    // first 80% of the id range and frozen, the remaining 20% arriving
+    // as id-ordered micro-batches, each assigning row-locally against
+    // the frozen centroids and probing only the store's matching
+    // clusters. Frozen clusters + id-ordered batches make every
+    // verdict FINAL on write, so the streamed accumulation must equal
+    // d14's one-shot append — the gate shares d14's oracle TEXT
+    // ([[graft.operators.DedupQueries.semanticStoreOracle]]) so the
+    // batch and streamed append paths cannot silently fork. With
+    // st10/st11 (document tiers), st13 (takedown) and st12 (serving),
+    // every persisted-store lifecycle verb now has a streamed gate.
+    Q("st14_stream_semantic_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+        val store = graft.operators.SemanticStore("stream_sem_gate")
+        graft.operators.SemanticStore.reset(s, store)
+        graft.operators.SemanticStore.build(s,
+          emb.filter(col("vec_id") <= cut), "vec_id", "embedding",
+          k = 10, iters = 3, threshold = 0.45, store)
+        // Bounded driver collect: the streamed slice (20% of vectors
+        // at gate SF) — the MemoryStream feed, not an operator step.
+        val arriving = emb.filter(col("vec_id") > cut)
+          .select(col("vec_id"), col("embedding")).as[EmbRow]
+          .collect().sortBy(_.vec_id).toSeq
+        val input = MemoryStream[EmbRow](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.SemanticStore.append(s, b, "vec_id",
+              "embedding", store, s"s$id")
+          }
+          .outputMode("append").start()
+        try {
+          arriving.grouped(math.max(1, arriving.size / 3 + 1)).foreach {
+            c => input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.SemanticStore.keeps(s, store, "vec_id")
+          .orderBy(col("vec_id"))
+      },
+      Some(graft.operators.DedupQueries.semanticStoreOracle)),
 
     Q("st12_stream_ann_serving",
       (s, dir) => {
