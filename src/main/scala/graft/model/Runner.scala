@@ -218,20 +218,33 @@ final class CatalogMaterializer extends Materializer {
     // Views resolve as dot-less temp names — nothing durable to repair.
     if (!relation.contains('.')) return
     val Array(schema, name) = relation.split('.')
-    readPointer(spark, schemaDir(spark, schema), name).foreach {
+    val dir = schemaDir(spark, schema)
+    readPointer(spark, dir, name).foreach {
       case (versionDir, schemaJson) =>
         import org.apache.spark.sql.catalyst.TableIdentifier
         val catalog = spark.sessionState.catalog
         val ident = TableIdentifier(name, Some(schema))
-        val loc = versionLocation(schemaDir(spark, schema), versionDir)
-        // Version directory names are globally unique (millis+counter),
-        // so last-segment comparison is exact even for clones pointing
-        // into another schema's directory.
-        val stale = !catalog.tableExists(ident) ||
-          new org.apache.hadoop.fs.Path(
-            catalog.getTableMetadata(ident).location).getName != loc.getName
-        if (stale)
-          syncCatalog(spark, relation, loc, pointerSchema(schemaJson))
+        val loc = versionLocation(dir, versionDir)
+        // The heal takes the SAME per-relation lock as the writer's
+        // commit: a fresh session against a durable warehouse (pointer
+        // on disk, catalog entry absent — the restart scenario) can
+        // have TWO threads resolve the relation concurrently, and an
+        // unserialized heal races its own createTable
+        // (TABLE_OR_VIEW_ALREADY_EXISTS — observed when two Runners
+        // raced a resolution over a persisted pointer). Staleness
+        // re-checks INSIDE the lock, so the loser of the race sees the
+        // winner's repair and no-ops.
+        CatalogMaterializer.commitLock(s"$dir/$name").synchronized {
+          // Version directory names are globally unique
+          // (millis+counter), so last-segment comparison is exact even
+          // for clones pointing into another schema's directory.
+          val stale = !catalog.tableExists(ident) ||
+            new org.apache.hadoop.fs.Path(
+              catalog.getTableMetadata(ident).location)
+              .getName != loc.getName
+          if (stale)
+            syncCatalog(spark, relation, loc, pointerSchema(schemaJson))
+        }
     }
   }
 

@@ -130,6 +130,32 @@ class AtomicRefreshSpec extends SparkSuite {
     assert(spark.table(rel).count() == 9)
   }
 
+  test("two threads racing the pointer heal both succeed — the repair " +
+      "takes the commit lock, so the loser no-ops instead of throwing " +
+      "TABLE_OR_VIEW_ALREADY_EXISTS") {
+    val rel = "atomicspec.t7b"
+    mat.materializeTable(spark, rel, spark.range(7).toDF("id"))
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val ident = TableIdentifier("t7b", Some("atomicspec"))
+    // Several rounds: the unlocked heal's createTable race was a
+    // narrow window — one round rarely caught it.
+    (1 to 5).foreach { round =>
+      spark.sessionState.catalog.dropTable(ident,
+        ignoreIfNotExists = false, purge = false)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val failures =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+      val ts = (0 until 2).map(_ => new Thread(() => {
+        try { barrier.await(); mat.relationExists(spark, rel); () }
+        catch { case t: Throwable => failures.add(t) }
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(failures.isEmpty, s"round $round heal race: $failures")
+      assert(spark.table(rel).count() == 7,
+        s"round $round healed to the wrong version")
+    }
+  }
+
   test("a torn catalog mutation is repaired to the pointer's version") {
     val rel = "atomicspec.t8"
     mat.materializeTable(spark, rel, spark.range(5).toDF("id"))
