@@ -794,9 +794,12 @@ object Dedup {
     val histFp = Caches.persist(fps(history))
     // The bit array: distinct set positions, ≤ m rows by construction —
     // the corpus-size-independent state that makes this operator.
-    val bits = histFp
+    // Persisted: the k membership joins below would otherwise each
+    // recompute the history-wide position aggregate (3× the build cost
+    // at 100 TB history for identical ≤ m-row output).
+    val bits = Caches.persist(histFp
       .select(explode(array((0 until k).map(pos): _*)).as("pos"))
-      .distinct()
+      .distinct())
     var probed = fps(batch)
       .select(col("doc_id") +: col("fp") +:
         (0 until k).map(j => pos(j).as(s"p$j")): _*)
