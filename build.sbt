@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout (no "[info] " logger prefix).
+// The driver's round artifact tail-scrapes bench stdout and JSON-parses
+// the last structured line; sbt's logger prefix broke that parse every
+// round since r10 ("parsed": null in each BENCH_r* wrapper). With
+// StdoutOutput the bench summary line is bare JSON the scrape can read.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

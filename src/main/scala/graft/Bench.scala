@@ -37,6 +37,20 @@ object Bench {
     fromEnv.orElse(fromProgress).orElse(fromVerdict).orElse(fromFiles)
   }
 
+  /** Whether a resolved round slot may be WRITTEN. The inferred sources
+    * (PROGRESS/VERDICT/max-file) are ambiguous at the exact round
+    * boundary in BOTH directions: verdict+1 once claimed the next
+    * round's slot early (r13/r14 recurrence), and PROGRESS's last entry
+    * can name the CLOSED round for the first bench of a new round run
+    * before the driver appends that round's first entry — which would
+    * silently clobber the closing round's committed record. So an
+    * EXISTING slot file is only overwritten when the driver states the
+    * round explicitly (SPARK_GRAFT_ROUND); inferred resolutions may
+    * claim empty slots only.
+    */
+  private[graft] def slotWriteAllowed(envRound: Boolean,
+      slotExists: Boolean): Boolean = envRound || !slotExists
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional regex arg filters the benched queries for local iteration
@@ -166,7 +180,14 @@ object Bench {
           .map(_.getName)
       resolveRound(sys.env.get("SPARK_GRAFT_ROUND"), progressLines,
           verdictHead, benchFiles)
-        .foreach(r => write(f"BENCH_r$r%02d.json"))
+        .foreach { r =>
+          val slot = f"BENCH_r$r%02d.json"
+          if (slotWriteAllowed(sys.env.contains("SPARK_GRAFT_ROUND"),
+              new java.io.File(slot).exists())) write(slot)
+          else System.err.println(
+            s"$slot exists; not overwriting an inferred round slot " +
+              "(set SPARK_GRAFT_ROUND to force)")
+        }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","runs":$passes,"n_queries":${results.size},""" +

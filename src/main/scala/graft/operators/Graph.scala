@@ -25,11 +25,16 @@ import graft.core.Checkpoints
 object Graph {
 
   /** PageRank with damping 0.85, `iters` synchronous rounds from the
-    * uniform vector. `edges(src, dst)` must have outdeg ≥ 1 for every
-    * src (dangling-mass redistribution is a policy knob this operator
-    * does not need — the gate's synthetic graph has no dangling
-    * nodes); `nodes(id)` fixes the vertex set. Returns (id, pagerank)
-    * at the 6dp output contract. */
+    * uniform vector. `nodes(id)` fixes the vertex set; dangling nodes
+    * (no out-edges — every real crawl host graph has them) are handled
+    * by the standard mass redistribution: each round their aggregate
+    * rank D re-enters every node uniformly as `d·D/N` alongside the
+    * per-edge contributions, so probability mass conserves instead of
+    * silently leaking out of the distribution. D is an exact decimal
+    * sum (order-independent) costing one 1-row aggregate per round;
+    * when the graph has no dangling nodes D = 0 exactly and every rank
+    * is bit-identical to the redistribution-free formula. Returns
+    * (id, pagerank) at the 6dp output contract. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int)
       : DataFrame = {
     // Bounded driver scalar: the vertex count (one long) — the same
@@ -37,9 +42,20 @@ object Graph {
     val n = nodes.count().toDouble
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
+    // The dangling SET is static across rounds (a node's out-degree
+    // never changes); only its per-round mass D is recomputed.
+    val dangling = Checkpoints.truncate(
+      nodes.join(outdeg.select(col("src").as("id")), Seq("id"),
+        "left_anti"))
     var r = nodes.select(col("id"),
       round(lit(1.0) / lit(n), 12).as("r"))
     for (_ <- 1 to iters) {
+      // D = Σ r over dangling nodes, summed EXACTLY as decimals (the
+      // t23 contract: order-independent, so 32 partitions and one
+      // DuckDB scan agree to the bit). One row; broadcast below.
+      val dmass = r.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("r").cast("decimal(28,12)")),
+          lit(0).cast("decimal(38,12)")).as("dm"))
       val contrib = edges
         .join(r.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
@@ -49,9 +65,12 @@ object Graph {
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = Checkpoints.truncate(
         nodes.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .crossJoin(broadcast(dmass))
           .select(col("id"),
             round(lit(0.15) / lit(n) + lit(0.85) *
-              coalesce(col("s").cast("double"), lit(0.0)), 12).as("r")))
+              (coalesce(col("s").cast("double"), lit(0.0)) +
+                round(col("dm").cast("double") / lit(n), 12)),
+              12).as("r")))
     }
     r.select(col("id"), round(col("r"), 6).as("pagerank"))
   }
@@ -136,6 +155,14 @@ object Graph {
       labels = next
       iter += 1
     }
+    // Fail-loud contract: exhausting the round budget means the labels
+    // are PARTIALLY propagated — returning them would be a wrong
+    // answer, not a degraded one. A graph whose component diameter
+    // exceeds the budget wants a larger maxIter or the pointer-jumping
+    // variant, and must say so instead of silently mislabeling.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the iteration budget")
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("label"), col("id")).as("component"))

@@ -191,6 +191,84 @@ object GraphQueries extends QueryPack {
              |SELECT id AS doc_id, ROUND(r, 6) AS trustrank
              |FROM r3 ORDER BY doc_id""".stripMargin)),
 
+    // PageRank over a graph WITH dangling nodes ([[Graph.pageRank]]'s
+    // mass-redistribution path) — every node with doc_id % 5 = 0 emits
+    // no edges, so ~20% of the rank mass goes dangling each round and
+    // must re-enter uniformly (d·D/N) instead of leaking. The oracle
+    // unrolls g01's CTE chain with one extra 1-row CTE per round: the
+    // dangling mass as an EXACT decimal sum, then the same
+    // IEEE-identical double update — so the redistribution arithmetic
+    // hash-matches to the bit. g01's no-dangling graph stays
+    // bit-identical (D = 0 exactly).
+    Q("g05_pagerank_dangling",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs
+          .filter(col("id") % 5 =!= 0)
+          .select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.pageRank(docs, edges, iters = 3)
+          .select(col("id").as("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |nn AS (SELECT COUNT(*) n FROM d),
+             |e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id src,
+             |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+             |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j
+             |    WHERE doc_id % 5 <> 0)
+             |  WHERE dst <> src),
+             |od AS (SELECT src, COUNT(*) outdeg FROM e GROUP BY 1),
+             |r0 AS (SELECT doc_id id, ROUND(1.0 / nn.n, 12) r
+             |  FROM d, nn),
+             |m1 AS (SELECT COALESCE(SUM(CAST(r AS DECIMAL(28,12))), 0) m
+             |  FROM r0 WHERE id NOT IN (SELECT src FROM e)),
+             |c1 AS (
+             |  SELECT e.dst, CAST(ROUND(r0.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r0 ON e.src = r0.id JOIN od USING (src)),
+             |s1 AS (SELECT dst, SUM(c) s FROM c1 GROUP BY 1),
+             |r1 AS (
+             |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+             |    (COALESCE(CAST(s1.s AS DOUBLE), 0.0) +
+             |     ROUND(CAST(m1.m AS DOUBLE) / dn.n, 12)), 12) r
+             |  FROM (SELECT doc_id, n FROM d, nn) dn
+             |  LEFT JOIN s1 ON dn.doc_id = s1.dst, m1),
+             |m2 AS (SELECT COALESCE(SUM(CAST(r AS DECIMAL(28,12))), 0) m
+             |  FROM r1 WHERE id NOT IN (SELECT src FROM e)),
+             |c2 AS (
+             |  SELECT e.dst, CAST(ROUND(r1.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r1 ON e.src = r1.id JOIN od USING (src)),
+             |s2 AS (SELECT dst, SUM(c) s FROM c2 GROUP BY 1),
+             |r2 AS (
+             |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+             |    (COALESCE(CAST(s2.s AS DOUBLE), 0.0) +
+             |     ROUND(CAST(m2.m AS DOUBLE) / dn.n, 12)), 12) r
+             |  FROM (SELECT doc_id, n FROM d, nn) dn
+             |  LEFT JOIN s2 ON dn.doc_id = s2.dst, m2),
+             |m3 AS (SELECT COALESCE(SUM(CAST(r AS DECIMAL(28,12))), 0) m
+             |  FROM r2 WHERE id NOT IN (SELECT src FROM e)),
+             |c3 AS (
+             |  SELECT e.dst, CAST(ROUND(r2.r / od.outdeg, 12)
+             |    AS DECIMAL(28,12)) c
+             |  FROM e JOIN r2 ON e.src = r2.id JOIN od USING (src)),
+             |s3 AS (SELECT dst, SUM(c) s FROM c3 GROUP BY 1),
+             |r3 AS (
+             |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+             |    (COALESCE(CAST(s3.s AS DOUBLE), 0.0) +
+             |     ROUND(CAST(m3.m AS DOUBLE) / dn.n, 12)), 12) r
+             |  FROM (SELECT doc_id, n FROM d, nn) dn
+             |  LEFT JOIN s3 ON dn.doc_id = s3.dst, m3)
+             |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
+             |FROM r3 ORDER BY doc_id""".stripMargin)),
+
     // Connected components ([[Graph.connectedComponents]]) — d05's
     // min-label propagation generalized to an arbitrary link graph.
     // The gate graph is block-STARS (docs link to their 16-block head

@@ -52,4 +52,17 @@ class BenchRoundSpec extends AnyFunSuite {
     assert(Bench.resolveRound(Some("next"), Seq("{}"),
       Some("no header here"), files) == Some(14))
   }
+
+  test("an inferred round never overwrites an existing slot; the env " +
+      "override always may") {
+    // The mirror of the verdict+1 early-claim: a new round's first bench
+    // fires before the driver appends that round's first PROGRESS entry,
+    // so PROGRESS still names the CLOSED round — writing would clobber
+    // the closing round's committed record. Inferred rounds may claim
+    // EMPTY slots only.
+    assert(!Bench.slotWriteAllowed(envRound = false, slotExists = true))
+    assert(Bench.slotWriteAllowed(envRound = false, slotExists = false))
+    assert(Bench.slotWriteAllowed(envRound = true, slotExists = true))
+    assert(Bench.slotWriteAllowed(envRound = true, slotExists = false))
+  }
 }

@@ -79,6 +79,67 @@ class GraphSpec extends SparkSuite {
       s"unlinked non-seed $id must hold zero trust, got ${r(id)}"))
   }
 
+  test("pageRank: dangling-node mass redistributes instead of leaking " +
+      "— total rank still sums to 1 with 20% of nodes dangling") {
+    val dangEdges = edges.filter(col("src") % 5 =!= 0)
+    val r = Graph.pageRank(nodes, dangEdges, iters = 3).collect()
+    assert(r.length == n)
+    val total = r.map(_.getDouble(1)).sum
+    // Without redistribution the dangling 20% leaks ~0.85·0.2 of the
+    // mass PER ROUND — conservation within rounding noise is the
+    // signature that D re-entered the distribution.
+    assert(math.abs(total - 1.0) < n * 5e-7 + 1e-9,
+      s"rank mass drifted with dangling nodes present: $total")
+    // A dangling node still holds rank (teleport + in-links + its share
+    // of D) — it must clear the damping floor like everyone else.
+    val floor = 0.15 / n
+    r.foreach(row => assert(row.getDouble(1) >= floor - 1e-9,
+      s"node ${row.getLong(0)} fell below the damping floor"))
+  }
+
+  test("pageRank: the redistribution term is exactly zero on a " +
+      "dangling-free graph — g01's ranks are bit-identical") {
+    // The no-dangling formula, replayed inline: the pre-redistribution
+    // pageRank. Any drift here would silently re-hash g01.
+    val nD = n.toDouble
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var expected = nodes.select(col("id"),
+      round(lit(1.0) / lit(nD), 12).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(expected.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          round(col("r") / col("outdeg").cast("double"), 12)
+            .cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      expected = nodes
+        .join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          round(lit(0.15) / lit(nD) + lit(0.85) *
+            coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+    }
+    val want = expected.select(col("id"), round(col("r"), 6).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Graph.pageRank(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until n).foreach(id => assert(got(id) == want(id),
+      s"node $id: redistribution path drifted ${got(id)} vs ${want(id)}"))
+  }
+
+  test("connectedComponents: exhausting the round budget fails loudly " +
+      "instead of returning partially-propagated labels") {
+    // A 40-node path has diameter 39 — min-label propagation moves the
+    // head's label one hop per round, so maxIter = 3 cannot converge.
+    val chain = spark.range(40).select(col("id"))
+    val chainEdges = spark.range(39)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, chainEdges, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents: star members label to the block head, " +
       "isolated nodes to themselves") {
     val edges = nodes.filter(col("id") % 4 =!= 0)
