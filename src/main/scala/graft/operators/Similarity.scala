@@ -448,6 +448,21 @@ object Similarity {
     * blew the corpus up ×nlist and then shuffled the blown-up rows just
     * to take a per-row argmax — a non-starter at 100 TB.
     */
+  /** The IVF bucket-count policy's target mean bucket size — the
+    * [[SemanticStore.TargetClusterSize]] discipline applied to the
+    * coarse index: candidate volume in a bucketed self-join is
+    * Σ_b |b|·probes, so holding E[|b|] constant (nlist ∝ N) is what
+    * keeps the k-NN graph build ~linear as the corpus grows. */
+  val TargetBucketSize = 50L
+
+  /** nlist from corpus size: `max(1, n / TargetBucketSize)` — integer
+    * arithmetic so any engine replays the choice exactly (v24's oracle
+    * computes it in SQL as `GREATEST(1, COUNT(*) // 50)`, the same
+    * move as d19's autoK). At 500 vectors this yields 10; at a FIXED
+    * nlist the same corpus 10×'d degrades O(N²/nlist). */
+  def autoNlist(n: Long): Int =
+    math.max(1L, n / TargetBucketSize).toInt
+
   /** IVF coarse codebook: the first `nlist` corpus vectors by id —
     * deterministic seeding, collected once as a bounded driver-side
     * structure. The TRAINED alternative is [[trainedIvfCodebook]]
@@ -597,23 +612,44 @@ object Similarity {
     * resolves its own neighborhood (candidates = Σ_b |b|·probes(b),
     * d13's complexity argument; a hot bucket is AQE's skew-join case).
     * Deterministic construction (seeded codebook, 6dp sims, nid ties)
-    * → exact oracle (v23). */
+    * → exact oracle (v23 at a pinned nlist, v24 under the default
+    * [[autoNlist]] policy).
+    *
+    * `nlist = None` (the DEFAULT a user copies) sizes the bucket count
+    * from the corpus via [[autoNlist]] — at a FIXED nlist the candidate
+    * volume Σ_b |b|·probes grows O(N²/nlist) (measured 6.9× wall at 10×
+    * data in SCALEPROBE r14), while nlist ∝ N holds E[|bucket|]
+    * constant and returns growth to ~linear (the KnnGraphProbe
+    * measurement). Pass `Some(nlist)` only to pin a bucket count. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val corpus = normalized(emb, idCol, vecCol)
-    val codebook = ivfCodebook(corpus, nlist)
-    val bucketed = nearestBuckets(corpus, codebook, 1)
-    val probes = nearestBuckets(corpus, codebook, nprobe)
-      .select(col("vid").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cid"))
-    val scored = bucketed.join(probes, Seq("cid"))
-      .filter(col("vid") =!= col("qid"))
-      .select(col("qid"), col("vid").as("nid"),
-        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+      nlist: Option[Int] = None, nprobe: Int = 4): DataFrame = {
+    val scored = knnGraphScored(emb, idCol, vecCol, nlist, nprobe)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+  }
+
+  /** [[knnGraph]]'s pre-ranking candidate frame — exposed for the scale
+    * probe: candidate volume Σ_b |b|·probes is the metric the bucket
+    * policy controls (at toy corpus sizes WALL is overhead-dominated
+    * and fixed-vs-auto nlist time identically; candidate count is what
+    * extrapolates to 100 TB). */
+  private[graft] def knnGraphScored(emb: DataFrame, idCol: String,
+      vecCol: String, nlist: Option[Int], nprobe: Int): DataFrame = {
+    val corpus = normalized(emb, idCol, vecCol)
+    // Bounded driver scalar under the auto policy: the corpus count
+    // (one long) — the same move the oracle's COUNT(*) subquery makes.
+    val codebook = ivfCodebook(corpus,
+      nlist.getOrElse(autoNlist(emb.count())))
+    val bucketed = nearestBuckets(corpus, codebook, 1)
+    val probes = nearestBuckets(corpus, codebook, nprobe)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    bucketed.join(probes, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        sim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
   }
 
   /** Int8 scalar quantization — the standard ANN memory layout (4× under

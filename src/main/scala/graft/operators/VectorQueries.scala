@@ -605,7 +605,8 @@ object VectorQueries extends QueryPack {
     Q("v23_knn_graph",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+            nlist = Some(16))
           .orderBy(col("qid"), col("rn"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
@@ -613,6 +614,48 @@ object VectorQueries extends QueryPack {
              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
              |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
              |  ORDER BY vec_id LIMIT 16),
+             |casg AS (
+             |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+             |        DESC, cb.cid) rnk
+             |  FROM n, cb),
+             |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+             |probes AS (SELECT vid qid, v qv, nrm qn, cid
+             |  FROM casg WHERE rnk <= 4),
+             |scored AS (
+             |  SELECT p.qid, b.vid nid,
+             |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+             |  FROM bucketed b JOIN probes p USING (cid)
+             |  WHERE b.vid <> p.qid),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nid) rn
+             |  FROM scored)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 3
+             |ORDER BY qid, rn""".stripMargin)),
+
+    // k-NN graph under the DEFAULT bucket policy ([[Similarity
+    // .autoNlist]]: nlist = max(1, N/50), d19's autoK discipline on the
+    // coarse index) — the path a user copies at 100 TB. v23 pins
+    // nlist=16 to freeze its oracle; this gate lets the OPERATOR size
+    // the codebook and the oracle replays the policy in SQL
+    // (GREATEST(1, COUNT(*)//50) as the codebook LIMIT), so the gate
+    // stays exact at every SF while candidate volume stays ~linear in
+    // the corpus (the KnnGraphProbe measurement behind SCALEPROBE).
+    Q("v24_knn_graph_auto",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+             |  ORDER BY vec_id
+             |  LIMIT (SELECT GREATEST(1, COUNT(*) // 50) FROM n)),
              |casg AS (
              |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
              |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY

@@ -13,7 +13,9 @@ import graft.operators.Similarity
 object KnnGraphProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nlist = args.lift(1).map(_.toInt).getOrElse(16)
+    // "auto" (or omitted) exercises the DEFAULT autoNlist policy path —
+    // the v24 gate's shape; a number pins the bucket count (v23's).
+    val nlist = args.lift(1).filter(_ != "auto").map(_.toInt)
     val nprobe = args.lift(2).map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,8 +28,14 @@ object KnnGraphProbe {
       .knnGraph(emb, "vec_id", "embedding", k = 3, nlist, nprobe)
       .count()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"vectors=$n%d nlist=$nlist%d nprobe=$nprobe%d " +
-      f"edges=$rows%d wall=$wall%.2f s")
+    // Candidate volume Σ_b |b|·probes — the metric the bucket policy
+    // controls; at toy corpus sizes wall is overhead-dominated and
+    // says nothing, candidates extrapolate.
+    val cands = Similarity
+      .knnGraphScored(emb, "vec_id", "embedding", nlist, nprobe)
+      .count()
+    println(f"vectors=$n%d nlist=${nlist.map(_.toString).getOrElse("auto=" + Similarity.autoNlist(n))}%s nprobe=$nprobe%d " +
+      f"edges=$rows%d candidates=$cands%d wall=$wall%.2f s")
     spark.stop()
   }
 }
