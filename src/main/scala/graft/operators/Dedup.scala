@@ -784,13 +784,13 @@ object Dedup {
     * exact DuckDB oracle. */
   def bloomMembership(history: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
-      m: Int = 16384, k: Int = 3): DataFrame = {
+      m: Long = 16384, k: Int = 3): DataFrame = {
     require(k >= 1 && m >= 2, s"degenerate bloom geometry m=$m k=$k")
     def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       TextFunctions.fingerprint(col(textCol)).as("fp"))
     def pos(j: Int) =
       pmod(conv(substring(md5(concat(lit(j.toString), col("fp"))), 1, 8),
-        16, 10).cast("long"), lit(m.toLong))
+        16, 10).cast("long"), lit(m))
     val histFp = Caches.persist(fps(history))
     // The bit array: distinct set positions, ≤ m rows by construction —
     // the corpus-size-independent state that makes this operator.
@@ -819,6 +819,42 @@ object Dedup {
       .select(col("doc_id"), col("bloom_dup"),
         col("e1").isNotNull.as("exact_dup"),
         (col("bloom_dup") && col("e1").isNull).as("false_positive"))
+  }
+
+  /** Bits-per-element for the CORPUS-SIZED Bloom policy (d27). A fixed
+    * m saturates as the corpus grows (fill → 1, FP → 1 — d25's exact
+    * arm measures it); sizing m ∝ n holds the fill ratio, and therefore
+    * the FP rate, CONSTANT as the corpus grows. c = 8 bits/element
+    * puts the textbook rate `(1 − e^(−k·n/m))^k` at ≈ 2.16% with
+    * k = round(c·ln 2) = 6 — the cheapest geometry whose FP budget
+    * suits dedup pre-filtering (the exact arm behind it prices the
+    * residual). */
+  val BloomBitsPerElement = 8L
+
+  /** The Bloom geometry policy: `m = c·n` bits, `k = round(m/n · ln 2)`
+    * — the standard optimal-k derivation, integer arithmetic over a
+    * corpus COUNT so any engine replays the choice exactly (d27's
+    * oracle computes m as `8 * COUNT(*)` in SQL; k is the constant 6
+    * because m/n = c by construction). Because n/m is pinned at 1/c,
+    * the PREDICTED FP rate is corpus-size-invariant — the property the
+    * policy exists to buy, and what d27's two-size telemetry shows. */
+  def bloomGeometry(n: Long): (Long, Int) = {
+    require(n > 0, "bloom geometry needs a non-empty history")
+    val m = BloomBitsPerElement * n
+    val k = math.max(1, math.round(
+      BloomBitsPerElement * math.log(2.0)).toInt)
+    (m, k)
+  }
+
+  /** [[bloomMembership]] with geometry chosen by [[bloomGeometry]] from
+    * the history size — the production default: the caller sizes
+    * nothing by hand, and the FP rate stays flat as the corpus grows.
+    * The history count is a bounded driver scalar (one long), the same
+    * move the oracle's COUNT(*) subquery makes. */
+  def bloomMembershipAuto(history: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val (m, k) = bloomGeometry(history.count())
+    bloomMembership(history, batch, idCol, textCol, m, k)
   }
 
   private[graft] def bandedSimhashCandidates(sig: DataFrame): DataFrame = {

@@ -934,8 +934,114 @@ object DedupQueries extends QueryPack {
              |  CAST(COALESCE(hagg.n_matches, 0) AS BIGINT) AS n_matches,
              |  hagg.first_match
              |FROM te LEFT JOIN hagg ON te.vid = hagg.vid
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // CORPUS-SIZED Bloom policy ([[Dedup.bloomGeometry]] +
+    // [[Dedup.bloomMembershipAuto]]) — d25's fixed m=16384 frame
+    // saturates as the corpus grows (fill → 1, FP → 1); the policy
+    // m = 8·n bits / k = round(8·ln2) = 6 pins the fill ratio, so the
+    // PREDICTED FP rate (1−e^(−k·n/m))^k ≈ 216 bp is corpus-size-
+    // INVARIANT — which the gate demonstrates by running the SAME
+    // batch against two history sizes (evens; every-4th) under the
+    // auto geometry and reporting measured FP counts as exact integers
+    // (no ratio column — numerator and denominator ride separately, so
+    // there is no cross-engine division to disagree on) next to the
+    // shared predicted constant. The oracle replays the policy in SQL:
+    // m is `8 * COUNT(*)` per arm, positions take `% m` from the
+    // scalar subquery. Still one ≤ m-row broadcastable bit frame per
+    // arm; the batch never shuffles.
+    Q("d27_bloom_policy",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        def arm(label: String, hist: org.apache.spark.sql.DataFrame) = {
+          val n = hist.count()
+          val (m, k) = Dedup.bloomGeometry(n)
+          Dedup.bloomMembership(hist, batch, "doc_id", "text", m, k)
+            .agg(count(lit(1)).as("batch_n"),
+              sum(when(col("bloom_dup"), 1L).otherwise(0L))
+                .as("bloom_dups"),
+              sum(when(col("exact_dup"), 1L).otherwise(0L))
+                .as("exact_dups"),
+              sum(when(col("false_positive"), 1L).otherwise(0L))
+                .as("false_positives"))
+            .select(lit(label).as("hist"), lit(n).as("n_history"),
+              lit(m).as("m_bits"), lit(k.toLong).as("k_hashes"),
+              col("batch_n"), col("bloom_dups"), col("exact_dups"),
+              col("false_positives"),
+              lit(BloomPredictedFpBp).as("fp_predicted_bp"))
+        }
+        arm("full", docs.filter(col("doc_id") % 2 === 0))
+          .unionByName(arm("half", docs.filter(col("doc_id") % 4 === 0)))
+          .orderBy(col("hist"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, md5(lower(trim(regexp_replace(text,
+             |    '\\s+', ' ', 'g')))) AS fp
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |${bloomArmOracle("full", "doc_id % 2 = 0")},
+             |${bloomArmOracle("half", "doc_id % 4 = 0")}
+             |SELECT * FROM agg_full
+             |UNION ALL SELECT * FROM agg_half
+             |ORDER BY hist""".stripMargin))
   )
+
+  /** d27's per-arm oracle CTEs: history fingerprints under `pred`, the
+    * policy's m = 8·n from a COUNT(*) scalar, the ≤ m-row distinct bit
+    * frame, the 6-position probe of the shared batch `b`, and the
+    * exact arm — aggregated to one labeled row of exact integers. */
+  private def bloomArmOracle(label: String, pred: String): String =
+    s"""hf_$label AS (
+       |  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ',
+       |    'g')))) AS fp
+       |  FROM documents WHERE $pred),
+       |nn_$label AS (SELECT 8 * COUNT(*) m, COUNT(*) n FROM hf_$label),
+       |hb_$label AS (
+       |  SELECT DISTINCT CAST(('0x' || substr(
+       |      md5(CAST(j.k AS VARCHAR) || fp), 1, 8)) AS BIGINT)
+       |    % (SELECT m FROM nn_$label) AS pos
+       |  FROM hf_$label, (SELECT unnest(range(0, 6)) k) j),
+       |hfd_$label AS (SELECT DISTINCT fp FROM hf_$label),
+       |bp_$label AS (
+       |  SELECT doc_id, CAST(('0x' || substr(
+       |      md5(CAST(j.k AS VARCHAR) || fp), 1, 8)) AS BIGINT)
+       |    % (SELECT m FROM nn_$label) AS pos
+       |  FROM b, (SELECT unnest(range(0, 6)) k) j),
+       |pr_$label AS (
+       |  SELECT bp.doc_id, COUNT(hb.pos) = 6 AS bloom_dup
+       |  FROM bp_$label bp LEFT JOIN hb_$label hb ON bp.pos = hb.pos
+       |  GROUP BY bp.doc_id),
+       |v_$label AS (
+       |  SELECT pr.bloom_dup, hfd.fp IS NOT NULL AS exact_dup,
+       |    pr.bloom_dup AND hfd.fp IS NULL AS false_positive
+       |  FROM b
+       |  JOIN pr_$label pr ON b.doc_id = pr.doc_id
+       |  LEFT JOIN hfd_$label hfd ON b.fp = hfd.fp),
+       |agg_$label AS (
+       |  SELECT '$label' AS hist,
+       |    (SELECT n FROM nn_$label) AS n_history,
+       |    (SELECT m FROM nn_$label) AS m_bits,
+       |    CAST(6 AS BIGINT) AS k_hashes,
+       |    COUNT(*) AS batch_n,
+       |    CAST(SUM(CASE WHEN bloom_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS bloom_dups,
+       |    CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_dups,
+       |    CAST(SUM(CASE WHEN false_positive THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS false_positives,
+       |    CAST($BloomPredictedFpBp AS BIGINT) AS fp_predicted_bp
+       |  FROM v_$label)""".stripMargin
+
+  /** The policy's textbook FP prediction in basis points —
+    * `(1 − e^(−k·n/m))^k` with n/m pinned at 1/c by [[Dedup
+    * .bloomGeometry]], hence a CONSTANT (≈ 216 bp at c = 8, k = 6):
+    * computed once here and inlined as the same literal on both
+    * engines, so no cross-engine exp()/pow() in the hashed columns. */
+  private val BloomPredictedFpBp: Long = {
+    val (m, k) = Dedup.bloomGeometry(1L)
+    math.round(1e4 * math.pow(
+      1.0 - math.exp(-k.toDouble / m.toDouble), k))
+  }
 
   /** d14's oracle — k-means trained on the first 80% of the id range
     * in SQL, the predecessor pass over everyone. Shared with the
