@@ -1084,7 +1084,39 @@ object TextQueries extends QueryPack {
             col("score"))
           .orderBy(col("token"), col("rk"))
       },
-      Some(raw"""WITH d AS (
+      Some(Bm25Oracle)),
+
+    // PERSISTED BM25 postings store ([[PostingsStore]]) — the retrieval
+    // index under the same lifecycle discipline as the dedup store and
+    // the ANN index: build an 80% base (one tokenization pass), APPEND
+    // the remaining fifth batch-proportionally (stored text is never
+    // re-tokenized), COMPACT the closed base partition, then score
+    // t24's self-derived query set off the persisted rows. A document
+    // lives in exactly one batch, so the partition union equals the
+    // one-shot tokenization — the whole lifecycle must hash-match
+    // t24's one-shot oracle over the full corpus EXACTLY, or the
+    // append/compaction dropped or duplicated a posting.
+    Q("t26_bm25_store",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val store = PostingsStore("bm25_store")
+        val isBatch = col("doc_id") % 5 === 0
+        PostingsStore.build(s, docs.filter(!isBatch), "doc_id", "text",
+          store)
+        PostingsStore.append(s, docs.filter(isBatch), "doc_id", "text",
+          store, "b1")
+        PostingsStore.compact(s, store, keep = Set("b1"))
+        PostingsStore.selfTopK(s, store, k = 5)
+          .orderBy(col("token"), col("rk"))
+      },
+      Some(Bm25Oracle))
+  )
+
+  /** t24's one-shot Okapi BM25 oracle — shared verbatim by t26 (the
+    * persisted-store lifecycle must reproduce the one-shot ranking to
+    * the bit). */
+  private val Bm25Oracle: String =
+    raw"""WITH d AS (
              |  SELECT doc_id, text FROM documents
              |  WHERE length(trim(text)) > 0),
              |toks AS (
@@ -1119,8 +1151,7 @@ object TextQueries extends QueryPack {
              |      PARTITION BY token ORDER BY score DESC, doc_id) AS rk
              |  FROM sc)
              |SELECT token, rk, doc_id, CAST(tf AS BIGINT) AS tf, score
-             |FROM r WHERE rk <= 5 ORDER BY token, rk""".stripMargin))
-  )
+             |FROM r WHERE rk <= 5 ORDER BY token, rk""".stripMargin
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
     * argmax pair bN per step) + the same merge-literal replace chain
