@@ -503,6 +503,57 @@ object EngineQueries extends QueryPack {
              |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
              |GROUP BY r_name ORDER BY region""".stripMargin)),
 
+    // ---- O3/O7 surface, the operational verb after a red run: dbt
+    // `retry`. A 3-node DAG (independent view, a code model whose input
+    // path is absent on first run, and its downstream) runs once —
+    // flaky errors, downstream aborts as skipped, the independent node
+    // still succeeds — then the input is healed and `retrySelection`
+    // re-runs EXACTLY the unfinished set (the failed node plus its
+    // aborted subtree, asserted in-gate), statuses merging to all-green.
+    // Both phases' run_results ride the output, so the oracle pins the
+    // full status matrix: first run (success/error/skipped) and retry
+    // (success/success).
+    Q("o13_retry",
+      (spark, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_retry")
+          .toString
+        val flag = s"$tmp/flag"
+        val models = Seq(
+          SqlModel("rt_a", "SELECT 1 AS x", Materialization.View),
+          DfModel("rt_flaky", Nil, (s, _) => s.read.parquet(flag)),
+          SqlModel("rt_down", "SELECT * FROM {{ ref('rt_flaky') }}",
+            Materialization.View))
+        val runner = new Runner(Project(Nil, models), Target.dev,
+          new PathMaterializer(s"$tmp/marts"))
+        val rr1 = s"$tmp/run_results.json"
+        val rr2 = s"$tmp/run_results_retry.json"
+        try runner.run(spark, runResultsPath = Some(rr1))
+        catch { case scala.util.control.NonFatal(_) => () }
+        // Heal the input, then retry exactly what the first run left
+        // unfinished — and nothing else.
+        spark.range(1).select(lit(1).as("v")).write.parquet(flag)
+        val sel = runner.retrySelection(rr1)
+        require(sel.contains("rt_flaky rt_down"),
+          s"retry selection must be the failed node + its aborted " +
+            s"subtree, got $sel")
+        runner.run(spark, sel, runResultsPath = Some(rr2))
+        def statuses(path: String, phase: String) =
+          spark.read.json(path)
+            .select(explode(col("results")).as("n"))
+            .select(lit(phase).as("phase"), col("n.name").as("model"),
+              col("n.status").as("status"))
+        statuses(rr1, "run").unionByName(statuses(rr2, "retry"))
+          .orderBy(col("phase"), col("model"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('retry','rt_down','success'),
+             | ('retry','rt_flaky','success'),
+             | ('run','rt_a','success'),
+             | ('run','rt_down','skipped'),
+             | ('run','rt_flaky','error')
+             |) AS t(phase, model, status)
+             |ORDER BY phase, model""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)
