@@ -37,6 +37,25 @@ object Graph {
     * (id, pagerank) at the 6dp output contract. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int)
       : DataFrame = {
+    val n = nodes.count().toDouble
+    val start = nodes.select(col("id"),
+      round(lit(1.0) / lit(n), 12).as("r"))
+    pageRankFrom(nodes, edges, start, iters)
+      .select(col("id"), round(col("r"), 6).as("pagerank"))
+  }
+
+  /** The iteration core of [[pageRank]], warm-startable: run `iters`
+    * synchronous rounds from a GIVEN `start(id, r)` vector instead of
+    * the uniform one, returning the internal 12dp vector (callers
+    * round to the 6dp output contract). This is what makes PageRank
+    * incrementally maintainable ([[LinkGraphStore]]): after an edge
+    * append, re-converging from the persisted prior vector reaches the
+    * new fixed point in fewer rounds than a cold uniform start — the
+    * teleport term makes the iteration a contraction, so ANY start
+    * converges, and a start near the old fixed point is already near
+    * the new one when the append is a small fraction of the graph. */
+  def pageRankFrom(nodes: DataFrame, edges: DataFrame,
+      start: DataFrame, iters: Int): DataFrame = {
     // Bounded driver scalar: the vertex count (one long) — the same
     // move the oracle's COUNT(*) scalar subquery makes.
     val n = nodes.count().toDouble
@@ -47,8 +66,7 @@ object Graph {
     val dangling = Checkpoints.truncate(
       nodes.join(outdeg.select(col("src").as("id")), Seq("id"),
         "left_anti"))
-    var r = nodes.select(col("id"),
-      round(lit(1.0) / lit(n), 12).as("r"))
+    var r = start.select(col("id"), col("r"))
     for (_ <- 1 to iters) {
       // D = Σ r over dangling nodes, summed EXACTLY as decimals (the
       // t23 contract: order-independent, so 32 partitions and one
@@ -72,7 +90,7 @@ object Graph {
                 round(col("dm").cast("double") / lit(n), 12)),
               12).as("r")))
     }
-    r.select(col("id"), round(col("r"), 6).as("pagerank"))
+    r
   }
 
   /** Personalized PageRank — the TrustRank shape (Gyöngyi et al.,

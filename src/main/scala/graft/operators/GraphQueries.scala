@@ -269,6 +269,41 @@ object GraphQueries extends QueryPack {
              |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
              |FROM r3 ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL link graph ([[LinkGraphStore]]) — the crawl-append
+    // story: build persists the base edge partition (g05's dangling
+    // graph, src % 5 ≠ 0) and 3 uniform-start rounds' 12dp vector;
+    // append lands the remaining edges as partition b1 and WARM-STARTS
+    // 3 more rounds from the persisted vector over the union (prior
+    // partitions stream off parquet, never recomputed). Persisting the
+    // INTERNAL 12dp vector makes the warm start exact, so the oracle
+    // replays the whole history as ONE unrolled 6-round chain whose
+    // edge set (and dangling term) switches after round 3 — an
+    // incrementally-maintained iterative operator with a bit-exact
+    // full-replay oracle. LinkGraphStoreSpec pins the production
+    // claim the hash can't see: warm re-convergence beats a cold
+    // restart round-for-round.
+    Q("g06_pagerank_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        def linkEdges(pred: org.apache.spark.sql.Column) =
+          docs.filter(pred)
+            .select(col("id").as("src"),
+              explode(array((0 to 2).map(j =>
+                (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+            .filter(col("dst") =!= col("src"))
+        val store = LinkGraphStore("linkgraph_store")
+        LinkGraphStore.build(s, docs,
+          linkEdges(col("id") % 5 =!= 0), iters = 3, store)
+        LinkGraphStore.appendAndRank(s, docs,
+          linkEdges(col("id") % 5 === 0), iters = 3, store, "b1")
+        LinkGraphStore.ranks(s, store, "b1")
+          .select(col("id").as("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(G06Oracle)),
+
     // Connected components ([[Graph.connectedComponents]]) — d05's
     // min-label propagation generalized to an arbitrary link graph.
     // The gate graph is block-STARS (docs link to their 16-block head
@@ -303,4 +338,51 @@ object GraphQueries extends QueryPack {
              |SELECT id AS doc_id, MIN(r) AS component
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
+
+  /** One unrolled PageRank round for the g06 oracle: the g05 round
+    * template (exact-decimal dangling mass + contributions, IEEE-
+    * identical double update) parameterized by the edge set — rounds
+    * 1–3 run over the base partition, 4–6 over the full union, exactly
+    * as the warm-started store run does. */
+  private def prRound(i: Int, e: String, od: String): String =
+    s"""m$i AS (SELECT COALESCE(SUM(CAST(r AS DECIMAL(28,12))), 0) m
+       |  FROM r${i - 1} WHERE id NOT IN (SELECT src FROM $e)),
+       |c$i AS (
+       |  SELECT e.dst, CAST(ROUND(rp.r / od.outdeg, 12)
+       |    AS DECIMAL(28,12)) c
+       |  FROM $e e JOIN r${i - 1} rp ON e.src = rp.id
+       |  JOIN $od od USING (src)),
+       |s$i AS (SELECT dst, SUM(c) s FROM c$i GROUP BY 1),
+       |r$i AS (
+       |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
+       |    (COALESCE(CAST(s$i.s AS DOUBLE), 0.0) +
+       |     ROUND(CAST(m$i.m AS DOUBLE) / dn.n, 12)), 12) r
+       |  FROM (SELECT doc_id, n FROM d, nn) dn
+       |  LEFT JOIN s$i ON dn.doc_id = s$i.dst, m$i)""".stripMargin
+
+  private val G06Oracle: String = {
+    val baseRounds = (1 to 3).map(prRound(_, "e_base", "od_base"))
+    val fullRounds = (4 to 6).map(prRound(_, "e_all", "od_all"))
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |e_base AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j
+       |    WHERE doc_id % 5 <> 0)
+       |  WHERE dst <> src),
+       |e_all AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+       |  WHERE dst <> src),
+       |od_base AS (SELECT src, COUNT(*) outdeg FROM e_base GROUP BY 1),
+       |od_all AS (SELECT src, COUNT(*) outdeg FROM e_all GROUP BY 1),
+       |r0 AS (SELECT doc_id id, ROUND(1.0 / nn.n, 12) r FROM d, nn),
+       |${(baseRounds ++ fullRounds).mkString(",\n")}
+       |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
+       |FROM r6 ORDER BY doc_id""".stripMargin
+  }
 }

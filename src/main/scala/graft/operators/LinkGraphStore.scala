@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CatalogMaterializer
+
+/** Persisted, incrementally-maintained link graph — the crawl-side
+  * store behind [[Graph]]'s one-shot analytics: a crawl APPENDS edges
+  * (today's fetched pages link somewhere new); recomputing PageRank
+  * from the uniform vector over the whole accumulated graph every
+  * night re-pays every converged round. This store keeps two
+  * engine-managed tables (partition-per-batch with dynamic partition
+  * overwrite — replay-idempotent, the d10/t26 discipline):
+  *
+  *  - `edges(src, dst, batch_id)` — the accumulated edge list; a batch
+  *    append lands one partition, prior batches are never recomputed;
+  *  - `ranks(id, r, batch_id)` — the INTERNAL 12dp rank vector
+  *    checkpointed after each ranking run, keyed by the batch that
+  *    produced it. Persisting the 12dp vector (not the 6dp output)
+  *    is what makes the warm start exact: the next run's round 1 sees
+  *    bit-identical inputs to an in-memory continuation, so a DuckDB
+  *    oracle can replay the whole build+append history as one unrolled
+  *    chain (g06).
+  *
+  * Incremental contract: [[appendAndRank]] warm-starts from the prior
+  * checkpoint — the teleport term makes each round a contraction (the
+  * damping factor bounds the Lipschitz constant at 0.85), so ANY start
+  * vector converges to the new graph's fixed point, and a start at the
+  * OLD fixed point is already close when the append is a small
+  * fraction of the graph: re-convergence needs fewer rounds than a
+  * cold full recompute (LinkGraphStoreSpec measures exactly this).
+  * The vertex set is fixed at build time (the host-graph convention:
+  * hosts are enumerable up front; edges between them accumulate).
+  */
+final case class LinkGraphStore(schemaName: String) {
+  val edgesRel: String = s"$schemaName.edges"
+  val ranksRel: String = s"$schemaName.ranks"
+}
+
+object LinkGraphStore {
+
+  private def mat = new CatalogMaterializer
+
+  /** Drop both store tables — a fresh start for gates/specs. */
+  def reset(spark: SparkSession, store: LinkGraphStore): Unit =
+    Seq(store.edgesRel, store.ranksRel)
+      .foreach(mat.dropRelation(spark, _))
+
+  /** Full build: land the base edge partition, rank from the uniform
+    * vector for `iters` rounds, checkpoint the 12dp vector. REPLACES
+    * any existing store (the [[DedupStore.build]] footgun note). */
+  def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      iters: Int, store: LinkGraphStore,
+      batchId: String = "base"): Unit = {
+    reset(spark, store)
+    writePartition(spark, store.edgesRel, batchId,
+      edges.select(col("src"), col("dst")))
+    val n = nodes.count().toDouble
+    val start = nodes.select(col("id"),
+      round(lit(1.0) / lit(n), 12).as("r"))
+    checkpoint(spark, store, batchId,
+      Graph.pageRankFrom(nodes, spark.table(store.edgesRel)
+        .select(col("src"), col("dst")), start, iters))
+  }
+
+  /** Incremental append: land the batch's edge partition, warm-start
+    * from the `fromBatch` checkpoint, run `iters` rounds over the
+    * UNION of all edge partitions (streamed off parquet — prior
+    * batches are never recomputed), and checkpoint the new vector
+    * under `batchId`. Re-running the same batchId (crash replay)
+    * overwrites exactly its own partitions. */
+  def appendAndRank(spark: SparkSession, nodes: DataFrame,
+      newEdges: DataFrame, iters: Int, store: LinkGraphStore,
+      batchId: String, fromBatch: String = "base"): Unit = {
+    writePartition(spark, store.edgesRel, batchId,
+      newEdges.select(col("src"), col("dst")))
+    val start = spark.table(store.ranksRel)
+      .filter(col("batch_id") === fromBatch)
+      .select(col("id"), col("r"))
+    checkpoint(spark, store, batchId,
+      Graph.pageRankFrom(nodes, spark.table(store.edgesRel)
+        .select(col("src"), col("dst")), start, iters))
+  }
+
+  /** The checkpointed ranking at `batchId`, at the 6dp output
+    * contract. */
+  def ranks(spark: SparkSession, store: LinkGraphStore,
+      batchId: String): DataFrame =
+    spark.table(store.ranksRel)
+      .filter(col("batch_id") === batchId)
+      .select(col("id"), round(col("r"), 6).as("pagerank"))
+
+  private def checkpoint(spark: SparkSession, store: LinkGraphStore,
+      batchId: String, vector: DataFrame): Unit =
+    writePartition(spark, store.ranksRel, batchId,
+      vector.select(col("id"), col("r")))
+
+  private def writePartition(spark: SparkSession, rel: String,
+      batchId: String, df: DataFrame): Unit = {
+    mat.dropPartition(spark, rel, "batch_id", batchId)
+    mat.materializeIncremental(spark, rel,
+      df.withColumn("batch_id", lit(batchId)), Seq("batch_id"))
+  }
+}
