@@ -130,6 +130,26 @@ object Metrics {
     // the results join on the requested slice, one 6dp division. The
     // numerator/denominator fields carry metric names, not columns.
     if (metric.agg == "derived") {
+      // A grained derived query joins its sides on the grain column,
+      // whose NAME comes from each side's time dimension — leaves that
+      // disagree would produce differently-named columns and an opaque
+      // missing-column AnalysisException at the join. Validate up
+      // front (the same check SavedQuery construction runs) so the
+      // failure is the standard governance error.
+      grain.foreach { _ =>
+        def leaves(n: String): Seq[Metric] = {
+          val m = runner.project.metrics.find(_.name == n).get
+          if (m.agg == "derived")
+            Seq(m.numerator, m.denominator).flatten.flatMap(leaves)
+          else Seq(m)
+        }
+        val timeDims = leaves(metricName).map(m =>
+          m.timeDimension.getOrElse(throw new IllegalArgumentException(
+            s"metric '${m.name}' declares no time dimension"))).distinct
+        require(timeDims.size == 1,
+          s"metric '$metricName' mixes time dimensions " +
+            s"${timeDims.mkString(", ")} — a grained query needs one")
+      }
       val num = query(spark, runner, metric.numerator.get, groupBy, grain)
       val den = query(spark, runner, metric.denominator.get, groupBy,
         grain)

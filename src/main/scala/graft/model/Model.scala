@@ -395,6 +395,22 @@ final case class Project(
       require(metrics.exists(_.name == ref),
         s"derived metric '${m.name}' references unknown metric '$ref'"))
   }
+  // Acyclicity of the derived-reference graph, checked HERE so a cycle
+  // is a governance error at project construction — Metrics.query and
+  // SavedQuery's leaf walk both recurse through these references and
+  // would otherwise StackOverflow at run time.
+  locally {
+    def walk(name: String, path: List[String]): Unit = {
+      require(!path.contains(name),
+        "derived metric reference cycle: " +
+          (name :: path).reverse.mkString(" -> "))
+      metrics.find(_.name == name).filter(_.agg == "derived").foreach {
+        m => Seq(m.numerator, m.denominator).flatten
+          .foreach(walk(_, name :: path))
+      }
+    }
+    metrics.filter(_.agg == "derived").foreach(m => walk(m.name, Nil))
+  }
   require(savedQueries.map(_.name).distinct.size == savedQueries.size,
     "duplicate saved query names")
   savedQueries.foreach { sq =>
@@ -417,6 +433,17 @@ final case class Project(
       require(bad.isEmpty,
         s"saved query '${sq.name}': metric '$name' is not sliceable " +
           s"by ${bad.mkString(", ")} — governed dimensions: " +
+          m.dimensions.mkString(", "))
+    }
+    // The LEAVES too: a derived member resolves through its leaf
+    // metrics at query time, so an off-governance slice reachable only
+    // through a derived reference must fail HERE, not when the bundle
+    // is first run or exported.
+    leafMetrics.foreach { m =>
+      val bad = sq.groupBy.filterNot(m.dimensions.contains)
+      require(bad.isEmpty,
+        s"saved query '${sq.name}': leaf metric '${m.name}' is not " +
+          s"sliceable by ${bad.mkString(", ")} — governed dimensions: " +
           m.dimensions.mkString(", "))
     }
     if (sq.grain.nonEmpty) {

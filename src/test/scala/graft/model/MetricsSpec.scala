@@ -79,6 +79,62 @@ class MetricsSpec extends SparkSuite {
     }
   }
 
+  test("derived metric: reference cycles fail at project construction " +
+      "instead of StackOverflowing the query walk") {
+    val aToB = Metric("cyc_a", "order_lines_enriched", "derived",
+      numerator = Some("cyc_b"), denominator = Some("revenue"),
+      dimensions = Seq("region"))
+    val bToA = Metric("cyc_b", "order_lines_enriched", "derived",
+      numerator = Some("cyc_a"), denominator = Some("revenue"),
+      dimensions = Seq("region"))
+    val ex = intercept[IllegalArgumentException] {
+      runnerWith(revenue, aToB, bToA)
+    }
+    assert(ex.getMessage.contains("cycle"))
+    // Self-reference is the 1-cycle.
+    intercept[IllegalArgumentException] {
+      runnerWith(revenue, aToB.copy(numerator = Some("cyc_a")))
+    }
+  }
+
+  test("derived metric: a GRAINED query over leaves with different " +
+      "time dimensions is the standard governance error, not a " +
+      "missing-column join failure") {
+    val lines = Metric("line_count", "order_lines_enriched", "count",
+      dimensions = Seq("region"), timeDimension = Some("ship_date"))
+    val rpl = Metric("rpl", "order_lines_enriched", "derived",
+      numerator = Some("revenue"), denominator = Some("line_count"),
+      dimensions = Seq("region"))
+    val r = runnerWith(revenue, lines, rpl)
+    r.run(spark, select = Some("+order_lines_enriched"))
+    val ex = intercept[IllegalArgumentException] {
+      Metrics.query(spark, r, "rpl", Seq("region"),
+        grain = Some("month"))
+    }
+    assert(ex.getMessage.contains("mixes time dimensions"))
+    // Ungrained, the same derived metric queries fine.
+    assert(Metrics.query(spark, r, "rpl", Seq("region")).count() > 0)
+  }
+
+  test("saved query: an off-governance slice reachable only through a " +
+      "derived member fails at project construction") {
+    // line_count governs ONLY ship_mode; the derived rpl declares the
+    // broader (region) governance — a region-sliced bundle through rpl
+    // must fail on the LEAF's governance, at construction.
+    val lines = Metric("line_count", "order_lines_enriched", "count",
+      dimensions = Seq("ship_mode"))
+    val rpl = Metric("rpl", "order_lines_enriched", "derived",
+      numerator = Some("revenue"), denominator = Some("line_count"),
+      dimensions = Seq("region"))
+    val ex = intercept[IllegalArgumentException] {
+      TpchProject.project(dir).copy(
+        metrics = Seq(revenue, lines, rpl),
+        savedQueries = Seq(SavedQuery("bad", Seq("rpl"),
+          groupBy = Seq("region"))))
+    }
+    assert(ex.getMessage.contains("leaf metric 'line_count'"))
+  }
+
   test("query: sum metric equals the direct aggregate over the mart, " +
       "ungrouped and grained") {
     val r = runnerWith(revenue)
