@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+import graft.operators.{CorpusPipeline, DedupStore, SemanticStore,
+  StoreRetention}
+
+/** One takedown request as fed through a removal queue. */
+final case class VictimRow(doc_id: Long)
+
+/** The at-least-once SEAM the streamed gates (st10–st14) assert only on
+  * clean runs: a foreachBatch sink can crash AFTER its store writes
+  * land but BEFORE the streaming engine commits the micro-batch's
+  * offset — on restart from the checkpoint the engine replays the SAME
+  * micro-batch (same epoch id, same offset range), and the stores'
+  * partition-per-batch dynamic overwrite must absorb the duplicate
+  * delivery. These specs kill the query in exactly that window
+  * (store write completed, then throw, so the offset commit never
+  * happens), restart against the same checkpoint, and prove the
+  * replayed run converges to the clean run's state — for the
+  * full-recipe ingest (st10's path) and the takedown feed (st13's).
+  */
+class StreamCrashReplaySpec extends SparkSuite {
+
+  /** Run `body` as a checkpointed foreachBatch stream over `data` fed
+    * in `chunks` chunks, killing and restarting the query whenever the
+    * injected crash fires. Returns the number of restarts taken. */
+  private def streamWithCrashes[T <: Product : org.apache.spark.sql
+      .Encoder](data: Seq[T], chunks: Int,
+      body: (DataFrame, Long) => Unit): Int = {
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft_crash_ckpt")
+      .toString
+    val input = MemoryStream[T](spark)
+    var restarts = 0
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(body)
+      .outputMode("append").start()
+    var q = start()
+    def drain(): Unit =
+      try q.processAllAvailable()
+      catch {
+        case _: Exception =>
+          // The injected crash killed the query AFTER the store write,
+          // BEFORE the offset commit. Restart from the checkpoint: the
+          // engine replays the uncommitted micro-batch — same epoch id,
+          // same offset range — against state that already holds its
+          // writes (the at-least-once delivery the stores must absorb).
+          restarts += 1
+          q = start()
+          drain()
+      }
+    data.grouped(math.max(1, data.size / chunks + 1)).foreach { c =>
+      input.addData(c)
+      drain()
+    }
+    q.stop()
+    restarts
+  }
+
+  test("full-recipe ingest: crash between store write and offset " +
+      "commit, replay converges to the clean run (st10's path)") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val cEmb = emb.filter(col("vec_id") % 5 =!= 0)
+    val cut = 399L
+    def build(name: String): CorpusPipeline.FullState = {
+      val st = CorpusPipeline.FullState(name)
+      CorpusPipeline.buildHistoryFull(spark,
+        corpus.filter(col("doc_id") <= cut),
+        cEmb.filter(col("vec_id") <= cut), bench,
+        "doc_id", "text", "vec_id", "embedding", st)
+      st
+    }
+    val st = build("crash_full")
+    val arriving = corpus.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    @volatile var crashed = false
+    val restarts = streamWithCrashes(arriving, chunks = 3, (b, id) => {
+      CorpusPipeline.appendBatchFull(spark, b, cEmb, "doc_id", "text",
+        "vec_id", "embedding", st, s"s$id")
+      // The seam: state is fully written, the offset is not yet
+      // committed — kill the first middle batch here.
+      if (id == 1L && !crashed) {
+        crashed = true
+        throw new RuntimeException(
+          "injected: crash after store write, before offset commit")
+      }
+    })
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = build("crash_full_ref")
+    CorpusPipeline.appendBatchFull(spark,
+      corpus.filter(col("doc_id") > cut),
+      cEmb.filter(col("vec_id") > cut),
+      "doc_id", "text", "vec_id", "embedding", ref, "b1")
+    def rowsOf(s: CorpusPipeline.FullState) =
+      CorpusPipeline.readManifest(spark, s.base)
+        .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+          col("first_doc"), col("last_doc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    def keepsOf(s: CorpusPipeline.FullState) =
+      SemanticStore.keeps(spark, s.sem, "vec_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    val replayed = rowsOf(st)
+    assert(replayed.nonEmpty)
+    assert(replayed == rowsOf(ref),
+      "replayed manifest diverged from the clean run")
+    assert(keepsOf(st) == keepsOf(ref),
+      "replayed semantic verdicts diverged from the clean run")
+    CorpusPipeline.resetFull(spark, st)
+    CorpusPipeline.resetFull(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("takedown feed: crash between delete and offset commit, replay " +
+      "converges to the one-shot delete (st13's path)") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val T = graft.operators.DedupQueries.Threshold
+    def buildStore(name: String): DedupStore = {
+      val store = DedupStore(name)
+      DedupStore.reset(spark, store)
+      DedupStore.build(spark, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", T, store)
+      DedupStore.appendBatch(spark, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", T, store, "b1")
+      store
+    }
+    val store = buildStore("crash_takedown")
+    val victims = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id")).as[VictimRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    @volatile var crashed = false
+    val restarts = streamWithCrashes(victims, chunks = 3, (b, id) => {
+      StoreRetention.deleteDocs(spark, store, b.select(col("doc_id")))
+      if (id == 1L && !crashed) {
+        crashed = true
+        throw new RuntimeException(
+          "injected: crash after delete, before offset commit")
+      }
+    })
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = buildStore("crash_takedown_ref")
+    StoreRetention.deleteDocs(spark, ref,
+      docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+    def pairsOf(s: DedupStore) =
+      DedupStore.allPairs(spark, s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val replayed = pairsOf(store)
+    assert(replayed.nonEmpty)
+    assert(replayed == pairsOf(ref),
+      "replayed takedown state diverged from the one-shot delete")
+    DedupStore.reset(spark, store)
+    DedupStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
+}
