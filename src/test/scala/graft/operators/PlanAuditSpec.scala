@@ -293,6 +293,35 @@ class PlanAuditSpec extends SparkSuite {
       s"v23 must stay the bucketed self-join:\n$p")
   }
 
+  test("knn graph under the DEFAULT autoNlist policy keeps v23's " +
+      "shape: bucketed self-join, nothing corpus-sized broadcasts") {
+    val p = plan("v24_knn_graph_auto")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"v24 must stay the bucketed self-join:\n$p")
+  }
+
+  test("BM25 store: scoring reads the PERSISTED postings — no " +
+      "re-tokenization above the scan, query terms broadcast") {
+    val p = plan("t26_bm25_store")
+    assert(p.contains("BroadcastHashJoin"),
+      "the query-term list must broadcast into the postings join")
+    assert(!p.contains("CartesianProduct"))
+    // The whole point of the store: the raw text never re-tokenizes at
+    // query time. Tokenization is a split+explode — neither may appear
+    // above the postings scan.
+    assert(!p.toLowerCase.contains("explode"),
+      s"t26 scoring must run off stored (token, doc_id, tf) rows:\n$p")
+  }
+
+  test("incremental pagerank: serving a checkpoint is a pure read — " +
+      "no join, no iteration at read time") {
+    val p = plan("g06_pagerank_incremental")
+    assert(!p.contains("Join"),
+      s"g06's served ranking must be a filtered scan of the " +
+        s"checkpointed vector:\n$p")
+  }
+
   test("shard shuffle: within-shard positions come from the keyed " +
       "prefix sum — no per-shard ranking window") {
     val p = plan("p21_shard_shuffle")
