@@ -186,6 +186,36 @@ object Graph {
         coalesce(col("label"), col("id")).as("component"))
   }
 
+  /** Bounded-radius harmonic centrality — the OTHER published crawl
+    * ranking signal (CommonCrawl ranks hosts by harmonic centrality
+    * over in-paths; see the file header): H_r(v) = Σ_{u ≠ v, d(u,v) ≤ r}
+    * 1/d(u,v) at r = 2, over IN-edges (who can reach me, not whom I
+    * reach — the prestige direction). The radius-2 truncation is what
+    * makes the measure computable at 100 TB: exact all-pairs harmonic
+    * needs a full APSP; the 2-ball needs one middle-vertex equi-join,
+    * pair-level distinct (path multiplicity dedups away, the
+    * [[twoHopReach]] argument), and an anti-join to keep only
+    * distance-EXACTLY-2 pairs. Scores are half-integers — `n1 + n2/2`
+    * computed as `(2·n1 + n2)/2.0`, exactly representable in double on
+    * every engine, so the oracle is exact (g07). */
+  def harmonicCentrality2(nodes: DataFrame, edges: DataFrame)
+      : DataFrame = {
+    val in1 = edges.select(col("dst").as("id"), col("src").as("u"))
+      .filter(col("u") =!= col("id")).distinct()
+    val in2 = edges.as("a")
+      .join(edges.as("b"), col("a.dst") === col("b.src"))
+      .select(col("b.dst").as("id"), col("a.src").as("u"))
+      .filter(col("u") =!= col("id")).distinct()
+      .join(in1, Seq("id", "u"), "left_anti")
+    val h1 = in1.groupBy(col("id")).agg(count(lit(1)).as("n1"))
+    val h2 = in2.groupBy(col("id")).agg(count(lit(1)).as("n2"))
+    nodes.join(h1, Seq("id"), "left").join(h2, Seq("id"), "left")
+      .select(col("id"),
+        ((coalesce(col("n1"), lit(0L)) * 2 +
+          coalesce(col("n2"), lit(0L))).cast("double") / lit(2.0))
+          .as("harmonic"))
+  }
+
   /** Two-hop reach: |{v : dist(u,v) ≤ 2, v ≠ u}| per node — the
     * influence/coverage measure behind seed selection and crawl
     * frontier scoring. One edge self-join on the middle vertex, a

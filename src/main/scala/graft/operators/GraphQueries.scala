@@ -11,7 +11,9 @@ import graft.core.{Q, QueryPack, Tables}
   */
 object GraphQueries extends QueryPack {
 
-  def queries: Seq[Q] = Seq(
+  def queries: Seq[Q] = mainGates ++ harmonicGate
+
+  private val mainGates: Seq[Q] = Seq(
 
     // PageRank ([[Graph.pageRank]]) — 3 synchronous rounds at damping
     // 0.85 from the uniform vector, the crawl-prioritization signal.
@@ -337,6 +339,57 @@ object GraphQueries extends QueryPack {
              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
              |SELECT id AS doc_id, MIN(r) AS component
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+  )
+
+  private val harmonicGate: Seq[Q] = Seq(
+
+    // Bounded-radius harmonic centrality ([[Graph
+    // .harmonicCentrality2]]) — the published crawl ranking signal
+    // (CommonCrawl ranks hosts by harmonic centrality) at the
+    // radius-2 truncation that makes it computable without APSP:
+    // H₂(v) = |in-dist-1| + ½·|in-dist-exactly-2| over the same
+    // synthetic link graph, computed as (2n₁+n₂)/2 so every score is
+    // an exactly-representable half-integer on both engines. One
+    // middle-vertex equi-join + pair distinct + anti-join — the
+    // twoHopReach shape in the prestige direction.
+    Q("g07_harmonic_centrality",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs.select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.harmonicCentrality2(docs, edges)
+          .select(col("id").as("doc_id"), col("harmonic"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |nn AS (SELECT COUNT(*) n FROM d),
+             |e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT doc_id src,
+             |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+             |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+             |  WHERE dst <> src),
+             |in1 AS (
+             |  SELECT DISTINCT dst AS id, src AS u FROM e
+             |  WHERE src <> dst),
+             |in2 AS (
+             |  SELECT DISTINCT b.dst AS id, a.src AS u
+             |  FROM e a JOIN e b ON a.dst = b.src
+             |  WHERE a.src <> b.dst
+             |  EXCEPT SELECT id, u FROM in1),
+             |h1 AS (SELECT id, COUNT(*) n1 FROM in1 GROUP BY 1),
+             |h2 AS (SELECT id, COUNT(*) n2 FROM in2 GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(h1.n1, 0) * 2 + COALESCE(h2.n2, 0)
+             |    AS DOUBLE) / 2.0 AS harmonic
+             |FROM d
+             |LEFT JOIN h1 ON d.doc_id = h1.id
+             |LEFT JOIN h2 ON d.doc_id = h2.id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** One unrolled PageRank round for the g06 oracle: the g05 round

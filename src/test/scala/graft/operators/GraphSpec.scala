@@ -155,6 +155,22 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("harmonicCentrality2 equals the brute-force 2-ball BFS over " +
+      "in-edges — half-integer scores, prestige direction") {
+    val got = Graph.harmonicCentrality2(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Brute force: reversed adjacency, two BFS levels per node.
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inAdj = es.groupBy(_._2).map { case (v, ps) =>
+      v -> ps.map(_._1).toSet }
+    (0L until n).foreach { v =>
+      val d1 = inAdj.getOrElse(v, Set.empty) - v
+      val d2 = d1.flatMap(u => inAdj.getOrElse(u, Set.empty)) -- d1 - v
+      val want = d1.size + 0.5 * d2.size
+      assert(got(v) == want, s"node $v: got ${got(v)}, want $want")
+    }
+  }
+
   test("twoHopReach: bounded by out-degree fan (≤ 3 + 9) and by n−1, " +
       "and zero only for isolated sources") {
     val reach = Graph.twoHopReach(edges, nodes).collect()
