@@ -13,7 +13,7 @@ object GraphQueries extends QueryPack {
 
   def queries: Seq[Q] = mainGates ++ harmonicGate
 
-  private val mainGates: Seq[Q] = Seq(
+  private def mainGates: Seq[Q] = Seq(
 
     // PageRank ([[Graph.pageRank]]) — 3 synchronous rounds at damping
     // 0.85 from the uniform vector, the crawl-prioritization signal.
@@ -341,7 +341,7 @@ object GraphQueries extends QueryPack {
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 
-  private val harmonicGate: Seq[Q] = Seq(
+  private def harmonicGate: Seq[Q] = Seq(
 
     // Bounded-radius harmonic centrality ([[Graph
     // .harmonicCentrality2]]) — the published crawl ranking signal
