@@ -41,6 +41,26 @@ object Dedup {
       .withColumn("kept", row_number().over(w) === 1)
   }
 
+  /** Soft dedup: instead of DROPPING duplicates, DOWNWEIGHT them — each
+    * doc gets sampling weight 1/|its exact-dup cluster|, so a document
+    * duplicated k times contributes the same expected gradient mass as a
+    * unique one (the "soft" alternative to hard dedup in recent
+    * training-data work: keep the data, commonness-reweight the
+    * sampler). Scale shape beats [[exactMarked]]'s per-key window: one
+    * hash aggregate on the 16-byte fingerprint (state = distinct-text
+    * count, map-side combinable) + one equi-join back — no window, no
+    * per-cluster sort, text never shuffles (only id + fingerprint). */
+  def softWeights(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val fp = docs.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    val counts = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("dup_count"))
+    fp.join(counts, "fingerprint")
+      .select(col(idCol), col("dup_count"),
+        round(lit(1.0) / col("dup_count").cast("double"), 6).as("weight"))
+  }
+
   /** (doc_id, shingles) with empty/short docs dropped — `shingles` is the
     * FNV-hashed, sorted long array of the document's distinct word
     * n-grams ([[graft.functions.HashedShingles]]): jaccard on these equals

@@ -983,7 +983,30 @@ object DedupQueries extends QueryPack {
              |${bloomArmOracle("half", "doc_id % 4 = 0")}
              |SELECT * FROM agg_full
              |UNION ALL SELECT * FROM agg_half
-             |ORDER BY hist""".stripMargin))
+             |ORDER BY hist""".stripMargin)),
+
+    // Soft dedup ([[Dedup.softWeights]]) — duplicate DOWNWEIGHTING
+    // instead of removal: each doc's sampling weight is 1/|exact-dup
+    // cluster|, so k copies of a text jointly carry one doc's worth of
+    // training mass (the soft alternative to d01's hard keep/drop).
+    // One fingerprint hash-agg + one join back; no window, text never
+    // shuffles. Weight is a 6dp-rounded double on both engines
+    // (1/k for small integer k — exactly the jaccard-oracle division
+    // discipline).
+    Q("d28_soft_dedup_weight",
+      (s, dir) => Dedup
+        .softWeights(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH fp AS (
+             |  SELECT doc_id, md5(lower(trim(regexp_replace(text,
+             |    '\s+', ' ', 'g')))) AS fingerprint
+             |  FROM documents),
+             |c AS (SELECT fingerprint, COUNT(*) dup_count
+             |  FROM fp GROUP BY 1)
+             |SELECT doc_id, c.dup_count,
+             |  ROUND(CAST(1 AS DOUBLE) / c.dup_count, 6) AS weight
+             |FROM fp JOIN c USING (fingerprint)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** d27's per-arm oracle CTEs: history fingerprints under `pred`, the
