@@ -138,6 +138,53 @@ object Graph {
     r.select(col("id"), round(col("r"), 6).as("trustrank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the OTHER classic
+    * link-analysis signal next to PageRank: a node is a good AUTHORITY
+    * if good hubs point at it, a good HUB if it points at good
+    * authorities. Each synchronous round is two message-passing
+    * half-steps (in-edges for authorities, out-edges for hubs), each one
+    * equi-join + one hash aggregate — the same (nodes + edges)-sized
+    * state and lineage-truncation discipline as [[pageRank]].
+    *
+    * Normalization is L1 (divide by the vector sum), not the textbook
+    * L2: the sum of 12dp decimals is EXACT and order-independent, so
+    * both engines compute the identical normalizer, whereas an L2 norm
+    * needs a sqrt over a sum of double squares — cross-engine bit
+    * drift. L1 vs L2 only rescales the vectors; the RANKING is
+    * identical, and the fixed point is the same principal eigenvector
+    * direction. Per the t23 float discipline: raw scores are exact
+    * decimal sums of the 12dp-rounded prior vector; the only double op
+    * is the final `round(score/total, 12)` division, IEEE-identical on
+    * both engines. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("s")).as("tot"))
+      Checkpoints.truncate(
+        nodes.join(raw.withColumnRenamed(key, "id"), Seq("id"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("id"),
+            round(coalesce(col("s").cast("double"), lit(0.0)) /
+              col("tot").cast("double"), 12).as(out)))
+    }
+    val n = nodes.count().toDouble
+    var h = nodes.select(col("id"),
+      round(lit(1.0) / lit(n), 12).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(h.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("h").cast("decimal(28,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      a = normalized(aRaw, "dst", "a")
+      val hRaw = edges.join(a.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src"), col("a").cast("decimal(28,12)").as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("s"))
+      h = normalized(hRaw, "src", "h")
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), round(col("h"), 6).as("hub"),
+        round(col("a"), 6).as("authority"))
+  }
+
   /** Connected components over an undirected view of `edges` — the
     * d05 min-label propagation generalized to an arbitrary edge list
     * (d05 runs it on the near-dup pair graph; this runs it on any link

@@ -11,7 +11,7 @@ import graft.core.{Q, QueryPack, Tables}
   */
 object GraphQueries extends QueryPack {
 
-  def queries: Seq[Q] = mainGates ++ harmonicGate
+  def queries: Seq[Q] = mainGates ++ harmonicGate ++ hitsGate
 
   private def mainGates: Seq[Q] = Seq(
 
@@ -391,6 +391,69 @@ object GraphQueries extends QueryPack {
              |LEFT JOIN h2 ON d.doc_id = h2.id
              |ORDER BY d.doc_id""".stripMargin))
   )
+
+  private def hitsGate: Seq[Q] = Seq(
+
+    // HITS hubs & authorities ([[Graph.hits]]) — 2 synchronous rounds
+    // of the in-edge/out-edge half-steps under L1 normalization (the
+    // exact-decimal normalizer; see the operator doc for why not L2).
+    // The oracle unrolls both rounds in template-generated CTEs: each
+    // half-step is one join + one exact-decimal aggregate + a 1-row
+    // total + the IEEE-identical 12dp-rounded double division.
+    Q("g08_hits",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs.select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.hits(docs, edges, iters = 2)
+          .select(col("id").as("doc_id"), col("hub"), col("authority"))
+          .orderBy(col("doc_id"))
+      },
+      Some(G08Oracle))
+  )
+
+  /** One unrolled HITS round for the g08 oracle: authority half-step
+    * (in-edge join + exact-decimal sum + L1-normalizing 12dp double
+    * division), then the hub half-step over out-edges — exactly the
+    * operator's arithmetic. */
+  private def hitsRound(i: Int): String =
+    s"""ar$i AS (
+       |  SELECT e.dst, SUM(CAST(h.h AS DECIMAL(28,12))) s
+       |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+       |at$i AS (SELECT SUM(s) tot FROM ar$i),
+       |a$i AS (
+       |  SELECT d.doc_id id,
+       |    ROUND(COALESCE(CAST(ar$i.s AS DOUBLE), 0.0) /
+       |      CAST(at$i.tot AS DOUBLE), 12) a
+       |  FROM d LEFT JOIN ar$i ON d.doc_id = ar$i.dst, at$i),
+       |hr$i AS (
+       |  SELECT e.src, SUM(CAST(a.a AS DECIMAL(28,12))) s
+       |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+       |ht$i AS (SELECT SUM(s) tot FROM hr$i),
+       |h$i AS (
+       |  SELECT d.doc_id id,
+       |    ROUND(COALESCE(CAST(hr$i.s AS DOUBLE), 0.0) /
+       |      CAST(ht$i.tot AS DOUBLE), 12) h
+       |  FROM d LEFT JOIN hr$i ON d.doc_id = hr$i.src, ht$i)""".stripMargin
+
+  private val G08Oracle: String =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+       |  WHERE dst <> src),
+       |h0 AS (SELECT doc_id id, ROUND(1.0 / nn.n, 12) h FROM d, nn),
+       |${(1 to 2).map(hitsRound).mkString(",\n")}
+       |SELECT h2.id AS doc_id, ROUND(h2.h, 6) AS hub,
+       |  ROUND(a2.a, 6) AS authority
+       |FROM h2 JOIN a2 USING (id) ORDER BY doc_id""".stripMargin
 
   /** One unrolled PageRank round for the g06 oracle: the g05 round
     * template (exact-decimal dangling mass + contributions, IEEE-
