@@ -61,6 +61,64 @@ object Dedup {
         round(lit(1.0) / col("dup_count").cast("double"), 6).as("weight"))
   }
 
+  /** C4-style duplicate-block removal (Raffel et al., JMLR 2020 §2.2
+    * remove repeated spans corpus-wide, here at fixed `blockWords`-word
+    * granularity): every document is cut into non-overlapping word
+    * blocks (partial tail included); a block text occurring at more
+    * than one (doc, position) corpus-wide survives ONLY at its
+    * canonical first occurrence (min doc_id, then min block_id) and is
+    * excised everywhere else; documents are reassembled from their
+    * surviving blocks in order. The simple hash-based cousin of the
+    * suffix/rolling-hash span dedup ([[graft.operators.SpanStore]]):
+    * exact, one pass, no span store.
+    *
+    * Scale shape: canonical-keeper selection is one hash aggregate on
+    * the block's 16-byte md5 (`min(struct(id, block_id))` — state =
+    * distinct-block count, map-side combinable), then one fp-keyed
+    * equi-join to mark and one doc-keyed aggregate to reassemble. No
+    * global window; block text shuffles twice (mark + reassemble),
+    * never the whole document at once. Returns
+    * (id, n_blocks, kept_blocks, text_deduped) for EVERY input doc
+    * (empty docs pass through with 0 blocks). */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockWords: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col(textCol)), "\\s+")).as("w"))
+    val blocks = toks
+      .withColumn("n_blocks",
+        ceil(size(col("w")).cast("double") / blockWords).cast("long"))
+      .filter(col("n_blocks") > 0)
+      .select(col("id"), col("n_blocks"),
+        explode(sequence(lit(0L), col("n_blocks") - 1)).as("block_id"),
+        col("w"))
+      .select(col("id"), col("n_blocks"), col("block_id"),
+        array_join(slice(col("w"),
+          (col("block_id") * blockWords + 1).cast("int"),
+          lit(blockWords)), " ").as("block_text"))
+      .withColumn("fp", md5(col("block_text")))
+    val keeper = blocks
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("block_id"))).as("keep"))
+    val marked = blocks.join(keeper, "fp")
+      .withColumn("kept", col("id") === col("keep.id") &&
+        col("block_id") === col("keep.block_id"))
+    val rebuilt = marked.groupBy(col("id"), col("n_blocks"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_blocks"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"),
+              struct(col("block_id"), col("block_text"))))),
+          x => x.getField("block_text")), " ").as("text_deduped"))
+    toks.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** (doc_id, shingles) with empty/short docs dropped — `shingles` is the
     * FNV-hashed, sorted long array of the document's distinct word
     * n-grams ([[graft.functions.HashedShingles]]): jaccard on these equals

@@ -1006,6 +1006,53 @@ object DedupQueries extends QueryPack {
              |SELECT doc_id, c.dup_count,
              |  ROUND(CAST(1 AS DOUBLE) / c.dup_count, 6) AS weight
              |FROM fp JOIN c USING (fingerprint)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // C4-style duplicate-block removal ([[Dedup.blockDedup]]) at
+    // 16-word blocks: a block occurring at >1 (doc, position)
+    // corpus-wide survives only at its canonical first occurrence
+    // (min doc_id, then block_id); docs reassemble from surviving
+    // blocks. One fingerprint hash-agg for the keeper, one fp-keyed
+    // mark join, one doc-keyed reassembly — no global window on the
+    // Spark side (the oracle's ROW_NUMBER window is DuckDB-only).
+    Q("d29_block_dedup",
+      (s, dir) => Dedup
+        .blockDedup(Tables(s, dir, "documents"), "doc_id", "text", 16)
+        .select(col("id").as("doc_id"), col("n_blocks"),
+          col("kept_blocks"), col("text_deduped"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN []
+             |         ELSE regexp_split_to_array(trim(text), '\s+')
+             |    END w
+             |  FROM documents),
+             |n AS (SELECT doc_id, w,
+             |  CAST(CEIL(len(w) / 16.0) AS BIGINT) n_blocks FROM t),
+             |b AS (SELECT doc_id, n_blocks,
+             |  unnest(range(0, n_blocks)) block_id, w
+             |  FROM n WHERE n_blocks > 0),
+             |bt AS (SELECT doc_id, n_blocks, block_id,
+             |  array_to_string(
+             |    w[(block_id * 16 + 1):(block_id * 16 + 16)], ' ')
+             |    block_text
+             |  FROM b),
+             |m AS (SELECT doc_id, n_blocks, block_id, block_text,
+             |  ROW_NUMBER() OVER (PARTITION BY block_text
+             |    ORDER BY doc_id, block_id) = 1 AS kept
+             |  FROM bt),
+             |agg AS (SELECT doc_id, n_blocks,
+             |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             |    kept_blocks,
+             |  string_agg(CASE WHEN kept THEN block_text END, ' '
+             |    ORDER BY block_id) text_deduped
+             |  FROM m GROUP BY doc_id, n_blocks)
+             |SELECT d.doc_id,
+             |  COALESCE(a.n_blocks, 0) AS n_blocks,
+             |  COALESCE(a.kept_blocks, 0) AS kept_blocks,
+             |  COALESCE(a.text_deduped, '') AS text_deduped
+             |FROM (SELECT doc_id FROM documents) d
+             |LEFT JOIN agg a USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )
 
