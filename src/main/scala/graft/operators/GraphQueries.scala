@@ -501,4 +501,39 @@ object GraphQueries extends QueryPack {
        |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
        |FROM r6 ORDER BY doc_id""".stripMargin
   }
+
+  /** The synthetic 3-outlink edge CTE restricted to `pred` — shared by
+    * the multi-epoch replay oracles. */
+  private def edgeCte(name: String, pred: String): String =
+    s"""$name AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j
+       |    WHERE $pred)
+       |  WHERE dst <> src)""".stripMargin
+
+  /** st15's oracle: the g06 full-history replay generalized to TWO
+    * streamed appends — rounds 1–3 over the base partition
+    * (src % 5 ≠ 0), 4–6 after micro-batch 0 lands the src % 10 = 0
+    * edges, 7–9 after micro-batch 1 completes the graph. Exactly the
+    * arithmetic the warm-started store runs, so the streamed ingest
+    * hash-matches a batch replay to the bit. */
+  private[graft] lazy val St15Oracle: String = {
+    val rounds = (1 to 3).map(prRound(_, "e_base", "od_base")) ++
+      (4 to 6).map(prRound(_, "e_b1", "od_b1")) ++
+      (7 to 9).map(prRound(_, "e_all", "od_all"))
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |${edgeCte("e_base", "doc_id % 5 <> 0")},
+       |${edgeCte("e_b1", "doc_id % 5 <> 0 OR doc_id % 10 = 0")},
+       |${edgeCte("e_all", "TRUE")},
+       |od_base AS (SELECT src, COUNT(*) outdeg FROM e_base GROUP BY 1),
+       |od_b1 AS (SELECT src, COUNT(*) outdeg FROM e_b1 GROUP BY 1),
+       |od_all AS (SELECT src, COUNT(*) outdeg FROM e_all GROUP BY 1),
+       |r0 AS (SELECT doc_id id, ROUND(1.0 / nn.n, 12) r FROM d, nn),
+       |${rounds.mkString(",\n")}
+       |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
+       |FROM r9 ORDER BY doc_id""".stripMargin
+  }
 }

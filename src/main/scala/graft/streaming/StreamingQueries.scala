@@ -21,6 +21,9 @@ final case class TakedownReq(doc_id: Long)
 /** One embedding row on the st14 semantic-ingest log. */
 final case class EmbRow(vec_id: Long, embedding: Array[Float])
 
+/** One crawled edge on the st15 link-graph ingest log. */
+final case class EdgeRow(src: Long, dst: Long)
+
 /** Driver-gated Structured Streaming queries: each runs a real streaming
   * query (file source → stateful transform → memory sink) to completion
   * with `Trigger.AvailableNow`, then returns the sink table — so the
@@ -642,6 +645,56 @@ object StreamingQueries extends QueryPack {
         } finally q.stop()
         s.read.parquet(sink).orderBy(col("qid"), col("rn"))
       },
-      Some(graft.operators.VectorQueries.IvfPqOracle))
+      Some(graft.operators.VectorQueries.IvfPqOracle)),
+
+    // Streamed link-graph ingest ([[graft.operators.LinkGraphStore]]):
+    // the crawl's edge log arrives as micro-batches; each foreachBatch
+    // lands one edge partition and warm-starts 3 PageRank rounds from
+    // the PREVIOUS batch's persisted 12dp vector — the streamed twin of
+    // g06's batch append, chained across batches (fromBatch follows the
+    // micro-batch sequence). Oracle replays the whole build + 2-batch
+    // history as one unrolled 9-round chain whose edge set grows at
+    // rounds 4 and 7 ([[graft.operators.GraphQueries.St15Oracle]]), so
+    // streamed ingest ≡ batch replay to the bit.
+    Q("st15_stream_linkgraph",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        def linkEdges(pred: org.apache.spark.sql.Column) =
+          docs.filter(pred)
+            .select(col("id").as("src"),
+              explode(array((0 to 2).map(j =>
+                (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+            .filter(col("dst") =!= col("src"))
+        val store = graft.operators.LinkGraphStore("stream_link_gate")
+        graft.operators.LinkGraphStore.build(s, docs,
+          linkEdges(col("id") % 5 =!= 0), iters = 3, store)
+        // Bounded driver collect: the streamed edge slices (the
+        // dangling fifth of the synthetic graph at gate SF) — the
+        // MemoryStream feed, not an operator step.
+        def slice(pred: org.apache.spark.sql.Column): Seq[EdgeRow] =
+          linkEdges(pred).as[EdgeRow].collect()
+            .sortBy(e => (e.src, e.dst)).toSeq
+        val chunks = Seq(slice(col("id") % 10 === 0),
+          slice(col("id") % 10 === 5))
+        val input = MemoryStream[EdgeRow](s)
+        var last = "base"
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.LinkGraphStore.appendAndRank(s, docs, b,
+              iters = 3, store, s"s$id", fromBatch = last)
+            last = s"s$id"
+          }
+          .outputMode("append").start()
+        try chunks.foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+        graft.operators.LinkGraphStore.ranks(s, store, last)
+          .select(col("id").as("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.operators.GraphQueries.St15Oracle))
   )
 }
