@@ -394,6 +394,44 @@ object MultimodalQueries extends QueryPack {
            |   range(0, LEAST(4, (length(text) // 2) // 8)), f ->
            |     $coeffsSql), ';') AS wht
            |FROM documents ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // PCM 2:1 resample (mm06's 16-bit-sample convention) — the audio
+    // downsampling pass of a multimodal ingest (48 kHz → 24 kHz):
+    // each output sample is the 2-tap boxcar average of an input pair,
+    // `(s[2j] + s[2j+1]) div 2`, the anti-aliasing decimator in EXACT
+    // integer arithmetic (floor division of a nonnegative BIGINT sum —
+    // no float path, both engines agree to the bit). Like mm10, a
+    // row-local projection fused into the scan: map-only at 100 TB.
+    // First 16 output samples gated per doc.
+    Q("mm11_pcm_resample",
+      (s, dir) => {
+        val t = col("text") // ASCII corpus: 1 char == 1 byte (mm06)
+        def sample(pos: org.apache.spark.sql.Column) =
+          (ascii(t.substr(pos + 1, lit(1))) +
+            ascii(t.substr(pos + 2, lit(1))) * 256).cast("long")
+        val nOut = least(lit(16), floor(length(t) / 4)).cast("int")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), t.as("text"), nOut.as("n_out"))
+          .select(col("doc_id"), col("n_out"),
+            when(col("n_out") > 0,
+              array_join(transform(sequence(lit(0), col("n_out") - 1),
+                j => floor((sample(j * 4) + sample(j * 4 + 2))
+                  .cast("double") / 2.0).cast("long").cast("string")),
+                "|"))
+              .otherwise(lit(""))
+              .as("resampled"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | CAST(LEAST(16, length(text) // 4) AS INT) AS n_out,
+             | array_to_string(list_transform(
+             |   range(0, LEAST(16, length(text) // 4)), j ->
+             |     CAST(((ord(substring(text, CAST(j * 4 + 1 AS INT), 1))
+             |        + 256 * ord(substring(text, CAST(j * 4 + 2 AS INT), 1)))
+             |       + (ord(substring(text, CAST(j * 4 + 3 AS INT), 1))
+             |        + 256 * ord(substring(text, CAST(j * 4 + 4 AS INT), 1))))
+             |       // 2 AS VARCHAR)), '|') AS resampled
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
