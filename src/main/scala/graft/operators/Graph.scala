@@ -233,6 +233,47 @@ object Graph {
         coalesce(col("label"), col("id")).as("component"))
   }
 
+  /** Label-propagation communities (Raghavan et al., Phys. Rev. E 2007)
+    * over the undirected view of `edges` — the cheap community detector
+    * behind host clustering and near-dup group coarsening. Each
+    * SYNCHRONOUS round every node adopts the most frequent label among
+    * its neighbors (ties → smallest label; isolated nodes keep their
+    * own), for a FIXED `iters` rounds: the asynchronous variant is
+    * order-dependent (non-reproducible across partitionings — useless
+    * when a DuckDB oracle must replay it), while synchronous rounds
+    * with a total tie-break order make every round a pure function of
+    * the previous labeling, bit-reproducible on any cluster layout.
+    * Fixed rounds rather than convergence detection because synchronous
+    * LPA can 2-cycle on bipartite structures — a convergence loop would
+    * hang exactly where the textbook says it oscillates.
+    *
+    * Per round: one edge⋈label join + one (node, label) count aggregate
+    * + one per-node argmax via `min(struct(-cnt, label))` — two hash
+    * aggregates, state (nodes + edges)-sized, lineage truncated. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val und = Checkpoints.truncate(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val freq = und.join(labels.withColumnRenamed("id", "a"), "a")
+        .groupBy(col("b").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = freq.groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("label")))
+          .as("best"))
+      labels = Checkpoints.truncate(
+        labels.join(pick, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("best").getField("label"), col("label"))
+              .as("label")))
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** Bounded-radius harmonic centrality — the OTHER published crawl
     * ranking signal (CommonCrawl ranks hosts by harmonic centrality
     * over in-paths; see the file header): H_r(v) = Σ_{u ≠ v, d(u,v) ≤ r}

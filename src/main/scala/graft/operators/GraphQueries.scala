@@ -11,7 +11,8 @@ import graft.core.{Q, QueryPack, Tables}
   */
 object GraphQueries extends QueryPack {
 
-  def queries: Seq[Q] = mainGates ++ harmonicGate ++ hitsGate
+  def queries: Seq[Q] =
+    mainGates ++ harmonicGate ++ hitsGate ++ lpaGate
 
   private def mainGates: Seq[Q] = Seq(
 
@@ -415,6 +416,62 @@ object GraphQueries extends QueryPack {
       },
       Some(G08Oracle))
   )
+
+  private def lpaGate: Seq[Q] = Seq(
+
+    // Label-propagation communities ([[Graph.labelPropagation]]) — 2
+    // synchronous rounds of most-frequent-neighbor-label with the
+    // smallest-label tie-break (the reproducible variant; see the
+    // operator doc for why not asynchronous/convergence-detected).
+    // All-integer — no float discipline needed. Oracle unrolls both
+    // rounds; its per-node argmax is a ROW_NUMBER window (DuckDB-only
+    // — the Spark side is a hash aggregate over min(struct)).
+    Q("g09_label_propagation",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val edges = docs.select(col("id").as("src"),
+            explode(array((0 to 2).map(j =>
+              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        Graph.labelPropagation(docs, edges, iters = 2)
+          .select(col("id").as("doc_id"), col("community"))
+          .orderBy(col("doc_id"))
+      },
+      Some(G09Oracle))
+  )
+
+  /** One unrolled synchronous-LPA round for the g09 oracle: neighbor
+    * label messages over the undirected edge view, per-(node, label)
+    * counts, argmax by (cnt DESC, label), keep-own on no-neighbor. */
+  private def lpaRound(i: Int): String =
+    s"""m$i AS (
+       |  SELECT e.b id, l.lbl FROM eu e
+       |  JOIN l${i - 1} l ON e.a = l.id),
+       |f$i AS (SELECT id, lbl, COUNT(*) cnt FROM m$i GROUP BY 1, 2),
+       |p$i AS (
+       |  SELECT id, lbl FROM (
+       |    SELECT id, lbl, ROW_NUMBER() OVER (
+       |      PARTITION BY id ORDER BY cnt DESC, lbl) rn
+       |    FROM f$i) WHERE rn = 1),
+       |l$i AS (
+       |  SELECT l.id, COALESCE(p.lbl, l.lbl) lbl
+       |  FROM l${i - 1} l LEFT JOIN p$i p USING (id))""".stripMargin
+
+  private val G09Oracle: String =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |${edgeCte("e", "TRUE")},
+       |eu AS (
+       |  SELECT a, b FROM (
+       |    SELECT src a, dst b FROM e
+       |    UNION SELECT dst a, src b FROM e)
+       |  WHERE a <> b),
+       |l0 AS (SELECT doc_id id, doc_id lbl FROM d),
+       |${(1 to 2).map(lpaRound).mkString(",\n")}
+       |SELECT id AS doc_id, lbl AS community
+       |FROM l2 ORDER BY doc_id""".stripMargin
 
   /** One unrolled HITS round for the g08 oracle: authority half-step
     * (in-edge join + exact-decimal sum + L1-normalizing 12dp double
