@@ -680,18 +680,23 @@ object StreamingQueries extends QueryPack {
         val chunks = Seq(slice(col("id") % 10 === 0),
           slice(col("id") % 10 === 5))
         val input = MemoryStream[EdgeRow](s)
-        var last = "base"
+        // fromBatch derives from the micro-batch id — stable across a
+        // checkpoint replay — NOT from mutable driver state: a crashed
+        // driver loses a `var last`, and a replay that chained off it
+        // would warm-start a batch from its own checkpoint (6 rounds
+        // instead of 3 — a wrong answer). StreamCrashReplaySpec kills
+        // this seam and proves the id-derived chain absorbs the replay.
         val q = input.toDF().writeStream
           .foreachBatch { (b: DataFrame, id: Long) =>
             graft.operators.LinkGraphStore.appendAndRank(s, docs, b,
-              iters = 3, store, s"s$id", fromBatch = last)
-            last = s"s$id"
+              iters = 3, store, s"s$id",
+              fromBatch = if (id == 0L) "base" else s"s${id - 1}")
           }
           .outputMode("append").start()
         try chunks.foreach { c =>
           input.addData(c); q.processAllAvailable()
         } finally q.stop()
-        graft.operators.LinkGraphStore.ranks(s, store, last)
+        graft.operators.LinkGraphStore.ranks(s, store, "s1")
           .select(col("id").as("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))
       },

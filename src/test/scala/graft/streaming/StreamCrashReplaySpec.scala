@@ -170,4 +170,75 @@ class StreamCrashReplaySpec extends SparkSuite {
     DedupStore.reset(spark, ref)
     graft.core.Caches.releaseAll()
   }
+
+  test("link-graph ingest: crash between rank checkpoint and offset " +
+      "commit, replay converges to the batch append (st15's path)") {
+    import spark.implicits._
+    import graft.operators.LinkGraphStore
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"))
+    val n = docs.count()
+    def linkEdges(pred: org.apache.spark.sql.Column) =
+      docs.filter(pred)
+        .select(col("id").as("src"),
+          explode(array((0 to 2).map(j =>
+            (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+        .filter(col("dst") =!= col("src"))
+    def freshStore(name: String): LinkGraphStore = {
+      val store = LinkGraphStore(name)
+      LinkGraphStore.build(spark, docs,
+        linkEdges(col("id") % 5 =!= 0), iters = 3, store)
+      store
+    }
+    val store = freshStore("crash_linkgraph")
+    val slices = Seq(col("id") % 10 === 0, col("id") % 10 === 5)
+      .map(p => linkEdges(p).as[EdgeRow].collect()
+        .sortBy(e => (e.src, e.dst)).toSeq)
+
+    // The chained-warm-start hazard this spec exists for: fromBatch
+    // MUST derive from the replay-stable micro-batch id. A `var last`
+    // updated after appendAndRank would survive the in-JVM restart
+    // and make the replayed batch warm-start from its OWN checkpoint
+    // — 6 rounds instead of 3, a silently wrong vector.
+    @volatile var crashed = false
+    val checkpoint = Files.createTempDirectory("graft_lg_ckpt").toString
+    val input = MemoryStream[EdgeRow](spark)
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        LinkGraphStore.appendAndRank(spark, docs, b, iters = 3, store,
+          s"s$id", fromBatch = if (id == 0L) "base" else s"s${id - 1}")
+        if (id == 1L && !crashed) {
+          crashed = true
+          throw new RuntimeException(
+            "injected: crash after rank checkpoint, before offset commit")
+        }
+      }
+      .outputMode("append").start()
+    var q = start()
+    var restarts = 0
+    def drain(): Unit =
+      try q.processAllAvailable()
+      catch { case _: Exception => restarts += 1; q = start(); drain() }
+    slices.foreach { c => input.addData(c); drain() }
+    q.stop()
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = freshStore("crash_linkgraph_ref")
+    LinkGraphStore.appendAndRank(spark, docs,
+      linkEdges(col("id") % 10 === 0), iters = 3, ref, "s0")
+    LinkGraphStore.appendAndRank(spark, docs,
+      linkEdges(col("id") % 10 === 5), iters = 3, ref, "s1",
+      fromBatch = "s0")
+    def ranksOf(s: LinkGraphStore) =
+      LinkGraphStore.ranks(spark, s, "s1").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val replayed = ranksOf(store)
+    assert(replayed.nonEmpty)
+    assert(replayed == ranksOf(ref),
+      "replayed link-graph ranks diverged from the batch append")
+    LinkGraphStore.reset(spark, store)
+    LinkGraphStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
 }
