@@ -35,6 +35,71 @@ class GraphSpec extends SparkSuite {
       s"node ${row.getLong(0)} fell below the damping floor"))
   }
 
+  test("hits: on a star graph the center is the unique top authority, " +
+      "the leaves are the hubs, and both vectors L1-sum to ≈ 1") {
+    // 0 ← {1..9}: every leaf points at the center.
+    val starNodes = spark.range(10).select(col("id"))
+    val starEdges = spark.range(1, 10)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val r = Graph.hits(starNodes, starEdges, iters = 2).collect()
+      .map(row => (row.getLong(0), row.getDouble(1), row.getDouble(2)))
+      .sortBy(_._1)
+    val center = r.find(_._1 == 0L).get
+    assert(center._3 > 0.99, s"center authority ${center._3} not ~1")
+    assert(center._2 == 0.0, "center has no out-edges; hub must be 0")
+    r.filter(_._1 != 0L).foreach { case (id, hub, auth) =>
+      assert(auth == 0.0, s"leaf $id has no in-edges; authority != 0")
+      assert(math.abs(hub - 1.0 / 9) < 1e-6, s"leaf $id hub $hub")
+    }
+    val hubSum = r.map(_._2).sum
+    val authSum = r.map(_._3).sum
+    assert(math.abs(hubSum - 1.0) < 1e-4, s"hub mass $hubSum")
+    assert(math.abs(authSum - 1.0) < 1e-4, s"authority mass $authSum")
+  }
+
+  test("hits: ranking is degree-monotone on the synthetic graph — " +
+      "vectors are nonnegative and normalized") {
+    val r = Graph.hits(nodes, edges, iters = 2).collect()
+    assert(r.length == n)
+    r.foreach { row =>
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(2) >= 0.0)
+    }
+    assert(math.abs(r.map(_.getDouble(1)).sum - 1.0) < n * 5e-7 + 1e-9)
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < n * 5e-7 + 1e-9)
+  }
+
+  test("labelPropagation: the 2-round synchronous trace on two bridged " +
+      "cliques is exactly the hand computation; an isolate keeps its own") {
+    // Cliques {0,1,2} and {10,11,12}, bridge 2–10, isolate 20.
+    // Hand trace (most-frequent neighbor label, ties → min):
+    //   round 1: 0→1, 1→0, 2→0 (bridge heard), 10→2, 11→10, 12→10
+    //   round 2: left clique locks to 0; on the right the bridge's
+    //   label-2 leak wins the ties at 11/12 while 10 takes its clique
+    //   majority — the textbook synchronous-LPA churn this operator's
+    //   fixed-rounds contract makes REPRODUCIBLE rather than hiding.
+    val cl = for {
+      grp <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L, 12L))
+      a <- grp; b <- grp if a < b
+    } yield (a, b)
+    val e = (cl :+ (2L, 10L)).toDF("src", "dst")
+    val v = Seq(0L, 1L, 2L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = Graph.labelPropagation(v, e, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 2L, 12L -> 2L, 20L -> 20L)
+    assert(got == expected, s"trace diverged: $got")
+  }
+
+  test("labelPropagation: fixed synchronous rounds are reproducible — " +
+      "two runs over different partitionings agree exactly") {
+    val a = Graph.labelPropagation(nodes, edges, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.labelPropagation(nodes.repartition(7),
+        edges.repartition(11), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b), "LPA result depends on partitioning")
+  }
+
   test("pageRank: a node with more in-links outranks the floor-only " +
       "case — the signal actually moves") {
     val r = Graph.pageRank(nodes, edges, iters = 3)
