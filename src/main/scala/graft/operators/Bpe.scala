@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * IDENTICALLY, which is what makes an exact DuckDB oracle possible for
   * a trained tokenizer:
   *
-  *  - a word's working form is its symbols joined by `` with
+  *  - a word's working form is its symbols joined by `U+001F` with
   *    leading/trailing separators (`␟h␟e␟y␟`);
   *  - one merge step = ONE left-to-right non-overlapping string
   *    `replace` of `␟x␟y␟` → `␟xy␟` (Spark's `replace`, Java's
