@@ -390,6 +390,40 @@ class PlanAuditSpec extends SparkSuite {
       s"p22 packing must be the two-phase prefix sum, not a window:\n$p")
   }
 
+  test("soft dedup weights: cluster sizes come from a hash aggregate, " +
+      "not a per-key window (the advantage over d01's row_number)") {
+    val p = plan("d28_soft_dedup_weight")
+    assert(!p.contains("Window"), s"d28 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("block dedup: keeper selection is min(struct) hash aggregation " +
+      "— no window, no cartesian (the oracle's ROW_NUMBER is DuckDB-only)") {
+    val p = plan("d29_block_dedup")
+    assert(!p.contains("Window"), s"d29 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("HITS: half-steps are equi-joins plus hash aggregates; the only " +
+      "loop joins are the 1-row L1 normalizers") {
+    val p = plan("g08_hits")
+    assert(!p.contains("CartesianProduct"),
+      s"g08 must stay equi-join message passing:\n$p")
+  }
+
+  test("label propagation: argmax is min(struct) hash aggregation — " +
+      "no window, no cartesian") {
+    val p = plan("g09_label_propagation")
+    assert(!p.contains("Window"), s"g09 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("PCM resample fuses into the scan: the only shuffle is the " +
+      "gate's final sort") {
+    assert(exchanges(plan("mm11_pcm_resample")) == 1)
+  }
+
   test("trustrank: each round is an equi-join plus a hash aggregate — " +
       "no cartesian, no broadcast of the rank vector as a loop join") {
     val p = plan("g04_trustrank")
