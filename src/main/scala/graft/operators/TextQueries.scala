@@ -1109,7 +1109,88 @@ object TextQueries extends QueryPack {
         PostingsStore.selfTopK(s, store, k = 5)
           .orderBy(col("token"), col("rk"))
       },
-      Some(Bm25Oracle))
+      Some(Bm25Oracle)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): the
+    // corpus splits into head/middle/tail THIRDS by per-doc mean
+    // unigram surprisal — the corpus-RELATIVE quality tiers CCNet
+    // filters on, vs t23's fixed thresholds. The global rank comes
+    // from the keyed two-phase prefix sum over a range partitioning
+    // ([[Packing.keyedCumSum]] with one key and a unit weight — an
+    // exact distributed rank, the p05 discipline), NOT a single-
+    // partition window: at 100 TB the sort is range-parallel and the
+    // driver sees only one subtotal per partition. Bucket arithmetic
+    // is pure integers (`rank·3 div N`); the oracle replays it under
+    // ROW_NUMBER (DuckDB-only). Surprisal itself is t23's arithmetic,
+    // so the two gates agree on the score to the bit.
+    Q("t27_ppl_buckets",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        val tf = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val n = tf.agg(sum(col("cnt")).cast("double").as("n_total"))
+        val perDoc = toks.join(tf, "word")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            round(log(col("n_total") / col("cnt")), 12)
+              .cast("decimal(28,12)").as("s"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("s")).cast("double") / count(lit(1)), 6)
+              .as("surprisal"))
+        val full = docs.select(col("doc_id")).distinct()
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+        // Bounded driver scalar: the doc count (the oracle's COUNT(*)
+        // scalar subquery).
+        val nDocs = full.count()
+        val ranked = Packing.keyedCumSum(
+          full.withColumn("__key", lit("all"))
+            .withColumn("__ord",
+              struct(col("surprisal"), col("doc_id")))
+            .withColumn("__one", lit(1L)),
+          "__key", "__ord", "__one")
+        ranked.select(col("doc_id"), col("n_tokens"), col("surprisal"),
+            when(expr(s"(cum_before * 3) div ${nDocs}L") === 0, "head")
+              .when(expr(s"(cum_before * 3) div ${nDocs}L") === 1,
+                "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) word
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT word, COUNT(*) cnt FROM toks GROUP BY word),
+             |nt AS (SELECT CAST(SUM(cnt) AS DOUBLE) n_total FROM tf),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(ROUND(ln(n_total / cnt), 12) AS DECIMAL(28,12)) s
+             |  FROM toks JOIN tf USING (word), nt),
+             |d AS (
+             |  SELECT doc_id, COUNT(*) n_tokens,
+             |    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) surprisal
+             |  FROM sc GROUP BY doc_id),
+             |fin AS (
+             |  SELECT t.doc_id,
+             |    CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |    COALESCE(d.surprisal, 0.0) AS surprisal
+             |  FROM (SELECT DISTINCT doc_id FROM documents) t
+             |  LEFT JOIN d USING (doc_id)),
+             |nd AS (SELECT COUNT(*) n FROM fin),
+             |r AS (
+             |  SELECT doc_id, n_tokens, surprisal,
+             |    ROW_NUMBER() OVER (ORDER BY surprisal, doc_id) - 1 rk
+             |  FROM fin)
+             |SELECT doc_id, n_tokens, surprisal,
+             |  CASE (rk * 3) // nd.n
+             |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+             |    ELSE 'tail' END AS ppl_bucket
+             |FROM r, nd ORDER BY doc_id""".stripMargin))
   )
 
   /** t24's one-shot Okapi BM25 oracle — shared verbatim by t26 (the
