@@ -1159,6 +1159,50 @@ object RelationalQueries extends QueryPack {
              |FROM events, b
              |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= b.mn + 86400000000
              |  AND epoch_us(CAST(ts AS TIMESTAMP)) < b.mn + 172800000000
-             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // TPC-H Q17's shape: a CORRELATED SCALAR AGGREGATE subquery
+    // ("rows below 20% of their part's average quantity"), decorrelated
+    // the way Catalyst plans it — one per-key aggregate joined back,
+    // never a per-row subquery loop. The 0.2·avg comparison
+    // cross-multiplies to `5·qty·cnt < sum` so the predicate is EXACT
+    // decimal arithmetic (avg() would put a double division on both
+    // engines' disagreement path — the q-tier float discipline). The
+    // part dimension broadcasts; the only shuffles are the stats
+    // aggregate and the join back on l_partkey.
+    Q("q40_correlated_scalar_agg",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val part = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        val stats = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(12,2)")).as("sumq"))
+        li.select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .join(stats, "l_partkey")
+          .filter(col("l_quantity").cast("decimal(12,2)") *
+            col("cnt") * 5 < col("sumq"))
+          .join(broadcast(part),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_small"),
+            dsumStr(col("l_extendedprice")).as("total_price"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT l_partkey, COUNT(*) cnt,
+             |    SUM(CAST(l_quantity AS DECIMAL(12,2))) sumq
+             |  FROM lineitem GROUP BY 1),
+             |q AS (
+             |  SELECT l.l_partkey, l.l_extendedprice
+             |  FROM lineitem l JOIN stats s USING (l_partkey)
+             |  WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * s.cnt * 5
+             |    < s.sumq)
+             |SELECT p.p_brand, COUNT(*) AS n_small,
+             |  CAST(CAST(SUM(CAST(q.l_extendedprice AS DECIMAL(18,2)))
+             |    AS DECIMAL(38,2)) AS VARCHAR) AS total_price
+             |FROM q JOIN part p ON q.l_partkey = p.p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
