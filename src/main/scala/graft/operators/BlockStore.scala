@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CatalogMaterializer
+
+/** Persisted, incrementally-maintained duplicate-BLOCK state — the
+  * lifecycle twin of [[Dedup.blockDedup]] (d29), the same discipline
+  * every other dedup tier has ([[DedupStore]] d10, [[SpanStore]] d21):
+  * a crawl lands daily snapshots, and each snapshot must excise blocks
+  * already seen in HISTORY without ever re-reading history's text.
+  *
+  * Two engine-managed tables, partition-per-batch with dynamic
+  * partition overwrite (replay-idempotent — a crashed ingest re-runs
+  * its own batch and overwrites exactly its own partitions):
+  *
+  *  - `blocks(fp, batch_id)` — the distinct block fingerprints each
+  *    batch INTRODUCED (16 bytes per novel block; text never persists);
+  *  - `docs(id, n_blocks, kept_blocks, text_deduped, batch_id)` — each
+  *    batch's reassembled output rows.
+  *
+  * Incremental contract: batches arrive in id order (later batches
+  * carry larger doc ids — the crawl-snapshot convention), so
+  * "canonical first occurrence" is the same ordering whether computed
+  * one-shot over the union or batch-by-batch: a block seen in any
+  * PRIOR batch excises every occurrence in this one (one semi-join
+  * against the ≤ distinct-block-count fingerprint table); a block new
+  * to this batch resolves its canonical occurrence batch-locally with
+  * d29's min(struct) aggregate. The d29 oracle over the accumulated
+  * corpus therefore verifies the whole history — append ≡ one-shot.
+  */
+final case class BlockStore(schemaName: String) {
+  val blocksRel: String = s"$schemaName.blocks"
+  val docsRel: String = s"$schemaName.docs"
+}
+
+object BlockStore {
+
+  private def mat = new CatalogMaterializer
+
+  /** Drop both store tables — a fresh start for gates/specs. */
+  def reset(spark: SparkSession, store: BlockStore): Unit =
+    Seq(store.blocksRel, store.docsRel)
+      .foreach(mat.dropRelation(spark, _))
+
+  /** Build: dedup the base corpus one-shot (exactly [[Dedup
+    * .blockDedup]]) and seed the fingerprint table with every distinct
+    * block the base corpus contains (kept OR excised — an excised
+    * block was still SEEN, and a later batch repeating it must not
+    * resurrect it as novel). REPLACES any existing store. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, blockWords: Int, store: BlockStore,
+      batchId: String = "base"): Unit = {
+    reset(spark, store)
+    writeBatch(spark, docs, idCol, textCol, blockWords, store, batchId,
+      priorFps = None)
+  }
+
+  /** Append one snapshot: occurrences of blocks already in the store
+    * are excised outright; blocks new to this batch dedup batch-locally
+    * (d29's min(struct) keeper), then land in the fingerprint table so
+    * the NEXT batch sees them. Re-running a batchId overwrites exactly
+    * its own partitions. */
+  def append(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, blockWords: Int, store: BlockStore,
+      batchId: String): Unit =
+    writeBatch(spark, docs, idCol, textCol, blockWords, store, batchId,
+      priorFps = Some(spark.table(store.blocksRel).select(col("fp"))))
+
+  /** The accumulated deduped corpus (every batch's output rows). */
+  def deduped(spark: SparkSession, store: BlockStore): DataFrame =
+    spark.table(store.docsRel)
+      .select(col("id"), col("n_blocks"), col("kept_blocks"),
+        col("text_deduped"))
+
+  private def writeBatch(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, blockWords: Int,
+      store: BlockStore, batchId: String,
+      priorFps: Option[DataFrame]): Unit = {
+    // d29's block cut, reproduced: non-overlapping word blocks with the
+    // partial tail included, fingerprinted by md5 over the block text.
+    val counted = docs.select(col(idCol).as("id"),
+        when(length(trim(col(textCol))) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")).as("w"))
+      .withColumn("n_blocks",
+        ceil(size(col("w")).cast("double") / blockWords).cast("long"))
+    val blocks = counted
+      .filter(col("n_blocks") > 0)
+      .select(col("id"),
+        explode(sequence(lit(0L), col("n_blocks") - 1)).as("block_id"),
+        col("w"))
+      .select(col("id"), col("block_id"),
+        array_join(slice(col("w"),
+          (col("block_id") * blockWords + 1).cast("int"),
+          lit(blockWords)), " ").as("block_text"))
+      .withColumn("fp", md5(col("block_text")))
+    // History excision: one left-anti semi-join against the 16-byte
+    // fingerprint table — history text is never read, never shuffled.
+    // n_blocks is counted on `counted` BEFORE this join: a doc whose
+    // blocks are ALL already in history loses every row here, but its
+    // true block count must still report (the st16-at-sf0.01 case —
+    // a fully-dup doc landing in a later micro-batch than its source).
+    val novel = priorFps match {
+      case Some(fps) => blocks.join(fps, Seq("fp"), "left_anti")
+      case None => blocks
+    }
+    val keeper = novel.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("block_id"))).as("keep"))
+    val marked = novel.join(keeper, "fp")
+      .withColumn("kept", col("id") === col("keep.id") &&
+        col("block_id") === col("keep.block_id"))
+    val rebuilt = marked.groupBy(col("id"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_blocks"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"),
+              struct(col("block_id"), col("block_text"))))),
+          x => x.getField("block_text")), " ").as("text_deduped"))
+    val out = counted.select(col("id"), col("n_blocks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+    writePartition(spark, store.docsRel, batchId, out)
+    // Every fp this batch INTRODUCED (kept or batch-locally excised) —
+    // novel is already prior-free, so distinct fps are the delta.
+    writePartition(spark, store.blocksRel, batchId,
+      novel.select(col("fp")).distinct())
+  }
+
+  private def writePartition(spark: SparkSession, rel: String,
+      batchId: String, df: DataFrame): Unit = {
+    mat.dropPartition(spark, rel, "batch_id", batchId)
+    mat.materializeIncremental(spark, rel,
+      df.withColumn("batch_id", lit(batchId)), Seq("batch_id"))
+  }
+}

@@ -1021,7 +1021,39 @@ object DedupQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("n_blocks"),
           col("kept_blocks"), col("text_deduped"))
         .orderBy(col("doc_id")),
-      Some("""WITH t AS (
+      Some(BlockDedupOracle)),
+
+    // INCREMENTAL block dedup ([[BlockStore]]) — the d29 operator under
+    // the persisted-store lifecycle every other dedup tier has: build
+    // dedupes the base snapshot and seeds the 16-byte fingerprint
+    // table; an arriving snapshot excises already-seen blocks with ONE
+    // anti-join against that table (history text never re-read) and
+    // resolves its novel blocks batch-locally. Batches arrive in id
+    // order, so canonical-first-occurrence is the same ordering either
+    // way and the oracle is d29's one-shot SQL over the accumulated
+    // corpus — append ≡ one-shot, the d10/d21/g06 discipline.
+    Q("d30_incremental_block_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cut = 299L
+        val store = BlockStore("block_store_gate")
+        BlockStore.build(s, docs.filter(col("doc_id") <= cut),
+          "doc_id", "text", 16, store)
+        BlockStore.append(s, docs.filter(col("doc_id") > cut),
+          "doc_id", "text", 16, store, "b1")
+        BlockStore.deduped(s, store)
+          .select(col("id").as("doc_id"), col("n_blocks"),
+            col("kept_blocks"), col("text_deduped"))
+          .orderBy(col("doc_id"))
+      },
+      Some(BlockDedupOracle))
+  )
+
+  /** d29's one-shot oracle, shared verbatim by d30 and st16 (the
+    * incremental store — batch or streamed — must reproduce the
+    * one-shot dedup to the bit). */
+  private[graft] lazy val BlockDedupOracle: String =
+    """WITH t AS (
              |  SELECT doc_id,
              |    CASE WHEN length(trim(text)) = 0 THEN []
              |         ELSE regexp_split_to_array(trim(text), '\s+')
@@ -1053,8 +1085,7 @@ object DedupQueries extends QueryPack {
              |  COALESCE(a.text_deduped, '') AS text_deduped
              |FROM (SELECT doc_id FROM documents) d
              |LEFT JOIN agg a USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
-  )
+             |ORDER BY doc_id""".stripMargin
 
   /** d27's per-arm oracle CTEs: history fingerprints under `pred`, the
     * policy's m = 8·n from a COUNT(*) scalar, the ≤ m-row distinct bit

@@ -700,6 +700,47 @@ object StreamingQueries extends QueryPack {
           .select(col("id").as("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))
       },
-      Some(graft.operators.GraphQueries.St15Oracle))
+      Some(graft.operators.GraphQueries.St15Oracle)),
+
+    // Streamed block-dedup ingest ([[graft.operators.BlockStore]]):
+    // daily crawl snapshots arrive as micro-batches in id order; each
+    // foreachBatch excises blocks already in the fingerprint table
+    // (one anti-join, history text never re-read), resolves its novel
+    // blocks batch-locally, and lands both partitions — the streamed
+    // twin of d30's batch append. Partition-per-batch overwrite makes
+    // the at-least-once replay idempotent (the StreamCrashReplaySpec
+    // discipline). Oracle = d29's one-shot SQL over the accumulated
+    // corpus: streamed ingest ≡ batch append ≡ one-shot.
+    Q("st16_stream_block_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val cut = 299L
+        val store = graft.operators.BlockStore("stream_block_gate")
+        graft.operators.BlockStore.build(s,
+          docs.filter(col("doc_id") <= cut), "doc_id", "text", 16,
+          store)
+        // Bounded driver collect: the streamed snapshot slice at gate
+        // SF — the MemoryStream feed, not an operator step. Chunks are
+        // id-ordered so canonical-first-occurrence matches the oracle.
+        val arriving = docs.filter(col("doc_id") > cut)
+          .select(col("doc_id"), col("text")).as[ArrivingDoc]
+          .collect().sortBy(_.doc_id).toSeq
+        val input = MemoryStream[ArrivingDoc](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.BlockStore.append(s, b, "doc_id", "text",
+              16, store, s"s$id")
+          }
+          .outputMode("append").start()
+        try arriving.grouped(arriving.size / 2 + 1).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+        graft.operators.BlockStore.deduped(s, store)
+          .select(col("id").as("doc_id"), col("n_blocks"),
+            col("kept_blocks"), col("text_deduped"))
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.operators.DedupQueries.BlockDedupOracle))
   )
 }
