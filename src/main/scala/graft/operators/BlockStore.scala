@@ -65,8 +65,15 @@ object BlockStore {
   def append(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, blockWords: Int, store: BlockStore,
       batchId: String): Unit =
+    // "Prior" EXCLUDES this batch's own partition: on an at-least-once
+    // replay (crash after the store writes, before the offset commit)
+    // the crashed attempt's fingerprints are already in the table, and
+    // an unfiltered read would excise the entire replayed batch against
+    // ITSELF — every doc would come back empty. Partition-pruned by
+    // batch_id; StreamCrashReplaySpec kills exactly this seam.
     writeBatch(spark, docs, idCol, textCol, blockWords, store, batchId,
-      priorFps = Some(spark.table(store.blocksRel).select(col("fp"))))
+      priorFps = Some(spark.table(store.blocksRel)
+        .filter(col("batch_id") =!= batchId).select(col("fp"))))
 
   /** The accumulated deduped corpus (every batch's output rows). */
   def deduped(spark: SparkSession, store: BlockStore): DataFrame =
