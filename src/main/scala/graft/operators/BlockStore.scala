@@ -85,53 +85,27 @@ object BlockStore {
       idCol: String, textCol: String, blockWords: Int,
       store: BlockStore, batchId: String,
       priorFps: Option[DataFrame]): Unit = {
-    // d29's block cut, reproduced: non-overlapping word blocks with the
-    // partial tail included, fingerprinted by md5 over the block text.
-    val counted = docs.select(col(idCol).as("id"),
-        when(length(trim(col(textCol))) === 0,
-            array().cast("array<string>"))
-          .otherwise(split(trim(col(textCol)), "\\s+")).as("w"))
-      .withColumn("n_blocks",
-        ceil(size(col("w")).cast("double") / blockWords).cast("long"))
-    val blocks = counted
-      .filter(col("n_blocks") > 0)
-      .select(col("id"),
-        explode(sequence(lit(0L), col("n_blocks") - 1)).as("block_id"),
-        col("w"))
-      .select(col("id"), col("block_id"),
-        array_join(slice(col("w"),
-          (col("block_id") * blockWords + 1).cast("int"),
-          lit(blockWords)), " ").as("block_text"))
-      .withColumn("fp", md5(col("block_text")))
+    // The cut/keeper/reassembly pipeline is SHARED with the one-shot
+    // operator (Dedup.blockCount/blockCut/markCanonical/blockRebuild)
+    // — one owner of the block convention, so the incremental store
+    // cannot silently drift from d29.
+    val counted = Dedup.blockCount(docs, idCol, textCol, blockWords)
+    val blocks = Dedup.blockCut(counted, blockWords)
     // History excision: one left-anti semi-join against the 16-byte
     // fingerprint table — history text is never read, never shuffled.
     // n_blocks is counted on `counted` BEFORE this join: a doc whose
     // blocks are ALL already in history loses every row here, but its
     // true block count must still report (the st16-at-sf0.01 case —
     // a fully-dup doc landing in a later micro-batch than its source).
-    val novel = priorFps match {
+    // Persisted: both partition writes below consume this frame, and
+    // without the persist each re-runs the tokenize + anti-join scan
+    // (the d25 lesson: find the redundant work before 10× does).
+    val novel = graft.core.Caches.persist(priorFps match {
       case Some(fps) => blocks.join(fps, Seq("fp"), "left_anti")
       case None => blocks
-    }
-    val keeper = novel.groupBy(col("fp"))
-      .agg(min(struct(col("id"), col("block_id"))).as("keep"))
-    val marked = novel.join(keeper, "fp")
-      .withColumn("kept", col("id") === col("keep.id") &&
-        col("block_id") === col("keep.block_id"))
-    val rebuilt = marked.groupBy(col("id"))
-      .agg(
-        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_blocks"),
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("kept"),
-              struct(col("block_id"), col("block_text"))))),
-          x => x.getField("block_text")), " ").as("text_deduped"))
-    val out = counted.select(col("id"), col("n_blocks"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"), col("n_blocks"),
-        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
-        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
-    writePartition(spark, store.docsRel, batchId, out)
+    })
+    writePartition(spark, store.docsRel, batchId,
+      Dedup.blockRebuild(counted, Dedup.markCanonical(novel)))
     // Every fp this batch INTRODUCED (kept or batch-locally excised) —
     // novel is already prior-free, so distinct fps are the delta.
     writePartition(spark, store.blocksRel, batchId,

@@ -52,8 +52,13 @@ object Dedup {
     * per-cluster sort, text never shuffles (only id + fingerprint). */
   def softWeights(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // NULL text normalizes to the empty-text cluster (the blockCount
+    // convention): md5(NULL) is NULL, and a NULL join key never
+    // matches itself — an inner equi-join would silently DROP those
+    // docs from the output instead of weighting them.
     val fp = docs.select(col(idCol),
-      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      TextFunctions.fingerprint(coalesce(col(textCol), lit("")))
+        .as("fingerprint"))
     val counts = fp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("dup_count"))
     fp.join(counts, "fingerprint")
@@ -82,29 +87,57 @@ object Dedup {
     * (empty docs pass through with 0 blocks). */
   def blockDedup(docs: DataFrame, idCol: String, textCol: String,
       blockWords: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      when(length(trim(col(textCol))) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim(col(textCol)), "\\s+")).as("w"))
-    val blocks = toks
+    val counted = blockCount(docs, idCol, textCol, blockWords)
+    val blocks = blockCut(counted, blockWords)
+    blockRebuild(counted, markCanonical(blocks))
+  }
+
+  /** (id, w, n_blocks) per doc — NULL/empty/whitespace text counts 0
+    * blocks. The ONE owner of the block-count convention, shared by
+    * [[blockDedup]] and [[BlockStore]] so the incremental store can
+    * never drift from the one-shot operator. */
+  private[operators] def blockCount(docs: DataFrame, idCol: String,
+      textCol: String, blockWords: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        when(length(trim(col(textCol))) === 0 ||
+            col(textCol).isNull, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")).as("w"))
       .withColumn("n_blocks",
         ceil(size(col("w")).cast("double") / blockWords).cast("long"))
+
+  /** One row per (id, block_id): the non-overlapping `blockWords`-word
+    * cut (partial tail included) with its md5 fingerprint. */
+  private[operators] def blockCut(counted: DataFrame,
+      blockWords: Int): DataFrame =
+    counted
       .filter(col("n_blocks") > 0)
-      .select(col("id"), col("n_blocks"),
+      .select(col("id"),
         explode(sequence(lit(0L), col("n_blocks") - 1)).as("block_id"),
         col("w"))
-      .select(col("id"), col("n_blocks"), col("block_id"),
+      .select(col("id"), col("block_id"),
         array_join(slice(col("w"),
           (col("block_id") * blockWords + 1).cast("int"),
           lit(blockWords)), " ").as("block_text"))
       .withColumn("fp", md5(col("block_text")))
-    val keeper = blocks
-      .groupBy(col("fp"))
+
+  /** Mark each occurrence kept iff it IS its fingerprint's canonical
+    * first occurrence — min(struct(id, block_id)), a hash aggregate. */
+  private[operators] def markCanonical(blocks: DataFrame): DataFrame = {
+    val keeper = blocks.groupBy(col("fp"))
       .agg(min(struct(col("id"), col("block_id"))).as("keep"))
-    val marked = blocks.join(keeper, "fp")
+    blocks.join(keeper, "fp")
       .withColumn("kept", col("id") === col("keep.id") &&
         col("block_id") === col("keep.block_id"))
-    val rebuilt = marked.groupBy(col("id"), col("n_blocks"))
+  }
+
+  /** Reassemble every doc from its surviving blocks in block order;
+    * docs with zero surviving (or zero total) blocks come back
+    * (id, n_blocks, 0, ""). n_blocks rides `counted`, NOT the marked
+    * frame — a doc whose blocks were all excised upstream has no
+    * marked rows but must still report its true count. */
+  private[operators] def blockRebuild(counted: DataFrame,
+      marked: DataFrame): DataFrame = {
+    val rebuilt = marked.groupBy(col("id"))
       .agg(
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_blocks"),
         array_join(transform(
@@ -112,9 +145,9 @@ object Dedup {
             when(col("kept"),
               struct(col("block_id"), col("block_text"))))),
           x => x.getField("block_text")), " ").as("text_deduped"))
-    toks.select(col("id")).join(rebuilt, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+    counted.select(col("id"), col("n_blocks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_blocks"),
         coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }

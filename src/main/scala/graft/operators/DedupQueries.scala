@@ -998,8 +998,8 @@ object DedupQueries extends QueryPack {
         .softWeights(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some("""WITH fp AS (
-             |  SELECT doc_id, md5(lower(trim(regexp_replace(text,
-             |    '\s+', ' ', 'g')))) AS fingerprint
+             |  SELECT doc_id, md5(lower(trim(regexp_replace(
+             |    COALESCE(text, ''), '\s+', ' ', 'g')))) AS fingerprint
              |  FROM documents),
              |c AS (SELECT fingerprint, COUNT(*) dup_count
              |  FROM fp GROUP BY 1)

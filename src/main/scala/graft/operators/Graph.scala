@@ -157,14 +157,21 @@ object Graph {
     * is the final `round(score/total, 12)` division, IEEE-identical on
     * both engines. */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    // iters = 0 would return a null authority frame; the degenerate
+    // empty-edge graph has a ZERO normalizer (HITS is undefined — no
+    // endorsement structure to rank), where both vectors come back all
+    // zeros instead of all NULLs, documented below.
+    require(iters >= 1, s"hits needs at least 1 round, got $iters")
     def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
       val tot = raw.agg(sum(col("s")).as("tot"))
       Checkpoints.truncate(
         nodes.join(raw.withColumnRenamed(key, "id"), Seq("id"), "left")
           .crossJoin(broadcast(tot))
           .select(col("id"),
-            round(coalesce(col("s").cast("double"), lit(0.0)) /
-              col("tot").cast("double"), 12).as(out)))
+            when(col("tot").isNotNull,
+              round(coalesce(col("s").cast("double"), lit(0.0)) /
+                col("tot").cast("double"), 12))
+              .otherwise(lit(0.0)).as(out)))
     }
     val n = nodes.count().toDouble
     var h = nodes.select(col("id"),

@@ -11,6 +11,19 @@ import graft.core.{Q, QueryPack, Tables}
   */
 object GraphQueries extends QueryPack {
 
+  /** The synthetic 3-outlink crawl graph over an `id` frame: ids are
+    * contiguous 0..N−1 so the modulo lands on real nodes at every SF;
+    * self-loops dropped. The ONE Spark-side owner of the edge formula
+    * (its SQL twin is [[edgeCte]]) — shared by every g-gate, st15's
+    * streamed ingest, and the crash spec, so a formula change cannot
+    * silently desynchronize a subset of gates from their oracles. */
+  private[graft] def syntheticEdges(docs: org.apache.spark.sql.DataFrame,
+      n: Long): org.apache.spark.sql.DataFrame =
+    docs.select(col("id").as("src"),
+        explode(array((0 to 2).map(j =>
+          (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+
   def queries: Seq[Q] =
     mainGates ++ harmonicGate ++ hitsGate ++ lpaGate
 
@@ -28,10 +41,7 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs.select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges = syntheticEdges(docs, n)
         Graph.pageRank(docs, edges, iters = 3)
           .select(col("id").as("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))
@@ -89,10 +99,7 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs.select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges = syntheticEdges(docs, n)
         Graph.twoHopReach(edges, docs)
           .select(col("id").as("doc_id"), col("reach2"))
           .orderBy(col("doc_id"))
@@ -132,10 +139,7 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs.select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges = syntheticEdges(docs, n)
         val seeds = docs.filter(col("id") % 16 === 0)
         Graph.personalizedPageRank(docs, edges, seeds, iters = 3)
           .select(col("id").as("doc_id"), col("trustrank"))
@@ -208,12 +212,8 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs
-          .filter(col("id") % 5 =!= 0)
-          .select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges =
+          syntheticEdges(docs.filter(col("id") % 5 =!= 0), n)
         Graph.pageRank(docs, edges, iters = 3)
           .select(col("id").as("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))
@@ -291,11 +291,7 @@ object GraphQueries extends QueryPack {
           .select(col("doc_id").as("id"))
         val n = docs.count()
         def linkEdges(pred: org.apache.spark.sql.Column) =
-          docs.filter(pred)
-            .select(col("id").as("src"),
-              explode(array((0 to 2).map(j =>
-                (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-            .filter(col("dst") =!= col("src"))
+          syntheticEdges(docs.filter(pred), n)
         val store = LinkGraphStore("linkgraph_store")
         LinkGraphStore.build(s, docs,
           linkEdges(col("id") % 5 =!= 0), iters = 3, store)
@@ -358,10 +354,7 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs.select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges = syntheticEdges(docs, n)
         Graph.harmonicCentrality2(docs, edges)
           .select(col("id").as("doc_id"), col("harmonic"))
           .orderBy(col("doc_id"))
@@ -406,10 +399,7 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs.select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges = syntheticEdges(docs, n)
         Graph.hits(docs, edges, iters = 2)
           .select(col("id").as("doc_id"), col("hub"), col("authority"))
           .orderBy(col("doc_id"))
@@ -431,10 +421,7 @@ object GraphQueries extends QueryPack {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id").as("id"))
         val n = docs.count()
-        val edges = docs.select(col("id").as("src"),
-            explode(array((0 to 2).map(j =>
-              (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-          .filter(col("dst") =!= col("src"))
+        val edges = syntheticEdges(docs, n)
         Graph.labelPropagation(docs, edges, iters = 2)
           .select(col("id").as("doc_id"), col("community"))
           .orderBy(col("doc_id"))

@@ -663,11 +663,8 @@ object StreamingQueries extends QueryPack {
           .select(col("doc_id").as("id"))
         val n = docs.count()
         def linkEdges(pred: org.apache.spark.sql.Column) =
-          docs.filter(pred)
-            .select(col("id").as("src"),
-              explode(array((0 to 2).map(j =>
-                (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-            .filter(col("dst") =!= col("src"))
+          graft.operators.GraphQueries
+            .syntheticEdges(docs.filter(pred), n)
         val store = graft.operators.LinkGraphStore("stream_link_gate")
         graft.operators.LinkGraphStore.build(s, docs,
           linkEdges(col("id") % 5 =!= 0), iters = 3, store)

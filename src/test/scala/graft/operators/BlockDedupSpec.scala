@@ -70,4 +70,18 @@ class BlockDedupSpec extends SparkSuite {
     assert(math.abs(total - 2.0) < 1e-5,
       s"total weight $total must equal the distinct-text count 2")
   }
+
+  test("softWeights: NULL text weights into the empty-text cluster " +
+      "instead of vanishing through the NULL join key") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "real"))
+    val got = Dedup.softWeights(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == 3, s"NULL-text doc was dropped: ${got.toSeq}")
+    assert(got(0) == ((1L, 2L, 0.5)) && got(1) == ((2L, 2L, 0.5)),
+      s"NULL and empty text must share a cluster: ${got.toSeq}")
+    assert(got(2) == ((3L, 1L, 1.0)))
+  }
 }

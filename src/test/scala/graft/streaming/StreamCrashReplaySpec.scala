@@ -237,11 +237,7 @@ class StreamCrashReplaySpec extends SparkSuite {
       .select(col("doc_id").as("id"))
     val n = docs.count()
     def linkEdges(pred: org.apache.spark.sql.Column) =
-      docs.filter(pred)
-        .select(col("id").as("src"),
-          explode(array((0 to 2).map(j =>
-            (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
-        .filter(col("dst") =!= col("src"))
+      graft.operators.GraphQueries.syntheticEdges(docs.filter(pred), n)
     def freshStore(name: String): LinkGraphStore = {
       val store = LinkGraphStore(name)
       LinkGraphStore.build(spark, docs,
