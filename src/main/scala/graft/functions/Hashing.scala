@@ -530,10 +530,20 @@ case class RollingHashMin(child: Expression, window: Int)
 }
 
 /** Random-hyperplane signature for cosine LSH over an array<double>
-  * vector: bit i is set iff Σ_j s_ij·v_j > 0, with Rademacher ±1
-  * hyperplane components s_ij derived from splitmix64(i·2³² + j). For two
-  * vectors at angle θ, P(bit differs) = θ/π (Goemans-Williamson) — banding
-  * the signature makes near-neighbor search an equi-join on (band,
+  * vector: bit i is set iff Σ_j s_ij·q_j > 0, where q_j =
+  * ⌊v_j·10¹² + 0.5⌋ is the 12-dp integer quantization of component j
+  * and the Rademacher sign s_ij is the parity of the first hex digit
+  * of md5("i:j"). Every step is CROSS-ENGINE EXACT — the multiply/
+  * add/floor are single IEEE double ops, the signed sums are exact
+  * Long arithmetic (|q_j| ≤ ~10¹²·max|v_j|, so overflow needs dim ≳
+  * 10⁶ unit-scale components), and md5 replays in any engine — so
+  * unlike the splitmix64 ancestor this replaces, the whole signature
+  * is SQL-expressible and LSH gates hash-compare against a DuckDB
+  * recompute (the d25 determinism move). Quantization perturbs each
+  * hyperplane component by ≤ 5e-13 — angle noise far below the LSH
+  * regime — and the Goemans-Williamson guarantee is unchanged: for
+  * two vectors at angle θ, P(bit differs) = θ/π, so banding the
+  * signature makes near-neighbor search an equi-join on (band,
   * bucket), the same shuffle shape as MinHash LSH.
   */
 case class HyperplaneSig(child: Expression, bits: Int)
@@ -542,19 +552,23 @@ case class HyperplaneSig(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
-  /** Rademacher components as ±1.0 factors, derived once per operator
-    * instance instead of bits×dims splitmix64 calls PER ROW. The table
-    * grows lazily to the widest vector seen (dims are per-dataset
-    * constant in practice); multiplication by ±1.0 only flips the sign
-    * bit, so `acc + s*x` is bit-identical to the former add/sub branch.
+  /** Rademacher components as ±1 Long factors, derived once per
+    * operator instance instead of bits×dims md5 calls PER ROW. The
+    * table grows lazily to the widest vector seen (dims are
+    * per-dataset constant in practice). First-hex-digit parity =
+    * bit 4 of digest byte 0 — the same bit DuckDB's
+    * `substr(md5(..),1,1) IN ('1','3',…,'f')` tests.
     */
-  @transient private var signs: Array[Array[Double]] = _
+  @transient private var signs: Array[Array[Long]] = _
 
-  private def signTable(d: Int): Array[Array[Double]] = {
+  private def signTable(d: Int): Array[Array[Long]] = {
     if (signs == null || signs(0).length < d) {
+      val md = java.security.MessageDigest.getInstance("MD5")
       signs = Array.tabulate(bits, d) { (i, j) =>
-        if ((Fnv.splitmix64((i.toLong << 32) | j.toLong) & 1L) == 1L) 1.0
-        else -1.0
+        md.reset()
+        val h = md.digest(
+          s"$i:$j".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        if (((h(0) >> 4) & 1) == 1) 1L else -1L
       }
     }
     signs
@@ -564,15 +578,21 @@ case class HyperplaneSig(child: Expression, bits: Int)
     val v = input.asInstanceOf[ArrayData]
     val d = v.numElements()
     val s = signTable(d)
+    val q = new Array[Long](d)
+    var j = 0
+    while (j < d) {
+      q(j) = math.floor(v.getDouble(j) * 1e12 + 0.5).toLong
+      j += 1
+    }
     var sig = 0L
     var i = 0
     while (i < bits) {
       val si = s(i)
-      var acc = 0.0
-      var j = 0
-      while (j < d) {
-        acc += si(j) * v.getDouble(j)
-        j += 1
+      var acc = 0L
+      var p = 0
+      while (p < d) {
+        acc += si(p) * q(p)
+        p += 1
       }
       if (acc > 0) sig |= 1L << i
       i += 1

@@ -204,7 +204,7 @@ object Similarity {
     * row-local and the bucket index is just a partitioned table.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 32, bands: Int = 8): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
     // r == 64 would wrap `1L << 64` to 1 (JVM shift mod 64) and collapse

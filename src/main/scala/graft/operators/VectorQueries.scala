@@ -162,6 +162,317 @@ object VectorQueries extends QueryPack {
       |""".stripMargin +
       pqTrainedCodebookCtes(3) + ",\n" + PqEncodeAdc + IvfCoarseTail
 
+  /** The v01 oracle (exact brute-force top-k, full 64 dims) — also the
+    * `exact` reference ranking inside [[RecallReportOracle]]. */
+  private val BruteOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+      |pairs AS (
+      |  SELECT q.vec_id qid, c.vec_id nid,
+      |    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) sim
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+      |  FROM pairs)
+      |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The v08 oracle (symmetric int8 max-abs quantization; int dots are
+    * exact in double in any fold order). */
+  private val Int8Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x))) mx FROM e),
+      |q AS (SELECT vec_id, list_transform(v,
+      |    x -> round(x * (CASE WHEN mx > 0 THEN 127.0 / mx
+      |                        ELSE 1.0 END))) qv
+      |  FROM m),
+      |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) qn
+      |  FROM q),
+      |pairs AS (
+      |  SELECT a.vec_id qid, c.vec_id nid,
+      |    ROUND(list_dot_product(a.qv, c.qv) / (a.qn * c.qn), 6) sim
+      |  FROM n a JOIN n c ON a.vec_id < 5 AND c.vec_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+      |  FROM pairs)
+      |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The v04 oracle (seeded IVF, nlist=16, nprobe=4). */
+  private val IvfSeededOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+      |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
+      |  ORDER BY vec_id LIMIT 16),
+      |casg AS (
+      |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+      |        DESC, cb.cid) rnk
+      |  FROM n, cb),
+      |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+      |qasg AS (
+      |  SELECT n.vec_id qid, n.v qv, n.nrm qn, cb.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
+      |        DESC, cb.cid) rnk
+      |  FROM n, cb WHERE n.vec_id < 5),
+      |probes AS (SELECT qid, qv, qn, cid FROM qasg WHERE rnk <= 4),
+      |scored AS (
+      |  SELECT p.qid, b.vid nid,
+      |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+      |  FROM bucketed b JOIN probes p USING (cid)
+      |  WHERE b.vid <> p.qid),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, nid) rn
+      |  FROM scored)
+      |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The v10 oracle (flat PQ/ADC ranking over [[PqAdcCtes]]). */
+  private lazy val PqOracle: String = PqAdcCtes + """,
+    |ranked AS (
+    |  SELECT qid, nid, score,
+    |    ROW_NUMBER() OVER (PARTITION BY qid
+    |      ORDER BY score DESC, nid) rn
+    |  FROM adc)
+    |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
+    |ORDER BY qid, rn""".stripMargin
+
+  /** The v13 oracle (1-bit sign quantization + Hamming ranking). */
+  private val BinaryOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id nid,
+      |    len(list_filter(range(1, 65),
+      |      i -> (q.qv[CAST(i AS INT)] > 0.0)
+      |        <> (c.v[CAST(i AS INT)] > 0.0))) AS hamming
+      |  FROM q, e c WHERE c.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, nid, CAST(hamming AS BIGINT) AS hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY hamming, nid) rn
+      |  FROM scored)
+      |SELECT qid, nid, hamming, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The v20 oracle (Hamming nomination at depth 25 → exact re-rank). */
+  private val BinaryRerankOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm
+      |  FROM e),
+      |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id nid,
+      |    len(list_filter(range(1, 65),
+      |      i -> (q.qv[CAST(i AS INT)] > 0.0)
+      |        <> (c.v[CAST(i AS INT)] > 0.0))) AS hamming
+      |  FROM q, e c WHERE c.vec_id <> q.qid),
+      |cand AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY hamming, nid) crn
+      |    FROM scored) WHERE crn <= 25),
+      |rr AS (
+      |  SELECT c.qid, c.nid,
+      |    ROUND(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm), 6)
+      |      AS sim
+      |  FROM cand c
+      |  JOIN n nq ON nq.vec_id = c.qid
+      |  JOIN n nc ON nc.vec_id = c.nid),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, nid) rn
+      |  FROM rr)
+      |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The v05 oracle: [[graft.functions.HyperplaneSig]] replayed in SQL
+    * (md5-parity signs × ⌊v_j·10¹²+0.5⌋ integer components — every op
+    * cross-engine exact, see the expression's Scaladoc), banded into
+    * lshTopK's default (band, bucket) keys (bits=32, bands=8 → r=4),
+    * candidate equi-join, then the shared exact rounded-cosine top-k.
+    * `j0` is the 0-based component index the Scala sign table uses;
+    * `generate_subscripts` is 1-based, hence the -1. */
+  private lazy val LshTopKOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+      |comps AS (
+      |  SELECT vec_id, i, generate_subscripts(v, 1) - 1 j0,
+      |    CAST(floor(unnest(v) * 1e12 + 0.5) AS BIGINT) q
+      |  FROM e, (SELECT unnest(range(0, 32)) i)),
+      |sigbits AS (
+      |  SELECT vec_id, i,
+      |    CASE WHEN SUM(CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' ||
+      |          CAST(j0 AS VARCHAR)), 1, 1)
+      |          IN ('1','3','5','7','9','b','d','f')
+      |        THEN q ELSE -q END) > 0
+      |      THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END b
+      |  FROM comps GROUP BY vec_id, i),
+      |sig AS (SELECT vec_id, CAST(SUM(b) AS BIGINT) sig FROM sigbits
+      |  GROUP BY vec_id),
+      |banded AS (
+      |  SELECT s.vec_id vid, bd.band, (s.sig >> (bd.band * 4)) & 15 bucket
+      |  FROM sig s, (SELECT unnest(range(0, 8)) band) bd),
+      |cand AS (
+      |  SELECT DISTINCT q.vid qid, c.vid nid
+      |  FROM banded q JOIN banded c
+      |    ON q.band = c.band AND q.bucket = c.bucket
+      |  WHERE q.vid < 5 AND c.vid <> q.vid),
+      |scored AS (
+      |  SELECT cand.qid, cand.nid,
+      |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) sim
+      |  FROM cand JOIN n a ON a.vec_id = cand.qid
+      |  JOIN n b ON b.vec_id = cand.nid),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+      |  FROM scored)
+      |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The IVF probe/rank tail over a trained codebook `cb3` — v17's
+    * tail verbatim (3 Lloyd steps end in cb3; final assignment and
+    * probes use the ROUNDED cosine like the seeded path). */
+  private val TrainedIvfTail: String = """,
+    |tcb AS (SELECT cid, cv, cn FROM cb3),
+    |casg AS (
+    |  SELECT n.vec_id vid, n.v, n.nrm, tcb.cid,
+    |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+    |      ROUND(list_dot_product(n.v, tcb.cv)
+    |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+    |  FROM n, tcb),
+    |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
+    |qasg AS (
+    |  SELECT n.vec_id qid, n.v qv, n.nrm qn, tcb.cid,
+    |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+    |      ROUND(list_dot_product(n.v, tcb.cv)
+    |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+    |  FROM n, tcb WHERE n.vec_id < 5),
+    |probes AS (SELECT qid, qv, qn, cid FROM qasg WHERE rnk <= 4),
+    |scored AS (
+    |  SELECT p.qid, b.vid nid,
+    |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
+    |  FROM bucketed b JOIN probes p USING (cid)
+    |  WHERE b.vid <> p.qid),
+    |ranked AS (
+    |  SELECT qid, nid, sim,
+    |    ROW_NUMBER() OVER (PARTITION BY qid
+    |      ORDER BY sim DESC, nid) rn
+    |  FROM scored)
+    |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+    |ORDER BY qid, rn""".stripMargin
+
+  /** `ivfTopK(trainIters = 3)` at its DEFAULTS (nlist=16, nprobe=4):
+    * the v07 `ivf_trained` arm. v17 gates the same path at nlist=10;
+    * the telemetry arm runs the default config, so its oracle trains
+    * k=16 on the full corpus and reuses the v17 probe tail. */
+  private lazy val IvfTrainedDefaultOracle: String =
+    kmeansCtes(k = 16, iters = 3) + TrainedIvfTail
+
+  /** `ivfPqTopK(trainIters = 3)` at its defaults: trained COARSE
+    * codebook (k=16, full corpus), seeded PQ sub-codebooks — v18's
+    * oracle shape with `trainPred = TRUE`; the v07 `ivfpq_trained`
+    * arm. */
+  private lazy val IvfPqCoarseTrainedOracle: String =
+    s"""${kmeansCtes(k = 16, iters = 3)},
+       |$PqAdcBody,
+       |tcb AS (SELECT cid, cv, cn FROM cb3),
+       |casg AS (
+       |  SELECT n.vec_id vid, tcb.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ROUND(list_dot_product(n.v, tcb.cv)
+       |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+       |  FROM n, tcb),
+       |bucketed AS (SELECT vid, cid FROM casg WHERE rnk = 1),
+       |qasg AS (
+       |  SELECT n.vec_id qid, tcb.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ROUND(list_dot_product(n.v, tcb.cv)
+       |        / (n.nrm * tcb.cn), 6) DESC, tcb.cid) rnk
+       |  FROM n, tcb WHERE n.vec_id < 5),
+       |probes AS (SELECT qid, cid FROM qasg WHERE rnk <= 4),
+       |scored AS (
+       |  SELECT a.qid, a.nid, a.score
+       |  FROM adc a
+       |  JOIN bucketed b ON b.vid = a.nid
+       |  JOIN probes p ON p.qid = a.qid AND p.cid = b.cid),
+       |ranked AS (
+       |  SELECT qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) rn
+       |  FROM scored)
+       |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
+  /** One arm of [[RecallReportOracle]]: the arm's full gate oracle as
+    * an independent nested-WITH subquery (no CTE-name collisions
+    * between arms), projected to its (method, qid, nid) hit set. */
+  private def armSq(method: String, sql: String): String = {
+    val body = sql.linesIterator.map("    " + _).mkString("\n")
+    s"""a_$method AS (
+       |  SELECT '$method' AS method, qid, nid FROM (
+       |$body
+       |  ) t_$method)""".stripMargin
+  }
+
+  /** The v07 oracle: every [[Similarity.recallReport]] arm recomputed
+    * as its own nested-WITH subquery — nine arms reuse the per-arm
+    * gate oracles VERBATIM (v04/v05/v08/v10/v11/v13/v19/v20 + brute
+    * v01 as the exact reference), the two trained-at-defaults arms get
+    * their own CTE chains above — then the same left-join recall
+    * arithmetic the Spark side runs: hits = |approx ∩ exact| per
+    * method, recall = hits / n_exact rounded to 4dp as a double. */
+  private lazy val RecallReportOracle: String = {
+    val arms = Seq(
+      "int8" -> Int8Oracle,
+      "ivf" -> IvfSeededOracle,
+      "ivf_trained" -> IvfTrainedDefaultOracle,
+      "ivfpq" -> IvfPqOracle,
+      "ivfpq_trained" -> IvfPqCoarseTrainedOracle,
+      "ivfpq_pqtrained" -> TrainedPqOracle,
+      "lsh" -> LshTopKOracle,
+      "pq" -> PqOracle,
+      "binary" -> BinaryOracle,
+      "binary_rerank" -> BinaryRerankOracle)
+    val exactBody = BruteOracle.linesIterator.map("    " + _).mkString("\n")
+    s"""WITH exact AS (
+       |  SELECT qid, nid FROM (
+       |$exactBody
+       |  ) t_exact),
+       |${arms.map { case (m, sql) => armSq(m, sql) }.mkString(",\n")},
+       |arms AS (
+       |  ${arms.map { case (m, _) => s"SELECT * FROM a_$m" }
+             .mkString("\n  UNION ALL ")}),
+       |joined AS (
+       |  SELECT m.method, e.qid, e.nid,
+       |    CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END hit
+       |  FROM (SELECT DISTINCT method FROM arms) m
+       |  CROSS JOIN exact e
+       |  LEFT JOIN arms a
+       |    ON a.method = m.method AND a.qid = e.qid AND a.nid = e.nid)
+       |SELECT method, 5 AS k,
+       |  COUNT(DISTINCT qid) AS n_queries,
+       |  COUNT(*) AS n_exact,
+       |  CAST(SUM(hit) AS BIGINT) AS hits,
+       |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+       |FROM joined GROUP BY method ORDER BY method""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("v01_cosine_topk",
       (s, dir) => {
@@ -170,19 +481,7 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
-             |pairs AS (
-             |  SELECT q.vec_id qid, c.vec_id nid,
-             |    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) sim
-             |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
-             |ranked AS (
-             |  SELECT qid, nid, sim,
-             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
-             |  FROM pairs)
-             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(BruteOracle)),
 
     Q("v02_label_centroids",
       (s, dir) => {
@@ -248,26 +547,7 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |m AS (SELECT vec_id, v,
-             |  list_max(list_transform(v, x -> abs(x))) mx FROM e),
-             |q AS (SELECT vec_id, list_transform(v,
-             |    x -> round(x * (CASE WHEN mx > 0 THEN 127.0 / mx
-             |                        ELSE 1.0 END))) qv
-             |  FROM m),
-             |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) qn
-             |  FROM q),
-             |pairs AS (
-             |  SELECT a.vec_id qid, c.vec_id nid,
-             |    ROUND(list_dot_product(a.qv, c.qv) / (a.qn * c.qn), 6) sim
-             |  FROM n a JOIN n c ON a.vec_id < 5 AND c.vec_id <> a.vec_id),
-             |ranked AS (
-             |  SELECT qid, nid, sim,
-             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
-             |  FROM pairs)
-             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(Int8Oracle)),
 
     // Matryoshka-style truncated search: rank on the first 16 of 64
     // dims (MRL embeddings put the most information in the prefix; for
@@ -309,41 +589,15 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
-             |cb AS (SELECT vec_id cid, v cv, nrm cn FROM n
-             |  ORDER BY vec_id LIMIT 16),
-             |casg AS (
-             |  SELECT n.vec_id vid, n.v, n.nrm, cb.cid,
-             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
-             |        DESC, cb.cid) rnk
-             |  FROM n, cb),
-             |bucketed AS (SELECT vid, v, nrm, cid FROM casg WHERE rnk = 1),
-             |qasg AS (
-             |  SELECT n.vec_id qid, n.v qv, n.nrm qn, cb.cid,
-             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-             |      ROUND(list_dot_product(n.v, cb.cv) / (n.nrm * cb.cn), 6)
-             |        DESC, cb.cid) rnk
-             |  FROM n, cb WHERE n.vec_id < 5),
-             |probes AS (SELECT qid, qv, qn, cid FROM qasg WHERE rnk <= 4),
-             |scored AS (
-             |  SELECT p.qid, b.vid nid,
-             |    ROUND(list_dot_product(p.qv, b.v) / (p.qn * b.nrm), 6) sim
-             |  FROM bucketed b JOIN probes p USING (cid)
-             |  WHERE b.vid <> p.qid),
-             |ranked AS (
-             |  SELECT qid, nid, sim,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY sim DESC, nid) rn
-             |  FROM scored)
-             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(IvfSeededOracle)),
 
-    // LSH-bucketed ANN (random hyperplanes): the train-free scale path —
-    // approximate by construction, so no SQL oracle; ScalaTest asserts
-    // recall vs v01 brute force.
+    // LSH-bucketed ANN (random hyperplanes): the train-free scale path.
+    // Approximate as a SEARCH strategy but every step is deterministic
+    // and cross-engine exact since HyperplaneSig moved to md5-derived
+    // signs over 12-dp integer-quantized components (the d25 move):
+    // the oracle replays signature → banding → candidate equi-join →
+    // exact rounded-cosine ranking bit-for-bit. ScalaTest additionally
+    // asserts recall ≥ 0.6 vs v01 brute force.
     Q("v05_ann_lsh",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -351,14 +605,17 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(LshTopKOracle)),
 
-    // ANN quality telemetry (Similarity.recallReport): recall@k of the
-    // IVF and LSH paths vs the exact brute-force ranking over the same
+    // ANN quality telemetry (Similarity.recallReport): recall@k of every
+    // approximate path vs the exact brute-force ranking over the same
     // queries — the nlist/nprobe/bands tuning surface, emitted per run
-    // as a first-class query artifact. Recall of an approximate index is
-    // engine-internal (no SQL oracle); AnnTelemetry tests pin the field
-    // set, run-to-run determinism, and the recall floors.
+    // as a first-class query artifact. Every arm is deterministic and
+    // SQL-expressible (the LSH arm since HyperplaneSig's md5 move), so
+    // the WHOLE report hash-compares: the oracle recomputes all ten
+    // arms' top-k sets and the recall arithmetic ([[RecallReportOracle]]).
+    // AnnTelemetry tests additionally pin the field set, run-to-run
+    // determinism, and the recall floors.
     Q("v07_ann_recall",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -366,7 +623,7 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("method"))
       },
-      None),
+      Some(RecallReportOracle)),
 
     // Product quantization (PQ/ADC): 4 subspaces × 16 codes, codebooks
     // seeded from the first 16 vectors — deterministic encode (rounded-
@@ -380,14 +637,7 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some(PqAdcCtes + """,
-             |ranked AS (
-             |  SELECT qid, nid, score,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY score DESC, nid) rn
-             |  FROM adc)
-             |SELECT qid, nid, score, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(PqOracle)),
 
     // 1-bit sign quantization + Hamming ranking (Similarity
     // .binarySignTopK) — the extreme quantization tier (64× cut): sign
@@ -400,22 +650,7 @@ object VectorQueries extends QueryPack {
             emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
-             |scored AS (
-             |  SELECT q.qid, c.vec_id nid,
-             |    len(list_filter(range(1, 65),
-             |      i -> (q.qv[CAST(i AS INT)] > 0.0)
-             |        <> (c.v[CAST(i AS INT)] > 0.0))) AS hamming
-             |  FROM q, e c WHERE c.vec_id <> q.qid),
-             |ranked AS (
-             |  SELECT qid, nid, CAST(hamming AS BIGINT) AS hamming,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY hamming, nid) rn
-             |  FROM scored)
-             |SELECT qid, nid, hamming, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(BinaryOracle)),
 
     // Two-stage retrieval (Similarity.rerankTopK): PQ ADC nominates 25
     // candidates per query, ONLY those fetch raw vectors for an exact
@@ -468,37 +703,7 @@ object VectorQueries extends QueryPack {
             k = 5, candidates = 25)
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm
-             |  FROM e),
-             |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
-             |scored AS (
-             |  SELECT q.qid, c.vec_id nid,
-             |    len(list_filter(range(1, 65),
-             |      i -> (q.qv[CAST(i AS INT)] > 0.0)
-             |        <> (c.v[CAST(i AS INT)] > 0.0))) AS hamming
-             |  FROM q, e c WHERE c.vec_id <> q.qid),
-             |cand AS (
-             |  SELECT qid, nid FROM (
-             |    SELECT qid, nid,
-             |      ROW_NUMBER() OVER (PARTITION BY qid
-             |        ORDER BY hamming, nid) crn
-             |    FROM scored) WHERE crn <= 25),
-             |rr AS (
-             |  SELECT c.qid, c.nid,
-             |    ROUND(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm), 6)
-             |      AS sim
-             |  FROM cand c
-             |  JOIN n nq ON nq.vec_id = c.qid
-             |  JOIN n nc ON nc.vec_id = c.nid),
-             |ranked AS (
-             |  SELECT qid, nid, sim,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY sim DESC, nid) rn
-             |  FROM rr)
-             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(BinaryRerankOracle)),
 
     // FILTERED ANN (Similarity.filteredIvfTopK) — vector search under a
     // per-query metadata predicate (corpus label = query label): the
