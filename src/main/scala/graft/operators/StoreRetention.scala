@@ -85,6 +85,19 @@ object StoreRetention {
         (t, v) => t("doc_b") === v("doc_id")))
   }
 
+  /** Remove documents from a [[PostingsStore]]: their postings and
+    * doc_lengths rows leave partition-scoped. Every df-dependent score
+    * SELF-HEALS: BM25's df, n_docs and avgdl are recomputed from the
+    * surviving postings/lengths at query time (nothing in the store
+    * caches a corpus statistic), so post-delete rankings equal a
+    * from-scratch build over corpus-minus-victims — the t28 gate pins
+    * that equality against the one-shot oracle. */
+  def deletePostings(spark: SparkSession, store: PostingsStore,
+      ids: DataFrame): Seq[DeleteStats] =
+    Seq(store.postingsRel, store.lengthsRel).map(rel =>
+      deleteRows(spark, rel, ids,
+        (t, v) => t("doc_id") === v("doc_id")))
+
   /** Remove vectors from a [[VectorIndex]]'s codes table. The frozen
     * codebook keeps its seed rows: PQ sub-codebooks and coarse
     * centroids are LEARNED STATISTICS over the corpus, not retrievable

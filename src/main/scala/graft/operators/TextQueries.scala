@@ -1111,6 +1111,33 @@ object TextQueries extends QueryPack {
       },
       Some(Bm25Oracle)),
 
+    // Postings-store TAKEDOWN ([[StoreRetention.deletePostings]]): the
+    // verb t26's lifecycle was missing. Build 80% + append the rest,
+    // then delete every doc_id ≡ 3 (mod 7) — victims land in BOTH batch
+    // partitions, so the rewrite path and the partition-scoping are
+    // both exercised. BM25's corpus statistics (df, n_docs, avgdl) are
+    // never cached in the store, so scores SELF-HEAL: the post-delete
+    // ranking must hash-match the one-shot oracle over
+    // corpus-minus-victims exactly (the d12 delete discipline), query
+    // terms re-derived from the SURVIVING postings.
+    Q("t28_bm25_deleted",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val store = PostingsStore("bm25_del")
+        val isBatch = col("doc_id") % 5 === 0
+        PostingsStore.build(s, docs.filter(!isBatch), "doc_id", "text",
+          store)
+        PostingsStore.append(s, docs.filter(isBatch), "doc_id", "text",
+          store, "b1")
+        StoreRetention.deletePostings(s, store,
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+        PostingsStore.selfTopK(s, store, k = 5)
+          .orderBy(col("token"), col("rk"))
+      },
+      Some(Bm25Oracle.replace(
+        "WHERE length(trim(text)) > 0",
+        "WHERE length(trim(text)) > 0 AND doc_id % 7 <> 3"))),
+
     // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): the
     // corpus splits into head/middle/tail THIRDS by per-doc mean
     // unigram surprisal — the corpus-RELATIVE quality tiers CCNet
