@@ -1035,7 +1035,12 @@ object DedupQueries extends QueryPack {
     Q("d30_incremental_block_dedup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val cut = 299L
+        // Corpus-derived cut (≈ 3/5 of the id range), so the append leg
+        // is non-empty at EVERY scale factor — a hardcoded cut above
+        // the corpus max would silently degenerate this gate to
+        // re-testing the one-shot build.
+        val top = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val cut = top * 3 / 5
         val store = BlockStore("block_store_gate")
         BlockStore.build(s, docs.filter(col("doc_id") <= cut),
           "doc_id", "text", 16, store)
@@ -1046,7 +1051,61 @@ object DedupQueries extends QueryPack {
             col("kept_blocks"), col("text_deduped"))
           .orderBy(col("doc_id"))
       },
-      Some(BlockDedupOracle))
+      Some(BlockDedupOracle)),
+
+    // Block-store COMPACTION: d30's lifecycle with a third batch, then
+    // the closed base/b1 partitions of all three tables fold into
+    // `compacted` ([[BlockStore.compact]]). Compaction is pure storage
+    // reorganization — the shared d29 oracle must not see it.
+    Q("d31_block_store_compacted",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val top = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (c1, c2) = (top * 3 / 5, top * 4 / 5)
+        val store = BlockStore("block_store_cpt")
+        BlockStore.build(s, docs.filter(col("doc_id") <= c1),
+          "doc_id", "text", 16, store)
+        BlockStore.append(s,
+          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+          "doc_id", "text", 16, store, "b1")
+        BlockStore.append(s, docs.filter(col("doc_id") > c2),
+          "doc_id", "text", 16, store, "b2")
+        BlockStore.compact(s, store, keep = Set("b2"))
+        BlockStore.deduped(s, store)
+          .select(col("id").as("doc_id"), col("n_blocks"),
+            col("kept_blocks"), col("text_deduped"))
+          .orderBy(col("doc_id"))
+      },
+      Some(BlockDedupOracle)),
+
+    // Block-store TAKEDOWN with resurrection ([[BlockStore.delete]] —
+    // the d22 occurrence design at block granularity): victims' rows
+    // leave partition-scoped, and a block whose canonical first
+    // occurrence lived in a victim RESURRECTS at its next surviving
+    // owner — that owner's row is repaired from the persisted
+    // occurrence rows (kept flags from the surviving-keeper aggregate,
+    // text from the stored blocks; no corpus re-read). The store must
+    // equal d29's one-shot pass over a corpus that never contained the
+    // victims.
+    Q("d32_block_takedown",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val top = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val cut = top * 3 / 5
+        val store = BlockStore("block_takedown")
+        BlockStore.build(s, docs.filter(col("doc_id") <= cut),
+          "doc_id", "text", 16, store)
+        BlockStore.append(s, docs.filter(col("doc_id") > cut),
+          "doc_id", "text", 16, store, "b1")
+        BlockStore.delete(s, store,
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+        BlockStore.deduped(s, store)
+          .select(col("id").as("doc_id"), col("n_blocks"),
+            col("kept_blocks"), col("text_deduped"))
+          .orderBy(col("doc_id"))
+      },
+      Some(BlockDedupOracle.replace("FROM documents",
+        "FROM documents WHERE doc_id % 7 <> 3")))
   )
 
   /** d29's one-shot oracle, shared verbatim by d30 and st16 (the

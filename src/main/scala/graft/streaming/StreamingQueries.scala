@@ -712,7 +712,10 @@ object StreamingQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-        val cut = 299L
+        // Corpus-derived cut (the d30 fix): a hardcoded id above the
+        // corpus max would leave the streamed leg EMPTY and silently
+        // degenerate this gate to re-testing the one-shot build.
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
         val store = graft.operators.BlockStore("stream_block_gate")
         graft.operators.BlockStore.build(s,
           docs.filter(col("doc_id") <= cut), "doc_id", "text", 16,

@@ -71,6 +71,73 @@ class BlockDedupSpec extends SparkSuite {
       s"total weight $total must equal the distinct-text count 2")
   }
 
+  test("BlockStore.delete: a block canonically owned by the victim " +
+      "resurrects at its next owner; orphaned fps leave so re-arriving " +
+      "content is novel again; the delete is idempotent") {
+    val store = BlockStore("block_del_spec")
+    // blockWords = 2. Doc 1 owns "a b" and "c d"; docs 2 and 3 repeat
+    // "a b"; doc 1 alone holds "c d" (orphan-on-delete); doc 2 also
+    // has novel "e f".
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b")).toDF("doc_id", "text")
+    BlockStore.build(spark, docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", 2, store)
+    BlockStore.append(spark, docs.filter(col("doc_id") > 2),
+      "doc_id", "text", 2, store, "b1")
+    BlockStore.delete(spark, store,
+      Seq(1L).toDF("doc_id"))
+    def state() = BlockStore.deduped(spark, store).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = state()
+    assert(got.keySet == Set(2L, 3L), "victim row must leave")
+    assert(got(2L) == ((2L, 2L, "a b e f")),
+      s"'a b' must resurrect at doc 2, its next owner: ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, "")),
+      "doc 3 stays excised — doc 2 now owns 'a b'")
+    // Orphaned fp ("c d") left the introduced set: a re-submission is
+    // novel again and keeps its block.
+    BlockStore.append(spark, Seq((4L, "c d")).toDF("doc_id", "text"),
+      "doc_id", "text", 2, store, "b2")
+    assert(state()(4L) == ((1L, 1L, "c d")),
+      "re-arriving orphaned block must be novel again")
+    // Idempotent: replaying the takedown changes nothing.
+    val before = state()
+    BlockStore.delete(spark, store, Seq(1L).toDF("doc_id"))
+    assert(state() == before, "delete replay must be a no-op")
+    BlockStore.reset(spark, store)
+  }
+
+  test("BlockStore.delete: equals a from-scratch build over a corpus " +
+      "that never held the victims (planted multi-batch resurrection)") {
+    val store = BlockStore("block_del_spec2")
+    val docs = Seq(
+      (1L, "k l m n"),      // owns "k l", "m n"
+      (2L, "k l p q"),      // repeats "k l"
+      (3L, "m n p q"),      // repeats both survivors' blocks
+      (4L, "k l m n p q")). // repeats everything
+      toDF("doc_id", "text")
+    BlockStore.build(spark, docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", 2, store)
+    BlockStore.append(spark, docs.filter(col("doc_id") > 2),
+      "doc_id", "text", 2, store, "b1")
+    BlockStore.delete(spark, store, Seq(1L, 2L).toDF("doc_id"))
+    val got = BlockStore.deduped(spark, store)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val oneShot = Dedup.blockDedup(docs.filter(col("doc_id") > 2),
+        "doc_id", "text", 2)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.toSeq == oneShot.toSeq,
+      s"post-delete store ${got.toSeq} != one-shot ${oneShot.toSeq}")
+    BlockStore.reset(spark, store)
+  }
+
   test("softWeights: NULL text weights into the empty-text cluster " +
       "instead of vanishing through the NULL join key") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),
