@@ -303,6 +303,38 @@ object GraphQueries extends QueryPack {
       },
       Some(G06Oracle)),
 
+    // Link-graph TAKEDOWN with rank repair ([[LinkGraphStore
+    // .deleteAndRank]]): g06's lifecycle, then hosts ≡ 3 (mod 7) are
+    // removed — their edges in both directions and their checkpoint
+    // rows leave partition-scoped — and the ranking re-converges over
+    // the surviving graph, warm-started from the b1 checkpoint's
+    // surviving slice (the contraction argument that justifies the
+    // warm append justifies the warm removal). Oracle = the FULL
+    // build → append → delete chain unrolled: rounds 1–3 base, 4–6
+    // union, then 7–9 over the victim-filtered graph from the
+    // filtered r6 — the repaired ranks must hash-match to the bit.
+    Q("g10_pagerank_takedown",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        def linkEdges(pred: org.apache.spark.sql.Column) =
+          syntheticEdges(docs.filter(pred), n)
+        val store = LinkGraphStore("linkgraph_takedown")
+        LinkGraphStore.build(s, docs,
+          linkEdges(col("id") % 5 =!= 0), iters = 3, store)
+        LinkGraphStore.appendAndRank(s, docs,
+          linkEdges(col("id") % 5 === 0), iters = 3, store, "b1")
+        LinkGraphStore.deleteAndRank(s,
+          docs.filter(col("id") % 7 =!= 3),
+          docs.filter(col("id") % 7 === 3),
+          iters = 3, store, "t1", fromBatch = "b1")
+        LinkGraphStore.ranks(s, store, "t1")
+          .select(col("id").as("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(G10Oracle)),
+
     // Connected components ([[Graph.connectedComponents]]) — d05's
     // min-label propagation generalized to an arbitrary link graph.
     // The gate graph is block-STARS (docs link to their 16-block head
@@ -505,19 +537,26 @@ object GraphQueries extends QueryPack {
     * 1–3 run over the base partition, 4–6 over the full union, exactly
     * as the warm-started store run does. */
   private def prRound(i: Int, e: String, od: String): String =
+    prRoundOver(i, e, od, "d", "nn", s"r${i - 1}")
+
+  /** [[prRound]] with the node universe AND the previous vector as
+    * parameters — the g10 takedown rounds run over the SURVIVING node
+    * set from a filtered checkpoint, not the build-time universe. */
+  private def prRoundOver(i: Int, e: String, od: String, d: String,
+      nn: String, prev: String): String =
     s"""m$i AS (SELECT COALESCE(SUM(CAST(r AS DECIMAL(28,12))), 0) m
-       |  FROM r${i - 1} WHERE id NOT IN (SELECT src FROM $e)),
+       |  FROM $prev WHERE id NOT IN (SELECT src FROM $e)),
        |c$i AS (
        |  SELECT e.dst, CAST(ROUND(rp.r / od.outdeg, 12)
        |    AS DECIMAL(28,12)) c
-       |  FROM $e e JOIN r${i - 1} rp ON e.src = rp.id
+       |  FROM $e e JOIN $prev rp ON e.src = rp.id
        |  JOIN $od od USING (src)),
        |s$i AS (SELECT dst, SUM(c) s FROM c$i GROUP BY 1),
        |r$i AS (
        |  SELECT dn.doc_id id, ROUND(0.15 / dn.n + 0.85 *
        |    (COALESCE(CAST(s$i.s AS DOUBLE), 0.0) +
        |     ROUND(CAST(m$i.m AS DOUBLE) / dn.n, 12)), 12) r
-       |  FROM (SELECT doc_id, n FROM d, nn) dn
+       |  FROM (SELECT doc_id, n FROM $d, $nn) dn
        |  LEFT JOIN s$i ON dn.doc_id = s$i.dst, m$i)""".stripMargin
 
   private val G06Oracle: String = {
@@ -544,6 +583,45 @@ object GraphQueries extends QueryPack {
        |${(baseRounds ++ fullRounds).mkString(",\n")}
        |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
        |FROM r6 ORDER BY doc_id""".stripMargin
+  }
+
+  /** The g10 oracle: the g06 replay (rounds 1–6) extended with the
+    * takedown — survivors' node universe `d_s`/`nn_s`, the
+    * victim-filtered edge set, and rounds 7–9 warm-started from r6
+    * restricted to the survivors, exactly the chain the store runs. */
+  private lazy val G10Oracle: String = {
+    val baseRounds = (1 to 3).map(prRound(_, "e_base", "od_base"))
+    val fullRounds = (4 to 6).map(prRound(_, "e_all", "od_all"))
+    val delRounds = (7 to 9).map(i => prRoundOver(i, "e_del", "od_del",
+      "d_s", "nn_s", if (i == 7) "r6s" else s"r${i - 1}"))
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |e_base AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j
+       |    WHERE doc_id % 5 <> 0)
+       |  WHERE dst <> src),
+       |e_all AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+       |  WHERE dst <> src),
+       |d_s AS (SELECT doc_id FROM d WHERE doc_id % 7 <> 3),
+       |nn_s AS (SELECT COUNT(*) n FROM d_s),
+       |e_del AS (SELECT src, dst FROM e_all
+       |  WHERE src % 7 <> 3 AND dst % 7 <> 3),
+       |od_base AS (SELECT src, COUNT(*) outdeg FROM e_base GROUP BY 1),
+       |od_all AS (SELECT src, COUNT(*) outdeg FROM e_all GROUP BY 1),
+       |od_del AS (SELECT src, COUNT(*) outdeg FROM e_del GROUP BY 1),
+       |r0 AS (SELECT doc_id id, ROUND(1.0 / nn.n, 12) r FROM d, nn),
+       |${(baseRounds ++ fullRounds).mkString(",\n")},
+       |r6s AS (SELECT id, r FROM r6 WHERE id % 7 <> 3),
+       |${delRounds.mkString(",\n")}
+       |SELECT id AS doc_id, ROUND(r, 6) AS pagerank
+       |FROM r9 ORDER BY doc_id""".stripMargin
   }
 
   /** The synthetic 3-outlink edge CTE restricted to `pred` — shared by

@@ -83,6 +83,42 @@ object LinkGraphStore {
         .select(col("src"), col("dst")), start, iters))
   }
 
+  /** Host TAKEDOWN with rank repair: remove `victims` (one `id`
+    * column) — their edges in BOTH directions and their rows in every
+    * rank checkpoint leave partition-scoped ([[StoreRetention]]) —
+    * then re-converge `iters` rounds over the surviving graph,
+    * warm-started from the `fromBatch` checkpoint's SURVIVING slice
+    * (the victims' rank rows are gone by the time the lazy start frame
+    * executes, so the start vector is exactly the old fixed point
+    * restricted to survivors). The teleport contraction argument that
+    * justifies g06's warm append applies unchanged to removal: any
+    * start vector converges, and the old fixed point minus a small
+    * victim set is already close — re-convergence is cheaper than a
+    * cold recompute. `nodes` is the SURVIVING vertex set (a takedown
+    * shrinks the fixed host enumeration); the g10 oracle replays the
+    * whole build → append → delete chain unrolled, so the repaired
+    * ranks hash-match to the bit. Idempotent: a replay deletes nothing
+    * and re-runs the same contraction from the same checkpoint. */
+  def deleteAndRank(spark: SparkSession, nodes: DataFrame,
+      victims: DataFrame, iters: Int, store: LinkGraphStore,
+      batchId: String, fromBatch: String)
+      : Seq[StoreRetention.DeleteStats] = {
+    val stats = Seq(
+      StoreRetention.deleteRows(spark, store.edgesRel, victims,
+        (t, v) => t("src") === v("id")),
+      StoreRetention.deleteRows(spark, store.edgesRel, victims,
+        (t, v) => t("dst") === v("id")),
+      StoreRetention.deleteRows(spark, store.ranksRel, victims,
+        (t, v) => t("id") === v("id")))
+    val start = spark.table(store.ranksRel)
+      .filter(col("batch_id") === fromBatch)
+      .select(col("id"), col("r"))
+    checkpoint(spark, store, batchId,
+      Graph.pageRankFrom(nodes, spark.table(store.edgesRel)
+        .select(col("src"), col("dst")), start, iters))
+    stats
+  }
+
   /** The checkpointed ranking at `batchId`, at the 6dp output
     * contract. */
   def ranks(spark: SparkSession, store: LinkGraphStore,
