@@ -229,6 +229,104 @@ class StreamCrashReplaySpec extends SparkSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("span-store ingest: crash between gram write and offset " +
+      "commit, replay converges to the one-shot span dedup (st11's " +
+      "path)") {
+    import spark.implicits._
+    import graft.operators.{Dedup, SpanStore}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+    def freshStore(name: String): SpanStore = {
+      val store = SpanStore(name)
+      SpanStore.build(spark, docs.filter(col("doc_id") <= cut),
+        "doc_id", "text", k = 5, store)
+      store
+    }
+    val store = freshStore("crash_span")
+    val arriving = docs.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    @volatile var crashed = false
+    val restarts = streamWithCrashes(arriving, chunks = 2, (b, id) => {
+      SpanStore.appendBatch(spark, b, "doc_id", "text", k = 5, store,
+        s"s$id")
+      // appendBatch lands the gram partition eagerly; the returned
+      // rewrite frame is this micro-batch's OUTPUT, not store state —
+      // the seam under test is the persisted occurrence rows.
+      if (id == 1L && !crashed) {
+        crashed = true
+        throw new RuntimeException(
+          "injected: crash after gram write, before offset commit")
+      }
+    })
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    // The store must hold exactly the full corpus's occurrences: the
+    // store-derived rewrite of the whole corpus equals the one-shot
+    // span dedup. A replay that paired the batch against its own
+    // half-written partition would double-mark its first occurrences.
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val replayed = rows(SpanStore.rewriteFrom(spark, docs, "doc_id",
+      "text", k = 5, store))
+    assert(replayed.nonEmpty)
+    val oneShot = rows(Dedup.spanDedup(docs, "doc_id", "text", k = 5))
+    assert(replayed == oneShot,
+      "replayed span-store state diverged from the one-shot dedup")
+    SpanStore.reset(spark, store)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("semantic-store ingest: crash between verdict write and offset " +
+      "commit, replay converges to the batch append (st14's path)") {
+    import spark.implicits._
+    import graft.operators.SemanticStore
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+    def freshStore(name: String): SemanticStore = {
+      val store = SemanticStore(name)
+      SemanticStore.build(spark, emb.filter(col("vec_id") <= cut),
+        "vec_id", "embedding", k = 10, iters = 3, threshold = 0.45,
+        store)
+      store
+    }
+    val store = freshStore("crash_sem")
+    val arriving = emb.filter(col("vec_id") > cut)
+      .select(col("vec_id"), col("embedding")).as[EmbRow].collect()
+      .sortBy(_.vec_id).toSeq
+
+    @volatile var crashed = false
+    val restarts = streamWithCrashes(arriving, chunks = 2, (b, id) => {
+      SemanticStore.append(spark, b, "vec_id", "embedding", store,
+        s"s$id")
+      // The seam: the verdict partition is written, the offset is not —
+      // the replay must not pair the batch with its own half-written
+      // rows (the verdicts() batch-partition exclusion).
+      if (id == 1L && !crashed) {
+        crashed = true
+        throw new RuntimeException(
+          "injected: crash after verdict write, before offset commit")
+      }
+    })
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = freshStore("crash_sem_ref")
+    SemanticStore.append(spark, emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", ref, "b1")
+    def keepsOf(s: SemanticStore) =
+      SemanticStore.keeps(spark, s, "vec_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    val replayed = keepsOf(store)
+    assert(replayed.nonEmpty)
+    assert(replayed == keepsOf(ref),
+      "replayed semantic verdicts diverged from the clean append")
+    SemanticStore.reset(spark, store)
+    SemanticStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
+
   test("link-graph ingest: crash between rank checkpoint and offset " +
       "commit, replay converges to the batch append (st15's path)") {
     import spark.implicits._
