@@ -918,11 +918,17 @@ object CorpusPipeline {
     StoreRetention.deleteRows(spark, st.base.metaRel, family,
       (t, v) => t("doc_id") === v("doc_id"))
     // Repaired stage-3 survivors, from state alone (fingerprints, the
-    // pair graph, the persisted contaminated flags — never text).
+    // pair graph, the persisted contaminated flags — never text). The
+    // keeper is a min-aggregate + semi-join back on doc_id, not a
+    // per-fingerprint window (the exactMarked scale rule: a mega-dup
+    // cluster must not land in one sort task); joining on the unique
+    // doc_id side-steps the NULL-fingerprint join-key hazard entirely.
     val meta2 = spark.table(st.base.metaRel)
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val kept = meta2.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val keeper2 = meta2.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+      .select(col("__keep_id"))
+    val kept = meta2.join(keeper2,
+        meta2("doc_id") === col("__keep_id"), "left_semi")
       .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"),
         col("contaminated"))
     val surv3 = Caches.persist(kept.join(

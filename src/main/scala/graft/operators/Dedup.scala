@@ -32,13 +32,27 @@ import graft.functions.{Hashing, TextFunctions}
   */
 object Dedup {
 
-  /** Exact dedup on the whitespace-normalized fingerprint: every row keyed,
-    * first id per fingerprint kept. */
+  /** Exact dedup on the whitespace-normalized fingerprint: every row
+    * keyed, first id per fingerprint kept. The keeper is a
+    * min-aggregate + equi-join back (the d29 markCanonical shape), NOT
+    * a per-fingerprint window: a window puts each cluster in ONE sort
+    * task, and the mega-clusters a real corpus carries (empty docs,
+    * boilerplate pages — millions of rows under one fingerprint at
+    * 100 TB) would serialize on it. The aggregate is map-side
+    * combinable (state = distinct-text count) and the join is skew-
+    * safe under AQE; only id + 16-byte fingerprint ever shuffle. */
   def exactMarked(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    docs.select(col(idCol),
-        TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
-      .withColumn("kept", row_number().over(w) === 1)
+    val fp = docs.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    val keeper = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .withColumnRenamed("fingerprint", "__keep_fp")
+    // Null-safe key: md5(NULL) is NULL (NULL-text docs), and a plain
+    // equi-join would silently drop that cluster — the softWeights
+    // lesson; <=> still plans as a hash join.
+    fp.join(keeper, col("fingerprint") <=> col("__keep_fp"))
+      .select(col(idCol), col("fingerprint"),
+        (col(idCol) === col("__keep_id")).as("kept"))
   }
 
   /** Soft dedup: instead of DROPPING duplicates, DOWNWEIGHT them — each

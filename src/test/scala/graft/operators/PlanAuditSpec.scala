@@ -148,12 +148,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), "packing must not use a window")
   }
 
+  test("exact dedup's canonical keep is a hash aggregate + join back, " +
+      "never a per-fingerprint window") {
+    // A Window.partitionBy(fingerprint) lands each dup cluster in ONE
+    // sort task — at 100 TB the mega-clusters (empty docs, boilerplate
+    // pages) serialize on it. The keeper must be the d29 min-aggregate
+    // shape: map-side combinable, AQE-skew-safe.
+    val p = plan("d01_exact_dedup")
+    assert(!p.contains("Window"),
+      s"exactMarked fell back to a window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"exactMarked keeper must be a hash aggregate:\n$p")
+  }
+
   test("composed pipeline keeps every join an equi-join") {
     // Five stages fused into one plan: the near-dup candidate stage must
     // stay a (band,bucket) equi-join — any all-pairs degradation shows
-    // up here as a cartesian/nested-loop. (The exact-dedup stage's
-    // KEYED window — partitioned by fingerprint — is fine; the
-    // global-window packing defect is pinned at t11 on the operator.)
+    // up here as a cartesian/nested-loop.
     val p = plan("p01_corpus_pipeline")
     assert(!p.contains("CartesianProduct"),
       "pipeline plan degraded to a cartesian join")
