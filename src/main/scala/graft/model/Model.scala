@@ -383,7 +383,18 @@ final case class Project(
     /** MetricFlow saved queries (see [[SavedQuery]]) — validated here
       * so an off-governance bundle is a PROJECT error, before any
       * export could schedule it. */
-    savedQueries: Seq[SavedQuery] = Nil) {
+    savedQueries: Seq[SavedQuery] = Nil,
+    /** dbt `on-run-start` — invocation-level SQL run ONCE before any
+      * node of a `run` (audit bookkeeping, setup DDL). Statements run
+      * in order through the same `ref`/`source`/`var` rendering as
+      * model hooks (no `{{ this }}` — there is no node); a failure
+      * aborts the invocation before any node builds. */
+    onRunStart: Seq[String] = Nil,
+    /** dbt `on-run-end` — the closing pair: runs ONCE after every
+      * selected node has finished, INCLUDING when nodes failed (the
+      * audit row must record the failed invocation too); a hook
+      * failure fails the invocation. */
+    onRunEnd: Seq[String] = Nil) {
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
   require(metrics.map(_.name).distinct.size == metrics.size,

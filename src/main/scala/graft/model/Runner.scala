@@ -1362,6 +1362,10 @@ final class Runner(
     registerSources(spark)
     val selected = Dag.resolve(select, exclude, deps, selectionAtom(state))
     manifestPath.foreach(writeManifest)
+    // dbt on-run-start: once per invocation, BEFORE any node — a
+    // failing start hook aborts the run with nothing built (it throws
+    // here, before the node loop).
+    runProjectHooks(spark, project.onRunStart)
     // Ephemeral nodes are never executed (dbt: they compile into their
     // consumers); they still participate in the DAG for selection.
     val chosen = (n: String) => selected(n) && !isEphemeral(n)
@@ -1370,12 +1374,28 @@ final class Runner(
       if (threads <= 1) runSerial(spark, ordered, chosen, fullRefresh,
         failFast)
       else runParallel(spark, ordered, threads, fullRefresh, failFast)
+    // dbt on-run-end: once per invocation, AFTER the node loop — node
+    // failures do NOT skip it (the audit row must record failed runs
+    // too); the node-error throw below still fails the invocation.
+    runProjectHooks(spark, project.onRunEnd)
     runResultsPath.foreach(p => writeRunResults(p, results))
     results.find(_.status == "error").foreach { r =>
       throw new RuntimeException(
         s"model ${r.name} failed: ${r.error.getOrElse("")}")
     }
     results
+  }
+
+  /** dbt project hooks (`on-run-start` / `on-run-end`): invocation-
+    * level statements, rendered through the same `ref`/`source`/`var`
+    * substitution as model hooks but with no `{{ this }}` (there is no
+    * node). A failure propagates — dbt fails the invocation. */
+  private def runProjectHooks(spark: SparkSession,
+      hooks: Seq[String]): Unit = hooks.foreach { h =>
+    spark.sql(Renderer.render(h,
+      ref = r => relationOf(byName(r)),
+      source = (a, b) => sourceRelation(a, b),
+      vars = effectiveVars))
   }
 
   /** dbt `clone`: re-point this target's relations at `from`'s committed

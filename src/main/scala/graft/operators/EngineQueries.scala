@@ -945,6 +945,57 @@ object EngineQueries extends QueryPack {
              |FROM (VALUES ('post'), ('pre')) AS t(phase)
              |ORDER BY phase""".stripMargin)),
 
+    // dbt PROJECT-level hooks (`on-run-start` / `on-run-end`) — the
+    // invocation-level pair next to m13's node-level hooks: start
+    // hooks run once BEFORE any node, end hooks once after ALL nodes.
+    // Ordering is pinned three ways: each later hook records the audit
+    // row count it could see (0,1,2,3 — intra-list order), a model
+    // built mid-run snapshots the audit table (start rows visible,
+    // end rows not — start → nodes → end), and end2 renders a
+    // {{ var }} (invocation-level substitution shares the model-hook
+    // renderer). Failure semantics are spec-pinned in RunnerSpec.
+    Q("m23_run_hooks",
+      (spark, dir) => {
+        spark.sql("CREATE DATABASE IF NOT EXISTS hooks")
+        spark.sql("DROP TABLE IF EXISTS hooks.run_audit")
+        val auditLoc = java.nio.file.Files
+          .createTempDirectory("graft_run_audit").toString
+        spark.sql("CREATE TABLE hooks.run_audit " +
+          "(phase STRING, seen BIGINT) USING parquet " +
+          s"LOCATION '$auditLoc'")
+        val snap = SqlModel("audit_snapshot",
+          "SELECT phase FROM hooks.run_audit",
+          Materialization.Table)
+        val r = new Runner(
+          Project(TpchProject.sources(dir), Seq(snap),
+            onRunStart = Seq(
+              "INSERT INTO hooks.run_audit VALUES ('start1', 0)",
+              "INSERT INTO hooks.run_audit SELECT 'start2', COUNT(*) " +
+                "FROM hooks.run_audit"),
+            onRunEnd = Seq(
+              "INSERT INTO hooks.run_audit SELECT 'end1', COUNT(*) " +
+                "FROM hooks.run_audit",
+              "INSERT INTO hooks.run_audit SELECT '{{ var('tag') }}'," +
+                " COUNT(*) FROM hooks.run_audit")),
+          Target("dev", "hooksdev"), new CatalogMaterializer,
+          vars = Map("tag" -> "end2"))
+        r.run(spark, select = Some("audit_snapshot"))
+        val mid = r.table(spark, "audit_snapshot")
+          .select(col("phase")).withColumn("mid", lit(true))
+        spark.table("hooks.run_audit")
+          .join(mid, Seq("phase"), "left")
+          .select(col("phase"), col("seen"),
+            coalesce(col("mid"), lit(false)).as("mid_run_visible"))
+          .orderBy(col("phase"))
+      },
+      Some("""SELECT phase, CAST(seen AS BIGINT) AS seen,
+             |  mid_run_visible
+             |FROM (VALUES
+             |  ('start1', 0, true), ('start2', 1, true),
+             |  ('end1', 2, false), ('end2', 3, false))
+             |  t(phase, seen, mid_run_visible)
+             |ORDER BY phase""".stripMargin)),
+
     // ---- Unit-test surface (dbt 1.8): model LOGIC tested against
     // inline fixtures — one test whose expectation matches the CASE
     // logic (must pass) and one with a wrong expectation (must fail),

@@ -474,4 +474,57 @@ class RunnerSpec extends SparkSuite {
     val e = intercept[RuntimeException](runner.run(spark))
     assert(e.getMessage.contains("boom"))
   }
+
+  test("a failing on-run-start hook aborts the invocation before any " +
+      "node builds; on-run-end still runs after a node failure") {
+    def freshAudit(): Unit = {
+      spark.sql("CREATE DATABASE IF NOT EXISTS hooks")
+      spark.sql("DROP TABLE IF EXISTS hooks.spec_audit")
+      val loc = Files.createTempDirectory("graft_spec_audit").toString
+      spark.sql("CREATE TABLE hooks.spec_audit (phase STRING) " +
+        s"USING parquet LOCATION '$loc'")
+    }
+    val mart = SqlModel("hooked_ok",
+      "SELECT * FROM {{ source('tpch','nation') }}",
+      Materialization.Table)
+
+    // 1. on-run-start failure: nothing builds, no end hook runs.
+    freshAudit()
+    val startBoom = new Runner(
+      Project(TpchProject.sources(dir), Seq(mart),
+        onRunStart = Seq("SELECT no_such_col FROM hooks.spec_audit"),
+        onRunEnd = Seq("INSERT INTO hooks.spec_audit VALUES ('end')")),
+      Target("dev", "hookspec"), new PathMaterializer(
+        "/tmp/graft-test/hookspec"))
+    intercept[Exception](startBoom.run(spark))
+    assert(spark.table("hooks.spec_audit").count() == 0,
+      "no hook row may land when on-run-start fails")
+    assert(!Files.exists(Paths.get("/tmp/graft-test/hookspec/hooked_ok")),
+      "no node may build when on-run-start fails")
+
+    // 2. node failure: on-run-end runs anyway, then the run fails.
+    freshAudit()
+    val nodeBoom = new Runner(
+      Project(TpchProject.sources(dir),
+        Seq(SqlModel("boom2",
+          "SELECT no_such_col FROM {{ source('tpch','nation') }}",
+          Materialization.Table)),
+        onRunEnd = Seq("INSERT INTO hooks.spec_audit VALUES ('end')")),
+      Target("dev", "hookspec"), new PathMaterializer(
+        "/tmp/graft-test/hookspec"))
+    val e2 = intercept[RuntimeException](nodeBoom.run(spark))
+    assert(e2.getMessage.contains("boom2"))
+    assert(spark.table("hooks.spec_audit").count() == 1,
+      "on-run-end must run even when a node failed")
+
+    // 3. a failing on-run-end fails the invocation.
+    freshAudit()
+    val endBoom = new Runner(
+      Project(TpchProject.sources(dir), Seq(mart),
+        onRunEnd = Seq("SELECT no_such_col FROM hooks.spec_audit")),
+      Target("dev", "hookspec"), new PathMaterializer(
+        "/tmp/graft-test/hookspec"))
+    intercept[Exception](endBoom.run(spark))
+    spark.sql("DROP TABLE IF EXISTS hooks.spec_audit")
+  }
 }
