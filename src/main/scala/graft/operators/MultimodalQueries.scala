@@ -416,8 +416,11 @@ object MultimodalQueries extends QueryPack {
           .select(col("doc_id"), col("n_out"),
             when(col("n_out") > 0,
               array_join(transform(sequence(lit(0), col("n_out") - 1),
-                j => floor((sample(j * 4) + sample(j * 4 + 2))
-                  .cast("double") / 2.0).cast("long").cast("string")),
+                // Integer floor-div-2 as a right shift (the sum of two
+                // 16-bit samples is nonnegative) — genuinely no float
+                // path, matching the oracle's BIGINT `// 2`.
+                j => shiftright(sample(j * 4) + sample(j * 4 + 2), 1)
+                  .cast("string")),
                 "|"))
               .otherwise(lit(""))
               .as("resampled"))

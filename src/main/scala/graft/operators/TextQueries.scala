@@ -1167,11 +1167,16 @@ object TextQueries extends QueryPack {
           .agg(count(lit(1)).as("n_tokens"),
             round(sum(col("s")).cast("double") / count(lit(1)), 6)
               .as("surprisal"))
-        val full = docs.select(col("doc_id")).distinct()
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-            coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+        // Persisted: the count() below and keyedCumSum's range
+        // partitioning BOTH execute this plan — unpersisted, the whole
+        // tokenize/tf-join/surprisal pipeline ran twice (the d25
+        // redundant-work lesson, flagged by the r15 review).
+        val full = graft.core.Caches.persist(
+          docs.select(col("doc_id")).distinct()
+            .join(perDoc, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+              coalesce(col("surprisal"), lit(0.0)).as("surprisal")))
         // Bounded driver scalar: the doc count (the oracle's COUNT(*)
         // scalar subquery).
         val nDocs = full.count()
