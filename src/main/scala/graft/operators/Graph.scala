@@ -55,12 +55,26 @@ object Graph {
     * converges, and a start near the old fixed point is already near
     * the new one when the append is a small fraction of the graph. */
   def pageRankFrom(nodes: DataFrame, edges: DataFrame,
+      start: DataFrame, iters: Int): DataFrame =
+    // Parallel edges fold into a weight up front: w identical rounded
+    // contributions sum to exactly w × the value (decimal × integer is
+    // exact), so the weighted loop is bit-identical to the per-row
+    // formulation — and (src, dst)-unique rows are what the persisted
+    // edge store needs for replay-safe compaction (g11).
+    pageRankWeighted(nodes,
+      edges.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w")), start, iters)
+
+  /** [[pageRankFrom]] over WEIGHTED edges (src, dst, w) — w parallel
+    * links between the same pair: out-degree is Σw and each edge row
+    * contributes w·round(r/outdeg, 12), summed as exact decimals. */
+  def pageRankWeighted(nodes: DataFrame, edges: DataFrame,
       start: DataFrame, iters: Int): DataFrame = {
     // Bounded driver scalar: the vertex count (one long) — the same
     // move the oracle's COUNT(*) scalar subquery makes.
     val n = nodes.count().toDouble
     val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+      .agg(sum(col("w")).as("outdeg"))
     // The dangling SET is static across rounds (a node's out-degree
     // never changes); only its per-round mass D is recomputed.
     val dangling = Checkpoints.truncate(
@@ -78,8 +92,14 @@ object Graph {
         .join(r.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst"),
-          round(col("r") / col("outdeg").cast("double"), 12)
-            .cast("decimal(28,12)").as("c"))
+          // Operand types sized so the product is decimal(28,12) with
+          // NO precision-loss fallback: decimal(28,12) × long would
+          // exceed Spark's 38-digit cap and silently shed scale to 6.
+          // The value is in [0,1] at 12dp (fits 18,12); w ≤ 1e9
+          // parallel links per pair (fits 9,0).
+          (round(col("r") / col("outdeg").cast("double"), 12)
+            .cast("decimal(18,12)") * col("w").cast("decimal(9,0)"))
+            .as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = Checkpoints.truncate(
         nodes.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")

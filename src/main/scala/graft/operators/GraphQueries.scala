@@ -335,6 +335,38 @@ object GraphQueries extends QueryPack {
       },
       Some(G10Oracle)),
 
+    // Link-graph store MAINTENANCE ([[LinkGraphStore.compact]] +
+    // [[LinkGraphStore.pruneCheckpoints]]): closed edge partitions
+    // fold into `compacted` (ranking reads the union — identity is
+    // irrelevant once closed) and dead rank checkpoints drop (a
+    // checkpoint is only read by name as a warm-start base). Both run
+    // MID-HISTORY, before a further append that warm-starts off the
+    // surviving checkpoint and ranks over the folded edges — pure
+    // storage reorganization, so the st15 three-epoch replay oracle
+    // must not see it.
+    Q("g11_linkgraph_compacted",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        def linkEdges(pred: org.apache.spark.sql.Column) =
+          syntheticEdges(docs.filter(pred), n)
+        val store = LinkGraphStore("linkgraph_cpt")
+        LinkGraphStore.build(s, docs,
+          linkEdges(col("id") % 5 =!= 0), iters = 3, store)
+        LinkGraphStore.appendAndRank(s, docs,
+          linkEdges(col("id") % 10 === 0), iters = 3, store, "b1")
+        LinkGraphStore.compact(s, store, keep = Set.empty)
+        LinkGraphStore.pruneCheckpoints(s, store, keep = Set("b1"))
+        LinkGraphStore.appendAndRank(s, docs,
+          linkEdges(col("id") % 10 === 5), iters = 3, store, "b2",
+          fromBatch = "b1")
+        LinkGraphStore.ranks(s, store, "b2")
+          .select(col("id").as("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(St15Oracle)),
+
     // Connected components ([[Graph.connectedComponents]]) — d05's
     // min-label propagation generalized to an arbitrary link graph.
     // The gate graph is block-STARS (docs link to their 16-block head

@@ -13,8 +13,10 @@ import graft.model.CatalogMaterializer
   * engine-managed tables (partition-per-batch with dynamic partition
   * overwrite — replay-idempotent, the d10/t26 discipline):
   *
-  *  - `edges(src, dst, batch_id)` — the accumulated edge list; a batch
-  *    append lands one partition, prior batches are never recomputed;
+  *  - `edges(src, dst, w, batch_id)` — the accumulated WEIGHTED edge
+  *    list (parallel links fold into w at write time — bit-identical
+  *    ranking, row-unique layout); a batch append lands one partition,
+  *    prior batches are never recomputed;
   *  - `ranks(id, r, batch_id)` — the INTERNAL 12dp rank vector
   *    checkpointed after each ranking run, keyed by the batch that
   *    produced it. Persisting the 12dp vector (not the 6dp output)
@@ -54,14 +56,13 @@ object LinkGraphStore {
       iters: Int, store: LinkGraphStore,
       batchId: String = "base"): Unit = {
     reset(spark, store)
-    writePartition(spark, store.edgesRel, batchId,
-      edges.select(col("src"), col("dst")))
+    writeEdges(spark, store, batchId, edges)
     val n = nodes.count().toDouble
     val start = nodes.select(col("id"),
       round(lit(1.0) / lit(n), 12).as("r"))
     checkpoint(spark, store, batchId,
-      Graph.pageRankFrom(nodes, spark.table(store.edgesRel)
-        .select(col("src"), col("dst")), start, iters))
+      Graph.pageRankWeighted(nodes, storedEdges(spark, store), start,
+        iters))
   }
 
   /** Incremental append: land the batch's edge partition, warm-start
@@ -73,14 +74,44 @@ object LinkGraphStore {
   def appendAndRank(spark: SparkSession, nodes: DataFrame,
       newEdges: DataFrame, iters: Int, store: LinkGraphStore,
       batchId: String, fromBatch: String = "base"): Unit = {
-    writePartition(spark, store.edgesRel, batchId,
-      newEdges.select(col("src"), col("dst")))
+    writeEdges(spark, store, batchId, newEdges)
     val start = spark.table(store.ranksRel)
       .filter(col("batch_id") === fromBatch)
       .select(col("id"), col("r"))
     checkpoint(spark, store, batchId,
-      Graph.pageRankFrom(nodes, spark.table(store.edgesRel)
-        .select(col("src"), col("dst")), start, iters))
+      Graph.pageRankWeighted(nodes, storedEdges(spark, store), start,
+        iters))
+  }
+
+  /** Fold closed EDGE partitions into `compacted` ([[StoreCompaction]]
+    * — ranking reads the union of edge partitions, so partition
+    * identity is irrelevant once a batch is closed; what matters at
+    * scale is the file population). Rows are (src, dst)-unique within
+    * a batch by construction ([[writeEdges]] folds multiplicity into
+    * w) and across batches by the crawl convention (a src's outlinks
+    * land with its own snapshot), so the fold's replay `distinct()` is
+    * sound like every other store's. The
+    * RANKS table is deliberately NOT folded: batch identity IS its
+    * key (warm starts read a checkpoint BY batch id) — its growth verb
+    * is [[pruneCheckpoints]]. */
+  def compact(spark: SparkSession, store: LinkGraphStore,
+      keep: Set[String]): StoreCompaction.Stats =
+    StoreCompaction.compact(spark, store.edgesRel, keep)
+
+  /** Drop rank checkpoints not in `keep` — the ranks-table growth
+    * bound: a checkpoint is only ever read by name as a warm-start
+    * base, so once a newer checkpoint exists the old vector is dead
+    * state (an edge-partition fold never needs it back). Returns the
+    * dropped batch ids. */
+  def pruneCheckpoints(spark: SparkSession, store: LinkGraphStore,
+      keep: Set[String]): Seq[String] = {
+    val ids = spark.table(store.ranksRel)
+      .select(col("batch_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq.sorted
+    val drop = ids.filterNot(keep)
+    drop.foreach(id =>
+      mat.dropPartition(spark, store.ranksRel, "batch_id", id))
+    drop
   }
 
   /** Host TAKEDOWN with rank repair: remove `victims` (one `id`
@@ -114,10 +145,27 @@ object LinkGraphStore {
       .filter(col("batch_id") === fromBatch)
       .select(col("id"), col("r"))
     checkpoint(spark, store, batchId,
-      Graph.pageRankFrom(nodes, spark.table(store.edgesRel)
-        .select(col("src"), col("dst")), start, iters))
+      Graph.pageRankWeighted(nodes, storedEdges(spark, store), start,
+        iters))
     stats
   }
+
+  /** The accumulated weighted edge union (src, dst, w). */
+  private def storedEdges(spark: SparkSession,
+      store: LinkGraphStore): DataFrame =
+    spark.table(store.edgesRel).select(col("src"), col("dst"), col("w"))
+
+  /** Land one WEIGHTED edge partition: parallel (src, dst) links in
+    * the batch fold into w — bit-identical ranking (decimal x integer
+    * is exact) and the row-unique layout replay-safe compaction
+    * requires. A src's outlinks land with its OWN crawl snapshot (the
+    * id-ordered batch convention), so (src, dst) never repeats across
+    * batches and the fold's distinct() is sound. */
+  private def writeEdges(spark: SparkSession, store: LinkGraphStore,
+      batchId: String, edges: DataFrame): Unit =
+    writePartition(spark, store.edgesRel, batchId,
+      edges.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w")))
 
   /** The checkpointed ranking at `batchId`, at the 6dp output
     * contract. */
