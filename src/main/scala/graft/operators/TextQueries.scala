@@ -1228,7 +1228,7 @@ object TextQueries extends QueryPack {
   /** t24's one-shot Okapi BM25 oracle — shared verbatim by t26 (the
     * persisted-store lifecycle must reproduce the one-shot ranking to
     * the bit). */
-  private val Bm25Oracle: String =
+  private[graft] val Bm25Oracle: String =
     raw"""WITH d AS (
              |  SELECT doc_id, text FROM documents
              |  WHERE length(trim(text)) > 0),

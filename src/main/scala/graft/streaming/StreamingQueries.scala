@@ -741,6 +741,43 @@ object StreamingQueries extends QueryPack {
             col("kept_blocks"), col("text_deduped"))
           .orderBy(col("doc_id"))
       },
-      Some(graft.operators.DedupQueries.BlockDedupOracle))
+      Some(graft.operators.DedupQueries.BlockDedupOracle)),
+
+    // Streamed BM25 postings ingest ([[graft.operators.PostingsStore]])
+    // — t26's streamed twin: crawl batches arrive as micro-batches,
+    // each foreachBatch tokenizes ONLY its batch and lands one
+    // partition pair (postings + doc_lengths); stored text is never
+    // re-read. A document lives in exactly one batch, so the partition
+    // union equals the one-shot tokenization regardless of chunking —
+    // the ranking over the streamed store must hash-match t24's
+    // one-shot oracle, query terms self-derived from the persisted
+    // rows. The at-least-once seam is killed by StreamCrashReplaySpec.
+    Q("st17_stream_bm25_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+        val store = graft.operators.PostingsStore("stream_bm25_gate")
+        graft.operators.PostingsStore.build(s,
+          docs.filter(col("doc_id") <= cut), "doc_id", "text", store)
+        // Bounded driver collect: the streamed snapshot slice at gate
+        // SF — the MemoryStream feed, not an operator step.
+        val arriving = docs.filter(col("doc_id") > cut)
+          .select(col("doc_id"), col("text")).as[ArrivingDoc]
+          .collect().sortBy(_.doc_id).toSeq
+        val input = MemoryStream[ArrivingDoc](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.PostingsStore.append(s, b, "doc_id", "text",
+              store, s"s$id")
+          }
+          .outputMode("append").start()
+        try arriving.grouped(arriving.size / 2 + 1).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+        graft.operators.PostingsStore.selfTopK(s, store, k = 5)
+          .orderBy(col("token"), col("rk"))
+      },
+      Some(graft.operators.TextQueries.Bm25Oracle))
   )
 }

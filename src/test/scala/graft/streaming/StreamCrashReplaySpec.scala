@@ -229,6 +229,50 @@ class StreamCrashReplaySpec extends SparkSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("postings ingest: crash between partition write and offset " +
+      "commit, replay converges to the batch append (st17's path)") {
+    import spark.implicits._
+    import graft.operators.PostingsStore
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+    def freshStore(name: String): PostingsStore = {
+      val store = PostingsStore(name)
+      PostingsStore.build(spark, docs.filter(col("doc_id") <= cut),
+        "doc_id", "text", store)
+      store
+    }
+    val store = freshStore("crash_postings")
+    val arriving = docs.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("text")).as[DocRow].collect()
+      .sortBy(_.doc_id).toSeq
+
+    @volatile var crashed = false
+    val restarts = streamWithCrashes(arriving, chunks = 2, (b, id) => {
+      PostingsStore.append(spark, b, "doc_id", "text", store, s"s$id")
+      if (id == 1L && !crashed) {
+        crashed = true
+        throw new RuntimeException(
+          "injected: crash after partition write, before offset commit")
+      }
+    })
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = freshStore("crash_postings_ref")
+    PostingsStore.append(spark, docs.filter(col("doc_id") > cut),
+      "doc_id", "text", ref, "b1")
+    def topOf(s: PostingsStore) =
+      PostingsStore.selfTopK(spark, s, k = 5).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val replayed = topOf(store)
+    assert(replayed.nonEmpty)
+    assert(replayed == topOf(ref),
+      "replayed postings ranking diverged from the clean append")
+    PostingsStore.reset(spark, store)
+    PostingsStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
+
   test("span-store ingest: crash between gram write and offset " +
       "commit, replay converges to the one-shot span dedup (st11's " +
       "path)") {
