@@ -7,7 +7,7 @@ parsing Scala for Some/None mis-walks parens inside SQL string literals).
 Run from the repo root after a Verify dump:
   python3 scripts/gate_index.py /tmp/verify_out
 """
-import json, re, sys, pathlib
+import json, os, re, sys, pathlib
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 SRC = ROOT / "src/main/scala/graft"
@@ -46,11 +46,13 @@ cov = COV.read_text().split("\n")
 # locate the summary line and the table
 for idx, line in enumerate(cov):
     if line.startswith("Generated from the `Q("):
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "16")
+        adj = "adjudication" if n_rows_only == 1 else "adjudications"
         cov[idx] = re.sub(
             r"round \d+: \d+ gates — \d+ DuckDB-oracled, \d+ closed "
-            r"rows-only adjudications",
-            f"round 14: {n_total} gates — {n_oracled} DuckDB-oracled, "
-            f"{n_rows_only} closed rows-only adjudications",
+            r"rows-only adjudications?",
+            f"round {rnd}: {n_total} gates — {n_oracled} DuckDB-oracled, "
+            f"{n_rows_only} closed rows-only {adj}",
             line)
         break
 start = next(i for i, l in enumerate(cov) if l.startswith("| gate | operator |"))
