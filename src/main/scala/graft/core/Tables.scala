@@ -186,6 +186,15 @@ object Caches {
     p
   }
 
+  /** Release ONE registered frame as soon as its last consumer ran —
+    * what a long streamed ingest needs (one cached frame per
+    * micro-batch would otherwise accumulate until releaseAll). */
+  def release(df: DataFrame): Unit = synchronized {
+    df.unpersist(blocking = false)
+    val i = registered.indexWhere(_ eq df)
+    if (i >= 0) registered.remove(i)
+  }
+
   def releaseAll(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))
     registered.clear()

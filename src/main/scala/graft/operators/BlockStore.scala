@@ -240,6 +240,13 @@ object BlockStore {
     writePartition(spark, store.occRel, batchId,
       blocks.select(col("id"), col("block_id"), col("fp"),
         col("block_text")))
+    // Both persists are fully consumed by the three writes above;
+    // release them NOW rather than at the harness's releaseAll — a
+    // long streamed ingest (st16's foreachBatch path) would otherwise
+    // pin one cached tokenize/cut frame per micro-batch for the life
+    // of the stream.
+    graft.core.Caches.release(novel)
+    graft.core.Caches.release(blocks)
   }
 
   private def writePartition(spark: SparkSession, rel: String,

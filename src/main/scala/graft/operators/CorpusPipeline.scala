@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Caches
@@ -346,9 +345,23 @@ object CorpusPipeline {
       .filter(col("batch_id") =!= batchId)
       .select(col("fingerprint"))
     val fresh = q.join(histFp, Seq("fingerprint"), "left_anti")
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    fresh.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    fingerprintWinners(fresh, idCol)
+  }
+
+  /** Min-id winner per fingerprint — aggregate + semi-join back (the
+    * d29/d32 keeper shape), NOT a per-fingerprint window: a boilerplate
+    * mega-cluster (one fingerprint, millions of rows at 100 TB) would
+    * serialize in a single window sort task, while the aggregate is
+    * map-side combinable and the winner-id set is one row per
+    * fingerprint, so the semi-join never skews. Requires `idCol` unique
+    * in `df` (true everywhere this runs: batch survivors and the
+    * persisted per-doc meta table). */
+  private[operators] def fingerprintWinners(df: DataFrame,
+      idCol: String): DataFrame = {
+    val winners = df.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .select(col("__keep_id"))
+    df.join(winners, df(idCol) === col("__keep_id"), "left_semi")
   }
 
   /** The accumulated shard manifest: batch partials merged by pack_id
@@ -447,10 +460,12 @@ object CorpusPipeline {
   /** The packed survivor set derivable from state alone: min-id winner
     * per fingerprint, minus every `doc_b` of the persisted pair graph —
     * `(doc_id, toks, batch_id, epoch)`. */
-  private def packedSet(meta: DataFrame, pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val kept = meta.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+  private[operators] def packedSet(meta: DataFrame, pairs: DataFrame): DataFrame = {
+    // Winner derivation runs over the FULL persisted meta table on the
+    // takedown path — exactly where a mega-dup fingerprint would
+    // serialize a per-fingerprint window in one sort task; use the
+    // [[fingerprintWinners]] keeper instead.
+    val kept = fingerprintWinners(meta, "doc_id")
       .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"))
     kept.join(pairs.select(col("doc_b")),
       kept("doc_id") === col("doc_b"), "left_anti")
@@ -967,11 +982,11 @@ object CorpusPipeline {
     * `(doc_id, toks, batch_id, epoch)`. Uses whatever verdicts the
     * store currently holds (callers snapshot it pre-repair via
     * localCheckpoint when they need the before-state). */
-  private def packedFullSet(spark: SparkSession, st: FullState,
+  private[operators] def packedFullSet(spark: SparkSession, st: FullState,
       meta: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val kept = meta.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // Same keeper shape as [[packedSet]]: the [[fingerprintWinners]]
+    // aggregate, never a per-fingerprint window over the full meta table.
+    val kept = fingerprintWinners(meta, "doc_id")
       .select(col("doc_id"), col("toks"), col("batch_id"), col("epoch"),
         col("contaminated"))
     val s3 = kept.join(

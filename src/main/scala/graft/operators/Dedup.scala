@@ -468,20 +468,27 @@ object Dedup {
     * the standard corpus policy (keep the longest / highest-scoring
     * duplicate, not the accidentally-smallest id).
     *
-    * Cost over the cluster assignment: one extra shuffle keyed by
-    * cluster (the window); clusters are near-dup groups — bounded and
-    * tiny relative to the corpus — so the window state never skews.
+    * Cost over the cluster assignment: one hash aggregate keyed by
+    * cluster + an equi-join back — the [[exactMarked]] keeper shape,
+    * NOT a per-cluster window. Near-dup clusters are usually tiny, but
+    * a boilerplate family at 100 TB is exactly the cluster that isn't,
+    * and the min-struct aggregate is map-side combinable (state = one
+    * struct per cluster) where a window sort task is not. The struct
+    * `(quality IS NULL, -quality, doc_id)` under `min` reproduces the
+    * ranking policy exactly: highest quality first, NULL quality last,
+    * doc_id ascending as the tiebreak. Quality must be numeric (the
+    * corpus-standard length/score columns are).
     */
   def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
       qualityCol: String, threshold: Double): DataFrame = {
     val cl = duplicateClusters(docs, idCol, textCol, threshold)
     val q = docs.select(col(idCol).as("doc_id"), col(qualityCol).as("__q"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("__q").desc, col("doc_id"))
-    cl.join(q, "doc_id")
-      // Default frame (unbounded preceding → current) makes first() the
-      // rank-1 member for every row of the cluster.
-      .withColumn("canonical_id", first(col("doc_id")).over(w))
+    val joined = cl.join(q, "doc_id")
+    val keeper = joined.groupBy(col("cluster"))
+      .agg(min(struct(col("__q").isNull.cast("int").as("qn"),
+        (-col("__q")).as("negq"), col("doc_id").as("id"))).as("__k"))
+      .select(col("cluster").as("__kc"), col("__k.id").as("canonical_id"))
+    joined.join(keeper, col("cluster") <=> col("__kc"))
       .withColumn("keep", col("doc_id") === col("canonical_id"))
       .select(col("doc_id"), col("cluster"), col("canonical_id"), col("keep"))
   }

@@ -126,9 +126,7 @@ object PostingsStore {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val cand = tf.join(broadcast(queryTerms.select(col("token"))), "token")
     val df = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("token"))
-      .orderBy(col("score").desc, col("doc_id"))
-    cand
+    val scored = cand
       .join(broadcast(df), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -139,6 +137,26 @@ object PostingsStore {
           (col("tf") + lit(1.2) *
             (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))),
           6))
+    // SALTED two-stage top-k: a single per-term window puts df(term)
+    // rows in ONE sort task, and a stop-word-grade query term makes
+    // that the whole corpus. Stage 1 ranks within (token, salt) — each
+    // window task bounded by df(term)/Salts — and keeps k; stage 2
+    // ranks the ≤ Salts·k survivors per term. Exact, not approximate:
+    // every global top-k row is its salt's top-k row, and (score desc,
+    // doc_id) is a total order so both stages are deterministic. The
+    // salt assignment (xxhash64 of doc_id) only partitions the work —
+    // the output is salt-independent.
+    val salts = 32
+    val w1 = Window.partitionBy(col("token"), col("__salt"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val local = scored
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .withColumn("__rk", row_number().over(w1))
+      .filter(col("__rk") <= k)
+      .drop("__rk", "__salt")
+    val w = Window.partitionBy(col("token"))
+      .orderBy(col("score").desc, col("doc_id"))
+    local
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("token"), col("rk"), col("doc_id"), col("tf"),

@@ -442,4 +442,55 @@ class PlanAuditSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"g04 rounds must stay equi-join message passing:\n$p")
   }
+
+  test("BM25 store top-k is the salted two-stage ranking — no window " +
+      "task ever holds a full df(term) posting list") {
+    // A stop-word-grade query term would put its whole posting list in
+    // one sort task under a single per-term window; stage 1 must rank
+    // within (token, __salt) and stage 2 over the <= salts*k survivors.
+    val p = plan("t26_bm25_store")
+    assert(p.contains("__salt"),
+      s"topK lost its salted first-stage ranking:\n$p")
+  }
+
+  test("canonical keep (d07) selects per-cluster winners with a hash " +
+      "aggregate, never a per-cluster window") {
+    // Near-dup clusters are usually tiny, but a boilerplate family at
+    // 100 TB is the one that isn't — the winner must come from the
+    // min(struct) keeper shape, not first().over(Window).
+    val p = plan("d07_canonical_keep")
+    assert(!p.contains("Window"),
+      s"canonicalKeep fell back to a window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"canonicalKeep keeper must be a hash aggregate:\n$p")
+  }
+
+  test("takedown survivor derivations (packedSet / packedFullSet / " +
+      "exactFresh) are window-free min-id keepers") {
+    // These run over the FULL persisted meta table on the delete/repack
+    // path — exactly where a mega-dup fingerprint would serialize a
+    // window sort task. Pin the plans directly on synthetic frames.
+    import org.apache.spark.sql.functions._
+    val meta = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("string").as("fingerprint"),
+      array(col("id").cast("int")).as("toks"),
+      lit("b0").as("batch_id"), lit(0).as("epoch"))
+    val pairs = spark.range(3).select(lit(0L).as("doc_a"),
+      (col("id") + 50).as("doc_b"))
+    val ps = CorpusPipeline.packedSet(meta, pairs)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Window"),
+      s"packedSet fell back to a window:\n$ps")
+    assert(ps.contains("HashAggregate"),
+      s"packedSet keeper must be a hash aggregate:\n$ps")
+    // exactFresh = history anti-join + the same fingerprintWinners
+    // keeper; audit the keeper directly (the anti-join needs persisted
+    // state the suite does not build).
+    val ef = CorpusPipeline.fingerprintWinners(meta, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!ef.contains("Window"),
+      s"fingerprintWinners fell back to a window:\n$ef")
+    assert(ef.contains("HashAggregate"),
+      s"fingerprintWinners keeper must be a hash aggregate:\n$ef")
+  }
 }
