@@ -1138,6 +1138,32 @@ object TextQueries extends QueryPack {
         "WHERE length(trim(text)) > 0",
         "WHERE length(trim(text)) > 0 AND doc_id % 7 <> 3"))),
 
+    // HYBRID RETRIEVAL ([[HybridRetrieval]]): reciprocal-rank fusion of
+    // the lexical and semantic arms — BM25 more-like-this over each
+    // seed document's token set (t24's scoring discipline) fused with
+    // brute-force embedding cosine (v01's ranking) via RRF
+    // `Σ 1/(60+rank)`. Each arm nominates a bounded top-20 per seed;
+    // the fuse is a full-outer equi-join of two (seeds × 20)-row
+    // frames, so its cost is query-bounded regardless of corpus size.
+    // RRF consumes only ranks, each fused score is ONE two-operand
+    // IEEE double addition — bit-identical in DuckDB, which replays
+    // both arms (the t24 and v01 CTEs spliced) and the fusion in SQL.
+    Q("t29_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        val lex = HybridRetrieval.bm25MoreLikeThis(docs, "doc_id",
+          "text", docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("qid")), k = 20)
+        val vec = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+          .select(col("qid"), col("nid").as("doc_id"),
+            col("rn").as("rank_vec"))
+        HybridRetrieval.rrfFuse(lex, vec, k = 10)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(HybridRrfOracle)),
+
     // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): the
     // corpus splits into head/middle/tail THIRDS by per-doc mean
     // unigram surprisal — the corpus-RELATIVE quality tiers CCNet
@@ -1265,6 +1291,83 @@ object TextQueries extends QueryPack {
              |  FROM sc)
              |SELECT token, rk, doc_id, CAST(tf AS BIGINT) AS tf, score
              |FROM r WHERE rk <= 5 ORDER BY token, rk""".stripMargin
+
+  /** The t29 oracle: both retrieval arms replayed in SQL — BM25
+    * more-like-this (the [[Bm25Oracle]] scoring CTEs with the seed
+    * documents' distinct tokens as the query sets) and brute-force
+    * cosine (the v01 CTEs) — then reciprocal-rank fusion, each fused
+    * score one two-operand IEEE double addition. */
+  private[graft] val HybridRrfOracle: String =
+    raw"""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE length(trim(text)) > 0),
+             |toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM d),
+             |tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             |term AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+             |  FROM dl),
+             |qtok AS (
+             |  SELECT DISTINCT doc_id AS qid, token FROM tf
+             |  WHERE doc_id < 5),
+             |sc AS (
+             |  SELECT q.qid, tf.doc_id,
+             |    SUM(CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+             |      ((tf.tf * 2.2) /
+             |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))),
+             |      6) AS DECIMAL(18,6))) AS score
+             |  FROM tf
+             |  JOIN qtok q USING (token)
+             |  JOIN term USING (token)
+             |  JOIN dl ON dl.doc_id = tf.doc_id, st
+             |  WHERE tf.doc_id <> q.qid
+             |  GROUP BY 1, 2),
+             |lex AS (
+             |  SELECT qid, doc_id, rank_lex FROM (
+             |    SELECT qid, doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rank_lex
+             |    FROM sc) WHERE rank_lex <= 20),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm
+             |  FROM e),
+             |vp AS (
+             |  SELECT q.vec_id qid, c.vec_id doc_id,
+             |    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) sim
+             |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |vec AS (
+             |  SELECT qid, doc_id, rank_vec FROM (
+             |    SELECT qid, doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY sim DESC, doc_id) AS rank_vec
+             |    FROM vp) WHERE rank_vec <= 20),
+             |fused AS (
+             |  SELECT COALESCE(l.qid, v.qid) AS qid,
+             |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             |    -- CAST: a bare 1.0 literal is DECIMAL in DuckDB; the
+             |    -- division must be IEEE double to match Spark's.
+             |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex),
+             |            CAST(0.0 AS DOUBLE)) +
+             |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec),
+             |            CAST(0.0 AS DOUBLE)), 6) AS rrf,
+             |    COALESCE(l.rank_lex, 0) AS rank_lex,
+             |    COALESCE(v.rank_vec, 0) AS rank_vec
+             |  FROM lex l FULL OUTER JOIN vec v
+             |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+             |ranked AS (
+             |  SELECT qid, doc_id, rrf, rank_lex, rank_vec,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+             |  FROM fused)
+             |SELECT qid, rk, doc_id, rrf,
+             |  CAST(rank_lex AS BIGINT) AS rank_lex,
+             |  CAST(rank_vec AS BIGINT) AS rank_vec
+             |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the
     * argmax pair bN per step) + the same merge-literal replace chain
