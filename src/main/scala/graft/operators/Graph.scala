@@ -92,13 +92,23 @@ object Graph {
         .join(r.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst"),
-          // Operand types sized so the product is decimal(28,12) with
-          // NO precision-loss fallback: decimal(28,12) × long would
-          // exceed Spark's 38-digit cap and silently shed scale to 6.
-          // The value is in [0,1] at 12dp (fits 18,12); w ≤ 1e9
-          // parallel links per pair (fits 9,0).
+          // Operand types sized so the product keeps full 12dp scale
+          // with NO precision-loss fallback: decimal(28,12) × long
+          // would exceed Spark's 38-digit cap and silently shed scale
+          // to 6. The value is in [0,1] at 12dp (fits 18,12); w ≤
+          // 1e10-1 parallel links per pair fits decimal(10,0) (product
+          // precision 29 ≤ 38). The cap is ENFORCED, not assumed: a
+          // wider w raises instead of the non-ANSI cast's silent NULL
+          // (which would drop the edge's whole contribution from the
+          // rank sum).
           (round(col("r") / col("outdeg").cast("double"), 12)
-            .cast("decimal(18,12)") * col("w").cast("decimal(9,0)"))
+            .cast("decimal(18,12)") *
+            when(col("w") < lit(10000000000L),
+              col("w").cast("decimal(10,0)"))
+              .otherwise(raise_error(concat(
+                lit("pageRankWeighted: edge weight exceeds the "),
+                lit("decimal(10,0) cap: "), col("w").cast("string")))
+                .cast("decimal(10,0)")))
             .as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = Checkpoints.truncate(
@@ -229,9 +239,31 @@ object Graph {
       edges.select(col("src").as("a"), col("dst").as("b"))
         .union(edges.select(col("dst").as("a"), col("src").as("b")))
         .distinct())
+    val start = und.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val labels = minLabelFixpoint(start, und, maxIter)
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("component"))
+  }
+
+  /** The min-label propagation loop of [[connectedComponents]],
+    * warm-startable: converge from a GIVEN `start(id, label)` over the
+    * undirected edge list `und(a, b)`. The fixed point is min over
+    * each component of the START labels — so any start where each
+    * node's label is the min id of a SUBSET of its own component
+    * containing that node (a previous assignment on fewer edges, id
+    * itself) converges to exactly the cold answer: the component's
+    * true min-id node starts at its own id. What the warm start buys
+    * is ROUNDS: re-convergence after an edge append is bounded by the
+    * merge chain's length (how many old components the new edges
+    * string together), not the full component diameter — the
+    * [[LinkGraphStore]] incremental-components contract. Nodes in
+    * `start` but absent from `und` keep their start label. */
+  private[operators] def minLabelFixpoint(start: DataFrame,
+      und: DataFrame, maxIter: Int): DataFrame = {
     var labels = Checkpoints.truncate(
-      und.select(col("a").as("id")).distinct()
-        .withColumn("label", col("id")))
+      start.select(col("id"), col("label")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -255,9 +287,22 @@ object Graph {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the iteration budget")
-    nodes.join(labels, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("label"), col("id")).as("component"))
+    labels
+  }
+
+  /** [[connectedComponents]] re-converged from a prior assignment:
+    * `start(id, label)` must cover every node (the persisted
+    * checkpoint does) with labels from a previous fixed point over a
+    * SUBSET of `edges` — see [[minLabelFixpoint]] for why that start
+    * reaches the cold answer in merge-chain-bounded rounds. */
+  def connectedComponentsFrom(start: DataFrame, edges: DataFrame,
+      maxIter: Int = 15): DataFrame = {
+    val und = Checkpoints.truncate(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
+    minLabelFixpoint(start, und, maxIter)
+      .select(col("id"), col("label").as("component"))
   }
 
   /** Label-propagation communities (Raghavan et al., Phys. Rev. E 2007)

@@ -24,6 +24,50 @@ object GraphQueries extends QueryPack {
           (col("id") * (7 + j) + 13 * j) % n): _*)).as("dst"))
       .filter(col("dst") =!= col("src"))
 
+  /** g03/g12/g13's base graph: within-block stars — docs link to
+    * their 16-block head unless doc_id % 4 = 0. */
+  private def blockStars(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("id") % 4 =!= 0)
+      .select(col("id").as("src"),
+        (col("id") - (col("id") % 16)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+
+  /** g12/g13's append batch: block hubs chain to their 64-superblock
+    * head — every edge merges old components. */
+  private def hubChains(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("id") % 16 === 0 && col("id") % 64 =!= 0)
+      .select(col("id").as("src"),
+        (col("id") - (col("id") % 64)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+
+  /** The g12/g13 oracle: generic recursive-CTE closure over the UNION
+    * of [[blockStars]] + [[hubChains]]; `dropMod` removes victims
+    * (ids ≡ 0 mod m) from the vertex set AND from every edge endpoint
+    * — a node filter alone would leave closure paths through removed
+    * hubs. */
+  private def componentsOracle(dropMod: Option[Int]): String = {
+    val dF = dropMod.map(m => s" WHERE doc_id % $m <> 0").getOrElse("")
+    val eF = dropMod.map(m => s" AND dst % $m <> 0").getOrElse("")
+    s"""WITH RECURSIVE d AS (SELECT doc_id FROM documents$dF),
+       |e0 AS (
+       |  SELECT doc_id src, doc_id - (doc_id % 16) AS dst
+       |  FROM d WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id - (doc_id % 64)
+       |  FROM d WHERE doc_id % 16 = 0 AND doc_id % 64 <> 0),
+       |e AS (
+       |  SELECT src a, dst b FROM e0 WHERE src <> dst$eF
+       |  UNION SELECT dst, src FROM e0 WHERE src <> dst$eF),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+       |SELECT id AS doc_id, MIN(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[Q] =
     mainGates ++ harmonicGate ++ hitsGate ++ lpaGate
 
@@ -366,6 +410,61 @@ object GraphQueries extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some(St15Oracle)),
+
+    // INCREMENTAL connected components on the persisted link graph
+    // ([[LinkGraphStore.appendAndLabel]]): g03's one-shot labeling
+    // gains the g06 treatment — labels are persisted state, and an
+    // arriving edge batch re-converges FROM the stored assignment
+    // (rounds bounded by the merge chain, not the graph diameter; the
+    // fixed point is min-id per union component regardless of start,
+    // so warm ≡ cold exactly). Base = within-block stars (g03's
+    // graph); the append chains block hubs into 64-superblocks —
+    // every new edge MERGES old components, the case the warm start
+    // exists for. Oracle = the generic recursive-CTE closure over the
+    // UNION edge set: append must equal cold recompute to the bit.
+    Q("g12_components_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val store = LinkGraphStore("cc_store")
+        LinkGraphStore.buildEdges(s, blockStars(docs), store)
+        LinkGraphStore.labelComponents(s, docs, store, "base")
+        LinkGraphStore.appendAndLabel(s, hubChains(docs), store, "b1",
+          fromBatch = "base")
+        LinkGraphStore.components(s, store, "b1")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(componentsOracle(None))),
+
+    // Component TAKEDOWN with split RESURRECTION ([[LinkGraphStore
+    // .deleteAndLabel]]): g12's lifecycle, then the superblock hubs
+    // (id ≡ 0 mod 64) are removed — their edges and label rows leave
+    // partition-scoped, and ONLY the affected components relabel over
+    // their surviving subgraph (unaffected components keep their b1
+    // labels verbatim: none of their members or edges changed).
+    // Removing a hub SPLITS its component: surviving 16-block stars
+    // become components again and the victim's own orphaned leaves
+    // become singletons — the oracle recomputes cold over the
+    // survivor-filtered union graph, so the bounded repair must equal
+    // full recompute to the bit.
+    Q("g13_components_takedown",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val store = LinkGraphStore("cc_takedown")
+        LinkGraphStore.buildEdges(s, blockStars(docs), store)
+        LinkGraphStore.labelComponents(s, docs, store, "base")
+        LinkGraphStore.appendAndLabel(s, hubChains(docs), store, "b1",
+          fromBatch = "base")
+        LinkGraphStore.deleteAndLabel(s,
+          docs.filter(col("id") % 64 === 0), store, "t1",
+          fromBatch = "b1")
+        LinkGraphStore.components(s, store, "t1")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(componentsOracle(Some(64)))),
 
     // Connected components ([[Graph.connectedComponents]]) — d05's
     // min-label propagation generalized to an arbitrary link graph.

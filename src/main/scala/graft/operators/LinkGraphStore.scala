@@ -38,16 +38,18 @@ import graft.model.CatalogMaterializer
 final case class LinkGraphStore(schemaName: String) {
   val edgesRel: String = s"$schemaName.edges"
   val ranksRel: String = s"$schemaName.ranks"
+  val labelsRel: String = s"$schemaName.components"
+  val takedownsRel: String = s"$schemaName.takedowns"
 }
 
 object LinkGraphStore {
 
   private def mat = new CatalogMaterializer
 
-  /** Drop both store tables — a fresh start for gates/specs. */
+  /** Drop the store tables — a fresh start for gates/specs. */
   def reset(spark: SparkSession, store: LinkGraphStore): Unit =
-    Seq(store.edgesRel, store.ranksRel)
-      .foreach(mat.dropRelation(spark, _))
+    Seq(store.edgesRel, store.ranksRel, store.labelsRel,
+      store.takedownsRel).foreach(mat.dropRelation(spark, _))
 
   /** Full build: land the base edge partition, rank from the uniform
     * vector for `iters` rounds, checkpoint the 12dp vector. REPLACES
@@ -150,10 +152,155 @@ object LinkGraphStore {
     stats
   }
 
-  /** The accumulated weighted edge union (src, dst, w). */
+  /** Full build of the EDGE table only — the entry point for stores
+    * whose analytics are label-shaped rather than rank-shaped (the
+    * components lifecycle below needs no rank vector). REPLACES any
+    * existing store. */
+  def buildEdges(spark: SparkSession, edges: DataFrame,
+      store: LinkGraphStore, batchId: String = "base"): Unit = {
+    reset(spark, store)
+    writeEdges(spark, store, batchId, edges)
+  }
+
+  // ---- Connected-components lifecycle (g12/g13): the accumulating
+  // dedup-cluster / web-graph state PageRank already has (g06/g10),
+  // for component labels. The persisted assignment is exact state —
+  // label = min id of the component — so maintenance verbs get the
+  // same contracts: append ≡ cold recompute over the union graph,
+  // takedown ≡ cold recompute over the survivors.
+
+  /** Cold component labeling over the accumulated edge union,
+    * checkpointed under `batchId` as `components(id, label)`. `nodes`
+    * is the fixed vertex enumeration (the build-time convention ranks
+    * use); isolated nodes label themselves. */
+  def labelComponents(spark: SparkSession, nodes: DataFrame,
+      store: LinkGraphStore, batchId: String,
+      maxIter: Int = 15): Unit =
+    writeLabels(spark, store, batchId,
+      Graph.connectedComponents(nodes, storedEdges(spark, store),
+        maxIter))
+
+  /** Incremental re-label after an edge append: land the batch's edge
+    * partition, then re-converge from the `fromBatch` checkpoint over
+    * the union of all edge partitions. The warm start is exact — the
+    * fixed point is min-id per union component regardless of the start
+    * ([[Graph.minLabelFixpoint]]'s argument) — and cheap: rounds are
+    * bounded by how many OLD components the new edges chain together,
+    * not by the graph diameter, because every old component already
+    * agrees on one label. Replay-idempotent like [[appendAndRank]]:
+    * the same batchId overwrites exactly its own two partitions. */
+  def appendAndLabel(spark: SparkSession, newEdges: DataFrame,
+      store: LinkGraphStore, batchId: String, fromBatch: String,
+      maxIter: Int = 15): Unit = {
+    writeEdges(spark, store, batchId, newEdges)
+    val start = spark.table(store.labelsRel)
+      .filter(col("batch_id") === fromBatch)
+      .select(col("id"), col("label"))
+    writeLabels(spark, store, batchId,
+      Graph.connectedComponentsFrom(start,
+        storedEdges(spark, store), maxIter))
+  }
+
+  /** Host TAKEDOWN with component repair — the verb that RESURRECTS
+    * split components: victims' edges (both directions) and their rows
+    * in every label checkpoint leave partition-scoped, then only the
+    * AFFECTED components — those that contained a victim — are
+    * relabeled cold over their surviving subgraph; every other
+    * component keeps its `fromBatch` label verbatim (none of its
+    * edges or members changed, so its min id did not either). A hub
+    * removal splits its star into singletons and each fragment
+    * re-labels to its own min id — the per-fragment resurrection the
+    * one-shot g03 could only get by full recompute. Unaffected work is
+    * ZERO beyond one broadcast semi-join: the affected set is bounded
+    * by the victim components' size, never the graph.
+    *
+    * REPLAY SAFETY (the at-least-once seam StreamCrashReplaySpec pins
+    * for ingest, here for a takedown): the victim components must be
+    * identified from the PRE-delete assignment, but a replay arrives
+    * after the retention rewrite already dropped the victims' label
+    * rows — deriving them from live state would find nothing and
+    * silently copy the stale labels forward (a crashed takedown that
+    * "completes" wrong). So the FIRST write is a takedown MANIFEST —
+    * `takedowns(id, label, batch_id)`, the victims with their old
+    * labels — and every later step reads the manifest, never the live
+    * table. A replay whose fresh derivation comes up empty while its
+    * manifest partition exists is the post-retention crash case and
+    * reuses the persisted manifest; any other replay re-derives the
+    * identical manifest and overwrites its own partition. */
+  def deleteAndLabel(spark: SparkSession, victims: DataFrame,
+      store: LinkGraphStore, batchId: String, fromBatch: String,
+      maxIter: Int = 15): Seq[StoreRetention.DeleteStats] = {
+    val fresh = spark.table(store.labelsRel)
+      .filter(col("batch_id") === fromBatch)
+      .join(victims.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("label")).localCheckpoint()
+    val manifestExists = mat.relationExists(spark, store.takedownsRel) &&
+      !spark.table(store.takedownsRel)
+        .filter(col("batch_id") === batchId).limit(1).isEmpty
+    if (!(fresh.limit(1).isEmpty && manifestExists))
+      writePartition(spark, store.takedownsRel, batchId, fresh)
+    val victimLabels = spark.table(store.takedownsRel)
+      .filter(col("batch_id") === batchId)
+      .select(col("label")).distinct()
+    val stats = Seq(
+      StoreRetention.deleteRows(spark, store.edgesRel, victims,
+        (t, v) => t("src") === v("id")),
+      StoreRetention.deleteRows(spark, store.edgesRel, victims,
+        (t, v) => t("dst") === v("id")),
+      StoreRetention.deleteRows(spark, store.labelsRel, victims,
+        (t, v) => t("id") === v("id")))
+    // Survivors of the victim components (their label rows survived
+    // the rewrite; the victims' own did not).
+    val prior = spark.table(store.labelsRel)
+      .filter(col("batch_id") === fromBatch)
+      .select(col("id"), col("label"))
+    val affected = prior.join(broadcast(victimLabels),
+      Seq("label"), "left_semi").select(col("id"), col("label"))
+    // Edges never cross components, so filtering src to the affected
+    // set keeps exactly the affected subgraph (post-delete: victim
+    // edges are already gone).
+    val subEdges = storedEdges(spark, store)
+      .join(affected.select(col("id").as("src")), Seq("src"),
+        "left_semi")
+    val relabeled = Graph.connectedComponents(
+      affected.select(col("id")), subEdges, maxIter)
+      .select(col("id"), col("component").as("label"))
+    val unaffected = prior.join(broadcast(victimLabels),
+      Seq("label"), "left_anti").select(col("id"), col("label"))
+    // localCheckpoint: both halves lazily read labelsRel (prior /
+    // affected derive from the fromBatch slice), and the write below
+    // rewrites that same table — an unpinned source plan would race
+    // its own rewrite (the deleteFull lesson).
+    writeLabels(spark, store, batchId, unaffected
+      .unionByName(relabeled)
+      .select(col("id"), col("label").as("component"))
+      .localCheckpoint())
+    stats
+  }
+
+  /** The checkpointed component assignment at `batchId`. */
+  def components(spark: SparkSession, store: LinkGraphStore,
+      batchId: String): DataFrame =
+    spark.table(store.labelsRel)
+      .filter(col("batch_id") === batchId)
+      .select(col("id"), col("label").as("component"))
+
+  private def writeLabels(spark: SparkSession, store: LinkGraphStore,
+      batchId: String, labeled: DataFrame): Unit =
+    writePartition(spark, store.labelsRel, batchId,
+      labeled.select(col("id"), col("component").as("label")))
+
+  /** The accumulated weighted edge union (src, dst, w). Stores
+    * persisted before the weighted-edge format carry no `w` column;
+    * those rows were written pre-fold (one row per parallel link), so
+    * reading them as w = 1 is exact, not an approximation — the store
+    * keeps ranking across the format upgrade with no migration. */
   private def storedEdges(spark: SparkSession,
-      store: LinkGraphStore): DataFrame =
-    spark.table(store.edgesRel).select(col("src"), col("dst"), col("w"))
+      store: LinkGraphStore): DataFrame = {
+    val t = spark.table(store.edgesRel)
+    val w = if (t.columns.contains("w")) col("w") else lit(1L).as("w")
+    t.select(col("src"), col("dst"), w)
+  }
 
   /** Land one WEIGHTED edge partition: parallel (src, dst) links in
     * the batch fold into w — bit-identical ranking (decimal x integer

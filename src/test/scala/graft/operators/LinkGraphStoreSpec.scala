@@ -61,4 +61,86 @@ class LinkGraphStoreSpec extends SparkSuite {
         s"than a cold start given the same rounds (${l1(cold3)})")
     LinkGraphStore.reset(spark, store)
   }
+
+  // ---- Components lifecycle (g12/g13's contracts beyond the hash) ----
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("appendAndLabel equals a cold recompute over the union graph, " +
+      "and replaying the batch is a no-op") {
+    val store = LinkGraphStore("linkgraph_spec_cc")
+    LinkGraphStore.buildEdges(spark, base, store)
+    LinkGraphStore.labelComponents(spark, nodes, store, "base")
+    LinkGraphStore.appendAndLabel(spark, delta, store, "b1",
+      fromBatch = "base")
+    val warm = labels(LinkGraphStore.components(spark, store, "b1"))
+    val cold = labels(Graph.connectedComponents(nodes, full))
+    assert(warm == cold,
+      "warm re-label must equal the cold recompute over the union")
+    LinkGraphStore.appendAndLabel(spark, delta, store, "b1",
+      fromBatch = "base")
+    assert(labels(LinkGraphStore.components(spark, store, "b1")) == cold)
+    assert(spark.table(store.labelsRel).select(col("batch_id"))
+      .distinct().count() == 2)
+    LinkGraphStore.reset(spark, store)
+  }
+
+  test("deleteAndLabel resurrects split components and equals the cold " +
+      "recompute over survivors; replay deletes nothing") {
+    // A hub-star graph where removing the hub SPLITS the component:
+    // 0 is the hub of {0..9}, {20, 21} is a separate pair.
+    import spark.implicits._
+    val vs = spark.range(22).filter(col("id") <= 9 || col("id") >= 20)
+      .select(col("id"))
+    val es = ((1L to 9L).map(i => (i, 0L)) :+ (21L, 20L))
+      .toDF("src", "dst")
+    val store = LinkGraphStore("linkgraph_spec_ccdel")
+    LinkGraphStore.buildEdges(spark, es, store)
+    LinkGraphStore.labelComponents(spark, vs, store, "base")
+    val before = labels(LinkGraphStore.components(spark, store, "base"))
+    assert((1L to 9L).forall(before(_) == 0L) && before(21L) == 20L)
+    val victims = spark.range(1).select(lit(0L).as("id"))
+    LinkGraphStore.deleteAndLabel(spark, victims, store, "t1",
+      fromBatch = "base")
+    val after = labels(LinkGraphStore.components(spark, store, "t1"))
+    // Hub removal: every orphaned leaf resurrects as its own
+    // component; the untouched pair keeps its label verbatim.
+    assert((1L to 9L).forall(i => after(i) == i),
+      s"orphaned leaves must self-label, got $after")
+    assert(after(20L) == 20L && after(21L) == 20L)
+    assert(!after.contains(0L), "the victim must leave the assignment")
+    // Replay after full completion: the takedown manifest re-anchors
+    // the affected set (the victims' label rows are long gone from the
+    // live table) and the rewrite reproduces itself.
+    LinkGraphStore.deleteAndLabel(spark, victims, store, "t1",
+      fromBatch = "base")
+    assert(labels(LinkGraphStore.components(spark, store, "t1")) == after)
+    // Crash seam: retention rewrite committed, final label checkpoint
+    // lost (kill between the two writes). The replay must rebuild t1
+    // from the persisted manifest — live state alone can no longer
+    // name the affected components.
+    (new graft.model.CatalogMaterializer)
+      .dropPartition(spark, store.labelsRel, "batch_id", "t1")
+    LinkGraphStore.deleteAndLabel(spark, victims, store, "t1",
+      fromBatch = "base")
+    assert(labels(LinkGraphStore.components(spark, store, "t1")) == after,
+      "post-retention crash replay must rebuild the repaired labels")
+    LinkGraphStore.reset(spark, store)
+  }
+
+  test("pre-weighted-format edge stores (no w column) still read, " +
+      "treating each row as weight 1") {
+    val store = LinkGraphStore("linkgraph_spec_compat")
+    LinkGraphStore.reset(spark, store)
+    // Simulate a legacy store: land the edges table WITHOUT w.
+    val mat = new graft.model.CatalogMaterializer
+    mat.materializeIncremental(spark, store.edgesRel,
+      base.withColumn("batch_id", lit("base")), Seq("batch_id"))
+    LinkGraphStore.labelComponents(spark, nodes, store, "base")
+    assert(labels(LinkGraphStore.components(spark, store, "base")) ==
+      labels(Graph.connectedComponents(nodes, base)),
+      "a legacy store must keep answering after the w-column upgrade")
+    LinkGraphStore.reset(spark, store)
+  }
 }
