@@ -37,6 +37,14 @@ import graft.operators.TpchProject
   *   show      dbt show: preview a model's rows (--select MODEL
   *             [--limit N])
   *   docs      dbt docs generate: manifest_docs.json + catalog.json
+  *   run-operation  dbt run-operation: invoke a project macro outside
+  *             any DAG run (--name OPERATION [--args k=v,...])
+  *
+  * Selection may also come from NAMED bundles: `--selector NAME`
+  * resolves a [[graft.model.NamedSelector]] (declared on the project or
+  * loaded with `--selectors PATH` from a dbt selectors.yml); a
+  * `default: true` selector applies when no selection is given.
+  * `--select` and `--selector` are mutually exclusive.
   *
   * Any verb accepts `--seeds PATH` — a dbt seeds/ directory of CSVs that
   * joins the project as ref-able DAG roots (reference declares
@@ -100,10 +108,16 @@ object EngineCli {
     }
     // --seeds PATH: a dbt seeds/ directory joins the project as ref-able
     // DAG roots (dbt_project.yml:11 seed-paths).
-    val project = opts.get("seeds").map { d =>
+    val project1 = opts.get("seeds").map { d =>
       project0.copy(models =
         ProjectLoader.loadSeeds(d) ++ project0.models)
     }.getOrElse(project0)
+    // --selectors PATH: a dbt selectors.yml of named selection bundles
+    // joins the project (resolved by --selector NAME below).
+    val project = opts.get("selectors").map { p =>
+      project1.copy(selectors =
+        project1.selectors ++ ProjectLoader.loadSelectors(p))
+    }.getOrElse(project1)
     // --vars k=v,k2=v2 — dbt's invocation-level variable overrides
     // ({{ var('k') }} in model SQL; project vars: block supplies defaults).
     val cliVars: Map[String, String] = opts.get("vars").map {
@@ -132,9 +146,34 @@ object EngineCli {
           f"-> ${r.relation}%-32s ${r.millis}%6d ms")
       }
 
+    // dbt selection precedence: an explicit --select wins, --selector
+    // resolves a named bundle, otherwise a `default: true` selector
+    // (if declared) applies. Passing both is ambiguous — dbt errors.
+    require(opts.get("select").isEmpty || opts.get("selector").isEmpty,
+      "--select and --selector are mutually exclusive")
+    def selection: Option[String] = opts.get("select")
+      .orElse(runner.resolveSelector(opts.get("selector")))
+
     verb match {
+      case "run-operation" =>
+        // dbt run-operation NAME --args '{...}': invoke a project
+        // macro outside any DAG run; args spell k=v,k2=v2 like --vars.
+        val name = opts.getOrElse("name",
+          throw new IllegalArgumentException(
+            "run-operation requires --name OPERATION"))
+        val opArgs: Map[String, String] = opts.get("args").map {
+          _.split(',').filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k.trim -> v.trim
+              case _ => throw new IllegalArgumentException(
+                s"--args expects k=v[,k=v...], got: $kv")
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
+        val n = runner.runOperation(spark, name, opArgs)
+        println(s"operation '$name' completed ($n statements)")
       case "run" =>
-        val results = runner.run(spark, opts.get("select"),
+        val results = runner.run(spark, selection,
           runResultsPath = Some(s"$warehouse/run_results.json"),
           threads = opts.getOrElse("threads", "1").toInt,
           exclude = opts.get("exclude"),

@@ -349,6 +349,20 @@ object Target {
   val prod: Target = Target("prod", "prod")
 }
 
+/** A `run-operation` macro: named SQL statements with optional
+  * default args (dbt macro kwarg defaults); see [[Project.operations]]. */
+final case class Operation(
+    name: String,
+    statements: Seq[String],
+    defaultArgs: Map[String, String] = Map.empty)
+
+/** One `selectors.yml` entry; see [[Project.selectors]]. */
+final case class NamedSelector(
+    name: String,
+    definition: String,
+    default: Boolean = false,
+    description: String = "")
+
 /** dbt exposures: named downstream consumers of the DAG — dashboards,
   * ML pipelines, applications — declared in the project so lineage
   * extends past the warehouse edge. An exposure is not runnable; it
@@ -394,7 +408,28 @@ final case class Project(
       * selected node has finished, INCLUDING when nodes failed (the
       * audit row must record the failed invocation too); a hook
       * failure fails the invocation. */
-    onRunEnd: Seq[String] = Nil) {
+    onRunEnd: Seq[String] = Nil,
+    /** dbt `run-operation` macros — named maintenance procedures
+      * invoked OUTSIDE any DAG run (`run-operation NAME --args ...`):
+      * grants, manual audit rows, cleanup DDL. Statements render
+      * through the same `ref`/`source`/`var` pipeline as hooks; the
+      * invocation's `--args` overlay the var scope for the operation's
+      * statements only (dbt's macro kwargs, in this engine's
+      * `{{ var(...) }}` spelling). */
+    operations: Seq[Operation] = Nil,
+    /** dbt `selectors.yml` — NAMED, reusable selection bundles: a
+      * selector's `definition` is an expression in the same selection
+      * algebra `--select` takes; `--selector NAME` resolves it, and at
+      * most one selector may be `default: true` (used by `run` when no
+      * selection is given — dbt's precedence: `--select` beats
+      * `--selector` beats the default selector beats everything). */
+    selectors: Seq[NamedSelector] = Nil) {
+  require(operations.map(_.name).distinct.size == operations.size,
+    "duplicate operation names")
+  require(selectors.map(_.name).distinct.size == selectors.size,
+    "duplicate selector names")
+  require(selectors.count(_.default) <= 1,
+    "at most one selector may be default: true")
   require(models.map(_.name).distinct.size == models.size,
     "duplicate model names")
   require(metrics.map(_.name).distinct.size == metrics.size,

@@ -86,6 +86,60 @@ object ProjectLoader {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
   }
 
+  /** dbt `selectors.yml` (the string-definition form): named,
+    * version-controlled selection bundles. The parser covers the
+    * published shape —
+    * {{{
+    * selectors:
+    *   - name: nightly
+    *     description: the nightly build slice
+    *     default: true
+    *     definition: "+customer_order_metrics tag:mart"
+    * }}}
+    * — a flat list of entries whose `definition` is a STRING in the
+    * engine's selection algebra (dbt accepts exactly this form; its
+    * nested union/intersection YAML trees are the same algebra spelled
+    * structurally, which the string form already expresses with
+    * space = union and comma = intersection). Line-based: `- name:`
+    * starts an entry; quoted values unquote. */
+  def loadSelectors(path: String): Seq[NamedSelector] = {
+    val p = Paths.get(path)
+    require(Files.isRegularFile(p), s"selectors file not found: $path")
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    def unquote(v: String): String = {
+      val t = v.trim
+      if ((t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) ||
+          (t.startsWith("'") && t.endsWith("'") && t.length >= 2))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.Map[String, String]]
+    lines.foreach {
+      case l if l.startsWith("- name:") =>
+        entries += scala.collection.mutable.Map(
+          "name" -> unquote(l.stripPrefix("- name:")))
+      case l if l.startsWith("selectors:") => ()
+      case l if entries.nonEmpty && l.contains(":") =>
+        val Array(k, v) = l.split(":", 2)
+        entries.last += (k.trim -> unquote(v))
+      case l => require(!l.startsWith("- "),
+        s"selectors.yml entries must start with '- name:', got: $l")
+    }
+    entries.map { e =>
+      NamedSelector(
+        name = e.getOrElse("name",
+          throw new IllegalArgumentException("selector without a name")),
+        definition = e.getOrElse("definition",
+          throw new IllegalArgumentException(
+            s"selector '${e("name")}' has no definition")),
+        default = e.get("default").exists(_.equalsIgnoreCase("true")),
+        description = e.getOrElse("description", ""))
+    }.toIndexedSeq
+  }
+
   /** A complete project from a models directory plus the programmatic
     * tier: sources, code models, declared tests, and an optional dbt
     * `seeds/` directory (seeds join the DAG as ref-able roots). */

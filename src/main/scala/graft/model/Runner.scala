@@ -1377,8 +1377,11 @@ final class Runner(
     // dbt on-run-end: once per invocation, AFTER the node loop — node
     // failures do NOT skip it (the audit row must record failed runs
     // too); the node-error throw below still fails the invocation.
-    runProjectHooks(spark, project.onRunEnd)
-    runResultsPath.foreach(p => writeRunResults(p, results))
+    // run_results.json is written even when the end hook throws (dbt
+    // does the same): the retry verb (o13) consumes it, and a flaky
+    // hook must not blind retry to which nodes succeeded.
+    try runProjectHooks(spark, project.onRunEnd)
+    finally runResultsPath.foreach(p => writeRunResults(p, results))
     results.find(_.status == "error").foreach { r =>
       throw new RuntimeException(
         s"model ${r.name} failed: ${r.error.getOrElse("")}")
@@ -1397,6 +1400,43 @@ final class Runner(
       source = (a, b) => sourceRelation(a, b),
       vars = effectiveVars))
   }
+
+  /** dbt `run-operation`: invoke the project macro `name` outside any
+    * DAG run. Statements execute in order through the hook renderer;
+    * `args` overlay the operation's declared defaults, and both
+    * overlay the invocation vars, FOR THESE STATEMENTS ONLY (dbt's
+    * macro kwargs — the engine spells them `{{ var(...) }}`). Returns
+    * the number of statements executed; unknown names fail loudly
+    * (dbt: "macro not found"). */
+  def runOperation(spark: SparkSession, name: String,
+      args: Map[String, String] = Map.empty): Int = {
+    val op = project.operations.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"operation '$name' is not defined in the project " +
+          s"(have: ${project.operations.map(_.name).mkString(", ")})"))
+    val scope = effectiveVars ++ op.defaultArgs ++ args
+    op.statements.foreach { stmt =>
+      spark.sql(Renderer.render(stmt,
+        ref = r => relationOf(byName(r)),
+        source = (a, b) => sourceRelation(a, b),
+        vars = scope))
+    }
+    op.statements.size
+  }
+
+  /** Resolve a named selector ([[Project.selectors]]) to its
+    * definition expression; `None` input resolves to the default
+    * selector if one is declared (dbt's precedence — an explicit
+    * `--select` is applied by the CALLER instead of this). */
+  def resolveSelector(name: Option[String]): Option[String] =
+    name match {
+      case Some(n) => Some(project.selectors.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(
+          s"selector '$n' is not defined in the project " +
+            s"(have: ${project.selectors.map(_.name).mkString(", ")})"))
+        .definition)
+      case None => project.selectors.find(_.default).map(_.definition)
+    }
 
   /** dbt `clone`: re-point this target's relations at `from`'s committed
     * versions — zero-copy on pointer-backed tables (Snowflake clone

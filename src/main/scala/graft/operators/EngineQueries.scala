@@ -554,6 +554,106 @@ object EngineQueries extends QueryPack {
              |) AS t(phase, model, status)
              |ORDER BY phase, model""".stripMargin)),
 
+    // dbt `run-operation` ([[Runner.runOperation]]): a named project
+    // macro invoked OUTSIDE any DAG run. The gate pins the whole
+    // contract in audit rows: statements render refs (mart_rows counts
+    // through {{ ref }}), declared defaults apply when no args are
+    // passed (grant_to=reader), --args overlay them (grant_to=admin),
+    // invocation vars stay visible underneath (env=varscope, twice —
+    // once per invocation), and an unknown name fails loudly.
+    Q("o14_run_operation",
+      (spark, dir) => {
+        spark.sql("CREATE DATABASE IF NOT EXISTS ops")
+        spark.sql("DROP TABLE IF EXISTS ops.op_audit")
+        val loc = java.nio.file.Files
+          .createTempDirectory("graft_op_audit").toString
+        spark.sql("CREATE TABLE ops.op_audit (k STRING, v STRING) " +
+          s"USING parquet LOCATION '$loc'")
+        val mart = SqlModel("op_mart",
+          "SELECT n_nationkey FROM {{ source('tpch', 'nation') }}",
+          Materialization.Table)
+        val project = Project(TpchProject.sources(dir), Seq(mart),
+          vars = Map("env" -> "varscope"),
+          operations = Seq(Operation("grant_audit",
+            Seq(
+              "INSERT INTO ops.op_audit VALUES " +
+                "('grant_to', '{{ var('role') }}')",
+              "INSERT INTO ops.op_audit SELECT 'mart_rows', " +
+                "CAST(COUNT(*) AS STRING) FROM {{ ref('op_mart') }}",
+              "INSERT INTO ops.op_audit VALUES " +
+                "('env', '{{ var('env') }}')"),
+            defaultArgs = Map("role" -> "reader"))))
+        val r = new Runner(project, Target("dev", "opsdev"),
+          new CatalogMaterializer)
+        r.run(spark, select = Some("op_mart"))
+        r.runOperation(spark, "grant_audit")
+        r.runOperation(spark, "grant_audit", Map("role" -> "admin"))
+        val guard =
+          try { r.runOperation(spark, "nope"); "no-error" }
+          catch {
+            case _: IllegalArgumentException => "unknown-op-rejected"
+          }
+        spark.table("ops.op_audit")
+          .groupBy(col("k"), col("v")).agg(count(lit(1)).as("n"))
+          .unionByName(spark.range(1).select(lit("guard").as("k"),
+            lit(guard).as("v"), lit(1L).as("n")))
+          .orderBy(col("k"), col("v"))
+      },
+      Some("""SELECT k, v, CAST(n AS BIGINT) AS n FROM (VALUES
+             | ('env', 'varscope', 2),
+             | ('grant_to', 'admin', 1),
+             | ('grant_to', 'reader', 1),
+             | ('guard', 'unknown-op-rejected', 1),
+             | ('mart_rows',
+             |  CAST((SELECT COUNT(*) FROM nation) AS VARCHAR), 2)
+             |) AS t(k, v, n) ORDER BY k, v""".stripMargin)),
+
+    // dbt `selectors.yml` ([[ProjectLoader.loadSelectors]] +
+    // [[Runner.resolveSelector]]): named, version-controlled selection
+    // bundles. The file round-trips through the loader (quoted values,
+    // description, default flag), a named selector resolves to its
+    // graph-algebra definition (+sel_mart pulls the upstream), and the
+    // `default: true` bundle applies when NO selection is given — the
+    // built node sets pin all three.
+    Q("o15_selectors",
+      (spark, dir) => {
+        import spark.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_selectors").toString
+        val yml = s"$tmp/selectors.yml"
+        java.nio.file.Files.write(java.nio.file.Paths.get(yml),
+          ("""selectors:
+            |  - name: mart_slice
+            |    description: "the mart and its upstreams"
+            |    definition: "+sel_mart"
+            |  - name: fallback
+            |    default: true
+            |    definition: 'sel_other'
+            |""".stripMargin).getBytes("UTF-8"))
+        val models = Seq(
+          SqlModel("sel_stg",
+            "SELECT n_nationkey AS k FROM {{ source('tpch', 'nation') }}",
+            Materialization.View),
+          SqlModel("sel_mart", "SELECT k FROM {{ ref('sel_stg') }}",
+            Materialization.View),
+          SqlModel("sel_other", "SELECT 1 AS x", Materialization.View))
+        val project = Project(TpchProject.sources(dir), models,
+          selectors = ProjectLoader.loadSelectors(yml))
+        val r = new Runner(project, Target("dev", "seldev"),
+          new PathMaterializer(s"$tmp/marts"))
+        val named = r.run(spark, r.resolveSelector(Some("mart_slice")))
+          .map(m => ("named", m.name))
+        val dflt = r.run(spark, r.resolveSelector(None))
+          .map(m => ("default", m.name))
+        (named ++ dflt).toDF("phase", "model")
+          .orderBy(col("phase"), col("model"))
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('default', 'sel_other'),
+             | ('named', 'sel_mart'),
+             | ('named', 'sel_stg')
+             |) AS t(phase, model) ORDER BY phase, model""".stripMargin)),
+
     Q("o06_docs_catalog",
       (spark, dir) => {
         val r = TpchProject.runner(dir)

@@ -211,4 +211,39 @@ class ProjectLoaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjectLoader.parseModel("m",
       "{{ config(materialized='table', check_cols=['a']) }} SELECT 1"))
   }
+
+  test("selectors.yml round-trips: names, quoted definitions, default " +
+      "flag; malformed entries fail loudly") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_selyml").toString
+    def write(body: String): String = {
+      val p = s"$dir/selectors_${body.hashCode.abs}.yml"
+      Files.write(Paths.get(p), body.getBytes("UTF-8"))
+      p
+    }
+    val sels = ProjectLoader.loadSelectors(write(
+      """# comment
+        |selectors:
+        |  - name: nightly
+        |    description: "the nightly slice"
+        |    default: true
+        |    definition: "+mart tag:core"
+        |  - name: quick
+        |    definition: 'stg_only'
+        |""".stripMargin))
+    assert(sels == Seq(
+      NamedSelector("nightly", "+mart tag:core", default = true,
+        description = "the nightly slice"),
+      NamedSelector("quick", "stg_only")))
+    // Project-level governance: duplicate names and two defaults are
+    // construction errors, and a selector without a definition fails
+    // at load.
+    intercept[IllegalArgumentException](ProjectLoader.loadSelectors(
+      write("selectors:\n  - name: broken\n    default: true\n")))
+    intercept[IllegalArgumentException](Project(Nil, Nil,
+      selectors = Seq(NamedSelector("a", "x", default = true),
+        NamedSelector("b", "y", default = true))))
+    intercept[IllegalArgumentException](Project(Nil, Nil,
+      selectors = Seq(NamedSelector("a", "x"), NamedSelector("a", "y"))))
+  }
 }

@@ -2,6 +2,8 @@ package graft.model
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.{col, explode}
+
 import graft.SparkSuite
 import graft.operators.TpchProject
 
@@ -517,14 +519,27 @@ class RunnerSpec extends SparkSuite {
     assert(spark.table("hooks.spec_audit").count() == 1,
       "on-run-end must run even when a node failed")
 
-    // 3. a failing on-run-end fails the invocation.
+    // 3. a failing on-run-end fails the invocation — but run_results
+    // still lands first (dbt does the same): the retry verb consumes
+    // that artifact, and a flaky end hook must not blind retry to
+    // which nodes succeeded.
     freshAudit()
+    val rr = Files.createTempDirectory("graft_endboom").toString +
+      "/run_results.json"
     val endBoom = new Runner(
       Project(TpchProject.sources(dir), Seq(mart),
         onRunEnd = Seq("SELECT no_such_col FROM hooks.spec_audit")),
       Target("dev", "hookspec"), new PathMaterializer(
         "/tmp/graft-test/hookspec"))
-    intercept[Exception](endBoom.run(spark))
+    intercept[Exception](endBoom.run(spark,
+      runResultsPath = Some(rr)))
+    assert(Files.exists(Paths.get(rr)),
+      "run_results.json must be written even when on-run-end fails")
+    assert(spark.read.json(rr)
+        .select(explode(col("results")).as("n"))
+        .filter(col("n.name") === "hooked_ok" &&
+          col("n.status") === "success").count() == 1,
+      "the node results must record the successful build")
     spark.sql("DROP TABLE IF EXISTS hooks.spec_audit")
   }
 }
