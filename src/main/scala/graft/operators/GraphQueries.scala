@@ -26,7 +26,7 @@ object GraphQueries extends QueryPack {
 
   /** g03/g12/g13's base graph: within-block stars — docs link to
     * their 16-block head unless doc_id % 4 = 0. */
-  private def blockStars(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def blockStars(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.filter(col("id") % 4 =!= 0)
       .select(col("id").as("src"),
@@ -35,7 +35,7 @@ object GraphQueries extends QueryPack {
 
   /** g12/g13's append batch: block hubs chain to their 64-superblock
     * head — every edge merges old components. */
-  private def hubChains(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def hubChains(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.filter(col("id") % 16 === 0 && col("id") % 64 =!= 0)
       .select(col("id").as("src"),
@@ -47,7 +47,7 @@ object GraphQueries extends QueryPack {
     * (ids ≡ 0 mod m) from the vertex set AND from every edge endpoint
     * — a node filter alone would leave closure paths through removed
     * hubs. */
-  private def componentsOracle(dropMod: Option[Int]): String = {
+  private[graft] def componentsOracle(dropMod: Option[Int]): String = {
     val dF = dropMod.map(m => s" WHERE doc_id % $m <> 0").getOrElse("")
     val eF = dropMod.map(m => s" AND dst % $m <> 0").getOrElse("")
     s"""WITH RECURSIVE d AS (SELECT doc_id FROM documents$dF),

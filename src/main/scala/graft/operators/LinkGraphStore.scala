@@ -106,13 +106,26 @@ object LinkGraphStore {
     * state (an edge-partition fold never needs it back). Returns the
     * dropped batch ids. */
   def pruneCheckpoints(spark: SparkSession, store: LinkGraphStore,
+      keep: Set[String]): Seq[String] =
+    prunePartitions(spark, store.ranksRel, keep)
+
+  /** [[pruneCheckpoints]] for the components table — the same growth
+    * bound (one label assignment per batch, only ever read by name as
+    * a warm-start base). Takedown manifests are deliberately NOT
+    * prunable here: a manifest is the replay anchor of its own delete
+    * and retires with the retention policy, not with checkpoint
+    * cleanup. */
+  def pruneComponentCheckpoints(spark: SparkSession,
+      store: LinkGraphStore, keep: Set[String]): Seq[String] =
+    prunePartitions(spark, store.labelsRel, keep)
+
+  private def prunePartitions(spark: SparkSession, rel: String,
       keep: Set[String]): Seq[String] = {
-    val ids = spark.table(store.ranksRel)
+    val ids = spark.table(rel)
       .select(col("batch_id").cast("string")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq.sorted
     val drop = ids.filterNot(keep)
-    drop.foreach(id =>
-      mat.dropPartition(spark, store.ranksRel, "batch_id", id))
+    drop.foreach(id => mat.dropPartition(spark, rel, "batch_id", id))
     drop
   }
 

@@ -778,6 +778,54 @@ object StreamingQueries extends QueryPack {
         graft.operators.PostingsStore.selfTopK(s, store, k = 5)
           .orderBy(col("token"), col("rk"))
       },
-      Some(graft.operators.TextQueries.Bm25Oracle))
+      Some(graft.operators.TextQueries.Bm25Oracle)),
+
+    // Streamed COMPONENT ingest ([[graft.operators.LinkGraphStore]]
+    // components lifecycle): the crawl's edge log arrives as
+    // micro-batches; each foreachBatch lands one edge partition and
+    // re-converges the component labels FROM the previous batch's
+    // persisted assignment — the streamed twin of g12's batch append,
+    // chained through the replay-stable micro-batch id (the st15
+    // discipline: never a driver `var`). Mid-history the dead label
+    // checkpoints prune ([[graft.operators.LinkGraphStore
+    // .pruneComponentCheckpoints]] — an assignment is only ever read
+    // by name as a warm-start base, so once s1 exists base/s0 are dead
+    // state), invisible to the oracle: streamed ingest ≡ batch append
+    // ≡ cold recompute over the union graph (g12's recursive-closure
+    // oracle, to the bit).
+    Q("st18_stream_components",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val store = graft.operators.LinkGraphStore("stream_cc_gate")
+        graft.operators.LinkGraphStore.buildEdges(s,
+          graft.operators.GraphQueries.blockStars(docs), store)
+        graft.operators.LinkGraphStore.labelComponents(s, docs, store,
+          "base")
+        // Bounded driver collect: the streamed hub-chain slices at
+        // gate SF — the MemoryStream feed, not an operator step.
+        def slice(pred: org.apache.spark.sql.Column): Seq[EdgeRow] =
+          graft.operators.GraphQueries.hubChains(docs).filter(pred)
+            .as[EdgeRow].collect().sortBy(e => (e.src, e.dst)).toSeq
+        val chunks = Seq(slice(col("src") % 64 === 16),
+          slice(col("src") % 64 =!= 16))
+        val input = MemoryStream[EdgeRow](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.LinkGraphStore.appendAndLabel(s, b, store,
+              s"s$id", fromBatch = if (id == 0L) "base" else s"s${id - 1}")
+          }
+          .outputMode("append").start()
+        try chunks.foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+        graft.operators.LinkGraphStore
+          .pruneComponentCheckpoints(s, store, keep = Set("s1"))
+        graft.operators.LinkGraphStore.components(s, store, "s1")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.operators.GraphQueries.componentsOracle(None)))
   )
 }

@@ -437,4 +437,67 @@ class StreamCrashReplaySpec extends SparkSuite {
     LinkGraphStore.reset(spark, ref)
     graft.core.Caches.releaseAll()
   }
+
+  test("components ingest: crash between label checkpoint and offset " +
+      "commit, replay converges to the batch append (st18's path)") {
+    import spark.implicits._
+    import graft.operators.{GraphQueries, LinkGraphStore}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"))
+    def freshStore(name: String): LinkGraphStore = {
+      val store = LinkGraphStore(name)
+      LinkGraphStore.buildEdges(spark,
+        GraphQueries.blockStars(docs), store)
+      LinkGraphStore.labelComponents(spark, docs, store, "base")
+      store
+    }
+    val store = freshStore("crash_components")
+    val slices = Seq(col("src") % 64 === 16, col("src") % 64 =!= 16)
+      .map(p => GraphQueries.hubChains(docs).filter(p)
+        .as[EdgeRow].collect().sortBy(e => (e.src, e.dst)).toSeq)
+    // The seam: the label checkpoint landed, the offset commit did not
+    // — the replayed batch must re-converge from s{id-1} (the
+    // id-derived chain), overwriting exactly its own two partitions.
+    @volatile var crashed = false
+    val checkpoint = Files.createTempDirectory("graft_cc_ckpt").toString
+    val input = MemoryStream[EdgeRow](spark)
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        LinkGraphStore.appendAndLabel(spark, b, store, s"s$id",
+          fromBatch = if (id == 0L) "base" else s"s${id - 1}")
+        if (id == 1L && !crashed) {
+          crashed = true
+          throw new RuntimeException(
+            "injected: crash after label checkpoint, before offset commit")
+        }
+      }
+      .outputMode("append").start()
+    var q = start()
+    var restarts = 0
+    def drain(): Unit =
+      try q.processAllAvailable()
+      catch { case _: Exception => restarts += 1; q = start(); drain() }
+    slices.foreach { c => input.addData(c); drain() }
+    q.stop()
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = freshStore("crash_components_ref")
+    LinkGraphStore.appendAndLabel(spark,
+      GraphQueries.hubChains(docs).filter(col("src") % 64 === 16),
+      ref, "s0", fromBatch = "base")
+    LinkGraphStore.appendAndLabel(spark,
+      GraphQueries.hubChains(docs).filter(col("src") % 64 =!= 16),
+      ref, "s1", fromBatch = "s0")
+    def labelsOf(s: LinkGraphStore) =
+      LinkGraphStore.components(spark, s, "s1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val replayedCc = labelsOf(store)
+    assert(replayedCc.nonEmpty)
+    assert(replayedCc == labelsOf(ref),
+      "replayed component labels diverged from the batch append")
+    LinkGraphStore.reset(spark, store)
+    LinkGraphStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
 }
