@@ -323,13 +323,28 @@ object Graph {
     * + one per-node argmax via `min(struct(-cnt, label))` — two hash
     * aggregates, state (nodes + edges)-sized, lineage truncated. */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame =
+    labelPropagationFrom(
+      nodes.select(col("id"), col("id").as("label")), edges, iters)
+
+  /** [[labelPropagation]] initialized from an EXISTING labeling
+    * rather than the identity — the warm-restart primitive behind the
+    * persisted community store ([[LinkGraphStore.appendAndPropagate]]).
+    * Unlike min-label components, LPA's fixed point DEPENDS on the
+    * start, so warm is not cold: the contract is the warm history
+    * itself — k rounds from the stored assignment over the current
+    * edge union — which an oracle replays exactly because every round
+    * is a pure function of the previous labeling (the synchronous /
+    * total-tie-break argument above). The node universe is `start`'s
+    * key set: nodes with no surviving neighbors keep their label. */
+  def labelPropagationFrom(start: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
     val und = Checkpoints.truncate(
       edges.select(col("src").as("a"), col("dst").as("b"))
         .union(edges.select(col("dst").as("a"), col("src").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct())
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    var labels = start.select(col("id"), col("label"))
     for (_ <- 1 to iters) {
       val freq = und.join(labels.withColumnRenamed("id", "a"), "a")
         .groupBy(col("b").as("id"), col("label"))

@@ -69,7 +69,8 @@ object GraphQueries extends QueryPack {
   }
 
   def queries: Seq[Q] =
-    mainGates ++ harmonicGate ++ hitsGate ++ lpaGate
+    mainGates ++ harmonicGate ++ hitsGate ++ lpaGate ++
+      communityStoreGates
 
   private def mainGates: Seq[Q] = Seq(
 
@@ -592,13 +593,133 @@ object GraphQueries extends QueryPack {
       Some(G09Oracle))
   )
 
+  private def communityStoreGates: Seq[Q] = Seq(
+
+    // INCREMENTAL label-propagation communities on the persisted
+    // link graph ([[LinkGraphStore.appendAndPropagate]]) — the g12
+    // treatment for g09: the community assignment is checkpointed
+    // state, and an arriving edge batch runs 2 MORE warm rounds from
+    // it over the union graph. LPA's fixed point is start-dependent,
+    // so the contract is the warm HISTORY itself (2 cold base rounds,
+    // then 2 warm union rounds), which the oracle unrolls exactly —
+    // [[lpaRoundOver]] parameterized by edge view and start, the g06
+    // warm-PageRank oracle shape. Base = the g09 synthetic graph;
+    // append = g03's block stars, which wire hub-centered stars into
+    // the mix and flip block members toward their hub's label.
+    Q("g14_communities_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val store = LinkGraphStore("lpa_store")
+        LinkGraphStore.buildEdges(s, syntheticEdges(docs, n), store)
+        LinkGraphStore.propagateCommunities(s, docs, store, "base",
+          iters = 2)
+        LinkGraphStore.appendAndPropagate(s, blockStars(docs), store,
+          "b1", fromBatch = "base", iters = 2)
+        LinkGraphStore.communities(s, store, "b1")
+          .select(col("id").as("doc_id"), col("community"))
+          .orderBy(col("doc_id"))
+      },
+      Some(G14Oracle)),
+
+    // Community TAKEDOWN with warm repair ([[LinkGraphStore
+    // .deleteAndPropagate]]): g14's lifecycle, a checkpoint prune
+    // (only b1 survives — the verb the growth bound rides on), then
+    // the block heads (id ≡ 0 mod 16) are removed. Majority-vote
+    // communities are NOT edge-closed, so there is no affected-set
+    // shortcut (contrast g13): the repair is the g10 shape — 2 warm
+    // rounds re-mixing the SURVIVING labels over the surviving
+    // graph, never a cold identity restart. The oracle extends the
+    // g14 chain: survivor-filtered l4 start, survivor-filtered edge
+    // view, 2 more unrolled rounds.
+    Q("g15_communities_takedown",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val store = LinkGraphStore("lpa_takedown")
+        LinkGraphStore.buildEdges(s, syntheticEdges(docs, n), store)
+        LinkGraphStore.propagateCommunities(s, docs, store, "base",
+          iters = 2)
+        LinkGraphStore.appendAndPropagate(s, blockStars(docs), store,
+          "b1", fromBatch = "base", iters = 2)
+        LinkGraphStore.pruneCommunityCheckpoints(s, store,
+          keep = Set("b1"))
+        LinkGraphStore.deleteAndPropagate(s,
+          docs.filter(col("id") % 16 === 0), store, "t1",
+          fromBatch = "b1", iters = 2)
+        LinkGraphStore.communities(s, store, "t1")
+          .select(col("id").as("doc_id"), col("community"))
+          .orderBy(col("doc_id"))
+      },
+      Some(G15Oracle))
+  )
+
+  /** Shared CTE prefix for the community-store oracles: the g09
+    * synthetic graph as the base batch, g03's block stars as the
+    * append, undirected-distinct views of the base (eu1) and union
+    * (eu2) edge sets, identity start, then the warm history — 2
+    * rounds over eu1, 2 over eu2. */
+  private val G14Prefix: String =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |e_base AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+       |  WHERE dst <> src),
+       |e_app AS (
+       |  SELECT doc_id src, doc_id - (doc_id % 16) AS dst
+       |  FROM d WHERE doc_id % 4 <> 0),
+       |eu1 AS (
+       |  SELECT a, b FROM (
+       |    SELECT src a, dst b FROM e_base
+       |    UNION SELECT dst a, src b FROM e_base)
+       |  WHERE a <> b),
+       |ea AS (SELECT src, dst FROM e_base
+       |  UNION SELECT src, dst FROM e_app),
+       |eu2 AS (
+       |  SELECT a, b FROM (
+       |    SELECT src a, dst b FROM ea
+       |    UNION SELECT dst a, src b FROM ea)
+       |  WHERE a <> b),
+       |l0 AS (SELECT doc_id id, doc_id lbl FROM d),
+       |${lpaRoundOver(1, "eu1", "l0")},
+       |${lpaRoundOver(2, "eu1", "l1")},
+       |${lpaRoundOver(3, "eu2", "l2")},
+       |${lpaRoundOver(4, "eu2", "l3")}""".stripMargin
+
+  private val G14Oracle: String =
+    s"""$G14Prefix
+       |SELECT id AS doc_id, lbl AS community
+       |FROM l4 ORDER BY doc_id""".stripMargin
+
+  private val G15Oracle: String =
+    s"""$G14Prefix,
+       |l4s AS (SELECT id, lbl FROM l4 WHERE id % 16 <> 0),
+       |eu3 AS (SELECT a, b FROM eu2
+       |  WHERE a % 16 <> 0 AND b % 16 <> 0),
+       |${lpaRoundOver(5, "eu3", "l4s")},
+       |${lpaRoundOver(6, "eu3", "l5")}
+       |SELECT id AS doc_id, lbl AS community
+       |FROM l6 ORDER BY doc_id""".stripMargin
+
   /** One unrolled synchronous-LPA round for the g09 oracle: neighbor
     * label messages over the undirected edge view, per-(node, label)
     * counts, argmax by (cnt DESC, label), keep-own on no-neighbor. */
   private def lpaRound(i: Int): String =
+    lpaRoundOver(i, "eu", s"l${i - 1}")
+
+  /** [[lpaRound]] with the undirected edge view AND the previous
+    * labeling as parameters — the g14/g15 warm-store rounds run over
+    * a GROWING (then shrinking) edge union from a checkpointed start,
+    * exactly like the g06/g10 PageRank oracle's [[prRoundOver]]. */
+  private def lpaRoundOver(i: Int, eu: String, prev: String): String =
     s"""m$i AS (
-       |  SELECT e.b id, l.lbl FROM eu e
-       |  JOIN l${i - 1} l ON e.a = l.id),
+       |  SELECT e.b id, l.lbl FROM $eu e
+       |  JOIN $prev l ON e.a = l.id),
        |f$i AS (SELECT id, lbl, COUNT(*) cnt FROM m$i GROUP BY 1, 2),
        |p$i AS (
        |  SELECT id, lbl FROM (
@@ -607,7 +728,7 @@ object GraphQueries extends QueryPack {
        |    FROM f$i) WHERE rn = 1),
        |l$i AS (
        |  SELECT l.id, COALESCE(p.lbl, l.lbl) lbl
-       |  FROM l${i - 1} l LEFT JOIN p$i p USING (id))""".stripMargin
+       |  FROM $prev l LEFT JOIN p$i p USING (id))""".stripMargin
 
   private val G09Oracle: String =
     s"""WITH d AS (SELECT doc_id FROM documents),

@@ -84,7 +84,8 @@ object HybridRetrieval {
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
     saltedTopK(scored, col("qid"), col("score").desc, k, "rank_lex")
-      .select(col("qid"), col("doc_id"), col("rank_lex"))
+      .select(col("qid"), col("doc_id"), col("score"),
+        col("rank_lex"))
   }
 
   /** Exact per-qid top-k via the salted two-stage ranking
@@ -127,5 +128,59 @@ object HybridRetrieval {
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("doc_id"), col("rrf"),
         col("rank_lex"), col("rank_vec"))
+  }
+
+  /** Score-INTERPOLATION fusion — the other standard hybrid merge
+    * (convex score blend; see Bruch et al., "An Analysis of Fusion
+    * Functions for Hybrid Retrieval", TOIS 2023): each arm's scores
+    * are min-max normalized WITHIN its per-query candidate list, and
+    * the fused score is the equal-weight blend `(nl + nv) / 2` with an
+    * absent arm contributing 0. Inputs are `lex(qid, doc_id, score)`
+    * (exact-decimal BM25) and `vec(qid, doc_id, sim)` (6dp cosine).
+    *
+    * Exactness: per-arm min/max over a ≤ k-row deterministic list pick
+    * existing values (no arithmetic); the normalization is ONE decimal
+    * subtraction (exact) cast to double, one IEEE division, rounded at
+    * 12dp; the blend is one addition of two 12dp doubles and an exact
+    * halving, rounded at 6dp — every step correctly rounded and
+    * replayable. Degenerate lists (max = min, e.g. a single candidate)
+    * normalize to 1.0 by convention on BOTH engines.
+    *
+    * 100 TB shape: like [[rrfFuse]], everything downstream of the arms
+    * is (queries × k)-sized — the min/max aggregate, the join-back,
+    * the full-outer fuse and the final window never see the corpus. */
+  def interpolateFuse(lex: DataFrame, vec: DataFrame,
+      k: Int): DataFrame = {
+    val ln = minMaxNorm(lex, col("score"), "nl")
+    val vn = minMaxNorm(vec, col("sim"), "nv")
+    val fused = ln.select(col("qid"), col("doc_id"), col("nl"))
+      .join(vn.select(col("qid"), col("doc_id"), col("nv")),
+        Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        round((coalesce(col("nl"), lit(0.0)) +
+          coalesce(col("nv"), lit(0.0))) / lit(2.0), 6).as("mix"),
+        round(coalesce(col("nl"), lit(0.0)), 6).as("norm_lex"),
+        round(coalesce(col("nv"), lit(0.0)), 6).as("norm_vec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("mix").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("mix"),
+        col("norm_lex"), col("norm_vec"))
+  }
+
+  /** Per-qid min-max normalization of `score` into 12dp `out` — over
+    * the arm's ALREADY-BOUNDED candidate list, so the aggregate and
+    * join-back are (queries × k)-row operations. */
+  private def minMaxNorm(arm: DataFrame, score: Column,
+      out: String): DataFrame = {
+    val mm = arm.groupBy(col("qid"))
+      .agg(min(score).as("mn"), max(score).as("mx"))
+    arm.join(mm, "qid")
+      .withColumn(out,
+        when(col("mx") > col("mn"),
+          round((score - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double"), 12))
+        .otherwise(lit(1.0)))
   }
 }

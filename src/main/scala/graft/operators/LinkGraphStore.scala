@@ -39,6 +39,7 @@ final case class LinkGraphStore(schemaName: String) {
   val edgesRel: String = s"$schemaName.edges"
   val ranksRel: String = s"$schemaName.ranks"
   val labelsRel: String = s"$schemaName.components"
+  val communitiesRel: String = s"$schemaName.communities"
   val takedownsRel: String = s"$schemaName.takedowns"
 }
 
@@ -49,7 +50,8 @@ object LinkGraphStore {
   /** Drop the store tables — a fresh start for gates/specs. */
   def reset(spark: SparkSession, store: LinkGraphStore): Unit =
     Seq(store.edgesRel, store.ranksRel, store.labelsRel,
-      store.takedownsRel).foreach(mat.dropRelation(spark, _))
+      store.communitiesRel, store.takedownsRel)
+      .foreach(mat.dropRelation(spark, _))
 
   /** Full build: land the base edge partition, rank from the uniform
     * vector for `iters` rounds, checkpoint the 12dp vector. REPLACES
@@ -118,6 +120,12 @@ object LinkGraphStore {
   def pruneComponentCheckpoints(spark: SparkSession,
       store: LinkGraphStore, keep: Set[String]): Seq[String] =
     prunePartitions(spark, store.labelsRel, keep)
+
+  /** [[pruneComponentCheckpoints]] for the communities table — same
+    * growth bound, same read-by-name-only lifecycle. */
+  def pruneCommunityCheckpoints(spark: SparkSession,
+      store: LinkGraphStore, keep: Set[String]): Seq[String] =
+    prunePartitions(spark, store.communitiesRel, keep)
 
   private def prunePartitions(spark: SparkSession, rel: String,
       keep: Set[String]): Seq[String] = {
@@ -290,6 +298,88 @@ object LinkGraphStore {
       .localCheckpoint())
     stats
   }
+
+  /** Cold LPA communities ([[Graph.labelPropagation]]) over the
+    * accumulated edge union, checkpointed under `batchId` as
+    * `communities(id, label)` — the community analogue of
+    * [[labelComponents]], in its own table because the two
+    * assignments version independently (a rank/component checkpoint
+    * proves nothing about the community state). */
+  def propagateCommunities(spark: SparkSession, nodes: DataFrame,
+      store: LinkGraphStore, batchId: String, iters: Int = 2): Unit =
+    writeCommunities(spark, store, batchId,
+      Graph.labelPropagation(nodes, storedEdges(spark, store), iters))
+
+  /** Incremental re-propagation after an edge append: land the
+    * batch's edge partition, then run `iters` MORE synchronous LPA
+    * rounds from the `fromBatch` assignment over the union of all
+    * edge partitions. Unlike components, LPA's fixed point depends on
+    * the start — warm is NOT cold, and that is the contract: the
+    * stored assignment plus k rounds over the new union IS the
+    * incremental semantics (what a nightly community refresh runs),
+    * replayable bit-for-bit because each round is a pure function of
+    * the previous labeling. Replay-idempotent like [[appendAndRank]]:
+    * the same batchId overwrites exactly its own two partitions. */
+  def appendAndPropagate(spark: SparkSession, newEdges: DataFrame,
+      store: LinkGraphStore, batchId: String, fromBatch: String,
+      iters: Int = 2): Unit = {
+    writeEdges(spark, store, batchId, newEdges)
+    val start = spark.table(store.communitiesRel)
+      .filter(col("batch_id") === fromBatch)
+      .select(col("id"), col("label"))
+    writeCommunities(spark, store, batchId,
+      Graph.labelPropagationFrom(start,
+        storedEdges(spark, store), iters))
+  }
+
+  /** Host takedown with community REPAIR — the victims' edges (both
+    * directions) and their community rows leave partition-scoped,
+    * then `iters` warm LPA rounds re-mix the SURVIVING labels over
+    * the surviving graph. The [[deleteAndLabel]] affected-set scoping
+    * does NOT apply here: min-label components are edge-closed
+    * (edges never cross components) but majority-vote communities are
+    * not — any surviving node may flip when a hub's votes disappear —
+    * so the correct bounded repair is the [[deleteAndRank]] shape: a
+    * warm re-convergence over the whole surviving graph, paying per
+    * round one equi-join + two hash aggregates, never a cold restart
+    * from the identity labeling. No takedown manifest is needed
+    * (contrast [[deleteAndLabel]]): the repair reads only POST-delete
+    * state — the surviving `fromBatch` slice — which a replay that
+    * crashed past the retention rewrite re-reads identically. */
+  def deleteAndPropagate(spark: SparkSession, victims: DataFrame,
+      store: LinkGraphStore, batchId: String, fromBatch: String,
+      iters: Int = 2): Seq[StoreRetention.DeleteStats] = {
+    val stats = Seq(
+      StoreRetention.deleteRows(spark, store.edgesRel, victims,
+        (t, v) => t("src") === v("id")),
+      StoreRetention.deleteRows(spark, store.edgesRel, victims,
+        (t, v) => t("dst") === v("id")),
+      StoreRetention.deleteRows(spark, store.communitiesRel, victims,
+        (t, v) => t("id") === v("id")))
+    // localCheckpoint: the start slice lazily reads communitiesRel,
+    // which writeCommunities below rewrites — an unpinned source plan
+    // would race its own rewrite (the deleteFull lesson).
+    val start = spark.table(store.communitiesRel)
+      .filter(col("batch_id") === fromBatch)
+      .select(col("id"), col("label")).localCheckpoint()
+    writeCommunities(spark, store, batchId,
+      Graph.labelPropagationFrom(start,
+        storedEdges(spark, store), iters))
+    stats
+  }
+
+  /** The checkpointed community assignment at `batchId`. */
+  def communities(spark: SparkSession, store: LinkGraphStore,
+      batchId: String): DataFrame =
+    spark.table(store.communitiesRel)
+      .filter(col("batch_id") === batchId)
+      .select(col("id"), col("label").as("community"))
+
+  private def writeCommunities(spark: SparkSession,
+      store: LinkGraphStore, batchId: String,
+      labeled: DataFrame): Unit =
+    writePartition(spark, store.communitiesRel, batchId,
+      labeled.select(col("id"), col("community").as("label")))
 
   /** The checkpointed component assignment at `batchId`. */
   def components(spark: SparkSession, store: LinkGraphStore,

@@ -1164,6 +1164,31 @@ object TextQueries extends QueryPack {
       },
       Some(HybridRrfOracle)),
 
+    // Score-INTERPOLATION hybrid fusion ([[HybridRetrieval
+    // .interpolateFuse]]) — the convex-blend alternative to t29's
+    // rank-only RRF: each arm's scores min-max normalize within the
+    // per-query top-20, the fused score is the equal-weight blend.
+    // Same candidate-bounded arms; the only new arithmetic is one
+    // exact subtraction + one IEEE division per row (12dp) and one
+    // addition + exact halving (6dp), so the oracle replays the blend
+    // bit-for-bit — fusion on SCORES stays exactly checkable, not
+    // just fusion on ranks.
+    Q("t30_hybrid_interpolation",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        val lex = HybridRetrieval.bm25MoreLikeThis(docs, "doc_id",
+          "text", docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("qid")), k = 20)
+        val vec = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 20)
+          .select(col("qid"), col("nid").as("doc_id"), col("sim"))
+        HybridRetrieval.interpolateFuse(lex, vec, k = 10)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(HybridInterpOracle)),
+
     // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): the
     // corpus splits into head/middle/tail THIRDS by per-doc mean
     // unigram surprisal — the corpus-RELATIVE quality tiers CCNet
@@ -1297,8 +1322,13 @@ object TextQueries extends QueryPack {
     * documents' distinct tokens as the query sets) and brute-force
     * cosine (the v01 CTEs) — then reciprocal-rank fusion, each fused
     * score one two-operand IEEE double addition. */
-  private[graft] val HybridRrfOracle: String =
-    raw"""WITH d AS (
+  /** The two retrieval arms shared by the hybrid-fusion oracles
+    * (t29/t30): BM25 scores of every document against each seed's
+    * token set (`sc`, exact decimal) and pairwise cosine sims
+    * (`vp`, 6dp double) — everything up to, but not including, the
+    * per-arm ranking. */
+  private val HybridArmsCtes: String =
+    raw"""d AS (
              |  SELECT doc_id, text FROM documents
              |  WHERE length(trim(text)) > 0),
              |toks AS (
@@ -1328,11 +1358,6 @@ object TextQueries extends QueryPack {
              |  JOIN dl ON dl.doc_id = tf.doc_id, st
              |  WHERE tf.doc_id <> q.qid
              |  GROUP BY 1, 2),
-             |lex AS (
-             |  SELECT qid, doc_id, rank_lex FROM (
-             |    SELECT qid, doc_id, ROW_NUMBER() OVER (
-             |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rank_lex
-             |    FROM sc) WHERE rank_lex <= 20),
              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
              |  FROM embeddings),
              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm
@@ -1340,7 +1365,15 @@ object TextQueries extends QueryPack {
              |vp AS (
              |  SELECT q.vec_id qid, c.vec_id doc_id,
              |    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) sim
-             |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)""".stripMargin
+
+  private[graft] val HybridRrfOracle: String =
+    s"""WITH $HybridArmsCtes,
+             |lex AS (
+             |  SELECT qid, doc_id, rank_lex FROM (
+             |    SELECT qid, doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rank_lex
+             |    FROM sc) WHERE rank_lex <= 20),
              |vec AS (
              |  SELECT qid, doc_id, rank_vec FROM (
              |    SELECT qid, doc_id, ROW_NUMBER() OVER (
@@ -1367,6 +1400,64 @@ object TextQueries extends QueryPack {
              |SELECT qid, rk, doc_id, rrf,
              |  CAST(rank_lex AS BIGINT) AS rank_lex,
              |  CAST(rank_vec AS BIGINT) AS rank_vec
+             |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** DuckDB replay of [[HybridRetrieval.interpolateFuse]] over the
+    * shared arms: per-arm top-20 (same rankings t29 proved), min-max
+    * over each per-query list, 12dp-normalized, equal-weight blend at
+    * 6dp — each arithmetic step mirrors the Spark expression shape
+    * exactly (decimal subtraction then double division for the lex
+    * arm; double throughout for the vec arm). */
+  private[graft] val HybridInterpOracle: String =
+    s"""WITH $HybridArmsCtes,
+             |lexk AS (
+             |  SELECT qid, doc_id, score FROM (
+             |    SELECT qid, doc_id, score, ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+             |    FROM sc) WHERE rnk <= 20),
+             |lmm AS (
+             |  SELECT qid, MIN(score) mn, MAX(score) mx
+             |  FROM lexk GROUP BY 1),
+             |lnorm AS (
+             |  SELECT l.qid, l.doc_id,
+             |    CASE WHEN mx > mn THEN
+             |      ROUND(CAST(l.score - mn AS DOUBLE) /
+             |            CAST(mx - mn AS DOUBLE), 12)
+             |    ELSE CAST(1.0 AS DOUBLE) END AS nl
+             |  FROM lexk l JOIN lmm USING (qid)),
+             |veck AS (
+             |  SELECT qid, doc_id, sim FROM (
+             |    SELECT qid, doc_id, sim, ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY sim DESC, doc_id) AS rnk
+             |    FROM vp) WHERE rnk <= 20),
+             |vmm AS (
+             |  SELECT qid, MIN(sim) mn, MAX(sim) mx
+             |  FROM veck GROUP BY 1),
+             |vnorm AS (
+             |  SELECT v.qid, v.doc_id,
+             |    CASE WHEN mx > mn THEN
+             |      ROUND(CAST(v.sim - mn AS DOUBLE) /
+             |            CAST(mx - mn AS DOUBLE), 12)
+             |    ELSE CAST(1.0 AS DOUBLE) END AS nv
+             |  FROM veck v JOIN vmm USING (qid)),
+             |fused AS (
+             |  SELECT COALESCE(l.qid, v.qid) AS qid,
+             |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             |    ROUND((COALESCE(l.nl, CAST(0.0 AS DOUBLE)) +
+             |           COALESCE(v.nv, CAST(0.0 AS DOUBLE))) /
+             |          CAST(2.0 AS DOUBLE), 6) AS mix,
+             |    ROUND(COALESCE(l.nl, CAST(0.0 AS DOUBLE)), 6)
+             |      AS norm_lex,
+             |    ROUND(COALESCE(v.nv, CAST(0.0 AS DOUBLE)), 6)
+             |      AS norm_vec
+             |  FROM lnorm l FULL OUTER JOIN vnorm v
+             |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+             |ranked AS (
+             |  SELECT qid, doc_id, mix, norm_lex, norm_vec,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY mix DESC, doc_id) AS rk
+             |  FROM fused)
+             |SELECT qid, rk, doc_id, mix, norm_lex, norm_vec
              |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** DuckDB replay of [[Bpe]]: unrolled training (v0 → … → vN with the

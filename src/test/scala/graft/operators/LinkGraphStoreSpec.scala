@@ -129,6 +129,68 @@ class LinkGraphStoreSpec extends SparkSuite {
     LinkGraphStore.reset(spark, store)
   }
 
+  // ---- Communities lifecycle (g14/g15's contracts beyond the hash) --
+
+  test("appendAndPropagate runs the warm LPA history exactly and is " +
+      "batch-idempotent") {
+    val store = LinkGraphStore("linkgraph_spec_lpa")
+    LinkGraphStore.buildEdges(spark, base, store)
+    LinkGraphStore.propagateCommunities(spark, nodes, store, "base")
+    LinkGraphStore.appendAndPropagate(spark, delta, store, "b1",
+      fromBatch = "base")
+    val warm = labels(LinkGraphStore.communities(spark, store, "b1"))
+    // The contract: the warm HISTORY is the semantics — 2 cold rounds
+    // over the base edges, then 2 more over the union from that
+    // start (LPA's fixed point is start-dependent, so this is the
+    // strongest equality that exists).
+    val expect = labels(Graph.labelPropagationFrom(
+      Graph.labelPropagation(nodes, base, iters = 2)
+        .select(col("id"), col("community").as("label")),
+      full, iters = 2))
+    assert(warm == expect,
+      "store append must replay as base rounds + warm union rounds")
+    LinkGraphStore.appendAndPropagate(spark, delta, store, "b1",
+      fromBatch = "base")
+    assert(labels(LinkGraphStore.communities(spark, store, "b1"))
+      == expect, "replaying the batch must be a no-op")
+    assert(spark.table(store.edgesRel).select(col("batch_id"))
+      .distinct().count() == 2)
+    LinkGraphStore.reset(spark, store)
+  }
+
+  test("deleteAndPropagate re-mixes the surviving labels over the " +
+      "surviving graph; post-retention replay is exact") {
+    val store = LinkGraphStore("linkgraph_spec_lpad")
+    LinkGraphStore.buildEdges(spark, base, store)
+    LinkGraphStore.propagateCommunities(spark, nodes, store, "base")
+    LinkGraphStore.appendAndPropagate(spark, delta, store, "b1",
+      fromBatch = "base")
+    // Capture the PRE-delete surviving slice — the repair's warm
+    // start — before retention rewrites the table.
+    val start = LinkGraphStore.communities(spark, store, "b1")
+      .filter(col("id") % 6 =!= 0)
+      .select(col("id"), col("community").as("label"))
+      .localCheckpoint()
+    val victims = nodes.filter(col("id") % 6 === 0)
+    LinkGraphStore.deleteAndPropagate(spark, victims, store, "t1",
+      fromBatch = "b1")
+    val got = labels(LinkGraphStore.communities(spark, store, "t1"))
+    val survEdges = full
+      .filter(col("src") % 6 =!= 0 && col("dst") % 6 =!= 0)
+    val expect = labels(
+      Graph.labelPropagationFrom(start, survEdges, iters = 2))
+    assert(got == expect,
+      "takedown repair must equal warm rounds over the survivors")
+    assert(!got.keySet.exists(_ % 6 == 0), "victims must be gone")
+    // A replay that crashed past the retention rewrite re-reads the
+    // same surviving slice — no manifest needed for this verb.
+    LinkGraphStore.deleteAndPropagate(spark, victims, store, "t1",
+      fromBatch = "b1")
+    assert(labels(LinkGraphStore.communities(spark, store, "t1"))
+      == expect, "post-retention replay must rebuild the same labels")
+    LinkGraphStore.reset(spark, store)
+  }
+
   test("pre-weighted-format edge stores (no w column) still read, " +
       "treating each row as weight 1") {
     val store = LinkGraphStore("linkgraph_spec_compat")
