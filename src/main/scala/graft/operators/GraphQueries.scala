@@ -696,6 +696,53 @@ object GraphQueries extends QueryPack {
        |SELECT id AS doc_id, lbl AS community
        |FROM l4 ORDER BY doc_id""".stripMargin
 
+  /** st19's oracle: the g14 warm chain with the append split into
+    * two streamed micro-batches — 2 cold rounds over the base graph,
+    * then 2 warm rounds after EACH chunk lands (the edge view grows
+    * at rounds 3 and 5), so streamed ingest ≡ the same chain run as
+    * batch appends, to the bit. */
+  private[graft] val StreamCommunitiesOracle: String =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT COUNT(*) n FROM d),
+       |e_base AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id src,
+       |      (doc_id * (7 + j.k) + 13 * j.k) % nn.n AS dst
+       |    FROM d, nn, (SELECT unnest(range(0, 3)) k) j)
+       |  WHERE dst <> src),
+       |e_app AS (
+       |  SELECT doc_id src, doc_id - (doc_id % 16) AS dst
+       |  FROM d WHERE doc_id % 4 <> 0),
+       |e_a0 AS (SELECT src, dst FROM e_app WHERE src % 2 = 1),
+       |eu1 AS (
+       |  SELECT a, b FROM (
+       |    SELECT src a, dst b FROM e_base
+       |    UNION SELECT dst a, src b FROM e_base)
+       |  WHERE a <> b),
+       |ea1 AS (SELECT src, dst FROM e_base
+       |  UNION SELECT src, dst FROM e_a0),
+       |eu_s0 AS (
+       |  SELECT a, b FROM (
+       |    SELECT src a, dst b FROM ea1
+       |    UNION SELECT dst a, src b FROM ea1)
+       |  WHERE a <> b),
+       |ea2 AS (SELECT src, dst FROM e_base
+       |  UNION SELECT src, dst FROM e_app),
+       |eu_s1 AS (
+       |  SELECT a, b FROM (
+       |    SELECT src a, dst b FROM ea2
+       |    UNION SELECT dst a, src b FROM ea2)
+       |  WHERE a <> b),
+       |l0 AS (SELECT doc_id id, doc_id lbl FROM d),
+       |${lpaRoundOver(1, "eu1", "l0")},
+       |${lpaRoundOver(2, "eu1", "l1")},
+       |${lpaRoundOver(3, "eu_s0", "l2")},
+       |${lpaRoundOver(4, "eu_s0", "l3")},
+       |${lpaRoundOver(5, "eu_s1", "l4")},
+       |${lpaRoundOver(6, "eu_s1", "l5")}
+       |SELECT id AS doc_id, lbl AS community
+       |FROM l6 ORDER BY doc_id""".stripMargin
+
   private val G15Oracle: String =
     s"""$G14Prefix,
        |l4s AS (SELECT id, lbl FROM l4 WHERE id % 16 <> 0),

@@ -826,6 +826,54 @@ object StreamingQueries extends QueryPack {
           .select(col("id").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
       },
-      Some(graft.operators.GraphQueries.componentsOracle(None)))
+      Some(graft.operators.GraphQueries.componentsOracle(None))),
+
+    // STREAMED community ingest ([[graft.operators.LinkGraphStore
+    // .appendAndPropagate]] under foreachBatch) — st18's protocol for
+    // the LPA tier: the base graph propagates cold, then each
+    // micro-batch lands an edge partition and runs 2 MORE warm rounds
+    // from the previous batch's persisted assignment, chained through
+    // the replay-stable micro-batch id (never a driver var — the
+    // at-least-once seam StreamCrashReplaySpec kills, its NINTH
+    // streamed path). Mid-lifecycle the community checkpoints prune
+    // to the head. LPA's fixed point is start-dependent, so streamed
+    // ≡ the SAME chain as batch appends — which is exactly what the
+    // oracle unrolls (6 rounds, edge view growing at rounds 3 and 5).
+    Q("st19_stream_communities",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val n = docs.count()
+        val store = graft.operators.LinkGraphStore("stream_lpa_gate")
+        graft.operators.LinkGraphStore.buildEdges(s,
+          graft.operators.GraphQueries.syntheticEdges(docs, n), store)
+        graft.operators.LinkGraphStore.propagateCommunities(s, docs,
+          store, "base")
+        // Bounded driver collect: the streamed block-star slices at
+        // gate SF — the MemoryStream feed, not an operator step.
+        def slice(pred: org.apache.spark.sql.Column): Seq[EdgeRow] =
+          graft.operators.GraphQueries.blockStars(docs).filter(pred)
+            .as[EdgeRow].collect().sortBy(e => (e.src, e.dst)).toSeq
+        val chunks = Seq(slice(col("src") % 2 === 1),
+          slice(col("src") % 2 === 0))
+        val input = MemoryStream[EdgeRow](s)
+        val q = input.toDF().writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.LinkGraphStore.appendAndPropagate(s, b,
+              store, s"s$id",
+              fromBatch = if (id == 0L) "base" else s"s${id - 1}")
+          }
+          .outputMode("append").start()
+        try chunks.foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+        graft.operators.LinkGraphStore
+          .pruneCommunityCheckpoints(s, store, keep = Set("s1"))
+        graft.operators.LinkGraphStore.communities(s, store, "s1")
+          .select(col("id").as("doc_id"), col("community"))
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.operators.GraphQueries.StreamCommunitiesOracle))
   )
 }

@@ -500,4 +500,73 @@ class StreamCrashReplaySpec extends SparkSuite {
     LinkGraphStore.reset(spark, ref)
     graft.core.Caches.releaseAll()
   }
+
+  test("communities ingest: crash between community checkpoint and " +
+      "offset commit, replay converges to the batch append (st19's " +
+      "path)") {
+    import spark.implicits._
+    import graft.operators.{GraphQueries, LinkGraphStore}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"))
+    val n = docs.count()
+    def freshStore(name: String): LinkGraphStore = {
+      val store = LinkGraphStore(name)
+      LinkGraphStore.buildEdges(spark,
+        GraphQueries.syntheticEdges(docs, n), store)
+      LinkGraphStore.propagateCommunities(spark, docs, store, "base")
+      store
+    }
+    val store = freshStore("crash_lpa")
+    val slices = Seq(col("src") % 2 === 1, col("src") % 2 === 0)
+      .map(p => GraphQueries.blockStars(docs).filter(p)
+        .as[EdgeRow].collect().sortBy(e => (e.src, e.dst)).toSeq)
+    // The seam: the community checkpoint landed, the offset commit
+    // did not — the replayed batch must re-run its warm rounds from
+    // s{id-1} (the id-derived chain), overwriting exactly its own two
+    // partitions. The warm start reads fromBatch's slice only, never
+    // the crashed batch's own partition, so the replay is exact even
+    // though LPA's fixed point is start-dependent.
+    @volatile var crashed = false
+    val checkpoint = Files.createTempDirectory("graft_lpa_ckpt").toString
+    val input = MemoryStream[EdgeRow](spark)
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        LinkGraphStore.appendAndPropagate(spark, b, store, s"s$id",
+          fromBatch = if (id == 0L) "base" else s"s${id - 1}")
+        if (id == 1L && !crashed) {
+          crashed = true
+          throw new RuntimeException(
+            "injected: crash after community checkpoint, before " +
+              "offset commit")
+        }
+      }
+      .outputMode("append").start()
+    var q = start()
+    var restarts = 0
+    def drain(): Unit =
+      try q.processAllAvailable()
+      catch { case _: Exception => restarts += 1; q = start(); drain() }
+    slices.foreach { c => input.addData(c); drain() }
+    q.stop()
+    assert(crashed && restarts == 1, s"crash must fire once: $restarts")
+
+    val ref = freshStore("crash_lpa_ref")
+    LinkGraphStore.appendAndPropagate(spark,
+      GraphQueries.blockStars(docs).filter(col("src") % 2 === 1),
+      ref, "s0", fromBatch = "base")
+    LinkGraphStore.appendAndPropagate(spark,
+      GraphQueries.blockStars(docs).filter(col("src") % 2 === 0),
+      ref, "s1", fromBatch = "s0")
+    def communitiesOf(s: LinkGraphStore) =
+      LinkGraphStore.communities(spark, s, "s1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val replayedLpa = communitiesOf(store)
+    assert(replayedLpa.nonEmpty)
+    assert(replayedLpa == communitiesOf(ref),
+      "replayed community labels diverged from the batch append")
+    LinkGraphStore.reset(spark, store)
+    LinkGraphStore.reset(spark, ref)
+    graft.core.Caches.releaseAll()
+  }
 }
