@@ -453,6 +453,20 @@ class PlanAuditSpec extends SparkSuite {
       s"topK lost its salted first-stage ranking:\n$p")
   }
 
+  test("hybrid interpolation keeps both arms bounded: salted lexical " +
+      "ranking survives the fuse, no cartesian anywhere") {
+    // The fuse and min-max normalization are (seeds x k)-row ops; the
+    // corpus-sized work must stay inside the arms — the lexical arm's
+    // salted two-stage ranking (t26's pin) and the broadcast cosine
+    // arm. A cartesian or nested-loop join here means an arm leaked
+    // past its candidate bound.
+    val p = plan("t30_hybrid_interpolation")
+    assert(p.contains("__salt"),
+      s"t30's lexical arm lost its salted first-stage ranking:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t30 must not plan a cartesian:\n$p")
+  }
+
   test("canonical keep (d07) selects per-cluster winners with a hash " +
       "aggregate, never a per-cluster window") {
     // Near-dup clusters are usually tiny, but a boilerplate family at
