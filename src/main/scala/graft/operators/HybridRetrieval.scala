@@ -92,8 +92,8 @@ object HybridRetrieval {
     * ([[PostingsStore.topK]]'s shape): stage 1 bounds each window task
     * at candidates/32, stage 2 ranks the ≤ 32·k survivors. Requires
     * (order, doc_id) to be a total order per qid. */
-  private def saltedTopK(scored: DataFrame, qid: Column, order: Column,
-      k: Int, rankCol: String): DataFrame = {
+  private[operators] def saltedTopK(scored: DataFrame, qid: Column,
+      order: Column, k: Int, rankCol: String): DataFrame = {
     val w1 = Window.partitionBy(qid, col("__salt"))
       .orderBy(order, col("doc_id"))
     val local = scored

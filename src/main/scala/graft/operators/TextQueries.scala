@@ -1189,6 +1189,64 @@ object TextQueries extends QueryPack {
       },
       Some(HybridInterpOracle)),
 
+    // Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Zhai & Lafferty,
+    // SIGIR 2001) — the other published lexical baseline next to
+    // t24's BM25, and the one n-gram LM pipelines reach for: rank by
+    // sum_q ln p(q|d) under p(w|d) = (tf + mu*p(w|C)) / (dl + mu),
+    // mu = 2000. The score DECOMPOSES into a matched-terms-only sum
+    // ln(1 + tf*C/(mu*cf)) plus |q| * ln(mu/(dl+mu)) — which is what
+    // keeps it candidate-driven: only docs sharing >= 1 query term
+    // are scored (the standard IR candidate convention; the
+    // doc-length term alone never promotes a no-match doc into a
+    // top-k that matters). Float discipline: each ln is a
+    // 12dp-rounded double over exact integer ratios, summed as exact
+    // decimal; |q| * lengthTerm is integer x decimal; the output
+    // serializes the 6dp score in integer MICRO-units — no decimal
+    // and no decimal-to-double cast ever leaves the frame. Ranking
+    // uses the salted two-stage top-k (mid-frequency query terms have
+    // corpus-sized candidate lists; a single global rank window would
+    // serialize them into one task).
+    Q("t31_query_likelihood",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val term = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+        // t24's mid-frequency query set (corpus-count ranks 11-20),
+        // carrying cnt = collection frequency for the smoothing term.
+        val w0 = Window.orderBy(col("cnt").desc, col("token"))
+        val qterms = term.orderBy(col("cnt").desc, col("token")).limit(20)
+          .withColumn("r", row_number().over(w0))
+          .filter(col("r") > 10)
+          .select(col("token"), col("cnt"))
+        val cc = tf.agg(sum(col("tf")).as("C"))
+        val m = tf.join(broadcast(qterms), "token")
+          .crossJoin(broadcast(cc))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("matched"),
+            sum(round(log(lit(1.0) +
+                (col("tf") * col("C")).cast("double") /
+                (lit(2000L) * col("cnt")).cast("double")), 12)
+              .cast("decimal(20,12)")).as("msum"))
+        val scored = m.join(dl, "doc_id")
+          .withColumn("score", col("msum") +
+            lit(10) *
+              round(log(lit(2000.0) / (col("dl") + lit(2000))), 12)
+                .cast("decimal(20,12)"))
+          .withColumn("qid", lit(1))
+        HybridRetrieval
+          .saltedTopK(scored, col("qid"), col("score").desc, 10, "rk")
+          .select(col("rk"), col("doc_id"), col("matched"),
+            (round(col("score"), 6) * lit(1000000)).cast("long")
+              .as("ql_micro"))
+          .orderBy(col("rk"))
+      },
+      Some(QueryLikelihoodOracle)),
+
     // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): the
     // corpus splits into head/middle/tail THIRDS by per-doc mean
     // unigram surprisal — the corpus-RELATIVE quality tiers CCNet
@@ -1401,6 +1459,50 @@ object TextQueries extends QueryPack {
              |  CAST(rank_lex AS BIGINT) AS rank_lex,
              |  CAST(rank_vec AS BIGINT) AS rank_vec
              |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** DuckDB replay of t31: same tokenization/tf/dl CTEs as the BM25
+    * oracles, the same rank-11..20 query set, then the decomposed
+    * Dirichlet score — matched-term lns and the doc-length term each
+    * 12dp-rounded doubles cast to exact decimal, blended with integer
+    * arithmetic, serialized at 6dp in integer micro-units. */
+  private[graft] val QueryLikelihoodOracle: String =
+    raw"""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE length(trim(text)) > 0),
+             |toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM d),
+             |tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             |term AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1),
+             |q AS (
+             |  SELECT token, cnt FROM (
+             |    SELECT token, cnt, ROW_NUMBER() OVER (
+             |      ORDER BY cnt DESC, token) AS r
+             |    FROM term) WHERE r > 10 AND r <= 20),
+             |cc AS (SELECT SUM(tf) AS C FROM tf),
+             |m AS (
+             |  SELECT tf.doc_id, COUNT(*) AS matched,
+             |    SUM(CAST(ROUND(ln(CAST(1.0 AS DOUBLE) +
+             |      CAST(tf.tf * cc.C AS DOUBLE) /
+             |      CAST(2000 * q.cnt AS DOUBLE)), 12)
+             |      AS DECIMAL(20,12))) AS msum
+             |  FROM tf JOIN q USING (token), cc
+             |  GROUP BY 1),
+             |sc AS (
+             |  SELECT m.doc_id, m.matched,
+             |    m.msum + 10 * CAST(ROUND(ln(CAST(2000 AS DOUBLE) /
+             |      (dl.dl + 2000)), 12) AS DECIMAL(20,12)) AS score
+             |  FROM m JOIN dl USING (doc_id)),
+             |ranked AS (
+             |  SELECT doc_id, matched, score,
+             |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM sc)
+             |SELECT rk, doc_id, matched,
+             |  CAST(ROUND(score, 6) * 1000000 AS BIGINT) AS ql_micro
+             |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   /** DuckDB replay of [[HybridRetrieval.interpolateFuse]] over the
     * shared arms: per-arm top-20 (same rankings t29 proved), min-max
