@@ -87,18 +87,6 @@ trait Materializer {
 }
 
 object CatalogMaterializer {
-  /** `insertInto` does not carry DataFrameWriter options through to the
-    * insert command, so dynamic partition overwrite can only come from
-    * the session conf. A session-wide toggle races under `--threads`
-    * (another node's finally-restore between our conf-set and the write
-    * flips dynamic → static, deleting every untouched partition), so the
-    * set → write → restore window is serialized JVM-wide. Only
-    * incremental catalog inserts take this lock; every other
-    * materialization path is either writer-option-scoped
-    * ([[PathMaterializer]]) or insensitive to the mode (unpartitioned
-    * saveAsTable), so DAG parallelism elsewhere is unaffected.
-    */
-  private[model] val dynamicOverwriteLock = new Object
 
   /** Version-directory suffix for atomic full refresh: wall-millis plus a
     * process-wide counter, so two refreshes of the same relation in the
@@ -200,6 +188,37 @@ object CatalogMaterializer {
 final class CatalogMaterializer extends Materializer {
   def tableRelation(schema: String, name: String): String = s"$schema.$name"
 
+  /** Size-on-write (guide §6): every sink rebalances its input to AQE's
+    * advisory partition size (`spark.sql.adaptive.advisoryPartitionSizeInBytes`)
+    * before the file write, keyed by the partition columns when the
+    * relation is partitioned. Without it a write emits one file per
+    * upstream task — 32 ~KB files per state-table batch on local[32]
+    * (measured: the insertInto/saveAsTable call sites carried ~19 s of
+    * p02's 21 s wall, dominated by per-file task commits and the
+    * re-listing every subsequent `spark.table` read pays), and at 100 TB
+    * the same shape is the classic small-files problem. REBALANCE is
+    * scale-adaptive by construction: AQE merges tiny partitions and
+    * SPLITS skewed ones to the advisory size, so locally a small batch
+    * writes ~1 sized file while a production partition fans out to as
+    * many advisory-sized files as its bytes demand. The extra exchange
+    * on the write side is the standard price of sized output (the
+    * Iceberg `write.distribution-mode=hash` trade). */
+  private def sized(df: DataFrame, partitionCols: Seq[String] = Nil): DataFrame =
+    if (callerPinnedLayout(df)) df
+    else if (partitionCols.isEmpty) df.hint("rebalance")
+    else df.hint("rebalance", partitionCols.map(col): _*)
+
+  /** An explicit top-level `repartition`/`coalesce` on the written frame
+    * is the caller CHOOSING the output layout (the optimize verb's
+    * byte-target compaction does exactly this) — auto-sizing must not
+    * override it. */
+  private def callerPinnedLayout(df: DataFrame): Boolean =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+      case _ => false
+    }
+
   def relationExists(spark: SparkSession, relation: String): Boolean = {
     repairFromPointer(spark, relation)
     spark.catalog.tableExists(relation)
@@ -262,34 +281,38 @@ final class CatalogMaterializer extends Materializer {
       val Array(schema, _) = relation.split('.')
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
       clearStaleLocation(spark, relation)
-      df.write.partitionBy(partitionCols: _*)
+      sized(df, partitionCols).write.partitionBy(partitionCols: _*)
         .format("parquet").saveAsTable(relation)
-    } else CatalogMaterializer.dynamicOverwriteLock.synchronized {
+    } else {
       requireNotPointerBacked(spark, relation)
       val key = "spark.sql.sources.partitionOverwriteMode"
-      // The toggle must land on the session that EXECUTES the write —
-      // df.sparkSession, which differs from `spark` when the increment
-      // comes out of a foreachBatch micro-batch (a session CLONE whose
-      // conf stays at the default). Toggling only `spark` there leaves
-      // the clone in STATIC overwrite and the insert replaces the whole
-      // table, not the increment's partitions (caught by the streaming
-      // store-ingest spec). The writer-scoped option is belt-and-braces
-      // for the same contract.
+      // DYNAMIC overwrite can only come from the session conf:
+      // `insertInto` drops DataFrameWriter options on the floor
+      // (InsertIntoStatement has no options field — verified against
+      // Spark 4.1). The conf must land on the session that EXECUTES the
+      // write — df.sparkSession, which differs from `spark` when the
+      // increment comes out of a foreachBatch micro-batch (a session
+      // CLONE whose conf stays at the default; caught by the streaming
+      // store-ingest spec). The set is STICKY — no restore: every
+      // insertInto in this codebase is either this dynamic overwrite or
+      // a pure append (mode-insensitive), so there is nothing for a
+      // leaked "dynamic" to break, and dropping the restore removes the
+      // set → write → restore race that previously forced a JVM-wide
+      // lock serializing every incremental store write (the lock cost
+      // the protocol gates their write concurrency — guide §2.6).
       val sess = df.sparkSession
-      val prev = sess.conf.getOption(key)
-      sess.conf.set(key, "dynamic")
-      try {
-        // insertInto resolves positionally against the catalog schema;
-        // reorder the increment to match (partition cols land last there).
-        val target = spark.table(relation).columns
-        df.select(target.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
-          .write.mode("overwrite").option(key, "dynamic")
-          .insertInto(relation)
-      } finally prev match {
-        case Some(v) => sess.conf.set(key, v)
-        case None => sess.conf.unset(key)
-      }
+      if (!sess.conf.getOption(key).contains("dynamic"))
+        sess.conf.set(key, "dynamic")
+      // insertInto resolves positionally against the catalog schema;
+      // reorder the increment to match (partition cols land last there).
+      val target = spark.table(relation).columns
+      val partCols = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          relation.split('.')(1), Some(relation.split('.')(0))))
+        .partitionColumnNames
+      sized(df.select(target.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*), partCols)
+        .write.mode("overwrite").insertInto(relation)
     }
 
   def materializeAppend(spark: SparkSession, relation: String,
@@ -298,12 +321,13 @@ final class CatalogMaterializer extends Materializer {
       val Array(schema, _) = relation.split('.')
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $schema")
       clearStaleLocation(spark, relation)
-      df.write.format("parquet").saveAsTable(relation)
+      sized(df).write.format("parquet").saveAsTable(relation)
     } else {
       requireNotPointerBacked(spark, relation)
       // insertInto appends by default, resolving positionally.
       val target = spark.table(relation).columns
-      df.select(target.map(col).toIndexedSeq: _*).write.insertInto(relation)
+      sized(df.select(target.map(col).toIndexedSeq: _*))
+        .write.insertInto(relation)
     }
 
   def dropPartition(spark: SparkSession, relation: String,
@@ -382,7 +406,7 @@ final class CatalogMaterializer extends Materializer {
     val fs = newLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     CatalogMaterializer.registerInFlight(fs, newLoc)
     try {
-      df.write.mode("overwrite").parquet(newLoc.toString)
+      sized(df).write.mode("overwrite").parquet(newLoc.toString)
       // Parquet writes every column nullable; the committed schema must
       // agree or a reader could trust a non-nullable column that isn't.
       val newSchema = CatalogMaterializer.relaxNullability(df.schema)

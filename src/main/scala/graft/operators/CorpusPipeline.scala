@@ -382,11 +382,18 @@ object CorpusPipeline {
     // offset aggregate.
     def tag(df: DataFrame) = df.withColumn("batch_id", lit(batchId))
       .withColumn("epoch", lit(epoch))
-    Seq(st.metaRel -> meta, st.shardsRel -> shardPartial).foreach {
-      case (rel, df) =>
-        mat.dropPartition(spark, rel, "batch_id", batchId)
-        mat.materializeIncremental(spark, rel, tag(df), Seq("batch_id"))
-    }
+    // meta and shards are independent relations and neither plan reads
+    // the other (meta derives from the quality frame, the shard partial
+    // from the survivor packing; the offset scalar the partial embeds
+    // was collected BEFORE this call) — write them concurrently
+    // (guide §2.6).
+    graft.core.Par.run(
+      Seq(st.metaRel -> meta, st.shardsRel -> shardPartial).map {
+        case (rel, df) => () => {
+          mat.dropPartition(spark, rel, "batch_id", batchId)
+          mat.materializeIncremental(spark, rel, tag(df), Seq("batch_id"))
+        }
+      }: _*)
   }
 
   /** Cascading TAKEDOWN — the one "forget this document everywhere" verb
@@ -444,10 +451,14 @@ object CorpusPipeline {
     val batchStats = preDeleteBatchStats(spark, meta)
     val survOld = packedSet(meta,
       DedupStore.allPairs(spark, st.dedup)).localCheckpoint()
-    StoreRetention.deleteDocs(spark, st.dedup,
-      family.select(col("doc_id")))
-    StoreRetention.deleteRows(spark, st.metaRel, family,
-      (t, v) => t("doc_id") === v("doc_id"))
+    // Dedup-store and doc_meta deletes touch disjoint relations, and
+    // the victim frame (`family`) is checkpoint-pinned — run them
+    // concurrently (guide §2.6).
+    graft.core.Par.run(
+      () => StoreRetention.deleteDocs(spark, st.dedup,
+        family.select(col("doc_id"))),
+      () => StoreRetention.deleteRows(spark, st.metaRel, family,
+        (t, v) => t("doc_id") === v("doc_id")))
     // Survivor flags from the repaired state — fingerprints and the pair
     // graph, never text. One column-pruned scan of each.
     val surv = Caches.persist(packedSet(spark.table(st.metaRel),
@@ -800,14 +811,19 @@ object CorpusPipeline {
       st.base.dedup)
     val surv3 = Caches.persist(dropNearDups(kept, idCol,
       DedupStore.allPairs(spark, st.base.dedup)))
-    mat.materializeTable(spark, st.benchGramsRel,
-      benchGrams(bench, textCol))
-    // Train on the FULL history embedding pool, ingest survivors only —
-    // see the semantic-stage policy note above.
+    // The benchmark-gram table and the semantic store are independent
+    // state (different relations; neither plan reads the other): build
+    // them concurrently (guide §2.6) — the gram shuffle+write back-fills
+    // the executor idle time of the codebook's driver-side training
+    // collects. Train on the FULL history embedding pool, ingest
+    // survivors only — see the semantic-stage policy note above.
     val survEmb = emb.join(surv3.select(col(idCol).as("__sid")),
       emb(vecIdCol) === col("__sid"), "left_semi")
-    SemanticStore.buildFromAuto(spark, emb, survEmb, vecIdCol, vecCol,
-      SemIters, SemTau, st.sem)
+    graft.core.Par.run(
+      () => mat.materializeTable(spark, st.benchGramsRel,
+        benchGrams(bench, textCol)),
+      () => SemanticStore.buildFromAuto(spark, emb, survEmb, vecIdCol,
+        vecCol, SemIters, SemTau, st.sem))
     val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
       spark.table(st.benchGramsRel)))
     writeBatch(spark, st.base, "base", epoch = 0,
@@ -851,10 +867,17 @@ object CorpusPipeline {
     val surv3 = Caches.persist(dropNearDups(kept, idCol, newPairs))
     val survEmb = emb.join(surv3.select(col(idCol).as("__sid")),
       emb(vecIdCol) === col("__sid"), "left_semi")
-    SemanticStore.append(spark, survEmb, vecIdCol, vecCol, st.sem,
-      batchId)
+    // The semantic-store append and the batch's decontam verdicts are
+    // independent (the gram probe reads the FIXED bench_grams table and
+    // the cached quality frame): overlap the store write with the gram
+    // join by force-materializing the contam cache concurrently
+    // (guide §2.6).
     val contam = Caches.persist(contaminatedIds(q, idCol, textCol,
       spark.table(st.benchGramsRel)))
+    graft.core.Par.run(
+      () => SemanticStore.append(spark, survEmb, vecIdCol, vecCol,
+        st.sem, batchId),
+      () => { contam.count(); () })
     // Epoch-aware offset — the base pipeline's fence semantics apply to
     // the full recipe unchanged ([[fence]] on `st.base`).
     val (epoch, fenceOff) = currentFence(spark, st.base)
@@ -928,10 +951,13 @@ object CorpusPipeline {
     // difference, not just resurrections, scopes the re-pack).
     val batchStats = preDeleteBatchStats(spark, meta)
     val survOld = packedFullSet(spark, st, meta).localCheckpoint()
-    StoreRetention.deleteDocs(spark, st.base.dedup,
-      family.select(col("doc_id")))
-    StoreRetention.deleteRows(spark, st.base.metaRel, family,
-      (t, v) => t("doc_id") === v("doc_id"))
+    // Disjoint relations, checkpoint-pinned victim frame — concurrent
+    // (guide §2.6; same argument as [[delete]]).
+    graft.core.Par.run(
+      () => StoreRetention.deleteDocs(spark, st.base.dedup,
+        family.select(col("doc_id"))),
+      () => StoreRetention.deleteRows(spark, st.base.metaRel, family,
+        (t, v) => t("doc_id") === v("doc_id")))
     // Repaired stage-3 survivors, from state alone (fingerprints, the
     // pair graph, the persisted contaminated flags — never text). The
     // keeper is a min-aggregate + semi-join back on doc_id, not a

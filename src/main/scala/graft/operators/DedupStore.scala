@@ -157,17 +157,24 @@ object DedupStore {
       batchId: String, sh: DataFrame, buckets: DataFrame,
       pairs: DataFrame): Unit = {
     def tag(df: DataFrame) = df.withColumn("batch_id", lit(batchId))
-    // Pairs land FIRST: their plan reads the store tables, which must
-    // still be pre-batch when it executes (the batchId exclusion in
-    // appendBatch makes this belt-and-braces). Each write clears its own
-    // partition up front — dynamic overwrite with an EMPTY increment
-    // touches nothing, so a replay whose recompute came up empty would
+    // The three writes are independent (three relations) and each is
+    // correct against any interleaving of the others: the pairs plan
+    // reads the store tables THROUGH the `batch_id =!= batchId`
+    // exclusion filter (appendBatch), so a sibling write landing this
+    // batch's shingle/index rows mid-read is pruned out, and the
+    // one-shot build starts from reset (empty) tables. So they run
+    // CONCURRENTLY (guide §2.6) — three sequential partition commits
+    // collapse to ~the slowest one. Each write clears its own partition
+    // up front — dynamic overwrite with an EMPTY increment touches
+    // nothing, so a replay whose recompute came up empty would
     // otherwise keep the stale rows (the microbatch empty-period
     // contract, Materializer.dropPartition).
-    Seq(store.pairsRel -> pairs, store.shinglesRel -> sh,
-        store.bucketsRel -> buckets).foreach { case (rel, df) =>
-      mat.dropPartition(spark, rel, "batch_id", batchId)
-      mat.materializeIncremental(spark, rel, tag(df), Seq("batch_id"))
-    }
+    graft.core.Par.run(
+      Seq(store.pairsRel -> pairs, store.shinglesRel -> sh,
+        store.bucketsRel -> buckets).map { case (rel, df) => () => {
+          mat.dropPartition(spark, rel, "batch_id", batchId)
+          mat.materializeIncremental(spark, rel, tag(df), Seq("batch_id"))
+        }
+      }: _*)
   }
 }

@@ -76,13 +76,22 @@ object StoreRetention {
       ids: DataFrame): Seq[DeleteStats] = {
     def byDoc(rel: String) = deleteRows(spark, rel, ids,
       (t, v) => t("doc_id") === v("doc_id"))
-    Seq(
-      byDoc(store.shinglesRel),
-      byDoc(store.bucketsRel),
-      deleteRows(spark, store.pairsRel, ids,
-        (t, v) => t("doc_a") === v("doc_id")),
-      deleteRows(spark, store.pairsRel, ids,
-        (t, v) => t("doc_b") === v("doc_id")))
+    // Three independent chains run concurrently (guide §2.6): the
+    // shingle and index deletes touch their own relations, and the two
+    // pair-side passes stay SEQUENTIAL within their chain — the doc_b
+    // pass reads the table the doc_a pass rewrote; interleaving them
+    // would recompute both `remaining` sets from the pre-delete table
+    // and the second commit would resurrect the first pass's deletes.
+    val out = new Array[Seq[DeleteStats]](3)
+    graft.core.Par.run(
+      () => out(0) = Seq(byDoc(store.shinglesRel)),
+      () => out(1) = Seq(byDoc(store.bucketsRel)),
+      () => out(2) = Seq(
+        deleteRows(spark, store.pairsRel, ids,
+          (t, v) => t("doc_a") === v("doc_id")),
+        deleteRows(spark, store.pairsRel, ids,
+          (t, v) => t("doc_b") === v("doc_id"))))
+    out.toIndexedSeq.flatten
   }
 
   /** Remove documents from a [[PostingsStore]]: their postings and
@@ -93,10 +102,16 @@ object StoreRetention {
     * from-scratch build over corpus-minus-victims — the t28 gate pins
     * that equality against the one-shot oracle. */
   def deletePostings(spark: SparkSession, store: PostingsStore,
-      ids: DataFrame): Seq[DeleteStats] =
-    Seq(store.postingsRel, store.lengthsRel).map(rel =>
-      deleteRows(spark, rel, ids,
-        (t, v) => t("doc_id") === v("doc_id")))
+      ids: DataFrame): Seq[DeleteStats] = {
+    // Independent relations — concurrent partition rewrites (guide §2.6).
+    val out = new Array[DeleteStats](2)
+    graft.core.Par.run(
+      Seq(store.postingsRel, store.lengthsRel).zipWithIndex.map {
+        case (rel, i) => () => out(i) = deleteRows(spark, rel, ids,
+          (t, v) => t("doc_id") === v("doc_id"))
+      }: _*)
+    out.toIndexedSeq
+  }
 
   /** Remove vectors from a [[VectorIndex]]'s codes table. The frozen
     * codebook keeps its seed rows: PQ sub-codebooks and coarse

@@ -23,15 +23,22 @@ class OptimizeSpec extends SparkSuite {
   }
 
   test("optimize compacts a many-file table without changing content") {
-    var src = spark.range(10000).select(col("id"), (col("id") * 3).as("v"))
-      .repartition(32) // the small-files shape an accreted mart ends in
+    val src = spark.range(10000).select(col("id"), (col("id") * 3).as("v"))
     val project = Project(
       Seq(SourceDef("t", "ev", _ => src)),
       Seq(SqlModel("opt_m", "SELECT * FROM {{ source('t', 'ev') }}",
         Materialization.Table)))
     val runner = new Runner(project, Target.dev, mat)
     mat.dropRelation(spark, "dev.opt_m") // stale state from prior runs
-    runner.run(spark)
+    // The table sink now REBALANCES on write (round-17 sizing), so a
+    // plain build cannot produce the accreted small-files shape any
+    // more; fragment via the writer's per-file record cap instead —
+    // the layout a long-lived mart still degrades into through means
+    // the write-side sizing cannot see (many small appends, schema
+    // migrations, external writers).
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 300)
+    try runner.run(spark)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     val before = parquetFiles("dev", "opt_m__v")
     assert(before.size >= 32)
     val checksum = spark.table("dev.opt_m")
