@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import graft.core.Caches
+import graft.core.Checkpoints
 
 /** Sequence packing for LLM training corpora: the concat-and-chunk
   * regime — documents are laid end to end in a deterministic order and
@@ -51,12 +51,23 @@ object Packing {
       seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
-    // Phase 1: contiguous global-order slices. Persisted so the subtotal
-    // job and the final pass see the same partitioning (and the
-    // range-partitioning's sampling pass runs once). __pid rides as a
-    // column so phase 3 can look up its partition's offset without the
-    // RDD API.
-    val parted = Caches.persist(
+    // Phase 1: contiguous global-order slices. CHECKPOINTED, not merely
+    // persisted: the subtotal job and the final pass must see the same
+    // partitioning (and the range-partitioning's sampling pass must run
+    // once) — a persist gives both — but packing sits at the BOTTOM of
+    // the pipeline gates' longest plans (six filter stages feed it in
+    // the full recipe), and every downstream action over a persisted
+    // frame still re-ANALYZES the whole upstream tree. Truncating
+    // lineage here (guide §3.3/§5: materialise an intermediate to cut
+    // the plan) makes every consumer of the pack assignment — the
+    // manifest aggregate, the shard-partial writes, the gate's final
+    // action — plan over a LogicalRDD instead of the full recipe tree
+    // (measured on p07: the final action spent 5.4 s in pure driver
+    // planning/codegen re-walking the six-stage tree that was already
+    // cached). The frame is (orderCol, tokCol, ...) survivors-only —
+    // executor-memory-cheap at any scale, and Checkpoints.truncate
+    // upgrades to a reliable checkpoint on clusters.
+    val parted = Checkpoints.truncate(
       docs.repartitionByRange(col(orderCol))
         .sortWithinPartitions(orderCol)
         .withColumn("__pid", spark_partition_id()))
@@ -120,7 +131,11 @@ object Packing {
     // Keys must be non-null strings (a null key fails loudly in the
     // driver-side subtotal sort, never silently miscounts).
     val spark = docs.sparkSession
-    val parted = Caches.persist(
+    // Checkpointed for the same plan-truncation reason as
+    // [[packAssignments]] (the mixture gates chain this under the
+    // quota filter and then pack on top — two prefix sums of re-analyzed
+    // tree otherwise).
+    val parted = Checkpoints.truncate(
       docs.repartitionByRange(col(keyCol), col(orderCol))
         .sortWithinPartitions(keyCol, orderCol)
         .withColumn("__pid", spark_partition_id()))
